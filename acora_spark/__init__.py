@@ -1,0 +1,29 @@
+"""acora_spark — a PySpark-native fulltext index + multi-keyword search engine.
+
+Brand-new implementation (not a port) with the query semantics of the
+reference multi-keyword matcher (scoder/acora) extended into a distributed
+inverted-index / BM25 pipeline.  See SURVEY.md for the capability map.
+"""
+
+from acora_spark.automaton import Automaton, build_automaton
+from acora_spark.operators.matcher import (
+    longest_match,
+    match,
+    match_lines,
+    matching_lines,
+    search,
+)
+from acora_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Automaton",
+    "build_automaton",
+    "get_spark",
+    "match",
+    "search",
+    "longest_match",
+    "match_lines",
+    "matching_lines",
+]

@@ -1,0 +1,322 @@
+"""Driver-side Aho-Corasick automaton with numpy table layout.
+
+Re-derivation of the classic Aho-Corasick multi-pattern matcher (Aho &
+Corasick, CACM 1975) with the exact observable semantics of the reference
+engine (scoder/acora — see /root/reference):
+
+* every occurrence of every keyword is reported, overlapping and nested
+  included (reference README.rst:36, test.py:162-174);
+* a match is reported at its END position; multiple keywords ending at the
+  same position ("co-terminal") are ordered longest-first
+  (reference acora/_acora.py:303-304), equal lengths alphabetically
+  (reference acora/_acora.py:177-178);
+* offsets are CODE-POINT offsets of the match START (reference
+  acora/_cacora.pyx:500-503);
+* ``ignore_case=True`` lowercases keywords at build time and adds
+  upper-case alias transitions; every distinct inserted case variant that
+  terminates at a state is emitted per hit (reference test.py:339-345);
+* the empty keyword raises ``ValueError`` (reference acora/_acora.py:97-98);
+  an EMPTY automaton (no keywords) is legal and matches nothing
+  (reference test.py:122-127);
+* keyword duplicates collapse (``set()`` semantics,
+  reference acora/__init__.py:204).
+
+Architecture (NOT a port): instead of the reference's pointer-linked C node
+structs (acora/_cacora.pyx:56-66), the NFA->DFA-flattened automaton is packed
+into three dense numpy arrays — ``goto`` (state x alphabet transition table),
+a CSR output table, and a sorted code-point lookup table.  This layout is
+(a) picklable, so it broadcasts to Spark executors in one hop, and
+(b) gather-friendly, so a *batch of documents* can be scanned in lockstep
+with numpy advanced indexing — one vectorized step per character position
+across the whole batch — which is the Spark-native replacement for the
+reference's per-character nogil C loop (acora/_cacora.pyx:486-493).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["Automaton", "build_automaton", "py_finditer"]
+
+# Cap on elements of the (batch x maxlen) scratch matrices used by the
+# lockstep scanner; keeps per-task peak memory bounded regardless of
+# document-length skew.
+_CHUNK_BUDGET = 4_000_000
+
+
+@dataclass
+class Automaton:
+    """Immutable, picklable, broadcast-ready Aho-Corasick DFA.
+
+    Tables
+    ------
+    lut_codes : sorted uint32 array of recognized code points
+    lut_vals  : int32, alphabet index (1-based) for each lut code;
+                index 0 is reserved for "any other character" which, in a
+                fully DFA-flattened automaton, always transitions to root
+    goto      : int32 (n_states, n_alpha + 1); goto[:, 0] == 0
+    out_start / out_count : CSR index into out_kw per state
+    out_kw    : int32 keyword ids, per-state slice sorted (-len, kw)
+    keywords  : tuple of original keywords (emission uses ORIGINAL case)
+    kw_len    : int64 keyword lengths in code points
+    """
+
+    keywords: tuple[str, ...]
+    ignore_case: bool
+    lut_codes: np.ndarray
+    lut_vals: np.ndarray
+    goto: np.ndarray
+    out_start: np.ndarray
+    out_count: np.ndarray
+    out_kw: np.ndarray
+    kw_len: np.ndarray = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.kw_len = np.asarray([len(k) for k in self.keywords], dtype=np.int64)
+
+    # -- encoding ---------------------------------------------------------
+
+    def _codes(self, text: str) -> np.ndarray:
+        return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+    def _alpha_idx(self, codes: np.ndarray) -> np.ndarray:
+        """Map code points -> alphabet indices (0 = not in alphabet)."""
+        pos = np.searchsorted(self.lut_codes, codes)
+        pos_c = np.minimum(pos, len(self.lut_codes) - 1) if len(self.lut_codes) else pos
+        if len(self.lut_codes) == 0:
+            return np.zeros(codes.shape, dtype=np.int32)
+        ok = self.lut_codes[pos_c] == codes
+        out = np.where(ok, self.lut_vals[pos_c], 0).astype(np.int32, copy=False)
+        return out
+
+    # -- scanning ---------------------------------------------------------
+
+    def find_batch(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Scan a batch of documents in lockstep.
+
+        Returns ``(doc_idx, kw_id, start, end)`` int64/int32 arrays, sorted
+        by ``(doc_idx, end asc, output-slot)`` — i.e. the reference's
+        ``finditer`` order within each document (end ascending, co-terminal
+        longest-first).  ``start``/``end`` are code-point offsets,
+        ``end`` exclusive.
+        """
+        n = len(texts)
+        empty = (
+            np.empty(0, np.int64),
+            np.empty(0, np.int32),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+        if n == 0 or len(self.keywords) == 0:
+            return empty
+
+        codes = [self._codes(t) for t in texts]
+        lens = np.asarray([len(c) for c in codes], dtype=np.int64)
+        order = np.argsort(-lens, kind="stable")  # long docs first
+
+        rec_doc: list[np.ndarray] = []
+        rec_state: list[np.ndarray] = []
+        rec_end: list[np.ndarray] = []
+
+        goto_flat = np.ascontiguousarray(self.goto).ravel()
+        width = self.goto.shape[1]
+        out_count = self.out_count
+
+        i = 0
+        while i < n:
+            maxlen = int(lens[order[i]])
+            if maxlen == 0:
+                break  # remaining docs are empty
+            bsz = max(1, min(n - i, _CHUNK_BUDGET // maxlen))
+            sel = order[i : i + bsz]
+            i += bsz
+            b = len(sel)
+            chunk_lens = lens[sel]
+            mat = np.zeros((b, maxlen), dtype=np.uint32)
+            for r, doc_i in enumerate(sel):
+                c = codes[doc_i]
+                mat[r, : len(c)] = c
+            col = self._alpha_idx(mat.ravel()).reshape(b, maxlen)
+            del mat
+            states = np.zeros(b, dtype=np.int64)
+            doc_ids = sel.astype(np.int64)
+            for t in range(maxlen):
+                states = goto_flat[states * width + col[:, t]]
+                hit = out_count[states] > 0
+                if t + 1 > int(chunk_lens.min()):
+                    hit &= chunk_lens > t
+                if hit.any():
+                    rec_doc.append(doc_ids[hit])
+                    rec_state.append(states[hit].astype(np.int64))
+                    rec_end.append(np.full(int(hit.sum()), t + 1, dtype=np.int64))
+
+        if not rec_doc:
+            return empty
+        doc = np.concatenate(rec_doc)
+        st = np.concatenate(rec_state)
+        end = np.concatenate(rec_end)
+        # expand co-terminal outputs: one row per keyword in the state's
+        # output list, preserving the longest-first slot order
+        cnt = self.out_count[st].astype(np.int64)
+        doc_x = np.repeat(doc, cnt)
+        end_x = np.repeat(end, cnt)
+        base = np.repeat(self.out_start[st].astype(np.int64), cnt)
+        slot_off = np.arange(cnt.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+        )
+        kw = self.out_kw[base + slot_off]
+        start_x = end_x - self.kw_len[kw]
+        # canonical order: (doc, end asc, slot order) — slot_off is the
+        # within-state longest-first rank, so lexsort on it last
+        perm = np.lexsort((slot_off, end_x, doc_x))
+        return doc_x[perm], kw[perm].astype(np.int32), start_x[perm], end_x[perm]
+
+    def finditer(self, text: str):
+        """Reference-parity single-document API: yields ``(keyword, start)``
+        in the order of acora's ``finditer`` (end asc, longest first)."""
+        doc, kw, start, _end = self.find_batch([text])
+        for k, s in zip(kw, start):
+            yield self.keywords[int(k)], int(s)
+
+    def findall(self, text: str) -> list[tuple[str, int]]:
+        return list(self.finditer(text))
+
+
+def build_automaton(keywords, ignore_case: bool = False) -> Automaton:
+    """Build the DFA tables driver-side.  Pure Python + numpy, no Spark.
+
+    Pipeline (same IR progression as the reference, new data layout):
+    trie insert -> BFS fail links -> output accumulation along fail chains
+    -> full DFA flattening into a dense goto table
+    (reference stages: acora/_acora.py:95-118, 155-202, 271-306).
+    """
+    kws: list[str] = []
+    seen = set()
+    for kw in keywords:
+        if not isinstance(kw, str):
+            raise TypeError(f"keywords must be str, got {type(kw).__name__}")
+        if len(kw) == 0:
+            raise ValueError("cannot search for the empty string")
+        if kw not in seen:
+            seen.add(kw)
+            kws.append(kw)
+    kws.sort()  # deterministic keyword ids
+    keywords_t = tuple(kws)
+
+    # ---- alphabet -------------------------------------------------------
+    norm = (lambda c: c.lower()) if ignore_case else (lambda c: c)
+    alpha = sorted({norm(c) for kw in kws for c in kw})
+    alpha_id = {c: i + 1 for i, c in enumerate(alpha)}  # 1-based; 0 = other
+    n_alpha = len(alpha)
+
+    # lookup table: recognized code point -> alphabet index.  With
+    # ignore_case, case variants of each alphabet char map to the same
+    # index (scan-time aliasing).
+    lut: dict[int, int] = {}
+    for c, idx in alpha_id.items():
+        variants = {c}
+        if ignore_case:
+            for v in (c.upper(), c.title()):
+                if len(v) == 1:
+                    variants.add(v)
+        for v in variants:
+            lut[ord(v)] = idx
+    lut_codes = np.asarray(sorted(lut), dtype=np.uint32)
+    lut_vals = np.asarray([lut[c] for c in sorted(lut)], dtype=np.int32)
+
+    # ---- trie -----------------------------------------------------------
+    children: list[dict[int, int]] = [{}]
+    matches: list[list[int]] = [[]]
+    for kw_id, kw in enumerate(kws):
+        node = 0
+        for ch in kw:
+            a = alpha_id[norm(ch)]
+            nxt = children[node].get(a)
+            if nxt is None:
+                nxt = len(children)
+                children.append({})
+                matches.append([])
+                children[node][a] = nxt
+            node = nxt
+        matches[node].append(kw_id)
+
+    n_states = len(children)
+    fail = np.zeros(n_states, dtype=np.int64)
+    goto = np.zeros((n_states, n_alpha + 1), dtype=np.int32)
+    outputs: list[list[int]] = [list(m) for m in matches]
+
+    # ---- BFS: fail links + DFA flattening -------------------------------
+    q: deque[int] = deque()
+    for a, child in children[0].items():
+        goto[0, a] = child
+        q.append(child)
+    while q:
+        node = q.popleft()
+        f = fail[node]
+        for a, child in children[node].items():
+            fail[child] = goto[f, a] if child != goto[f, a] else 0
+            q.append(child)
+        # flatten: transitions not defined here inherit from the fail state
+        # (reference merge_targets, acora/_acora.py:293-302)
+        row = goto[f].copy()
+        for a, child in children[node].items():
+            row[a] = child
+        row[0] = 0
+        goto[node] = row
+
+    # output accumulation along fail chains (reference acora/_acora.py:283-292);
+    # BFS order guarantees fail[node] (strictly smaller depth) is merged first
+    q = deque([0])
+    while q:
+        node = q.popleft()
+        if node != 0:
+            outputs[node] = outputs[node] + outputs[fail[node]]
+        for child in children[node].values():
+            q.append(child)
+
+    # co-terminal ordering: longest first, ties alphabetical
+    # (reference acora/_acora.py:303-304 and :177-178)
+    out_start = np.zeros(n_states, dtype=np.int64)
+    out_count = np.zeros(n_states, dtype=np.int64)
+    flat: list[int] = []
+    for s in range(n_states):
+        o = sorted(set(outputs[s]), key=lambda k: (-len(kws[k]), kws[k]))
+        out_start[s] = len(flat)
+        out_count[s] = len(o)
+        flat.extend(o)
+    out_kw = np.asarray(flat, dtype=np.int32) if flat else np.empty(0, np.int32)
+
+    return Automaton(
+        keywords=keywords_t,
+        ignore_case=ignore_case,
+        lut_codes=lut_codes,
+        lut_vals=lut_vals,
+        goto=goto,
+        out_start=out_start,
+        out_count=out_count,
+        out_kw=out_kw,
+    )
+
+
+def py_finditer(automaton: Automaton, text: str):
+    """Slow per-character Python walk over the same tables.
+
+    Differential-testing oracle in the house style of the reference
+    (test.py:9-10 runs the same assertions against the pure-Python engine).
+    """
+    if not automaton.keywords:
+        return
+    goto = automaton.goto
+    lut = {int(c): int(v) for c, v in zip(automaton.lut_codes, automaton.lut_vals)}
+    state = 0
+    for pos, ch in enumerate(text):
+        state = int(goto[state, lut.get(ord(ch), 0)])
+        s0, c0 = int(automaton.out_start[state]), int(automaton.out_count[state])
+        for slot in range(s0, s0 + c0):
+            kw = automaton.keywords[int(automaton.out_kw[slot])]
+            yield kw, pos + 1 - len(kw)

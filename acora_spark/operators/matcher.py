@@ -1,0 +1,178 @@
+"""Distributed multi-keyword scan: broadcast automaton + Arrow UDF.
+
+This is the Spark-native form of the reference's scan operators
+(S1/S2 ``finditer``/``findall``, acora/_cacora.pyx:400-414, and the
+one-shot S7 ``search()``, acora/__init__.py:304-316): the automaton is
+built once driver-side, broadcast to executors, and applied to Arrow
+batches of documents with the lockstep numpy scanner — parallelism is
+ACROSS documents (partitions), never per-row Python.
+
+Also implements the reference's documented derived recipes:
+* R1 longest-match filtering (README.rst:99-127)
+* R2 line-scoped matching (README.rst:129-160)
+* R3 fgrep-style matching lines (README.rst:163-190)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from acora_spark.automaton import Automaton, build_automaton
+
+__all__ = ["match", "search", "longest_match", "match_lines", "matching_lines"]
+
+
+def _match_schema(df: DataFrame, id_cols: Sequence[str]) -> StructType:
+    fields = [df.schema[c] for c in id_cols]
+    fields += [
+        StructField("term", StringType(), False),
+        StructField("start", LongType(), False),
+        StructField("end", LongType(), False),
+        StructField("match_seq", LongType(), False),
+    ]
+    return StructType(fields)
+
+
+def match(
+    df: DataFrame,
+    keywords: Sequence[str],
+    *,
+    ignore_case: bool = False,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Scan ``df[content_col]`` for every occurrence of every keyword.
+
+    Returns one row per match: ``id_cols + (term, start, end, match_seq)``
+    where ``start``/``end`` are code-point offsets (end exclusive) and
+    ``match_seq`` is the within-document emission rank in the reference's
+    canonical ``finditer`` order — end ascending, co-terminal longest-first
+    (reference acora/_acora.py:303-304).  Sorting a document's matches by
+    ``match_seq`` reproduces the reference's output order exactly.
+
+    Empty keyword list -> empty DataFrame with the correct schema
+    (reference test.py:122-127 semantics).
+    """
+    auto = build_automaton(keywords, ignore_case=ignore_case)
+    return match_with_automaton(
+        df, auto, content_col=content_col, id_cols=id_cols
+    )
+
+
+def match_with_automaton(
+    df: DataFrame,
+    automaton: Automaton,
+    *,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    schema = _match_schema(df, id_cols)
+    spark = df.sparkSession
+    id_cols = list(id_cols)
+    cols = id_cols + ([content_col] if content_col not in id_cols else [])
+    if not automaton.keywords:
+        return spark.createDataFrame([], schema)
+    bcast = spark.sparkContext.broadcast(automaton)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        auto: Automaton = bcast.value
+        kw_arr = pd.array(auto.keywords, dtype="object")
+        for pdf in batches:
+            texts = pdf[content_col].fillna("").astype(str).tolist()
+            doc_i, kw, start, end = auto.find_batch(texts)
+            out = {c: pdf[c].to_numpy()[doc_i] for c in id_cols}
+            out["term"] = kw_arr[kw]
+            out["start"] = start
+            out["end"] = end
+            # within-doc emission rank; doc_i is doc-grouped and in
+            # canonical order already
+            seq = pd.Series(range(len(doc_i))).groupby(doc_i).cumcount()
+            out["match_seq"] = seq.to_numpy() if len(doc_i) else start
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(scan, schema)
+
+
+def search(
+    df: DataFrame,
+    *keywords: str,
+    ignore_case: bool = False,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """One-shot build + scan (reference S7 ``search()``,
+    acora/__init__.py:304-316)."""
+    return match(
+        df,
+        list(keywords),
+        ignore_case=ignore_case,
+        content_col=content_col,
+        id_cols=id_cols,
+    )
+
+
+def longest_match(matches: DataFrame, id_cols: Sequence[str] = ("repo", "path", "commit")) -> DataFrame:
+    """R1 greedy/longest-match filtering (reference README.rst:99-127):
+    among matches sharing a start position keep the longest keyword
+    (ties: lexicographically greatest, = reference ``max(match_set)``)."""
+    w = Window.partitionBy(*id_cols, "start").orderBy(
+        F.length("term").desc(), F.col("term").desc()
+    )
+    return (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def match_lines(
+    df: DataFrame,
+    keywords: Sequence[str],
+    *,
+    ignore_case: bool = False,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """R2 line-scoped matching (reference README.rst:129-160): split each
+    document on CR/LF/CRLF (CRLF collapses, reference test.py:283-308),
+    then match within lines.  Returns id_cols + (line_no, line, term,
+    start, end, match_seq) with start/end relative to the line."""
+    lines = df.select(
+        *id_cols,
+        F.posexplode(F.split(F.col(content_col), "\r\n|\r|\n")).alias(
+            "line_no", "line"
+        ),
+    )
+    line_ids = list(id_cols) + ["line_no", "line"]
+    return match(
+        lines,
+        keywords,
+        ignore_case=ignore_case,
+        content_col="line",
+        id_cols=line_ids,
+    )
+
+
+def matching_lines(
+    df: DataFrame,
+    keywords: Sequence[str],
+    *,
+    ignore_case: bool = False,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """R3 fgrep-style: the distinct lines containing >=1 hit
+    (reference README.rst:163-190)."""
+    m = match_lines(
+        df,
+        keywords,
+        ignore_case=ignore_case,
+        content_col=content_col,
+        id_cols=id_cols,
+    )
+    return m.select(*id_cols, "line_no", "line").distinct()

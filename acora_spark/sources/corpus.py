@@ -1,0 +1,123 @@
+"""Corpus source: the Iceberg-shaped source-code table.
+
+Target input shape (BASELINE.json input_hint):
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+
+In production this is ``spark.read.format("iceberg").load(...)`` — Catalyst
+then gives partition pruning + column pruning on the scan for free.  In the
+sandbox there is no Iceberg catalog, so two deterministic sources exist:
+
+* :func:`load_corpus` — derives the corpus shape from the driver-provided
+  ``documents.parquet`` table with a PURE-SQL-expressible mapping, so every
+  downstream query remains DuckDB-oracle-checkable (the identical mapping is
+  in :data:`CORPUS_ORACLE_SQL`).
+* :func:`generate_corpus` — a seedless deterministic synthetic generator
+  (doc_id-hash driven) for scale benchmarking at arbitrary row counts.
+
+The ``commit`` column is md5(content) — which makes the content-sha
+integrity invariant (input_hint "content sha256 equality") independently
+checkable per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "load_documents",
+    "load_corpus",
+    "generate_corpus",
+    "verify_content_integrity",
+    "CORPUS_ORACLE_SQL",
+]
+
+# DuckDB-side mirror of load_corpus(); `documents` is a pre-registered view.
+CORPUS_ORACLE_SQL = """
+SELECT 'repo_' || source AS repo,
+       source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       md5(text) AS commit,
+       lang,
+       text AS content
+FROM documents
+"""
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> input_hint corpus shape, deterministically."""
+    d = load_documents(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit("repo_"), F.col("source")).alias("repo"),
+        F.concat(
+            F.col("source"),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+_LANGS = ["py", "rs", "go", "java", "cpp"]
+_WORDS = [
+    "import", "def", "class", "return", "self", "fn", "let", "mut", "struct",
+    "impl", "func", "package", "public", "static", "void", "new", "const",
+    "template", "include", "namespace", "spark", "index", "query", "match",
+    "table", "shuffle", "partition", "broadcast", "column", "vector",
+]
+
+
+def generate_corpus(
+    spark: SparkSession, n_docs: int, *, words_per_doc: int = 120, n_repos: int = 50
+) -> DataFrame:
+    """Deterministic synthetic source-code corpus at any scale.
+
+    Fully distributed: ``spark.range`` partitions the id space; every column
+    is a pure function of ``id`` (xxhash64-driven), so the corpus is
+    identical across parallelism levels and re-runs — required for the
+    two-cluster-size scaling measurement and for resumable-build tests.
+    """
+    df = spark.range(n_docs)  # distributed id source
+    h = F.xxhash64(F.col("id"))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _LANGS]), (F.pmod(h, F.lit(len(_LANGS))) + 1).cast("int")
+    )
+    repo = F.concat(F.lit("repo_"), F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_repos)).cast("string"))
+    # content: words_per_doc pseudo-random words drawn by per-position hash
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.element_at(
+            F.array(*[F.lit(w) for w in _WORDS]),
+            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(len(_WORDS))) + 1).cast("int"),
+        ),
+    )
+    content = F.array_join(words, " ")
+    return df.select(
+        repo.alias("repo"),
+        F.concat(F.lit("src/file_"), F.col("id").cast("string"), F.lit(".txt")).alias("path"),
+        F.md5(content).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def verify_content_integrity(corpus: DataFrame) -> DataFrame:
+    """D3 content-integrity gate (input_hint per-row invariant): one row per
+    corpus row with its sha256 and an ``ok`` flag checking the md5-commit
+    binding.  ``ok = false`` anywhere means the scanned content does not
+    match what the commit column was derived from."""
+    return corpus.select(
+        "repo",
+        "path",
+        "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        (F.md5(F.col("content")) == F.col("commit")).alias("ok"),
+    )

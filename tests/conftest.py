@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+REFERENCE = "/root/reference"
+
+
+def reference_engine(keywords, ignore_case=False):
+    """Build the reference's pure-Python engine as a differential oracle
+    (reference acora/__init__.py:171-177 falls back to PyAcora without the
+    compiled module; house style per reference test.py:9-10)."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from acora import AcoraBuilder, PyAcora
+
+    return AcoraBuilder(*keywords, ignore_case=ignore_case).build(acora=PyAcora)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from acora_spark.session import get_spark
+
+    s = get_spark(app_name="acora-spark-tests", cores=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,152 @@
+"""Golden + differential tests for the driver-side automaton.
+
+Golden cases are ported (as behaviors, not code) from the reference's
+test.py — each test cites its reference anchor.  Differential tests compare
+against the reference's pure-Python PyAcora engine on identical inputs.
+"""
+
+from __future__ import annotations
+
+import copy
+import pickle
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from acora_spark.automaton import build_automaton, py_finditer
+from tests.conftest import reference_engine
+
+
+def spark_findall(keywords, text, ignore_case=False):
+    return build_automaton(keywords, ignore_case=ignore_case).findall(text)
+
+
+# ---------------------------------------------------------------- golden --
+
+
+def test_empty_engine():  # reference test.py:122-127
+    assert spark_findall([], "abc") == []
+
+
+def test_empty_input():  # reference test.py:375-378
+    assert spark_findall(["a", "b"], "") == []
+
+
+def test_empty_keyword_rejected():  # reference acora/_acora.py:97-98
+    with pytest.raises(ValueError):
+        build_automaton([""])
+
+
+def test_single_keyword():  # reference test.py:129-134
+    assert spark_findall(["ab"], "abcabdab") == [("ab", 0), ("ab", 3), ("ab", 6)]
+
+
+def test_overlapping_and_nested():  # reference test.py:162-174
+    got = spark_findall(["a", "ab", "abc", "b"], "abc")
+    ref = reference_engine(["a", "ab", "abc", "b"]).findall("abc")
+    assert got == ref
+
+
+def test_sequential_and_overlap_matrix():  # reference test.py:136-160
+    kws = ["a", "b", "c", "ab", "bc", "abc", "cab"]
+    s = "abcabcabc"
+    assert spark_findall(kws, s) == reference_engine(kws).findall(s)
+
+
+def test_ignore_case_basic():  # reference test.py:324-333
+    got = spark_findall(["ab"], "AB ab Ab aB", ignore_case=True)
+    ref = reference_engine(["ab"], ignore_case=True).findall("AB ab Ab aB")
+    assert got == ref
+
+
+def test_ignore_case_redundant_variants():  # reference test.py:339-345
+    kws = ["ab", "Ab", "aB", "AB"]
+    s = "ab AB xx aB"
+    got = spark_findall(kws, s, ignore_case=True)
+    ref = reference_engine(kws, ignore_case=True).findall(s)
+    assert got == ref
+
+
+def test_unicode_non_bmp():  # reference test.py:310-322
+    kws = ["\U0001F600ab", "ab", "été"]
+    s = "x\U0001F600ab été ab"
+    got = spark_findall(kws, s)
+    ref = reference_engine(kws).findall(s)
+    assert got == ref
+
+
+def test_line_endings_as_keywords():  # reference test.py:283-308
+    kws = ["\r", "\n", "ab"]
+    s = "ab\r\nab\rab\nab"
+    assert spark_findall(kws, s) == reference_engine(kws).findall(s)
+
+
+def test_keyword_dedup():  # reference acora/__init__.py:204 (set semantics)
+    assert spark_findall(["ab", "ab"], "abab") == spark_findall(["ab"], "abab")
+
+
+def test_match_at_boundaries():  # reference test.py:410-429 (placement)
+    kws = ["start", "end"]
+    s = "startmiddleend"
+    assert spark_findall(kws, s) == [("start", 0), ("end", 11)]
+
+
+def test_pickle_roundtrip():  # reference acora/_cacora.pyx:361-398 (B8)
+    a = build_automaton(["ab", "bc", "a"], ignore_case=False)
+    b = pickle.loads(pickle.dumps(a))
+    assert b.findall("abcab") == a.findall("abcab")
+
+
+def test_deepcopy():  # reference test.py:195-209 (B11)
+    a = build_automaton(["ab", "bc"])
+    b = copy.deepcopy(a)
+    assert b.findall("abcab") == a.findall("abcab")
+
+
+def test_count_invariant_non_overlapping():  # reference bench.py:138-145
+    kws = ["the", "and", "data"]
+    s = "the data and the end of and data the"
+    got = spark_findall(kws, s)
+    for kw in kws:
+        assert sum(1 for k, _ in got if k == kw) == s.count(kw)
+
+
+def test_batch_matches_single():
+    """find_batch over many docs == per-doc findall, with doc grouping."""
+    kws = ["ab", "b", "abc"]
+    docs = ["abc", "", "bbab", "xyz", "ababab"]
+    a = build_automaton(kws)
+    doc, kw, start, _ = a.find_batch(docs)
+    per_doc: dict[int, list] = {i: [] for i in range(len(docs))}
+    for d, k, s in zip(doc, kw, start):
+        per_doc[int(d)].append((a.keywords[int(k)], int(s)))
+    for i, text in enumerate(docs):
+        assert per_doc[i] == a.findall(text), f"doc {i}"
+
+
+# ----------------------------------------------------------- differential --
+
+_alpha = st.sampled_from("abABé \n\U0001F600")
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    kws=st.lists(st.text(_alpha, min_size=1, max_size=4), min_size=1, max_size=8),
+    text=st.text(_alpha, max_size=60),
+    ignore_case=st.booleans(),
+)
+def test_differential_vs_reference(kws, text, ignore_case):
+    ref = reference_engine(kws, ignore_case=ignore_case).findall(text)
+    got = spark_findall(kws, text, ignore_case=ignore_case)
+    assert got == ref
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    kws=st.lists(st.text("abc", min_size=1, max_size=3), min_size=1, max_size=5),
+    text=st.text("abc", max_size=40),
+)
+def test_pywalk_vs_vectorized(kws, text):
+    a = build_automaton(kws)
+    assert list(py_finditer(a, text)) == a.findall(text)

@@ -1,0 +1,115 @@
+"""End-to-end Spark matcher tests: broadcast automaton + mapInPandas scan
+over the sf0.001 corpus, differentially checked against the reference's
+pure-Python engine on the same documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from acora_spark.operators.matcher import (
+    longest_match,
+    match,
+    match_lines,
+    matching_lines,
+    search,
+)
+from acora_spark.sources.corpus import load_corpus, verify_content_integrity
+from tests.conftest import reference_engine
+
+KWS = ["data", "spark", "join", "a", "tab", "table"]
+
+
+def _collect_matches(mdf):
+    rows = mdf.orderBy("repo", "path", "commit", "match_seq").collect()
+    out: dict[tuple, list] = {}
+    for r in rows:
+        out.setdefault((r.repo, r.path, r.commit), []).append((r.term, r.start))
+    return out
+
+
+def test_match_vs_reference(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir).limit(80).cache()
+    got = _collect_matches(match(corpus, KWS))
+    ref_eng = reference_engine(KWS)
+    docs = corpus.collect()
+    checked = 0
+    for row in docs:
+        key = (row.repo, row.path, row.commit)
+        expect = ref_eng.findall(row.content)
+        assert got.get(key, []) == expect, f"mismatch for {key}"
+        checked += 1
+    assert checked == 80
+
+
+def test_match_ignore_case(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir).limit(30)
+    corpus = corpus.withColumn("content", F.upper("content"))
+    kws = ["data", "Spark"]
+    got = _collect_matches(match(corpus, kws, ignore_case=True))
+    ref_eng = reference_engine(kws, ignore_case=True)
+    for row in corpus.collect():
+        key = (row.repo, row.path, row.commit)
+        assert got.get(key, []) == ref_eng.findall(row.content)
+
+
+def test_empty_keywords(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir).limit(5)
+    m = match(corpus, [])
+    assert m.count() == 0
+    assert [f.name for f in m.schema][-4:] == ["term", "start", "end", "match_seq"]
+
+
+def test_search_one_shot(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir).limit(10)
+    n = search(corpus, "data", "spark").count()
+    ref_eng = reference_engine(["data", "spark"])
+    expect = sum(len(ref_eng.findall(r.content)) for r in corpus.collect())
+    assert n == expect
+
+
+def test_longest_match(spark, sf_dir):
+    """R1: one match per start position, longest kept
+    (reference README.rst:99-127)."""
+    corpus = load_corpus(spark, sf_dir).limit(40)
+    m = match(corpus, ["tab", "table", "t"]).cache()
+    lm = longest_match(m)
+    # every (doc,start) appears exactly once
+    dup = (
+        lm.groupBy("repo", "path", "commit", "start").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    # kept term is max(match_set) semantics: longest, ties lexicographically max
+    joined = (
+        m.alias("m")
+        .join(lm.alias("l"), ["repo", "path", "commit", "start"])
+        .filter(
+            (F.length("m.term") > F.length("l.term"))
+            | ((F.length("m.term") == F.length("l.term")) & (F.col("m.term") > F.col("l.term")))
+        )
+    )
+    assert joined.count() == 0
+
+
+def test_match_lines_and_matching_lines(spark):
+    """R2/R3 with CR/LF/CRLF handling (reference test.py:283-308)."""
+    df = spark.createDataFrame(
+        [("r", "p", "c", "xx", "ab line1\r\nno hits\rab ab\nlast ab")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    ml = match_lines(df, ["ab"]).collect()
+    by_line = {}
+    for r in ml:
+        by_line.setdefault(r.line_no, []).append(r.start)
+    assert by_line == {0: [0], 2: [0, 3], 3: [5]}
+    lines = matching_lines(df, ["ab"]).orderBy("line_no").collect()
+    assert [(r.line_no, r.line) for r in lines] == [
+        (0, "ab line1"),
+        (2, "ab ab"),
+        (3, "last ab"),
+    ]
+
+
+def test_content_integrity(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    chk = verify_content_integrity(corpus)
+    assert chk.filter(~F.col("ok")).count() == 0
