@@ -1,0 +1,152 @@
+"""Delta + varint posting-list codec with block-skip metadata.
+
+Public-knowledge design (classic IR: Manning et al., "Introduction to
+Information Retrieval" ch. 5; block-max metadata per Ding & Suel,
+"Faster top-k document retrieval using block-max indexes", SIGIR 2011).
+
+Layout per term:
+  postings binary = varint stream of per-doc triples
+      (doc_gap, tf, dl)        -- doc_gap = doc_id - prev_doc_id (first: doc_id)
+  blocks of BLOCK_SIZE docs, each with skip metadata
+      (last_doc, offset, n_docs, max_impact)
+  where ``max_impact = max tf / (tf + k1*(1 - b + b*dl/avgdl))`` over the
+  block — multiplying by the term's idf gives the block-max BM25 bound used
+  for WAND skipping.
+
+Both encode and decode are numpy-vectorized (no per-element Python loops):
+encode writes each of the <=10 varint byte slots with masked scatters;
+decode locates value boundaries from the continuation-bit pattern and
+reduces byte groups with a capped per-slot gather loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "BLOCK_SIZE",
+    "K1",
+    "B",
+    "varint_encode",
+    "varint_decode",
+    "encode_postings",
+    "decode_postings",
+    "impact",
+]
+
+BLOCK_SIZE = 128
+K1 = 1.2
+B = 0.75
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varint encode of a non-negative int64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    thresholds = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+    nb = (np.searchsorted(thresholds, v, side="right") + 1).astype(np.int64)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    rem = v.copy()
+    for slot in range(int(nb.max())):
+        mask = nb > slot
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] > slot + 1).astype(np.uint8) << 7
+        out[starts[mask] + slot] = byte | cont
+        rem[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode a varint stream to int64; vectorized over the whole buffer."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_end = (raw & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    nb = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    for slot in range(int(nb.max())):
+        mask = nb > slot
+        vals[mask] |= (raw[starts[mask] + slot] & np.uint64(0x7F)).astype(
+            np.uint64
+        ) << np.uint64(7 * slot)
+    out = vals.astype(np.int64)
+    if count is not None and len(out) != count:
+        raise ValueError(f"expected {count} varints, decoded {len(out)}")
+    return out
+
+
+def impact(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = K1, b: float = B) -> np.ndarray:
+    """BM25 term-frequency saturation component (idf excluded)."""
+    tf = tf.astype(np.float64)
+    return tf / (tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
+) -> tuple[bytes, list[dict]]:
+    """Encode one term's postings (caller supplies doc_id-sorted arrays).
+
+    Returns ``(blob, blocks)``; blocks are dicts
+    ``{last_doc, offset, n_docs, max_impact}`` with ``offset`` a byte
+    offset into ``blob`` so a block can be decoded without its
+    predecessors (skip pointers).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = len(doc_ids)
+    blocks: list[dict] = []
+    parts: list[bytes] = []
+    offset = 0
+    imp = impact(tfs, dls, avgdl)
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        d = doc_ids[s:e]
+        gaps = np.diff(d, prepend=d[0:1])  # first gap 0, fixed below
+        gaps[0] = d[0]
+        tri = np.empty((e - s) * 3, dtype=np.int64)
+        tri[0::3] = gaps
+        tri[1::3] = tfs[s:e]
+        tri[2::3] = dls[s:e]
+        blob = varint_encode(tri)
+        blocks.append(
+            {
+                "last_doc": int(d[-1]),
+                "offset": offset,
+                "n_docs": int(e - s),
+                "max_impact": float(imp[s:e].max()),
+            }
+        )
+        parts.append(blob)
+        offset += len(blob)
+    return b"".join(parts), blocks
+
+
+def decode_postings(
+    blob: bytes, blocks: list[dict], block_idx: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (doc_ids, tfs, dls); optionally only selected blocks
+    (WAND skip path — untouched blocks are never even varint-scanned)."""
+    if not blocks:
+        return (np.empty(0, np.int64),) * 3
+    sel = range(len(blocks)) if block_idx is None else [int(i) for i in block_idx]
+    all_doc, all_tf, all_dl = [], [], []
+    for i in sel:
+        b0 = blocks[i]
+        end = blocks[i + 1]["offset"] if i + 1 < len(blocks) else len(blob)
+        tri = varint_decode(blob[b0["offset"] : end], count=3 * b0["n_docs"])
+        gaps = tri[0::3]
+        all_doc.append(np.cumsum(gaps))
+        all_tf.append(tri[1::3])
+        all_dl.append(tri[2::3])
+    return (
+        np.concatenate(all_doc),
+        np.concatenate(all_tf),
+        np.concatenate(all_dl),
+    )

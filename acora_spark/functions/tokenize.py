@@ -1,0 +1,43 @@
+"""Tokenization — JVM-side (whole-stage codegen), no Python in the hot path.
+
+Terms are lowercase runs of word characters, the standard code-identifier
+token class.  Position = index in the document's token sequence (token
+offsets, the classic positional-postings convention; character offsets are
+the *matcher's* domain, reference-compatible there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["TOKEN_SPLIT_RE", "tokenize", "token_counts"]
+
+# split on anything that is not [a-z0-9_] after lowercasing
+TOKEN_SPLIT_RE = "[^a-z0-9_]+"
+
+
+def tokenize(
+    df: DataFrame, content_col: str = "content", doc_col: str = "doc_id"
+) -> DataFrame:
+    """-> (doc_id, pos, term): one row per token occurrence.
+
+    Entirely built-in expressions: lower -> split -> filter ->
+    posexplode; Catalyst keeps this in whole-stage codegen and prunes
+    unused corpus columns out of the scan.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(content_col)), TOKEN_SPLIT_RE), lambda x: x != ""
+    )
+    return df.select(
+        F.col(doc_col), F.posexplode(toks).alias("pos", "term")
+    )
+
+
+def token_counts(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-document token count without exploding (cheap doc-length path):
+    size of the filtered split array."""
+    toks = F.filter(
+        F.split(F.lower(F.col(content_col)), TOKEN_SPLIT_RE), lambda x: x != ""
+    )
+    return df.withColumn("n_tokens", F.size(toks))

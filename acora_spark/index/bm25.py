@@ -1,0 +1,411 @@
+"""BM25 top-k query serving over the compressed inverted index.
+
+Three executors, used for different purposes:
+
+* :func:`bm25_topk_batch` — the production path: a batch of queries is
+  joined (broadcast) against the bucket-pruned postings table; one
+  ``applyInPandas`` group per query runs the block-max WAND executor
+  (Broder et al., CIKM 2003; Ding & Suel, SIGIR 2011) over the compressed
+  blobs — blocks whose score bound cannot beat the running top-k threshold
+  are never even decoded.  Parallelism is ACROSS queries; per-query work is
+  bounded by block skipping.
+* :func:`bm25_topk_dataframe` — pure DataFrame/SQL scorer straight from the
+  corpus (no index).  Catalyst handles partial aggregation + distributed
+  top-k (``TakeOrderedAndProject``).  This is the DuckDB-oracle-checkable
+  path and the semantic ground truth at any scale.
+* :func:`reference_topk` — single-process numpy scorer with a fixed
+  term-sorted float64 summation order: the rank-identity oracle
+  (BASELINE.json "rank-identical" gate).
+
+Scoring (documented constants, Lucene-style BM25):
+  ``idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))``
+  ``score(q,d) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl))``
+with k1=1.2, b=0.75, summed over the DISTINCT query terms in ascending
+term order (fixed order -> bit-identical float64 sums everywhere).
+Ranking: ``(score desc, doc_id asc)``.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import re
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from acora_spark.functions.postings_codec import decode_postings, impact
+from acora_spark.index.build import Index
+
+__all__ = [
+    "query_terms",
+    "idf",
+    "bm25_topk_batch",
+    "bm25_topk",
+    "bm25_topk_dataframe",
+    "reference_topk",
+    "wand_topk",
+]
+
+_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+
+def query_terms(query: str) -> list[str]:
+    """Distinct query terms, ascending (the fixed summation order)."""
+    return sorted(set(_TOKEN_RE.findall(query.lower())))
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ----------------------------------------------------------------- WAND --
+
+
+class _Cursor:
+    """Per-term posting cursor with block-level skip + lazy decode."""
+
+    __slots__ = (
+        "idf", "blob", "blocks", "k1", "b", "avgdl",
+        "bi", "pos", "docs", "tfs", "dls", "exhausted", "ub",
+    )
+
+    def __init__(self, term_idf, blob, blocks, k1, b, avgdl):
+        self.idf = term_idf
+        self.blob = blob
+        self.blocks = blocks
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.bi = -1
+        self.docs = self.tfs = self.dls = None
+        self.pos = 0
+        self.exhausted = not blocks
+        self.ub = term_idf * max((blk["max_impact"] for blk in blocks), default=0.0)
+        if not self.exhausted:
+            self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        self.bi = bi
+        self.docs, self.tfs, self.dls = decode_postings(
+            self.blob, self.blocks, np.array([bi])
+        )
+        self.pos = 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.docs[self.pos]) if not self.exhausted else 1 << 62
+
+    def block_ub(self) -> float:
+        return (
+            self.idf * self.blocks[self.bi]["max_impact"]
+            if not self.exhausted
+            else 0.0
+        )
+
+    def block_last_doc(self) -> int:
+        return self.blocks[self.bi]["last_doc"] if not self.exhausted else 1 << 62
+
+    def score(self) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return self.idf * (
+            tf / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+
+    def next_geq(self, target: int) -> None:
+        """Advance to the first posting with doc >= target (block skip:
+        blocks ending before target are skipped WITHOUT decoding)."""
+        if self.exhausted:
+            return
+        if self.blocks[self.bi]["last_doc"] < target:
+            nxt = self.bi + 1
+            while nxt < len(self.blocks) and self.blocks[nxt]["last_doc"] < target:
+                nxt += 1
+            if nxt >= len(self.blocks):
+                self.exhausted = True
+                return
+            self._load_block(nxt)
+        p = int(np.searchsorted(self.docs[self.pos :], target) + self.pos)
+        if p >= len(self.docs):  # only when target > block last_doc — handled
+            self.exhausted = True
+            return
+        self.pos = p
+
+
+def wand_topk(
+    term_postings: Sequence[tuple[float, bytes, list[dict]]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND over (idf, blob, blocks) per query term.
+
+    Returns (doc_ids, scores) ranked by (score desc, doc_id asc), length
+    <= k.  Threshold comparisons use >= so ties at the k-boundary are
+    resolved exactly by the doc_id tie-break (never pruned away).
+    """
+    if k <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cursors = [
+        _Cursor(ti, blob, blocks, k1, b, avgdl) for ti, blob, blocks in term_postings
+    ]
+    cursors = [c for c in cursors if not c.exhausted]
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    INF = 1 << 62
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.doc)
+        theta = heap[0][0] if len(heap) >= k else -1.0
+        # pivot: first prefix whose UB sum can reach theta
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if acc >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = live[pivot].doc
+        if pivot_doc >= INF:
+            break
+        # align essential cursors' blocks to the pivot; if any cursor's
+        # current doc moved, the sorted order is stale — recompute
+        moved = False
+        for c in live[: pivot + 1]:
+            if not c.exhausted and c.block_last_doc() < pivot_doc:
+                before = c.doc
+                c.next_geq(pivot_doc)
+                moved = moved or c.exhausted or c.doc != before
+        if moved:
+            continue
+        live2 = [c for c in live[: pivot + 1] if not c.exhausted]
+        bm_ub = sum(c.block_ub() for c in live2) + sum(
+            c.ub for c in live[pivot + 1 :] if c.doc == pivot_doc
+        )
+        if len(heap) >= k and bm_ub < theta:
+            # shallow advance past the earliest essential block boundary,
+            # capped by the next non-essential cursor's doc (docs beyond
+            # that cap may be served by cursors outside the essential set)
+            if not live2:
+                break
+            d = min(c.block_last_doc() for c in live2)
+            nxt_doc = live[pivot + 1].doc if pivot + 1 < len(live) else INF
+            target = max(pivot_doc + 1, min(d + 1, nxt_doc))
+            live2.sort(key=lambda c: c.doc)
+            live2[0].next_geq(target)
+            continue
+        if live[0].doc == pivot_doc:
+            # fully evaluate pivot_doc in ascending-term order = cursor
+            # construction order; rebuild that order for determinism
+            contrib = [
+                c for c in cursors if not c.exhausted and c.doc == pivot_doc
+            ]
+            score = 0.0
+            for c in contrib:  # cursors list is term-ascending
+                score += c.score()
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            for c in contrib:
+                if c.pos + 1 < len(c.docs):
+                    c.pos += 1
+                else:
+                    nxt = c.bi + 1
+                    if nxt < len(c.blocks):
+                        c._load_block(nxt)
+                    else:
+                        c.exhausted = True
+        else:
+            # advance the highest-UB cursor strictly before the pivot
+            pre = [c for c in live[:pivot] if c.doc < pivot_doc]
+            pick = max(pre, key=lambda c: c.ub)
+            pick.next_geq(pivot_doc)
+
+    ranked = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    docs = np.array([-d for _, d in ranked], dtype=np.int64)
+    scores = np.array([s for s, _ in ranked], dtype=np.float64)
+    return docs, scores
+
+
+# ------------------------------------------------------- Spark executors --
+
+
+def term_buckets(spark: SparkSession, terms: Sequence[str], num_buckets: int) -> dict[str, int]:
+    """Buckets of query terms, via Spark's own xxhash64 (guarantees the
+    exact hash the build used; one tiny local job)."""
+    if not terms:
+        return {}
+    df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    rows = df.select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("b")
+    ).collect()
+    return {r["term"]: r["b"] for r in rows}
+
+
+TOPK_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("rank", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def bm25_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Distributed batch query executor: one WAND run per query, parallel
+    across queries; postings read is bucket-pruned + term-filtered
+    (predicate pushdown to parquet)."""
+    stats = index.stats
+    all_terms = sorted({t for q in queries for t in query_terms(q)})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    pairs = [
+        (qi, t) for qi, q in enumerate(queries) for t in query_terms(q)
+    ]
+    needed = sorted(set(buckets.values()))
+    if not needed or not pairs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    post = index.postings(spark, needed).filter(F.col("term").isin(all_terms))
+    joined = post.join(F.broadcast(qdf), "term")
+
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("term")  # ascending-term summation order
+        tp = [
+            (
+                idf(n_docs, int(r["df"])),
+                bytes(r["postings"]),
+                [dict(x) for x in r["blocks"]],
+            )
+            for _, r in pdf.iterrows()
+        ]
+        docs, scores = wand_topk(tp, k, avgdl, k1, b)
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(docs) + 1, dtype=np.int64),
+                "doc_id": docs,
+                "score": scores,
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
+
+
+def bm25_topk(
+    spark: SparkSession, index: Index, query: str, k: int = 10
+) -> DataFrame:
+    return bm25_topk_batch(spark, index, [query], k).drop("query_id")
+
+
+def bm25_topk_dataframe(
+    corpus_with_ids: DataFrame, query: str, k: int = 10, *,
+    k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """Index-free DataFrame/SQL BM25 straight from the corpus — the
+    SQL-oracle-checkable scorer.  Plan: tokenize -> (doc,term) tf agg ->
+    df(term) agg -> broadcast tiny term-stats -> per-doc score sum ->
+    ``orderBy().limit(k)`` (distributed TakeOrderedAndProject)."""
+    from acora_spark.functions.tokenize import token_counts, tokenize
+
+    terms = query_terms(query)
+    spark = corpus_with_ids.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double, rank long")
+    docs = corpus_with_ids
+    dl = token_counts(docs).select("doc_id", F.col("n_tokens").alias("dl"))
+    toks = tokenize(docs).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    gstats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(gstats))
+        .withColumn(
+            "contrib",
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1) * (1.0 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    return scored.select(
+        "doc_id",
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------- oracle --
+
+
+def reference_topk(
+    doc_ids: np.ndarray,
+    dls: np.ndarray,
+    term_tfs: dict[str, dict[int, int]],
+    query: str,
+    k: int,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[int, float]]:
+    """Single-process numpy BM25: the rank-identity oracle.  Summation in
+    ascending-term order with float64 — the same order the distributed
+    executors fix, so scores must be bit-identical."""
+    n = len(doc_ids)
+    avgdl = float(np.mean(dls)) if n else 0.0
+    dl_by_doc = {int(d): int(l) for d, l in zip(doc_ids, dls)}
+    scores: dict[int, float] = {}
+    for t in query_terms(query):
+        postings = term_tfs.get(t)
+        if not postings:
+            continue
+        t_idf = idf(n, len(postings))
+        for d, tf in postings.items():
+            dl = dl_by_doc[d]
+            contrib = t_idf * (
+                tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+            scores[d] = scores.get(d, 0.0) + contrib
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(int(d), float(s)) for d, s in ranked]

@@ -1,0 +1,387 @@
+"""Distributed inverted-index build — SPIMI-style, resumable, skew-aware.
+
+Pipeline (each stage is a checkpointed step in ``_manifest.json``):
+
+1. ``docmap``   — deterministic dense doc_id assignment + per-doc stats
+                  (token count ``dl``, ``content_sha256`` lineage) written to
+                  ``<index>/docmap``; corpus-level stats to ``<index>/stats.json``.
+2. ``runs``     — tokenize -> ``(term, doc_id, tf, dl)`` aggregation rows
+                  ("SPIMI runs"), written to ``<index>/runs`` partitioned by
+                  ``bucket = pmod(xxhash64(term), num_buckets)``.  This is the
+                  one big shuffle of the build; materializing it to storage is
+                  what makes the build resumable at bucket granularity.
+3. ``bucket:K`` — per bucket-group: read runs (partition-pruned), salt hot
+                  terms into contiguous doc-id ranges, encode delta+varint
+                  posting blocks per ``(term, salt)`` group, merge salted
+                  parts per term, write ``<index>/postings/bucket=K``.
+                  Re-running the build skips buckets marked done.
+
+Skew handling is explicit (AQE skew-join does not cover groupBy skew):
+a term whose document frequency exceeds ``docs_per_salt`` is split into
+``ceil(df / docs_per_salt)`` contiguous doc-id ranges, encoded in parallel
+tasks, and re-assembled by cheap binary concatenation — block offsets are
+the only thing rewritten.
+
+Scale notes (100 TB / 1000 executors): stage 2 is a map-side-combined
+hash aggregation (Catalyst partial+final); stage 3 reads each bucket's runs
+via partition pruning, so a resumed build re-reads only undone buckets;
+postings output is hive-partitioned by bucket so query-time term lookups
+prune to one directory per term.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections.abc import Iterable, Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from acora_spark.functions.postings_codec import (
+    B,
+    K1,
+    encode_postings,
+)
+from acora_spark.functions.tokenize import token_counts, tokenize
+
+__all__ = ["assign_doc_ids", "build_index", "Index", "load_index"]
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("df", LongType(), False),
+        StructField("postings", BinaryType(), False),
+        StructField(
+            "blocks",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("last_doc", LongType(), False),
+                        StructField("offset", LongType(), False),
+                        StructField("n_docs", IntegerType(), False),
+                        StructField("max_impact", FloatType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+_PART_SCHEMA = StructType(
+    [StructField("salt", LongType(), False)] + POSTINGS_SCHEMA.fields
+)
+
+
+def assign_doc_ids(
+    corpus: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic DENSE doc_id per key (0..N-1), distributed.
+
+    Dense ids delta-compress far better than hash ids.  Strategy: range-
+    repartition + sort within partitions on the key, count rows per
+    partition (tiny collect), broadcast the partition offsets, then assign
+    ``offset[pid] + local_rank`` in a mapInPandas — no global sort, no
+    single-partition window (which would bottleneck at scale).
+    """
+    spark = corpus.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    key_cols = list(key_cols)
+    arranged = corpus.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(
+        *key_cols
+    )
+    counts = (
+        arranged.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r.pid: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    bcast = spark.sparkContext.broadcast(offsets)
+
+    schema = StructType(
+        [StructField("doc_id", LongType(), False)] + list(arranged.schema.fields)
+    )
+
+    def attach(pdf_iter):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = bcast.value.get(pid, 0)
+        seen = 0
+        for pdf in pdf_iter:
+            ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            out = pdf.copy()
+            out.insert(0, "doc_id", ids)
+            yield out
+
+    return arranged.mapInPandas(attach, schema)
+
+
+# ------------------------------------------------------------------ build --
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_manifest.json")
+
+
+def _load_manifest(index_dir: str) -> dict:
+    p = _manifest_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"steps": {}}
+
+
+def _mark_done(index_dir: str, step: str, **info) -> None:
+    m = _load_manifest(index_dir)
+    m["steps"][step] = {"status": "done", "ts": time.time(), **info}
+    tmp = _manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(index_dir))
+
+
+def _encode_group(avgdl: float) -> callable:
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        blob, blocks = encode_postings(
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["dl"].to_numpy(np.int64),
+            avgdl,
+        )
+        return pd.DataFrame(
+            {
+                "salt": [salt],
+                "term": [term],
+                "df": [len(pdf)],
+                "postings": [blob],
+                "blocks": [blocks],
+            }
+        )
+
+    return fn
+
+
+def _merge_parts(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Concatenate salted posting parts of one term in salt (= doc-range)
+    order; rewrite block offsets only."""
+    pdf = pdf.sort_values("salt")
+    if len(pdf) == 1:
+        row = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "term": [row["term"]],
+                "df": [row["df"]],
+                "postings": [row["postings"]],
+                "blocks": [row["blocks"]],
+            }
+        )
+    blobs, blocks, base = [], [], 0
+    for _, row in pdf.iterrows():
+        blobs.append(row["postings"])
+        for blk in row["blocks"]:
+            b2 = dict(blk if isinstance(blk, dict) else blk.asDict())
+            b2["offset"] = int(b2["offset"]) + base
+            blocks.append(b2)
+        base += len(row["postings"])
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "df": [int(pdf["df"].sum())],
+            "postings": [b"".join(blobs)],
+            "blocks": [blocks],
+        }
+    )
+
+
+def build_index(
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    num_buckets: int = 16,
+    docs_per_salt: int = 50_000,
+    bucket_group_size: int = 8,
+    resume: bool = True,
+) -> "Index":
+    """Build the full inverted index at ``index_dir``.  Idempotent: with
+    ``resume=True`` completed steps are skipped (manifest-driven)."""
+    spark = corpus.sparkSession
+    os.makedirs(index_dir, exist_ok=True)
+    manifest = _load_manifest(index_dir) if resume else {"steps": {}}
+    steps = manifest["steps"]
+
+    docmap_path = os.path.join(index_dir, "docmap")
+    runs_path = os.path.join(index_dir, "runs")
+    postings_path = os.path.join(index_dir, "postings")
+    stats_path = os.path.join(index_dir, "stats.json")
+
+    # ---- step 1: docmap + stats ----------------------------------------
+    if steps.get("docmap", {}).get("status") != "done":
+        docs = assign_doc_ids(corpus)
+        docmap = token_counts(docs).select(
+            "doc_id",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            F.col("n_tokens").alias("dl"),
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
+        docmap.write.mode("overwrite").parquet(docmap_path)
+        agg = spark.read.parquet(docmap_path).agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        stats = {
+            "N": int(agg["n"]),
+            "avgdl": float(agg["avgdl"]),
+            "num_buckets": num_buckets,
+            "k1": K1,
+            "b": B,
+        }
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
+        _mark_done(index_dir, "docmap", rows=stats["N"])
+
+    with open(stats_path) as f:
+        stats = json.load(f)
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+
+    # ---- step 2: SPIMI runs --------------------------------------------
+    if steps.get("runs", {}).get("status") != "done":
+        docs = assign_doc_ids(corpus)  # deterministic -> same ids as step 1
+        toks = tokenize(docs)
+        tf_df = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        dl_df = spark.read.parquet(docmap_path).select("doc_id", "dl")
+        runs = (
+            tf_df.join(dl_df, "doc_id")
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+            )
+        )
+        runs.write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
+        n_runs = spark.read.parquet(runs_path).count()
+        _mark_done(index_dir, "runs", rows=n_runs)
+
+    # ---- step 2b: hot-term detection for salting ------------------------
+    if steps.get("hot_terms", {}).get("status") != "done":
+        runs = spark.read.parquet(runs_path)
+        hot = (
+            runs.groupBy("term")
+            .count()
+            .filter(F.col("count") > docs_per_salt)
+            .collect()
+        )
+        hot_map = {
+            r["term"]: int(math.ceil(r["count"] / docs_per_salt)) for r in hot
+        }
+        with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
+            json.dump(hot_map, f)
+        _mark_done(index_dir, "hot_terms", n_hot=len(hot_map))
+
+    with open(os.path.join(index_dir, "hot_terms.json")) as f:
+        hot_map = json.load(f)
+    hot_bcast = spark.sparkContext.broadcast(hot_map)
+
+    # ---- step 3: per-bucket encode + merge ------------------------------
+    manifest = _load_manifest(index_dir)
+    pending = [
+        b
+        for b in range(num_buckets)
+        if manifest["steps"].get(f"bucket:{b}", {}).get("status") != "done"
+    ]
+    for i in range(0, len(pending), bucket_group_size):
+        group = pending[i : i + bucket_group_size]
+        runs = spark.read.parquet(runs_path).filter(F.col("bucket").isin(group))
+
+        def add_salt(pdf_iter):
+            hm = hot_bcast.value
+            for pdf in pdf_iter:
+                nsalt = pdf["term"].map(lambda t: hm.get(t, 1)).to_numpy(np.int64)
+                salt = np.minimum(
+                    nsalt - 1,
+                    (pdf["doc_id"].to_numpy(np.int64) * nsalt) // max(n_docs, 1),
+                )
+                out = pdf.copy()
+                out["salt"] = salt
+                yield out
+
+        salt_schema = StructType(
+            list(runs.schema.fields) + [StructField("salt", LongType(), False)]
+        )
+        salted = runs.mapInPandas(add_salt, salt_schema)
+        parts = salted.groupBy("term", "salt").applyInPandas(
+            _encode_group(avgdl), _PART_SCHEMA
+        )
+        merged = parts.groupBy("term").applyInPandas(_merge_parts, POSTINGS_SCHEMA)
+        merged = merged.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+        for b in group:
+            merged.filter(F.col("bucket") == b).drop("bucket").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(postings_path, f"bucket={b}"))
+        # one job per group, manifest per bucket
+        for b in group:
+            cnt = spark.read.parquet(
+                os.path.join(postings_path, f"bucket={b}")
+            ).count()
+            _mark_done(index_dir, f"bucket:{b}", terms=cnt)
+
+    return load_index(spark, index_dir)
+
+
+# ------------------------------------------------------------------- load --
+
+
+@dataclass
+class Index:
+    index_dir: str
+    stats: dict
+
+    def postings(self, spark: SparkSession, buckets: Iterable[int] | None = None) -> DataFrame:
+        base = os.path.join(self.index_dir, "postings")
+        df = spark.read.option("basePath", base).parquet(
+            *(
+                [os.path.join(base, f"bucket={b}") for b in buckets]
+                if buckets is not None
+                else [base]
+            )
+        )
+        return df
+
+    def docmap(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+
+def load_index(spark: SparkSession, index_dir: str) -> Index:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    return Index(index_dir=index_dir, stats=stats)

@@ -1,0 +1,165 @@
+"""End-to-end index pipeline tests: build -> postings -> BM25 top-k,
+rank-identity vs the single-process reference scorer, and resumability."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.index.bm25 import (
+    bm25_topk_batch,
+    bm25_topk_dataframe,
+    query_terms,
+    reference_topk,
+)
+from acora_spark.index.build import assign_doc_ids, build_index, load_index
+from acora_spark.functions.tokenize import tokenize
+from acora_spark.sources.corpus import load_corpus
+
+QUERIES = [
+    "spark shuffle partition",
+    "data table join",
+    "the fast query",
+    "window agg merge sort",
+    "nonexistentterm spark",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    corpus = load_corpus(spark, sf_dir)
+    # small salt threshold to exercise the hot-term salting path for real
+    idx = build_index(
+        corpus, index_dir, num_buckets=8, docs_per_salt=100, bucket_group_size=4
+    )
+    return idx, index_dir, corpus
+
+
+def _reference_tables(spark, corpus):
+    docs = assign_doc_ids(corpus)
+    toks = tokenize(docs)
+    tf_rows = (
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).collect()
+    )
+    term_tfs: dict[str, dict[int, int]] = {}
+    for r in tf_rows:
+        term_tfs.setdefault(r["term"], {})[int(r["doc_id"])] = int(r["tf"])
+    dl_rows = toks.groupBy("doc_id").count().collect()
+    dl_map = {int(r["doc_id"]): int(r["count"]) for r in dl_rows}
+    doc_ids = np.array(sorted(dl_map), dtype=np.int64)
+    dls = np.array([dl_map[d] for d in doc_ids], dtype=np.int64)
+    return doc_ids, dls, term_tfs
+
+
+def test_doc_ids_dense_and_stable(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    a = assign_doc_ids(corpus).select("doc_id", "path")
+    ids = sorted(r.doc_id for r in a.collect())
+    n = corpus.count()
+    assert ids == list(range(n))
+    b = assign_doc_ids(corpus).select("doc_id", "path")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_index_build_artifacts(built, spark):
+    idx, index_dir, _ = built
+    assert idx.stats["N"] > 0 and idx.stats["avgdl"] > 0
+    m = json.load(open(os.path.join(index_dir, "_manifest.json")))
+    done = [k for k, v in m["steps"].items() if v["status"] == "done"]
+    assert "docmap" in done and "runs" in done
+    assert all(f"bucket:{b}" in done for b in range(8))
+    # salting actually triggered (word-soup corpus has very hot terms)
+    hot = json.load(open(os.path.join(index_dir, "hot_terms.json")))
+    assert len(hot) > 0 and max(hot.values()) > 1
+    # postings cover every distinct term exactly once
+    post = idx.postings(spark)
+    terms = post.groupBy("term").count().filter("count > 1").count()
+    assert terms == 0
+
+
+def test_postings_df_matches_truth(built, spark):
+    idx, _, corpus = built
+    post = idx.postings(spark).select("term", "df").collect()
+    got = {r["term"]: r["df"] for r in post}
+    docs = assign_doc_ids(corpus)
+    truth = {
+        r["term"]: r["cnt"]
+        for r in tokenize(docs)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("cnt"))
+        .collect()
+    }
+    assert got == truth
+
+
+def test_bm25_rank_identity_vs_reference(built, spark):
+    idx, _, corpus = built
+    doc_ids, dls, term_tfs = _reference_tables(spark, corpus)
+    res = bm25_topk_batch(spark, idx, QUERIES, k=10).collect()
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qi, q in enumerate(QUERIES):
+        expect = reference_topk(doc_ids, dls, term_tfs, q, 10)
+        got = sorted(by_q.get(qi, []))
+        assert [d for _, d, _ in got] == [d for d, _ in expect], f"docs differ: {q}"
+        np.testing.assert_allclose(
+            [s for _, _, s in got],
+            [s for _, s in expect],
+            rtol=0,
+            atol=1e-10,
+            err_msg=f"scores differ: {q}",
+        )
+
+
+def test_bm25_dataframe_path_agrees(built, spark):
+    idx, _, corpus = built
+    docs = assign_doc_ids(corpus)
+    q = QUERIES[0]
+    df_res = [
+        (r.doc_id, r.score)
+        for r in bm25_topk_dataframe(docs, q, k=10).orderBy("rank").collect()
+    ]
+    doc_ids, dls, term_tfs = _reference_tables(spark, corpus)
+    expect = reference_topk(doc_ids, dls, term_tfs, q, 10)
+    assert [d for d, _ in df_res] == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        [s for _, s in df_res], [s for _, s in expect], rtol=0, atol=1e-9
+    )
+
+
+def test_query_with_unknown_terms_only(built, spark):
+    idx, _, _ = built
+    res = bm25_topk_batch(spark, idx, ["zzzqqqxxx"], k=5).collect()
+    assert res == []
+
+
+def test_resume_skips_done_buckets(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx2")
+    corpus = load_corpus(spark, sf_dir).limit(60)
+    build_index(corpus, index_dir, num_buckets=4, bucket_group_size=2)
+    m1 = json.load(open(os.path.join(index_dir, "_manifest.json")))
+    ts1 = {k: v["ts"] for k, v in m1["steps"].items()}
+    # simulate a crash after bucket 0: wipe bucket 1+'s manifest entries
+    for k in list(m1["steps"]):
+        if k in ("bucket:1", "bucket:2", "bucket:3"):
+            del m1["steps"][k]
+    with open(os.path.join(index_dir, "_manifest.json"), "w") as f:
+        json.dump(m1, f)
+    idx = build_index(corpus, index_dir, num_buckets=4, bucket_group_size=2)
+    m2 = json.load(open(os.path.join(index_dir, "_manifest.json")))
+    # untouched steps kept their timestamps (not recomputed)...
+    for k in ("docmap", "runs", "bucket:0"):
+        assert m2["steps"][k]["ts"] == ts1[k], k
+    # ...re-done buckets have fresh ones and the index still answers
+    assert m2["steps"]["bucket:2"]["ts"] > ts1["bucket:2"]
+    assert bm25_topk_batch(spark, idx, ["data table"], k=3).count() > 0
+
+
+def test_query_terms_normalization():
+    assert query_terms("The QUICK-brown fox_1 the") == ["brown", "fox_1", "quick", "the"]

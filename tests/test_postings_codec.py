@@ -1,0 +1,76 @@
+"""Codec unit tests: varint + delta + block metadata roundtrips."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from acora_spark.functions.postings_codec import (
+    BLOCK_SIZE,
+    decode_postings,
+    encode_postings,
+    impact,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_edges():
+    vals = np.array(
+        [0, 1, 127, 128, 16383, 16384, 2**31, 2**62, 2**63 - 1], dtype=np.int64
+    )
+    assert (varint_decode(varint_encode(vals)) == vals).all()
+
+
+def test_varint_empty():
+    assert varint_encode(np.empty(0, np.int64)) == b""
+    assert len(varint_decode(b"")) == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=200))
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert (varint_decode(varint_encode(arr)) == arr).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # doc gap space
+            st.integers(min_value=1, max_value=500),  # tf
+            st.integers(min_value=1, max_value=5000),  # dl
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_postings_roundtrip_property(rows):
+    gaps = np.array([r[0] for r in rows], dtype=np.int64)
+    doc_ids = np.cumsum(gaps + 1)  # strictly increasing
+    tfs = np.array([r[1] for r in rows], dtype=np.int64)
+    dls = np.array([r[2] for r in rows], dtype=np.int64)
+    avgdl = float(dls.mean())
+    blob, blocks = encode_postings(doc_ids, tfs, dls, avgdl)
+    assert len(blocks) == (len(rows) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    d2, t2, l2 = decode_postings(blob, blocks)
+    assert (d2 == doc_ids).all() and (t2 == tfs).all() and (l2 == dls).all()
+    # block metadata invariants
+    imp = impact(tfs, dls, avgdl)
+    for i, blk in enumerate(blocks):
+        s, e = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, len(rows))
+        assert blk["last_doc"] == doc_ids[e - 1]
+        assert blk["n_docs"] == e - s
+        assert np.isclose(blk["max_impact"], imp[s:e].max())
+
+
+def test_selective_block_decode():
+    doc_ids = np.arange(1, 1001, dtype=np.int64) * 3
+    tfs = np.ones(1000, dtype=np.int64)
+    dls = np.full(1000, 100, dtype=np.int64)
+    blob, blocks = encode_postings(doc_ids, tfs, dls, 100.0)
+    d, t, l = decode_postings(blob, blocks, np.array([2]))
+    s = 2 * BLOCK_SIZE
+    assert (d == doc_ids[s : s + BLOCK_SIZE]).all()

@@ -1,0 +1,93 @@
+"""WAND executor unit tests: exact agreement with brute-force scoring."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from acora_spark.functions.postings_codec import encode_postings
+from acora_spark.index.bm25 import idf, wand_topk
+
+K1, B = 1.2, 0.75
+
+
+def brute_force(term_data, n_docs, avgdl, k):
+    """term_data: list of (doc_ids, tfs, dls) per term."""
+    scores: dict[int, float] = {}
+    for doc_ids, tfs, dls in term_data:
+        t_idf = idf(n_docs, len(doc_ids))
+        for d, tf, dl in zip(doc_ids, tfs, dls):
+            c = t_idf * (tf / (tf + K1 * (1 - B + B * dl / avgdl)))
+            scores[int(d)] = scores.get(int(d), 0.0) + c
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def run_wand(term_data, n_docs, avgdl, k):
+    tp = []
+    for doc_ids, tfs, dls in term_data:
+        blob, blocks = encode_postings(doc_ids, tfs, dls, avgdl)
+        tp.append((idf(n_docs, len(doc_ids)), blob, blocks))
+    docs, scores = wand_topk(tp, k, avgdl, K1, B)
+    return list(zip(docs.tolist(), scores.tolist()))
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.lists(  # per term: set of (doc, tf, dl)
+        st.lists(
+            st.tuples(
+                st.integers(0, 600),
+                st.integers(1, 8),
+                st.integers(10, 300),
+            ),
+            min_size=1,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(1, 15),
+)
+def test_wand_matches_brute_force(data, k):
+    n_docs = 601
+    # doc lengths must be consistent per doc across terms
+    dl_of = {}
+    term_data = []
+    for rows in data:
+        by_doc = {}
+        for d, tf, dl in rows:
+            dl_of.setdefault(d, dl)
+            by_doc[d] = by_doc.get(d, 0) + tf
+        docs = np.array(sorted(by_doc), dtype=np.int64)
+        tfs = np.array([by_doc[d] for d in docs], dtype=np.int64)
+        dls = np.array([dl_of[d] for d in docs], dtype=np.int64)
+        term_data.append((docs, tfs, dls))
+    avgdl = float(np.mean(list(dl_of.values())))
+    expect = brute_force(term_data, n_docs, avgdl, k)
+    got = run_wand(term_data, n_docs, avgdl, k)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in expect], rtol=0, atol=1e-12
+    )
+
+
+def test_wand_empty_terms():
+    assert run_wand([], 10, 100.0, 5) == []
+
+
+def test_wand_k_larger_than_results():
+    docs = np.array([1, 5, 9], dtype=np.int64)
+    tfs = np.array([1, 2, 1], dtype=np.int64)
+    dls = np.array([10, 10, 10], dtype=np.int64)
+    got = run_wand([(docs, tfs, dls)], 20, 10.0, 50)
+    assert len(got) == 3
+
+
+def test_wand_tie_break_doc_asc():
+    # identical tf/dl -> identical scores; ranking must be doc_id ascending
+    docs = np.arange(100, dtype=np.int64)
+    tfs = np.ones(100, dtype=np.int64)
+    dls = np.full(100, 50, dtype=np.int64)
+    got = run_wand([(docs, tfs, dls)], 1000, 50.0, 10)
+    assert [d for d, _ in got] == list(range(10))
