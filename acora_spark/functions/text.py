@@ -1,0 +1,125 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side
+built-in expressions (whole-stage codegen), no Python UDFs.
+
+Every function here is deliberately expressible in ANSI SQL as well, so the
+driver's DuckDB oracle can verify it value-for-value (see
+``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from acora_spark.functions.tokenize import TOKEN_SPLIT_RE
+
+__all__ = [
+    "tokens_col",
+    "token_count",
+    "avg_token_len",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "lang_id",
+    "fingerprint",
+    "with_text_features",
+]
+
+# language marker words for the n-gram-free stopword heuristic; the exact
+# sets are part of the documented semantics (the DuckDB oracle mirrors them)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens_col(content: Column) -> Column:
+    return F.filter(F.split(F.lower(content), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_count(content: Column) -> Column:
+    return F.size(tokens_col(content))
+
+
+def avg_token_len(content: Column) -> Column:
+    toks = tokens_col(content)
+    return F.when(F.size(toks) > 0,
+                  F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+                  / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def _count_in(content: Column, words: list[str]) -> Column:
+    toks = tokens_col(content)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def stopword_ratio(content: Column) -> Column:
+    toks = tokens_col(content)
+    return F.when(
+        F.size(toks) > 0, _count_in(content, EN_STOPWORDS) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(content: Column) -> Column:
+    """Heuristic document-quality score in [0,1]:
+    0.4 * length component (saturating at 256 tokens)
+    + 0.3 * stopword-ratio component (ideal band ~0.1-0.5)
+    + 0.3 * alpha-char ratio.  Documented formula; SQL-mirrorable."""
+    n = token_count(content)
+    lencomp = F.least(n / F.lit(256.0), F.lit(1.0))
+    sw = stopword_ratio(content)
+    swcomp = F.lit(1.0) - F.least(F.abs(sw - 0.3) / F.lit(0.3), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(F.lower(content), "[^a-z]", ""))
+    alphacomp = F.when(
+        F.length(content) > 0, alpha / F.length(content)
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * lencomp + F.lit(0.3) * swcomp + F.lit(0.3) * alphacomp
+    )
+
+
+def lang_scores(content: Column) -> dict[str, Column]:
+    return {lang: _count_in(content, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(content: Column) -> Column:
+    """argmax over marker-word counts; ties + all-zero -> 'und'.
+    Deterministic tie-break: requires STRICTLY more markers than every
+    other language."""
+    scores = lang_scores(content)
+    langs = sorted(scores)
+    result = F.lit("und")
+    # build nested CASE: lang wins iff its count > all others and > 0
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] > scores[other])
+        result = F.when(cond, F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(content: Column, prefix_tokens: int | None = None) -> Column:
+    """Canonical document fingerprint: md5 over the normalized token stream
+    (optionally only the first N tokens — the cheap near-dup prefix key)."""
+    toks = tokens_col(content)
+    if prefix_tokens is not None:
+        toks = F.slice(toks, 1, prefix_tokens)
+    return F.md5(F.array_join(toks, " "))
+
+
+def with_text_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    c = F.col(content_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "avg_token_len": avg_token_len(c),
+            "stopword_ratio": stopword_ratio(c),
+            "quality_score": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

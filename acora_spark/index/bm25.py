@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -325,7 +326,7 @@ def bm25_topk(
 
 def bm25_topk_dataframe(
     corpus_with_ids: DataFrame, query: str, k: int = 10, *,
-    k1: float = 1.2, b: float = 0.75,
+    k1: float = 1.2, b: float = 0.75, score_round: int | None = None,
 ) -> DataFrame:
     """Index-free DataFrame/SQL BM25 straight from the corpus — the
     SQL-oracle-checkable scorer.  Plan: tokenize -> (doc,term) tf agg ->
@@ -362,17 +363,19 @@ def bm25_topk_dataframe(
         )
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
     )
-    from pyspark.sql.window import Window
-
-    return scored.select(
-        "doc_id",
-        "score",
-        F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
-        .alias("rank"),
+    if score_round is not None:
+        # rank on the ROUNDED score (cross-engine-stable ordering for the
+        # SQL oracle: last-ulp float differences can't flip ranks)
+        scored = scored.withColumn("score", F.round("score", score_round))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "score", "rank")
     )
 
 

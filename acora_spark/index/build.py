@@ -345,16 +345,26 @@ def build_index(
         merged = merged.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         )
+        # ONE write job per group: dynamic partition overwrite replaces only
+        # the buckets present in this group (idempotent under retry)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                postings_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        counts = {
+            r["bucket"]: r["count"]
+            for r in spark.read.parquet(postings_path)
+            .filter(F.col("bucket").isin(group))
+            .groupBy("bucket")
+            .count()
+            .collect()
+        }
         for b in group:
-            merged.filter(F.col("bucket") == b).drop("bucket").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(postings_path, f"bucket={b}"))
-        # one job per group, manifest per bucket
-        for b in group:
-            cnt = spark.read.parquet(
-                os.path.join(postings_path, f"bucket={b}")
-            ).count()
-            _mark_done(index_dir, f"bucket:{b}", terms=cnt)
+            _mark_done(index_dir, f"bucket:{b}", terms=int(counts.get(b, 0)))
 
     return load_index(spark, index_dir)
 

@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are shuffle-conscious:
+
+* exact / fingerprint dedup — one hash-groupBy (map-side combined);
+* MinHash + LSH — signatures via built-in md5 (JVM-side), candidate pairs
+  via band-bucket self-join (the join key IS the LSH bucket, so the shuffle
+  only moves band keys, never O(n^2) pairs);
+* SimHash — 64-bit signatures via a vectorized pandas UDF (bit-twiddling is
+  not expressible efficiently in Spark SQL), Hamming-adjacent buckets by
+  band rotation;
+* n-gram Jaccard — verification operator for LSH candidates (exact
+  similarity on the candidate set only, never all-pairs).
+
+MinHash hash family: ``minhash_i(doc) = min over shingles s of
+md5(i || ':' || s)`` compared lexicographically on the hex string — a
+deterministic, cross-engine-reproducible stand-in for the usual universal
+hash family (md5 hex compares identically in Spark and any SQL oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acora_spark.functions.text import fingerprint, tokens_col
+
+__all__ = [
+    "exact_duplicates",
+    "fingerprint_duplicates",
+    "shingles_col",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "embedding_near_dup_pairs",
+]
+
+
+def exact_duplicates(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_sha256, n_docs, doc_ids).
+    One hash aggregation; the sha is computed scan-side so only (sha, id)
+    ever shuffles."""
+    return (
+        df.select(F.sha2(F.col(content_col), 256).alias("content_sha256"), F.col(id_col))
+        .groupBy("content_sha256")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def fingerprint_duplicates(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id", prefix_tokens: int = 8
+) -> DataFrame:
+    """Near-dup groups by normalized token-prefix fingerprint (cheap first
+    pass before MinHash)."""
+    return (
+        df.select(
+            fingerprint(F.col(content_col), prefix_tokens).alias("fp"), F.col(id_col)
+        )
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles_col(content, n: int = 3):
+    """Token n-gram shingles as an array column (distinct).
+
+    NB: Spark's ``sequence(1, 0)`` counts DOWN, so short documents need an
+    explicit empty-array branch."""
+    toks = tokens_col(content)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): per-seed min of md5(seed:shingle) hex strings.
+
+    Entirely built-in expressions — the shingle explosion never leaves the
+    executor (array_min over a transformed array, no explode/shuffle)."""
+    sh = shingles_col(F.col(content_col), shingle_n)
+
+    def _seeded(i: int):
+        # NB: must be a SINGLE-arg lambda — F.transform passes the array
+        # index as a second argument when the callable accepts two
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    cols = {
+        f"mh_{i}": F.array_min(F.transform(sh, _seeded(i)))
+        for i in range(num_hashes)
+    }
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b, with the matching band).
+
+    Docs agreeing on ALL hashes of any band land in the same bucket; the
+    self-join is per-band on the bucket key, so shuffle volume is
+    O(n * bands), not O(n^2)."""
+    sig = minhash_signature(df, content_col, id_col, num_hashes, shingle_n)
+    bands = []
+    for b0 in range(0, num_hashes, band_size):
+        cols = [f"mh_{i}" for i in range(b0, min(b0 + band_size, num_hashes))]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b0 // band_size).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    exploded = bands[0]
+    for b in bands[1:]:
+        exploded = exploded.unionByName(b)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs only: (id_a, id_b, jaccard).
+    The shingle sets ride along the (small) candidate join, never all-pairs."""
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(content_col), shingle_n).alias("sh")
+    )
+    j = (
+        candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over the token stream (Charikar 2002): sign-sum of
+    per-token 64-bit hashes, vectorized in a pandas UDF (Arrow batches)."""
+
+    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        tok_re = re.compile(r"[a-z0-9_]+")
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, text in enumerate(pdf[content_col].fillna("")):
+                toks = tok_re.findall(text.lower())
+                if not toks:
+                    continue
+                import hashlib
+
+                hs = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(t.encode()).digest()[:8], "little"
+                        )
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                v = (2 * bits - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for b, x in enumerate(v):
+                    if x > 0:
+                        sig |= np.uint64(1) << np.uint64(b)
+                out[row_i] = np.int64(sig.astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, content_col).mapInPandas(
+        sim, f"{id_col} long, simhash long"
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    Baseline all-pairs variant (broadcast one side); for the scale path,
+    bucket by coarse LSH first (see similarity.lsh_buckets) and join within
+    buckets only."""
+    from acora_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`brute_force_topk` — exact cosine top-k of a query vector against
+  the table: the dot product is a built-in ``aggregate``/``zip_with``
+  expression (JVM-side), followed by distributed
+  ``orderBy().limit(k)`` (TakeOrderedAndProject) — no Python in the path.
+* :func:`ivf_topk` — the scale path: k-means-lite (hash-seeded centroid
+  sample, one Lloyd step in a pandas UDF) partitions vectors into coarse
+  cells; a query probes only the ``nprobe`` nearest cells.  At 100 TB the
+  probe is a partition-pruned read (cells are the storage partition key).
+* :func:`lsh_buckets` — random-hyperplane signs as a coarse bucket key for
+  near-dup joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_expr", "brute_force_topk", "lsh_buckets", "ivf_topk"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine, rank), ties broken by id asc."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (
+        emb.select(
+            F.col(id_col),
+            cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    return scored.select(
+        id_col,
+        "cosine",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc(id_col)))
+        .alias("rank"),
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    num_planes: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: (id, bucket) where bucket packs the sign bits
+    of ``num_planes`` fixed projections.  Plane vectors derive from a
+    deterministic RNG so every run/executor agrees."""
+    # determine dim from schema-level first row
+    first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim)).astype(np.float64)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ) if len(pdf) else np.zeros((0, pl.shape[1]))
+            signs = (mat @ pl.T) > 0
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(pl.shape[0]):
+                bucket |= signs[:, i].astype(np.int64) << i
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        bucketize, f"{id_col} long, bucket long"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign vectors to the nearest of
+    ``num_cells`` centroids (deterministic hash-sampled seeds, one Lloyd
+    refinement), then search only the ``nprobe`` cells nearest the query.
+
+    At scale the cell id is the storage partition key, so the probe reads
+    ``nprobe/num_cells`` of the data (partition pruning); here the cell
+    filter plays that role."""
+    sample = emb.select(vec_col).limit(num_cells * 8).collect()
+    if not sample:
+        return brute_force_topk(emb, query_vec, k, id_col, vec_col)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(num_cells, len(mat)), replace=False)]
+    # one Lloyd step over the sample for stability
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    assign = d2.argmin(1)
+    for c in range(len(cents)):
+        m = assign == c
+        if m.any():
+            cents[c] = mat[m].mean(0)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: pdf[id_col], "cell": pdf[id_col]})
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d2 = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": d2.argmin(1)})
+
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        assign_cells, f"{id_col} long, cell long"
+    )
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qd = ((bc.value - q[None, :]) ** 2).sum(-1)
+    probe = np.argsort(qd)[:nprobe].tolist()
+    pruned = emb.join(
+        cells.filter(F.col("cell").isin(probe)).select(id_col), id_col
+    )
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)

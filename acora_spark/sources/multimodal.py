@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side machinery (schemas, Arrow batch shapes, partitioning, UDF
+signatures) is real and tested; the actual media DECODE step is stubbed —
+codec libraries are not available in this container.  Set
+``fake_decode=True`` for a deterministic stand-in so pipelines can be
+exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "extract_image_features", "read_binary_dir"]
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload_sha256", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def read_binary_dir(spark, path: str) -> DataFrame:
+    """Production ingestion path for raw media files: Spark's binaryFile
+    source (distributed, no driver involvement)."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata: size + sha256 of the opaque payload."""
+    return df.withColumns(
+        {
+            "n_bytes": F.octet_length(F.col(payload_col)),
+            "payload_sha256": F.sha2(F.col(payload_col), 256),
+        }
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    dim: int = 16,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (``mapInPandas``).
+
+    Real decode is unavailable in this container; ``fake_decode=True``
+    derives a deterministic feature vector from the payload hash so the
+    batch shapes, schema, and partitioning behavior are fully exercised.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shas, sizes, feats = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data).digest()
+                ids.append(mid)
+                shas.append(digest.hex())
+                sizes.append(len(data))
+                if fake_decode:
+                    # deterministic pseudo-features from the digest
+                    raw = np.frombuffer(
+                        (digest * ((4 * dim) // len(digest) + 1))[: 4 * dim],
+                        dtype=np.uint32,
+                    )
+                    feats.append((raw % 1000).astype(np.float32) / 1000.0)
+                else:
+                    raise NotImplementedError(
+                        "media decode requires codec libraries not present in "
+                        "this environment; pass fake_decode=True to exercise "
+                        "the pipeline with deterministic stand-in features"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload_sha256": shas,
+                    "n_bytes": sizes,
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)

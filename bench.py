@@ -1,0 +1,116 @@
+"""Benchmark entry point (driver-run): headline queries at
+``$SPARK_GRAFT_SF_DIR`` on ``local[$SPARK_GRAFT_CPUS]``.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Workloads:
+* ``match_scan``       — broadcast-automaton scan (20 keywords) over a
+                         deterministic synthetic corpus (input_hint shape,
+                         ``SPARK_GRAFT_BENCH_DOCS`` docs, default 60k).
+* ``index_build``      — full inverted-index build on the same corpus
+                         (fresh dir, resume disabled = honest cost).
+* ``bm25_serve_p50``   — p50 single-query latency of WAND top-10 over the
+                         built index (5 queries, one job each).
+* ``bm25_sql_sf``      — DataFrame BM25 top-20 on the sf-dir corpus
+                         (the oracle-checked representative query).
+* ``match_sf``         — matcher over the sf-dir documents corpus.
+
+Extra keys (not part of the driver schema, informational): ``docs_per_sec``
+for build, ``scan_mb_per_sec`` for the scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+
+    from acora_spark.index.bm25 import bm25_topk_batch, bm25_topk_dataframe
+    from acora_spark.index.build import assign_doc_ids, build_index
+    from acora_spark.operators.matcher import match
+    from acora_spark.session import get_spark
+    from acora_spark.sources.corpus import generate_corpus, load_corpus
+
+    spark = get_spark(app_name="acora-spark-bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 16))
+    timings: dict[str, float] = {}
+
+    # -- synthetic corpus (deterministic, distributed generation) ---------
+    t0 = time.time()
+    synth = generate_corpus(spark, n_docs).persist()
+    total_chars = synth.selectExpr("sum(length(content)) s").collect()[0]["s"]
+    timings["corpus_gen"] = round(time.time() - t0, 3)
+
+    kws = [
+        "import", "def", "class", "return", "struct", "impl", "func",
+        "package", "public", "static", "void", "const", "template",
+        "include", "namespace", "spark", "index", "query", "match", "shuffle",
+    ]
+    t0 = time.time()
+    n_matches = match(synth, kws).count()
+    timings["match_scan"] = round(time.time() - t0, 3)
+
+    index_dir = "/tmp/acora_spark_bench_index"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    idx = build_index(synth, index_dir, num_buckets=16,
+                      docs_per_salt=20000, resume=False)
+    timings["index_build"] = round(time.time() - t0, 3)
+
+    queries = [
+        "spark shuffle partition",
+        "import def class return",
+        "broadcast index query",
+        "struct impl func package",
+        "template include namespace vector",
+    ]
+    lat = []
+    for q in queries:
+        t0 = time.time()
+        bm25_topk_batch(spark, idx, [q], k=10).collect()
+        lat.append(time.time() - t0)
+    timings["bm25_serve_p50"] = round(statistics.median(lat), 3)
+
+    # -- sf-dir representative queries ------------------------------------
+    corpus = load_corpus(spark, sf_dir)
+    t0 = time.time()
+    match(corpus, ["data", "spark", "table", "join", "merge"]).count()
+    timings["match_sf"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs = assign_doc_ids(corpus)
+    bm25_topk_dataframe(docs, "spark shuffle partition data", k=20,
+                        score_round=4).collect()
+    timings["bm25_sql_sf"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "acora_spark headline wall (scan+build+serve+sf queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "bench_docs": n_docs,
+        "bench_chars": int(total_chars),
+        "cpus": cpus,
+        "n_matches": int(n_matches),
+        "build_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "scan_mb_per_sec": round(
+            total_chars / 1e6 / timings["match_scan"], 1
+        ),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
