@@ -125,7 +125,7 @@ class Automaton:
 
         goto_flat = np.ascontiguousarray(self.goto).ravel()
         width = self.goto.shape[1]
-        out_count = self.out_count
+        is_match = self.out_count > 0  # bool gather is cheaper than int64
 
         i = 0
         while i < n:
@@ -141,19 +141,25 @@ class Automaton:
             for r, doc_i in enumerate(sel):
                 c = codes[doc_i]
                 mat[r, : len(c)] = c
-            col = self._alpha_idx(mat.ravel()).reshape(b, maxlen)
+            col = np.ascontiguousarray(
+                self._alpha_idx(mat.ravel()).reshape(b, maxlen).T
+            )  # (maxlen, b): row-contiguous per step
             del mat
             states = np.zeros(b, dtype=np.int64)
-            doc_ids = sel.astype(np.int64)
+            # record every step's state; extract hits vectorized afterwards
+            # (keeps the sequential loop body to 2 numpy ops per character)
+            states_all = np.empty((maxlen, b), dtype=np.int32)
             for t in range(maxlen):
-                states = goto_flat[states * width + col[:, t]]
-                hit = out_count[states] > 0
-                if t + 1 > int(chunk_lens.min()):
-                    hit &= chunk_lens > t
-                if hit.any():
-                    rec_doc.append(doc_ids[hit])
-                    rec_state.append(states[hit].astype(np.int64))
-                    rec_end.append(np.full(int(hit.sum()), t + 1, dtype=np.int64))
+                states = goto_flat[states * width + col[t]]
+                states_all[t] = states
+            hit = is_match[states_all]
+            # mask positions past each doc's end (padding)
+            hit &= np.arange(maxlen, dtype=np.int64)[:, None] < chunk_lens[None, :]
+            t_idx, b_idx = np.nonzero(hit)
+            if len(t_idx):
+                rec_doc.append(sel.astype(np.int64)[b_idx])
+                rec_state.append(states_all[t_idx, b_idx].astype(np.int64))
+                rec_end.append(t_idx + 1)
 
         if not rec_doc:
             return empty

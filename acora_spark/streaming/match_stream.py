@@ -1,0 +1,97 @@
+"""Structured Streaming surface: the same broadcast-automaton scan applied
+to unbounded corpora.
+
+The matcher operator is stream-compatible by construction (``mapInPandas``
+executes per micro-batch), so ``match_stream`` is the exact streaming twin
+of ``operators.matcher.match`` — reference semantics S1 over a stream of
+documents instead of a static table.  Late data is handled with watermarks
++ tumbling-window aggregation; a custom stateful operator
+(``running_totals``) keeps per-key running match counts across
+micro-batches via ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from acora_spark.operators.matcher import match
+
+__all__ = ["match_stream", "windowed_match_counts", "running_totals"]
+
+
+def match_stream(
+    stream_df: DataFrame,
+    keywords: Sequence[str],
+    *,
+    ignore_case: bool = False,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Streaming multi-keyword scan; returns an unbounded matches stream."""
+    return match(
+        stream_df,
+        keywords,
+        ignore_case=ignore_case,
+        content_col=content_col,
+        id_cols=id_cols,
+    )
+
+
+def windowed_match_counts(
+    stream_df: DataFrame,
+    keywords: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    content_col: str = "content",
+) -> DataFrame:
+    """Tumbling-window per-term match counts with a watermark for late data.
+
+    Output: (window_start, window_end, term, n_matches)."""
+    m = match_stream(
+        stream_df,
+        keywords,
+        content_col=content_col,
+        id_cols=(ts_col,),
+    )
+    return (
+        m.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "term")
+        .agg(F.count("*").alias("n_matches"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "n_matches",
+        )
+    )
+
+
+def running_totals(
+    matches: DataFrame, key_col: str = "repo"
+) -> DataFrame:
+    """Custom stateful operator: per-key running total of matches across
+    micro-batches (``applyInPandasWithState``)."""
+
+    def update(key, pdfs, state: GroupState):
+        delta = 0
+        for pdf in pdfs:
+            delta += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += delta
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "total_matches": [total]})
+
+    return matches.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, total_matches long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

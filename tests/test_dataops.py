@@ -1,0 +1,152 @@
+"""Tests for the training-data-pipeline operators: dedup family,
+similarity search, text features, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    fingerprint_duplicates,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from acora_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_buckets
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different content about spark indexes"),
+        (4, "the quick brown cat jumps over the lazy dog"),  # near dup
+        (5, "short one"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    d = exact_duplicates(docs, content_col="text").collect()
+    assert len(d) == 1
+    assert d[0]["n_docs"] == 2 and list(d[0]["doc_ids"]) == [0, 1]
+
+
+def test_fingerprint_duplicates(spark, docs):
+    g = fingerprint_duplicates(docs, content_col="text", prefix_tokens=4).collect()
+    ids = sorted(tuple(r["doc_ids"]) for r in g)
+    assert (0, 1, 2) in ids  # same first 4 tokens
+
+
+def test_lsh_candidates_and_jaccard(spark, docs):
+    cand = lsh_candidate_pairs(
+        docs, content_col="text", num_hashes=8, band_size=1
+    )
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    j = ngram_jaccard_pairs(docs, cand, content_col="text").collect()
+    jmap = {(r.id_a, r.id_b): r.jaccard for r in j}
+    assert jmap[(0, 1)] == 1.0
+    for (a, b), v in jmap.items():
+        assert 0.0 <= v <= 1.0
+    # near-dups score higher than unrelated docs, when present
+    if (0, 2) in jmap and (0, 3) in jmap:
+        assert jmap[(0, 2)] > jmap[(0, 3)]
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs, content_col="text").collect()}
+    assert sh[0] == sh[1]  # identical text -> identical signature
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+        if vid != 0
+    }
+    expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = (
+        brute_force_topk(emb.filter("vec_id != 0"), q.tolist(), k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [v for v, _ in expect]
+    np.testing.assert_allclose(
+        [r.cosine for r in got], [s for _, s in expect], atol=1e-9
+    )
+
+
+def test_ivf_topk_recall(spark, emb):
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    exact = set(
+        r.vec_id
+        for r in brute_force_topk(emb, q.tolist(), k=10).collect()
+    )
+    approx = set(
+        r.vec_id
+        for r in ivf_topk(emb, q.tolist(), k=10, num_cells=8, nprobe=4).collect()
+    )
+    # IVF with half the cells probed should still recover most of top-10
+    assert len(exact & approx) >= 5
+
+
+def test_lsh_buckets_deterministic(spark, emb):
+    b1 = {r.vec_id: r.bucket for r in lsh_buckets(emb, num_planes=8).collect()}
+    b2 = {r.vec_id: r.bucket for r in lsh_buckets(emb, num_planes=8).collect()}
+    assert b1 == b2
+    assert len(set(b1.values())) > 1
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    sub = emb.limit(60)
+    pairs = embedding_near_dup_pairs(sub, threshold=0.9).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b and r.cosine >= 0.9
+
+
+def test_multimodal_feature_plumbing(spark):
+    from acora_spark.sources.multimodal import (
+        attach_media_metadata,
+        extract_image_features,
+    )
+
+    rows = [(i, "image", bytes([i] * (10 + i))) for i in range(5)] + [
+        (99, "image", None)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    meta = attach_media_metadata(df).collect()
+    by_id = {r.media_id: r for r in meta}
+    assert by_id[0].n_bytes == 10 and by_id[4].n_bytes == 14
+    feats = extract_image_features(df, fake_decode=True).collect()
+    fmap = {r.media_id: r for r in feats}
+    assert len(fmap) == 6
+    assert len(fmap[1].features) == 16
+    # deterministic: same payload -> same features
+    f2 = {r.media_id: r for r in extract_image_features(df, fake_decode=True).collect()}
+    assert list(fmap[2].features) == list(f2[2].features)
+    # real decode path is an explicit stub
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        extract_image_features(df, fake_decode=False).collect()

@@ -1,0 +1,111 @@
+"""Structured Streaming tests: file-source micro-batches through the
+matcher, windowed counts with watermark, and the stateful running-total
+operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.operators.matcher import match
+from acora_spark.sources.corpus import load_corpus
+from acora_spark.streaming.match_stream import (
+    match_stream,
+    running_totals,
+    windowed_match_counts,
+)
+
+KWS = ["data", "spark", "join"]
+
+
+@pytest.fixture()
+def staged(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "stream_src")
+    corpus = load_corpus(spark, sf_dir).limit(100)
+    corpus.write.mode("overwrite").parquet(src)
+    return src, corpus
+
+
+def test_match_stream_equals_batch(spark, staged, tmp_path):
+    src, corpus = staged
+    schema = corpus.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert stream.isStreaming
+    m = match_stream(stream, KWS)
+    q = (
+        m.writeStream.format("memory")
+        .queryName("mstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select count(*) n from mstream").collect()[0]["n"]
+    finally:
+        q.stop()
+    expect = match(corpus, KWS).count()
+    assert got == expect
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "tsrc")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(seconds=30 * i), f"data spark row {i}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, content string")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    w = windowed_match_counts(
+        stream, ["data", "spark"], ts_col="ts", window="1 minute"
+    )
+    # complete mode: append would emit a window only once the watermark
+    # passes it, which never happens within a single micro-batch
+    q = (
+        w.writeStream.format("memory")
+        .queryName("wstream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select window_start, term, n_matches from wstream order by window_start, term"
+        ).collect()
+    finally:
+        q.stop()
+    # 6 docs at 30s spacing -> 3 one-minute windows x 2 docs x 1 match/term
+    agg = {(str(r.window_start), r.term): r.n_matches for r in got}
+    assert len(agg) == 6
+    assert all(v == 2 for v in agg.values())
+
+
+def test_running_totals_stateful(spark, staged, tmp_path):
+    src, corpus = staged
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    m = match_stream(stream, KWS)
+    rt = running_totals(m, key_col="repo")
+    q = (
+        rt.writeStream.format("memory")
+        .queryName("rtstream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select repo, max(total_matches) t from rtstream group by repo"
+        ).collect()
+    finally:
+        q.stop()
+    expect = {
+        r.repo: r.n
+        for r in match(corpus, KWS).groupBy("repo").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.repo: r.t for r in got} == expect

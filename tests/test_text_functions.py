@@ -1,0 +1,70 @@
+"""Unit tests for the JVM-side text-analysis functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    with_text_features,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "content string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "Hello, world! foo_bar x9", token_count(F.col("content"))) == 4
+    assert _one(spark, "", token_count(F.col("content"))) == 0
+    assert _one(spark, "...!!!", token_count(F.col("content"))) == 0
+
+
+def test_stopword_ratio(spark):
+    assert _one(spark, "the cat", stopword_ratio(F.col("content"))) == pytest.approx(0.5)
+    assert _one(spark, "", stopword_ratio(F.col("content"))) == 0.0
+
+
+def test_lang_id(spark):
+    c = F.col("content")
+    assert _one(spark, "the cat and the dog of the house", lang_id(c)) == "en"
+    assert _one(spark, "el perro y la casa de que", lang_id(c)) == "es"
+    assert _one(spark, "le chat et les maisons des gens", lang_id(c)) == "fr"
+    assert _one(spark, "xyz qwerty", lang_id(c)) == "und"
+    # tie -> und (strict argmax)
+    assert _one(spark, "the el", lang_id(c)) == "und"
+
+
+def test_quality_score_bounds(spark):
+    c = F.col("content")
+    for text in ["", "a", "the " * 300, "x1 !!!", "normal text with the usual words"]:
+        v = _one(spark, text, quality_score(c))
+        assert 0.0 <= v <= 1.0, text
+
+
+def test_fingerprint_normalization(spark):
+    c = F.col("content")
+    a = _one(spark, "Hello,   WORLD!", fingerprint(c))
+    b = _one(spark, "hello world", fingerprint(c))
+    assert a == b  # same normalized token stream
+
+
+def test_with_text_features_schema(spark):
+    df = spark.createDataFrame([("some text here",)], "content string")
+    out = with_text_features(df)
+    names = set(out.columns)
+    assert {
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
+        "lang_pred",
+        "fingerprint",
+    } <= names
+    out.collect()
