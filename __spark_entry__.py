@@ -81,18 +81,9 @@ def _index_for(spark: SparkSession, sf_dir: str):
 
 
 def q_match_count_by_term(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from acora_spark.operators.matcher import match
+    from acora_spark.operators.matcher import match_counts
 
-    corpus = _corpus(spark, sf_dir)
-    counts = (
-        match(corpus, MATCH_KWS)
-        .groupBy("term")
-        .agg(F.count("*").alias("n_matches"))
-    )
-    kw = spark.createDataFrame([(w,) for w in MATCH_KWS], "term string")
-    return kw.join(counts, "term", "left").select(
-        "term", F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches")
-    )
+    return match_counts(_corpus(spark, sf_dir), MATCH_KWS)
 
 
 def q_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,6 +72,7 @@ class Automaton:
     out_start: np.ndarray
     out_count: np.ndarray
     out_kw: np.ndarray
+    is_bytes: bool = False
     kw_len: np.ndarray = field(init=False)
 
     def __post_init__(self) -> None:
@@ -79,7 +80,12 @@ class Automaton:
 
     # -- encoding ---------------------------------------------------------
 
-    def _codes(self, text: str) -> np.ndarray:
+    def _codes(self, text) -> np.ndarray:
+        """str -> code points; bytes -> byte values (the two scalar domains
+        of the reference: UnicodeAcora vs BytesAcora,
+        acora/__init__.py:264-268)."""
+        if self.is_bytes:
+            return np.frombuffer(text, dtype=np.uint8).astype(np.uint32)
         return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
 
     def _alpha_idx(self, codes: np.ndarray) -> np.ndarray:
@@ -127,6 +133,11 @@ class Automaton:
         width = self.goto.shape[1]
         is_match = self.out_count > 0  # bool gather is cheaper than int64
 
+        # narrow dtypes keep the per-chunk working set small — with many
+        # parallel workers on one box the scan is memory-bandwidth-bound,
+        # so bytes moved per character matter more than instruction count
+        col_dt = np.uint8 if width <= 256 else np.int32
+        st_dt = np.uint16 if self.goto.shape[0] < 65536 else np.int32
         i = 0
         while i < n:
             maxlen = int(lens[order[i]])
@@ -137,20 +148,22 @@ class Automaton:
             i += bsz
             b = len(sel)
             chunk_lens = lens[sel]
-            mat = np.zeros((b, maxlen), dtype=np.uint32)
+            # map to alphabet indices doc-by-doc (1D), pad into the
+            # transposed (maxlen, b) step-major matrix
+            col = np.zeros((b, maxlen), dtype=col_dt)
             for r, doc_i in enumerate(sel):
                 c = codes[doc_i]
-                mat[r, : len(c)] = c
-            col = np.ascontiguousarray(
-                self._alpha_idx(mat.ravel()).reshape(b, maxlen).T
-            )  # (maxlen, b): row-contiguous per step
-            del mat
-            states = np.zeros(b, dtype=np.int64)
+                col[r, : len(c)] = self._alpha_idx(c)
+            col = np.ascontiguousarray(col.T)
+            states = np.zeros(b, dtype=np.int32)
+            idx_buf = np.empty(b, dtype=np.int32)
             # record every step's state; extract hits vectorized afterwards
-            # (keeps the sequential loop body to 2 numpy ops per character)
-            states_all = np.empty((maxlen, b), dtype=np.int32)
+            # (keeps the sequential loop body to 3 in-place numpy ops)
+            states_all = np.empty((maxlen, b), dtype=st_dt)
             for t in range(maxlen):
-                states = goto_flat[states * width + col[t]]
+                np.multiply(states, width, out=idx_buf)
+                np.add(idx_buf, col[t], out=idx_buf)
+                np.take(goto_flat, idx_buf, out=states)
                 states_all[t] = states
             hit = is_match[states_all]
             # mask positions past each doc's end (padding)
@@ -192,6 +205,34 @@ class Automaton:
     def findall(self, text: str) -> list[tuple[str, int]]:
         return list(self.finditer(text))
 
+    def to_dot(self) -> str:
+        """Graphviz dump of the compiled DFA (debug helper, reference
+        ``machine_to_dot``, acora/_cacora.pyx:134-189)."""
+        inv = {int(v): int(c) for c, v in zip(self.lut_codes, self.lut_vals)}
+        fmt = (lambda c: repr(bytes([c]))[2:-1]) if self.is_bytes else (
+            lambda c: chr(c) if chr(c).isprintable() else f"U+{c:04X}"
+        )
+        lines = ["digraph automaton {"]
+        for s in range(self.goto.shape[0]):
+            outs = [
+                self.keywords[int(self.out_kw[i])]
+                for i in range(
+                    int(self.out_start[s]),
+                    int(self.out_start[s]) + int(self.out_count[s]),
+                )
+            ]
+            label = f"{s}" + (f"\\n{outs!r}" if outs else "")
+            shape = "doublecircle" if outs else "circle"
+            lines.append(f'  S{s} [label="{label}", shape={shape}];')
+            for a in range(1, self.goto.shape[1]):
+                tgt = int(self.goto[s, a])
+                if tgt != 0:
+                    lines.append(
+                        f'  S{s} -> S{tgt} [label="{fmt(inv[a])}"];'
+                    )
+        lines.append("}")
+        return "\n".join(lines)
+
 
 def build_automaton(keywords, ignore_case: bool = False) -> Automaton:
     """Build the DFA tables driver-side.  Pure Python + numpy, no Spark.
@@ -201,21 +242,46 @@ def build_automaton(keywords, ignore_case: bool = False) -> Automaton:
     -> full DFA flattening into a dense goto table
     (reference stages: acora/_acora.py:95-118, 155-202, 271-306).
     """
-    kws: list[str] = []
+    kws: list = []
     seen = set()
+    is_bytes: bool | None = None
     for kw in keywords:
-        if not isinstance(kw, str):
-            raise TypeError(f"keywords must be str, got {type(kw).__name__}")
+        if isinstance(kw, str):
+            dom = False
+        elif isinstance(kw, (bytes, bytearray)):
+            dom = True
+            kw = bytes(kw)
+        else:
+            raise TypeError(
+                f"keywords must be str or bytes, got {type(kw).__name__}"
+            )
+        if is_bytes is None:
+            is_bytes = dom
+        elif is_bytes != dom:
+            # mixing unicode and bytes keywords is a TypeError
+            # (reference acora/__init__.py:293-296)
+            raise TypeError("cannot mix str and bytes keywords")
         if len(kw) == 0:
             raise ValueError("cannot search for the empty string")
         if kw not in seen:
             seen.add(kw)
             kws.append(kw)
+    is_bytes = bool(is_bytes)
+    if is_bytes and ignore_case:
+        # reference raises on py3 bytes + ignore_case
+        # (acora/__init__.py:270-274)
+        raise ValueError("ignore_case is not supported for bytes keywords")
     kws.sort()  # deterministic keyword ids
     keywords_t = tuple(kws)
 
     # ---- alphabet -------------------------------------------------------
-    norm = (lambda c: c.lower()) if ignore_case else (lambda c: c)
+    # a "char" is a code point (str) or a byte value (bytes); iteration over
+    # bytes yields ints already
+    if is_bytes:
+        norm = code_of = lambda c: c
+    else:
+        norm = (lambda c: c.lower()) if ignore_case else (lambda c: c)
+        code_of = ord
     alpha = sorted({norm(c) for kw in kws for c in kw})
     alpha_id = {c: i + 1 for i, c in enumerate(alpha)}  # 1-based; 0 = other
     n_alpha = len(alpha)
@@ -231,7 +297,7 @@ def build_automaton(keywords, ignore_case: bool = False) -> Automaton:
                 if len(v) == 1:
                     variants.add(v)
         for v in variants:
-            lut[ord(v)] = idx
+            lut[code_of(v)] = idx
     lut_codes = np.asarray(sorted(lut), dtype=np.uint32)
     lut_vals = np.asarray([lut[c] for c in sorted(lut)], dtype=np.int32)
 
@@ -306,6 +372,7 @@ def build_automaton(keywords, ignore_case: bool = False) -> Automaton:
         out_start=out_start,
         out_count=out_count,
         out_kw=out_kw,
+        is_bytes=is_bytes,
     )
 
 
@@ -321,7 +388,8 @@ def py_finditer(automaton: Automaton, text: str):
     lut = {int(c): int(v) for c, v in zip(automaton.lut_codes, automaton.lut_vals)}
     state = 0
     for pos, ch in enumerate(text):
-        state = int(goto[state, lut.get(ord(ch), 0)])
+        code = ch if isinstance(ch, int) else ord(ch)  # bytes yield ints
+        state = int(goto[state, lut.get(code, 0)])
         s0, c0 = int(automaton.out_start[state]), int(automaton.out_count[state])
         for slot in range(s0, s0 + c0):
             kw = automaton.keywords[int(automaton.out_kw[slot])]

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from acora_spark.functions.tokenize import TOKEN_SPLIT_RE
+from acora_spark.functions.tokenize import TOKEN_RE, tokens_expr
 
 __all__ = [
     "tokens_col",
@@ -36,11 +36,11 @@ EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
 
 def tokens_col(content: Column) -> Column:
-    return F.filter(F.split(F.lower(content), TOKEN_SPLIT_RE), lambda x: x != "")
+    return tokens_expr(content)
 
 
 def token_count(content: Column) -> Column:
-    return F.size(tokens_col(content))
+    return F.regexp_count(F.lower(content), F.lit(TOKEN_RE))
 
 
 def avg_token_len(content: Column) -> Column:

@@ -94,53 +94,57 @@ def assign_doc_ids(
     key_cols: Sequence[str] = ("repo", "path", "commit"),
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Deterministic DENSE doc_id per key (0..N-1), distributed.
+    """Deterministic DENSE doc_id per key (0..N-1) = the GLOBAL RANK of the
+    key in ``(repo, path, commit)`` order — distributed, no global sort, no
+    single-partition window.
 
-    Dense ids delta-compress far better than hash ids.  Strategy: range-
-    repartition + sort within partitions on the key, count rows per
-    partition (tiny collect), broadcast the partition offsets, then assign
-    ``offset[pid] + local_rank`` in a mapInPandas — no global sort, no
-    single-partition window (which would bottleneck at scale).
+    Dense rank ids delta-compress far better than hash ids, and — being a
+    pure function of the total key order — are identical across runs,
+    partitionings, and parallelism levels.
+
+    Strategy: range-repartition + sort within partitions, stamp
+    ``monotonically_increasing_id`` (per-partition contiguous), persist
+    THAT single layout, then derive ``doc_id = (mid - partition_min_mid) +
+    cumulative_count_of_preceding_partitions`` via a broadcast join with
+    the (tiny) per-partition stats.  Everything after the one materialized
+    shuffle is JVM-side.
+
+    NB: the per-partition counts MUST come from the same physical layout
+    the ids are derived from (AQE may lay out two separate evaluations
+    differently), hence the persist.
     """
     spark = corpus.sparkSession
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
     key_cols = list(key_cols)
-    arranged = corpus.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(
-        *key_cols
+    from pyspark import StorageLevel
+
+    arranged = corpus.repartitionByRange(
+        num_partitions, *key_cols
+    ).sortWithinPartitions(*key_cols)
+    with_mid = (
+        arranged.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = (
-        arranged.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
+    parts = (
+        with_mid.groupBy("_pid")
+        .agg(F.count("*").alias("cnt"), F.min("_mid").alias("mn"))
         .collect()
     )
-    by_pid = {r.pid: r["count"] for r in counts}
-    offsets = {}
-    acc = 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
-    bcast = spark.sparkContext.broadcast(offsets)
-
-    schema = StructType(
-        [StructField("doc_id", LongType(), False)] + list(arranged.schema.fields)
+    base, rows = 0, []
+    for r in sorted(parts, key=lambda r: r["_pid"]):
+        rows.append((int(r["_pid"]), base, int(r["mn"])))
+        base += int(r["cnt"])
+    off = spark.createDataFrame(rows, "_pid int, _base long, _mn long")
+    out_cols = [F.col(c) for c in corpus.columns]
+    return (
+        with_mid.join(F.broadcast(off), "_pid")
+        .select(
+            (F.col("_mid") - F.col("_mn") + F.col("_base")).alias("doc_id"),
+            *out_cols,
+        )
     )
-
-    def attach(pdf_iter):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = bcast.value.get(pid, 0)
-        seen = 0
-        for pdf in pdf_iter:
-            ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            out = pdf.copy()
-            out.insert(0, "doc_id", ids)
-            yield out
-
-    return arranged.mapInPandas(attach, schema)
 
 
 # ------------------------------------------------------------------ build --
@@ -244,18 +248,22 @@ def build_index(
     postings_path = os.path.join(index_dir, "postings")
     stats_path = os.path.join(index_dir, "stats.json")
 
+    key_cols = ["repo", "path", "commit"]
+
     # ---- step 1: docmap + stats ----------------------------------------
+    # Per-doc stats (dl, sha256) are computed in a NARROW pass over the
+    # corpus (no shuffle of content), then dense ids are assigned over the
+    # small stat rows only.  Content never moves in the whole build — the
+    # tf aggregation below is keyed by (repo, path, commit) and joins the
+    # docmap afterwards.
     if steps.get("docmap", {}).get("status") != "done":
-        docs = assign_doc_ids(corpus)
-        docmap = token_counts(docs).select(
-            "doc_id",
-            "repo",
-            "path",
-            "commit",
+        stat_rows = token_counts(corpus).select(
+            *key_cols,
             "lang",
             F.col("n_tokens").alias("dl"),
             F.sha2(F.col("content"), 256).alias("content_sha256"),
         )
+        docmap = assign_doc_ids(stat_rows, key_cols)
         docmap.write.mode("overwrite").parquet(docmap_path)
         agg = spark.read.parquet(docmap_path).agg(
             F.count("*").alias("n"), F.avg("dl").alias("avgdl")
@@ -277,17 +285,30 @@ def build_index(
 
     # ---- step 2: SPIMI runs --------------------------------------------
     if steps.get("runs", {}).get("status") != "done":
-        docs = assign_doc_ids(corpus)  # deterministic -> same ids as step 1
-        toks = tokenize(docs)
-        tf_df = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        dl_df = spark.read.parquet(docmap_path).select("doc_id", "dl")
+        # tf aggregation keyed by the doc key (content stays where it is);
+        # doc_id + dl attached by joining the materialized docmap
+        toks = tokenize(corpus, doc_col=None, key_cols=key_cols)
+        tf_df = toks.groupBy(*key_cols, "term").agg(F.count("*").alias("tf"))
+        id_map = spark.read.parquet(docmap_path).select(*key_cols, "doc_id", "dl")
         runs = (
-            tf_df.join(dl_df, "doc_id")
-            .withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+            tf_df.join(id_map, key_cols)
+            .select(
+                "doc_id",
+                "term",
+                "tf",
+                "dl",
+                F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+                .cast("int")
+                .alias("bucket"),
             )
         )
-        runs.write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
+        # repartition by bucket before the partitioned write: without this,
+        # every shuffle partition writes a file into every bucket dir
+        # (shuffle_partitions x num_buckets files — file-commit overhead
+        # that GROWS with parallelism and kills scaling)
+        runs.repartition(num_buckets, "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(runs_path)
         n_runs = spark.read.parquet(runs_path).count()
         _mark_done(index_dir, "runs", rows=n_runs)
 

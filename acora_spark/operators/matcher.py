@@ -24,7 +24,15 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from acora_spark.automaton import Automaton, build_automaton
 
-__all__ = ["match", "search", "longest_match", "match_lines", "matching_lines"]
+__all__ = [
+    "match",
+    "match_binary",
+    "match_counts",
+    "search",
+    "longest_match",
+    "match_lines",
+    "matching_lines",
+]
 
 
 def _match_schema(df: DataFrame, id_cols: Sequence[str]) -> StructType:
@@ -80,6 +88,8 @@ def match_with_automaton(
     bcast = spark.sparkContext.broadcast(automaton)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         auto: Automaton = bcast.value
         kw_arr = pd.array(auto.keywords, dtype="object")
         for pdf in batches:
@@ -89,13 +99,100 @@ def match_with_automaton(
             out["term"] = kw_arr[kw]
             out["start"] = start
             out["end"] = end
-            # within-doc emission rank; doc_i is doc-grouped and in
-            # canonical order already
-            seq = pd.Series(range(len(doc_i))).groupby(doc_i).cumcount()
-            out["match_seq"] = seq.to_numpy() if len(doc_i) else start
+            # within-doc emission rank; doc_i is doc-grouped in canonical
+            # order, so the rank is arange minus each group's start offset
+            if len(doc_i):
+                grp_start = np.zeros(len(doc_i), dtype=np.int64)
+                new_grp = np.nonzero(np.diff(doc_i))[0] + 1
+                grp_start[new_grp] = new_grp
+                np.maximum.accumulate(grp_start, out=grp_start)
+                out["match_seq"] = np.arange(len(doc_i), dtype=np.int64) - grp_start
+            else:
+                out["match_seq"] = start
             yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(scan, schema)
+
+
+def match_counts(
+    df: DataFrame,
+    keywords: Sequence[str],
+    *,
+    ignore_case: bool = False,
+    content_col: str = "content",
+) -> DataFrame:
+    """Aggregate scan (reference D15, bench.py:138-145 count invariant):
+    per-keyword total occurrence counts.
+
+    The partial aggregation happens INSIDE the Arrow UDF (one tiny row per
+    keyword per batch), so the scan output never materializes — at scale
+    this is the difference between shipping bytes-per-match and
+    bytes-per-keyword out of each task."""
+    auto = build_automaton(keywords, ignore_case=ignore_case)
+    spark = df.sparkSession
+    schema = "term string, n_matches long"
+    if not auto.keywords:
+        return spark.createDataFrame([], schema)
+    bcast = spark.sparkContext.broadcast(auto)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        a: Automaton = bcast.value
+        counts = np.zeros(len(a.keywords), dtype=np.int64)
+        for pdf in batches:
+            texts = pdf[content_col].fillna("").astype(str).tolist()
+            _, kw, _, _ = a.find_batch(texts)
+            if len(kw):
+                counts += np.bincount(kw, minlength=len(a.keywords))
+        yield pd.DataFrame({"term": list(a.keywords), "n_matches": counts})
+
+    partials = df.select(content_col).mapInPandas(scan, schema)
+    return partials.groupBy("term").agg(F.sum("n_matches").alias("n_matches"))
+
+
+def match_binary(
+    df: DataFrame,
+    keywords: Sequence[bytes],
+    *,
+    payload_col: str = "payload",
+    id_cols: Sequence[str] = ("media_id",),
+) -> DataFrame:
+    """Bytes-domain scan over a ``BinaryType`` column (the reference's
+    BytesAcora / filefind path, acora/_cacora.pyx:596-633): byte offsets,
+    any byte value 0-255.  The reference's cross-chunk state carry
+    (acora/_cacora.pyx:843-847) is moot here — a row holds a whole payload;
+    parallelism is across rows."""
+    from pyspark.sql.types import BinaryType
+
+    auto = build_automaton(keywords)
+    spark = df.sparkSession
+    id_cols = list(id_cols)
+    fields = [df.schema[c] for c in id_cols] + [
+        StructField("term", BinaryType(), False),
+        StructField("start", LongType(), False),
+        StructField("end", LongType(), False),
+    ]
+    schema = StructType(fields)
+    if not auto.keywords:
+        return spark.createDataFrame([], schema)
+    bcast = spark.sparkContext.broadcast(auto)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a: Automaton = bcast.value
+        kw_arr = pd.array([bytes(k) for k in a.keywords], dtype="object")
+        for pdf in batches:
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf[payload_col]
+            ]
+            doc_i, kw, start, end = a.find_batch(payloads)
+            out = {c: pdf[c].to_numpy()[doc_i] for c in id_cols}
+            out["term"] = kw_arr[kw]
+            out["start"] = start
+            out["end"] = end
+            yield pd.DataFrame(out)
+
+    return df.select(*id_cols, payload_col).mapInPandas(scan, schema)
 
 
 def search(

@@ -76,7 +76,12 @@ _WORDS = [
 
 
 def generate_corpus(
-    spark: SparkSession, n_docs: int, *, words_per_doc: int = 120, n_repos: int = 50
+    spark: SparkSession,
+    n_docs: int,
+    *,
+    words_per_doc: int = 120,
+    n_repos: int = 50,
+    rare_vocab: int = 5000,
 ) -> DataFrame:
     """Deterministic synthetic source-code corpus at any scale.
 
@@ -84,6 +89,11 @@ def generate_corpus(
     is a pure function of ``id`` (xxhash64-driven), so the corpus is
     identical across parallelism levels and re-runs — required for the
     two-cluster-size scaling measurement and for resumable-build tests.
+
+    Vocabulary is Zipf-ish like real code: ~70% of tokens come from a
+    30-word hot head (every one a salting candidate), ~30% from a
+    ``rare_vocab``-word tail (``w0``..``w{n}``) — so document frequencies
+    span the full hot/cold range the index has to handle.
     """
     df = spark.range(n_docs)  # distributed id source
     h = F.xxhash64(F.col("id"))
@@ -91,13 +101,21 @@ def generate_corpus(
         F.array(*[F.lit(x) for x in _LANGS]), (F.pmod(h, F.lit(len(_LANGS))) + 1).cast("int")
     )
     repo = F.concat(F.lit("repo_"), F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_repos)).cast("string"))
-    # content: words_per_doc pseudo-random words drawn by per-position hash
+    # content: words_per_doc pseudo-random words drawn by per-position hash;
+    # 7/10 positions draw from the hot head, 3/10 from the rare tail
+    hot = F.array(*[F.lit(w) for w in _WORDS])
+
+    def word_at(i):
+        hw = F.xxhash64(F.col("id"), i)
+        return F.when(
+            F.pmod(hw, F.lit(10)) < 7,
+            F.element_at(hot, (F.pmod(F.xxhash64(hw), F.lit(len(_WORDS))) + 1).cast("int")),
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(F.xxhash64(hw, F.lit(2)), F.lit(rare_vocab)).cast("string"))
+        )
+
     words = F.transform(
-        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
-        lambda i: F.element_at(
-            F.array(*[F.lit(w) for w in _WORDS]),
-            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(len(_WORDS))) + 1).cast("int"),
-        ),
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)), word_at
     )
     content = F.array_join(words, " ")
     return df.select(

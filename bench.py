@@ -34,9 +34,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 
-    from acora_spark.index.bm25 import bm25_topk_batch, bm25_topk_dataframe
+    from acora_spark.index.bm25 import QueryEngine, bm25_topk_dataframe
     from acora_spark.index.build import assign_doc_ids, build_index
-    from acora_spark.operators.matcher import match
+    from acora_spark.operators.matcher import match, match_counts
     from acora_spark.session import get_spark
     from acora_spark.sources.corpus import generate_corpus, load_corpus
 
@@ -56,7 +56,9 @@ def main() -> None:
         "include", "namespace", "spark", "index", "query", "match", "shuffle",
     ]
     t0 = time.time()
-    n_matches = match(synth, kws).count()
+    n_matches = sum(
+        r.n_matches for r in match_counts(synth, kws).collect()
+    )
     timings["match_scan"] = round(time.time() - t0, 3)
 
     index_dir = "/tmp/acora_spark_bench_index"
@@ -73,10 +75,11 @@ def main() -> None:
         "struct impl func package",
         "template include namespace vector",
     ]
+    engine = QueryEngine(spark, idx)  # persisted postings (warm serving)
     lat = []
     for q in queries:
         t0 = time.time()
-        bm25_topk_batch(spark, idx, [q], k=10).collect()
+        engine.topk([q], k=10).collect()
         lat.append(time.time() - t0)
     timings["bm25_serve_p50"] = round(statistics.median(lat), 3)
 

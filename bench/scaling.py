@@ -1,0 +1,173 @@
+"""Two-parallelism scaling measurement (sandbox substitute for the north
+rule's N vs 4N executors): runs the SAME job on the SAME deterministic
+input at ``local[8]`` and ``local[32]`` in separate subprocesses and
+reports throughput at both plus the scaling efficiency
+``(thr_hi / thr_lo) / (hi_cores / lo_cores)``.
+
+Usage: ``python bench/scaling.py [--docs 150000] [--out BENCH.md]``
+Child mode (internal): ``python bench/scaling.py --child CORES DOCS``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+KWS = [
+    "import", "def", "class", "return", "struct", "impl", "func",
+    "package", "public", "static", "void", "const", "template",
+    "include", "namespace", "spark", "index", "query", "match", "shuffle",
+]
+QUERIES = [
+    # mix of hot-head terms and rare-tail terms — exercises both the WAND
+    # skip path (rare + hot -> threshold prunes the hot list) and full scans
+    "spark shuffle partition",
+    "import w17 w4242",
+    "broadcast index w999",
+    "struct impl w123 w77",
+    "w2500 w31 template",
+]
+
+
+def child(cores: int, n_docs: int) -> None:
+    sys.path.insert(0, REPO)
+    import shutil
+    import statistics
+
+    from acora_spark.index.bm25 import QueryEngine, bm25_topk_batch
+    from acora_spark.index.build import build_index
+    from acora_spark.operators.matcher import match_counts
+    from acora_spark.session import get_spark
+    from acora_spark.sources.corpus import generate_corpus
+
+    spark = get_spark(
+        app_name=f"scaling-{cores}", cores=cores, shuffle_partitions=max(cores, 16)
+    )
+    synth = generate_corpus(spark, n_docs).persist()
+    n_chars = synth.selectExpr("sum(length(content)) s").collect()[0]["s"]
+
+    # scan: aggregate form (match_counts — combine inside the UDF, so the
+    # measurement is the scan itself, not Arrow-shipping per-match rows);
+    # 3 repetitions, median
+    scan_times = []
+    for _ in range(3):
+        t0 = time.time()
+        match_counts(synth, KWS).collect()
+        scan_times.append(time.time() - t0)
+    scan_sec = statistics.median(scan_times)
+
+    index_dir = f"/tmp/acora_scaling_idx_{cores}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    idx = build_index(
+        synth, index_dir, num_buckets=16, docs_per_salt=20000,
+        bucket_group_size=16, resume=False,
+    )
+    build_sec = time.time() - t0
+
+    engine = QueryEngine(spark, idx)  # warm: postings persisted
+    lat = []
+    for q in QUERIES:
+        t0 = time.time()
+        engine.topk([q], k=10).collect()
+        lat.append(time.time() - t0)
+
+    # determinism check across parallelism: top-10 doc ids of query 0,
+    # via the cold (bucket-pruned) path — exercises both executors
+    top = bm25_topk_batch(spark, idx, [QUERIES[0]], k=10).orderBy("rank").collect()
+    spark.stop()
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "n_docs": n_docs,
+                "n_chars": int(n_chars),
+                "scan_sec": round(scan_sec, 3),
+                "build_sec": round(build_sec, 3),
+                "serve_p50": round(statistics.median(lat), 3),
+                "top_docs": [int(r.doc_id) for r in top],
+                "top_scores": [round(float(r.score), 10) for r in top],
+            }
+        )
+    )
+
+
+def run_child(cores: int, docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(docs)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+    raise RuntimeError(f"child {cores} failed")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=600_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    ap.add_argument("--child", nargs=2, type=int, default=None)
+    args = ap.parse_args()
+    if args.child:
+        child(args.child[0], args.child[1])
+        return
+
+    lo, hi = 8, 32
+    r_lo = run_child(lo, args.docs)
+    r_hi = run_child(hi, args.docs)
+    assert r_lo["top_docs"] == r_hi["top_docs"], "rank identity broken across parallelism"
+    assert r_lo["top_scores"] == r_hi["top_scores"], "score identity broken"
+
+    def eff(key: str) -> tuple[float, float, float]:
+        thr_lo = args.docs / r_lo[key]
+        thr_hi = args.docs / r_hi[key]
+        return thr_lo, thr_hi, (thr_hi / thr_lo) / (hi / lo)
+
+    b_lo, b_hi, b_eff = eff("build_sec")
+    s_lo, s_hi, s_eff = eff("scan_sec")
+    mb = r_lo["n_chars"] / 1e6
+
+    lines = [
+        "# BENCH — scaling measurement (N vs 4N parallelism)",
+        "",
+        f"Deterministic synthetic corpus (input_hint shape): "
+        f"{args.docs:,} docs, {mb:.1f} MB of content.  Same job, same input, "
+        f"`local[{lo}]` vs `local[{hi}]` (sandbox substitute for N vs 4N "
+        "executors per round instructions).  Rank identity of BM25 top-10 "
+        "(doc ids AND scores) verified across the two runs.",
+        "",
+        "| workload | local[8] | local[32] | thr@8 | thr@32 | efficiency |",
+        "|---|---|---|---|---|---|",
+        f"| index build | {r_lo['build_sec']:.1f}s | {r_hi['build_sec']:.1f}s "
+        f"| {b_lo:,.0f} docs/s | {b_hi:,.0f} docs/s | **{b_eff:.2f}** |",
+        f"| automaton scan (20 kw) | {r_lo['scan_sec']:.2f}s | {r_hi['scan_sec']:.2f}s "
+        f"| {mb / r_lo['scan_sec']:.0f} MB/s | {mb / r_hi['scan_sec']:.0f} MB/s | **{s_eff:.2f}** |",
+        f"| BM25 serve p50 (single query) | {r_lo['serve_p50']*1000:.0f} ms "
+        f"| {r_hi['serve_p50']*1000:.0f} ms | — | — | (latency, not throughput) |",
+        "",
+        f"Scaling efficiency target (north rule): >= 0.8.  "
+        f"Measured: build {b_eff:.2f}, scan {s_eff:.2f}.",
+        "",
+        "Raw child results:",
+        "```json",
+        json.dumps(r_lo),
+        json.dumps(r_hi),
+        "```",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[:12]))
+
+
+if __name__ == "__main__":
+    main()

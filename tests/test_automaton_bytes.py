@@ -1,0 +1,82 @@
+"""Bytes-domain automaton tests (reference BytesAcora twin, S3/S4).
+
+NB: the reference's pure-Python engine cannot build BYTES machines on py3
+without its compiled module (``convert = ord`` at acora/__init__.py:93 is
+applied to int trie chars), so the differential oracle here is a
+brute-force scanner implementing the documented semantics: every
+occurrence, overlapping included, ordered (end asc, longest first, ties
+ascending) — the ordering defined at acora/_acora.py:303-304."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from acora_spark.automaton import build_automaton
+
+
+def brute_force(kws, data):
+    hits = []
+    for kw in set(kws):
+        for i in range(len(data) - len(kw) + 1):
+            if data[i : i + len(kw)] == kw:
+                hits.append((kw, i))
+    hits.sort(key=lambda h: (h[1] + len(h[0]), -len(h[0]), h[0]))
+    return hits
+
+
+def test_bytes_basic():  # reference test.py:348-378
+    a = build_automaton([b"ab", b"bc"])
+    assert a.findall(b"abcab") == [(b"ab", 0), (b"bc", 1), (b"ab", 3)]
+
+
+def test_bytes_high_bytes():  # reference test.py:410-429
+    kws = [b"\xfe\xff", b"\x00", b"\x80ab"]
+    data = b"\x00x\xfe\xff\x80ab\x00"
+    got = build_automaton(kws).findall(data)
+    assert got == brute_force(kws, data)
+
+
+def test_bytes_boundaries():  # reference test.py:410-429 (start/end placement)
+    a = build_automaton([b"start", b"end"])
+    assert a.findall(b"startxend") == [(b"start", 0), (b"end", 6)]
+
+
+def test_mixing_rejected():  # reference acora/__init__.py:293-296
+    with pytest.raises(TypeError):
+        build_automaton(["ab", b"cd"])
+
+
+def test_bytes_ignore_case_rejected():  # reference acora/__init__.py:270-274
+    with pytest.raises(ValueError):
+        build_automaton([b"ab"], ignore_case=True)
+
+
+def test_empty_bytes_keyword_rejected():
+    with pytest.raises(ValueError):
+        build_automaton([b""])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    kws=st.lists(
+        st.binary(min_size=1, max_size=4), min_size=1, max_size=8
+    ),
+    data=st.binary(max_size=60),
+)
+def test_bytes_differential_vs_brute_force(kws, data):
+    got = build_automaton(kws).findall(data)
+    assert got == brute_force(kws, data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    kws=st.lists(st.text("ab\x00é", min_size=1, max_size=4), min_size=1, max_size=6),
+    data=st.text("ab\x00é", max_size=50),
+)
+def test_str_brute_force_cross_check(kws, data):
+    """The same brute-force oracle applied to the str domain agrees with
+    both our engine and (transitively, via test_automaton) the reference."""
+    got = build_automaton(kws).findall(data)
+    assert got == brute_force(kws, data)

@@ -7,7 +7,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from acora_spark.functions.postings_codec import encode_postings
-from acora_spark.index.bm25 import idf, wand_topk
+from acora_spark.index.bm25 import idf, taat_topk, wand_topk
 
 K1, B = 1.2, 0.75
 
@@ -23,12 +23,15 @@ def brute_force(term_data, n_docs, avgdl, k):
     return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
-def run_wand(term_data, n_docs, avgdl, k):
+def run_wand(term_data, n_docs, avgdl, k, executor="wand"):
     tp = []
     for doc_ids, tfs, dls in term_data:
         blob, blocks = encode_postings(doc_ids, tfs, dls, avgdl)
         tp.append((idf(n_docs, len(doc_ids)), blob, blocks))
-    docs, scores = wand_topk(tp, k, avgdl, K1, B)
+    if executor == "taat":
+        docs, scores = taat_topk(tp, k, avgdl, K1, B, n_docs)
+    else:
+        docs, scores = wand_topk(tp, k, avgdl, K1, B)
     return list(zip(docs.tolist(), scores.tolist()))
 
 
@@ -65,11 +68,12 @@ def test_wand_matches_brute_force(data, k):
         term_data.append((docs, tfs, dls))
     avgdl = float(np.mean(list(dl_of.values())))
     expect = brute_force(term_data, n_docs, avgdl, k)
-    got = run_wand(term_data, n_docs, avgdl, k)
-    assert [d for d, _ in got] == [d for d, _ in expect]
-    np.testing.assert_allclose(
-        [s for _, s in got], [s for _, s in expect], rtol=0, atol=1e-12
-    )
+    for executor in ("wand", "taat"):
+        got = run_wand(term_data, n_docs, avgdl, k, executor)
+        assert [d for d, _ in got] == [d for d, _ in expect], executor
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in expect], rtol=0, atol=1e-12
+        )
 
 
 def test_wand_empty_terms():
