@@ -39,7 +39,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["Automaton", "build_automaton", "py_finditer"]
+__all__ = ["AcoraBuilder", "Automaton", "build_automaton", "py_finditer"]
 
 # Cap on elements of the (batch x maxlen) scratch matrices used by the
 # lockstep scanner; keeps per-task peak memory bounded regardless of
@@ -374,6 +374,38 @@ def build_automaton(keywords, ignore_case: bool = False) -> Automaton:
         out_kw=out_kw,
         is_bytes=is_bytes,
     )
+
+
+class AcoraBuilder:
+    """API-parity builder (reference ``AcoraBuilder``,
+    acora/__init__.py:180-299): collect keywords incrementally, then
+    ``build()``.  Engines built earlier are unaffected by later ``add``
+    calls (each build produces independent immutable tables, matching
+    reference test.py:176-193)."""
+
+    def __init__(self, *keywords, ignore_case: bool = False):
+        self.ignore_case = ignore_case
+        self._keywords: list = []
+        self._seen: set = set()
+        if keywords:
+            self.update(keywords)
+
+    def add(self, *keywords) -> None:
+        self.update(keywords)
+
+    def update(self, keywords) -> None:
+        for kw in keywords:
+            if kw not in self._seen:
+                self._seen.add(kw)
+                self._keywords.append(kw)
+
+    @property
+    def keywords(self):
+        return list(self._keywords)
+
+    def build(self, ignore_case: bool | None = None) -> Automaton:
+        ic = self.ignore_case if ignore_case is None else ignore_case
+        return build_automaton(self._keywords, ignore_case=ic)
 
 
 def py_finditer(automaton: Automaton, text: str):

@@ -58,7 +58,7 @@ from acora_spark.functions.postings_codec import (
     K1,
     encode_postings,
 )
-from acora_spark.functions.tokenize import token_counts, tokenize
+from acora_spark.functions.tokenize import token_counts
 
 __all__ = ["assign_doc_ids", "build_index", "Index", "load_index"]
 
@@ -285,22 +285,31 @@ def build_index(
 
     # ---- step 2: SPIMI runs --------------------------------------------
     if steps.get("runs", {}).get("status") != "done":
-        # tf aggregation keyed by the doc key (content stays where it is);
-        # doc_id + dl attached by joining the materialized docmap
-        toks = tokenize(corpus, doc_col=None, key_cols=key_cols)
-        tf_df = toks.groupBy(*key_cols, "term").agg(F.count("*").alias("tf"))
+        # Join doc ids onto the corpus FIRST (one sort-merge join that
+        # shuffles the content once), then aggregate by the compact
+        # (doc_id:int64, term) key.  Aggregating by the raw string key
+        # instead shuffles every token-aggregate row with 3 string columns
+        # attached — several times the bytes, and shuffle I/O is what this
+        # stage is bound by.  ``dl`` rides through the partial agg as
+        # first().
+        from acora_spark.functions.tokenize import tokens_expr
+
         id_map = spark.read.parquet(docmap_path).select(*key_cols, "doc_id", "dl")
-        runs = (
-            tf_df.join(id_map, key_cols)
-            .select(
-                "doc_id",
-                "term",
-                "tf",
-                "dl",
-                F.pmod(F.xxhash64("term"), F.lit(num_buckets))
-                .cast("int")
-                .alias("bucket"),
-            )
+        docs = corpus.join(id_map, key_cols)
+        toks = docs.select(
+            "doc_id",
+            "dl",
+            F.explode(tokens_expr(F.col("content"))).alias("term"),
+        )
+        tf_df = toks.groupBy("doc_id", "term").agg(
+            F.count("*").alias("tf"), F.first("dl").alias("dl")
+        )
+        runs = tf_df.select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
         )
         # repartition by bucket before the partitioned write: without this,
         # every shuffle partition writes a file into every bucket dir
@@ -330,7 +339,6 @@ def build_index(
 
     with open(os.path.join(index_dir, "hot_terms.json")) as f:
         hot_map = json.load(f)
-    hot_bcast = spark.sparkContext.broadcast(hot_map)
 
     # ---- step 3: per-bucket encode + merge ------------------------------
     manifest = _load_manifest(index_dir)
@@ -339,30 +347,47 @@ def build_index(
         for b in range(num_buckets)
         if manifest["steps"].get(f"bucket:{b}", {}).get("status") != "done"
     ]
+    hot_df = (
+        spark.createDataFrame(
+            list(hot_map.items()), "term string, n_salt int"
+        )
+        if hot_map
+        else None
+    )
     for i in range(0, len(pending), bucket_group_size):
         group = pending[i : i + bucket_group_size]
         runs = spark.read.parquet(runs_path).filter(F.col("bucket").isin(group))
 
-        def add_salt(pdf_iter):
-            hm = hot_bcast.value
-            for pdf in pdf_iter:
-                nsalt = pdf["term"].map(lambda t: hm.get(t, 1)).to_numpy(np.int64)
-                salt = np.minimum(
-                    nsalt - 1,
-                    (pdf["doc_id"].to_numpy(np.int64) * nsalt) // max(n_docs, 1),
-                )
-                out = pdf.copy()
-                out["salt"] = salt
-                yield out
-
-        salt_schema = StructType(
-            list(runs.schema.fields) + [StructField("salt", LongType(), False)]
-        )
-        salted = runs.mapInPandas(add_salt, salt_schema)
+        # salt assignment is a broadcast join + expressions (JVM-side);
+        # non-hot terms get a single salt, hot terms split into n_salt
+        # CONTIGUOUS doc-id ranges so merged blocks stay doc-sorted
+        if hot_df is not None:
+            salted = runs.join(F.broadcast(hot_df), "term", "left")
+        else:
+            salted = runs.withColumn("n_salt", F.lit(1))
+        salted = salted.withColumn(
+            "n_salt", F.coalesce("n_salt", F.lit(1)).cast("long")
+        ).withColumn(
+            "salt",
+            F.least(
+                F.col("n_salt") - 1,
+                F.floor(F.col("doc_id") * F.col("n_salt") / F.lit(max(n_docs, 1))),
+            ).cast("long"),
+        ).drop("n_salt")
         parts = salted.groupBy("term", "salt").applyInPandas(
             _encode_group(avgdl), _PART_SCHEMA
         )
-        merged = parts.groupBy("term").applyInPandas(_merge_parts, POSTINGS_SCHEMA)
+        # only HOT terms have >1 salted part — cold terms (the vast
+        # majority) skip the merge shuffle entirely
+        hot_terms_list = list(hot_map)
+        if hot_terms_list:
+            cold = parts.filter(~F.col("term").isin(hot_terms_list)).drop("salt")
+            hot_parts = parts.filter(F.col("term").isin(hot_terms_list))
+            merged = hot_parts.groupBy("term").applyInPandas(
+                _merge_parts, POSTINGS_SCHEMA
+            ).unionByName(cold)
+        else:
+            merged = parts.drop("salt")
         merged = merged.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         )

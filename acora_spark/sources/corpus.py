@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "load_documents",
     "load_corpus",
+    "load_corpus_iceberg",
     "generate_corpus",
     "verify_content_integrity",
     "CORPUS_ORACLE_SQL",
@@ -64,6 +65,30 @@ def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
     )
+
+
+def load_corpus_iceberg(
+    spark: SparkSession,
+    table: str,
+    *,
+    snapshot_id: int | None = None,
+    partition_filter: str | None = None,
+) -> DataFrame:
+    """Production corpus source: an Iceberg table of the input_hint shape.
+
+    Catalyst provides column pruning and (via ``partition_filter``,
+    e.g. ``"lang = 'py'"``) partition pruning on the scan; ``snapshot_id``
+    pins the build to one table snapshot so a resumed index build reads the
+    same data as the original run.  Requires the Iceberg runtime jar on the
+    cluster (not present in this sandbox — the parquet-backed
+    :func:`load_corpus` is the drop-in substitute)."""
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    df = reader.load(table)
+    if partition_filter:
+        df = df.filter(partition_filter)
+    return df.select("repo", "path", "commit", "lang", "content")
 
 
 _LANGS = ["py", "rs", "go", "java", "cpp"]

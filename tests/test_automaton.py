@@ -104,6 +104,32 @@ def test_deepcopy():  # reference test.py:195-209 (B11)
     assert b.findall("abcab") == a.findall("abcab")
 
 
+def test_builder_incremental():  # reference acora/__init__.py:249-256 (B2)
+    from acora_spark.automaton import AcoraBuilder
+
+    b = AcoraBuilder("ab")
+    e1 = b.build()
+    b.add("bc")
+    b.update(["a", "ab"])  # dup collapses
+    e2 = b.build()
+    # earlier engine unaffected by later adds (reference test.py:176-193)
+    assert e1.findall("abc") == [("ab", 0)]
+    assert sorted(b.keywords) == ["a", "ab", "bc"]
+    ref = reference_engine(["ab", "bc", "a"]).findall("abc")
+    assert e2.findall("abc") == ref
+
+
+def test_builder_ignore_case_flag():  # reference acora/__init__.py:276-280
+    from acora_spark.automaton import AcoraBuilder
+
+    b = AcoraBuilder("Ab", ignore_case=True)
+    assert b.build().findall("ab AB") == reference_engine(
+        ["Ab"], ignore_case=True
+    ).findall("ab AB")
+    # build-time override rebuilds with the new case mode
+    assert b.build(ignore_case=False).findall("ab AB") == []
+
+
 def test_count_invariant_non_overlapping():  # reference bench.py:138-145
     kws = ["the", "and", "data"]
     s = "the data and the end of and data the"

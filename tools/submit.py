@@ -1,0 +1,69 @@
+"""spark-submit packaging + example driver (north rule: "ships via
+spark-submit --py-files").
+
+Build the zip:          python tools/submit.py --package
+Cluster submit shape:   spark-submit --py-files /tmp/acora_spark.zip \
+                            tools/submit.py --index-dir <dir> [--iceberg-table t]
+Sandbox run (local):    python tools/submit.py --run --docs 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def package(out: str = "/tmp/acora_spark.zip") -> str:
+    pkg = os.path.join(REPO, "acora_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--package", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--index-dir", default="/tmp/acora_spark_submit_index")
+    ap.add_argument("--iceberg-table", default=None)
+    ap.add_argument("--docs", type=int, default=20_000)
+    ap.add_argument("--query", default="import spark index")
+    args = ap.parse_args()
+
+    if args.package:
+        print(package())
+        return
+
+    # driver body — works under spark-submit (SparkSession already
+    # configured by submit) or standalone via get_spark()
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    from acora_spark.index.bm25 import QueryEngine
+    from acora_spark.index.build import build_index
+    from acora_spark.sources.corpus import generate_corpus, load_corpus_iceberg
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from acora_spark.session import get_spark
+
+        spark = get_spark(app_name="acora-spark-submit")
+    if args.iceberg_table:
+        corpus = load_corpus_iceberg(spark, args.iceberg_table)
+    else:
+        corpus = generate_corpus(spark, args.docs)
+    idx = build_index(corpus, args.index_dir)
+    eng = QueryEngine(spark, idx)
+    eng.topk([args.query], k=10).orderBy("rank").show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()
