@@ -48,5 +48,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # single-box sandbox: put shuffle/spill files on tmpfs so local
+        # disk bandwidth doesn't masquerade as a scaling ceiling (a real
+        # cluster's shuffle I/O scales with the node count)
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     return builder.getOrCreate()

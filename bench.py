@@ -44,9 +44,13 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 16))
     timings: dict[str, float] = {}
 
-    # -- synthetic corpus (deterministic, distributed generation) ---------
+    # -- synthetic corpus (deterministic, staged once as parquet) ---------
     t0 = time.time()
-    synth = generate_corpus(spark, n_docs).persist()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    corpus_path = f"{base}/acora_bench_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        generate_corpus(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+    synth = spark.read.parquet(corpus_path)
     total_chars = synth.selectExpr("sum(length(content)) s").collect()[0]["s"]
     timings["corpus_gen"] = round(time.time() - t0, 3)
 
