@@ -26,6 +26,7 @@ POS_KWS = ["data", "spark"]
 LM_KWS = ["tab", "table", "t", "join"]
 BM25_QUERY = "spark shuffle partition data"
 BM25_K = 20
+PHRASE = "table scan"
 
 # DuckDB-side mirror of acora_spark.sources.corpus.load_corpus
 _CORPUS_CTE = """corpus AS (
@@ -149,6 +150,24 @@ def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docmap = idx.docmap(spark).select("doc_id", "path")
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL compressed index."""
+    from acora_spark.index.bm25 import phrase_match_batch
+    from acora_spark.index.build import build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = os.path.join("/tmp", f"acora_spark_posindex_{tag}")
+    idx = build_index(
+        _corpus(spark, sf_dir), index_dir, num_buckets=8,
+        docs_per_salt=2000, with_positions=True,
+    )
+    res = phrase_match_batch(spark, idx, [PHRASE]).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "path", F.col("phrase_tf").cast("long").alias("phrase_tf")
+    )
 
 
 def q_content_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_freq_top20": q_term_doc_freq_top20,
         "bm25_topk": q_bm25_topk,
         "index_bm25_topk": q_index_bm25_topk,
+        "phrase_match": q_phrase_match,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
         "fingerprint_dupes": q_fingerprint_dupes,
@@ -399,6 +419,23 @@ LIMIT 20
 
     sql["bm25_topk"] = _bm25_sql()
     sql["index_bm25_topk"] = _bm25_sql()
+
+    # phrase_tf = number of adjacent token runs equal to the phrase
+    p_toks = PHRASE.lower().split()
+    pred = " AND ".join(
+        f"t[j + {i}] = '{tok}'" for i, tok in enumerate(p_toks)
+    )
+    sql["phrase_match"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+counted AS (
+  SELECT path,
+         len(list_filter(range(1, len(t) - {len(p_toks) - 1} + 1),
+             j -> {pred})) AS phrase_tf
+  FROM toks
+)
+SELECT path, phrase_tf::BIGINT AS phrase_tf FROM counted WHERE phrase_tf > 0
+"""
 
     sql["content_integrity"] = f"""
 WITH {_CORPUS_CTE}

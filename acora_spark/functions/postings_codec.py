@@ -31,6 +31,7 @@ __all__ = [
     "varint_decode",
     "encode_postings",
     "decode_postings",
+    "decode_postings_positional",
     "impact",
 ]
 
@@ -88,7 +89,11 @@ def impact(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = K1, b: floa
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    positions: list | None = None,
 ) -> tuple[bytes, list[dict]]:
     """Encode one term's postings (caller supplies doc_id-sorted arrays).
 
@@ -96,6 +101,10 @@ def encode_postings(
     ``{last_doc, offset, n_docs, max_impact}`` with ``offset`` a byte
     offset into ``blob`` so a block can be decoded without its
     predecessors (skip pointers).
+
+    With ``positions`` (a per-doc list of sorted token-index arrays, the
+    north-star "(term, docID, tf, positions)" runs), each doc record is
+    ``gap, tf, dl, pos_gap*tf`` — positions delta-encoded within the doc.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -110,11 +119,28 @@ def encode_postings(
         d = doc_ids[s:e]
         gaps = np.diff(d, prepend=d[0:1])  # first gap 0, fixed below
         gaps[0] = d[0]
-        tri = np.empty((e - s) * 3, dtype=np.int64)
-        tri[0::3] = gaps
-        tri[1::3] = tfs[s:e]
-        tri[2::3] = dls[s:e]
-        blob = varint_encode(tri)
+        if positions is None:
+            tri = np.empty((e - s) * 3, dtype=np.int64)
+            tri[0::3] = gaps
+            tri[1::3] = tfs[s:e]
+            tri[2::3] = dls[s:e]
+            blob = varint_encode(tri)
+        else:
+            fields: list[np.ndarray] = []
+            for j in range(s, e):
+                pos = np.asarray(positions[j], dtype=np.int64)
+                pg = np.diff(pos, prepend=pos[0:1])
+                if len(pg):
+                    pg[0] = pos[0]
+                fields.append(
+                    np.concatenate(
+                        (
+                            [gaps[j - s], tfs[j], dls[j]],
+                            pg,
+                        )
+                    ).astype(np.int64)
+                )
+            blob = varint_encode(np.concatenate(fields))
         blocks.append(
             {
                 "last_doc": int(d[-1]),
@@ -149,4 +175,40 @@ def decode_postings(
         np.concatenate(all_doc),
         np.concatenate(all_tf),
         np.concatenate(all_dl),
+    )
+
+
+def decode_postings_positional(
+    blob: bytes, blocks: list[dict], block_idx: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Decode a POSITIONAL blob: (doc_ids, tfs, dls, positions-per-doc).
+
+    The layout is self-describing (tf tells how many position gaps follow),
+    so the flat varint stream is decoded once and then sliced per doc.
+    """
+    if not blocks:
+        return (np.empty(0, np.int64),) * 3 + ([],)
+    sel = range(len(blocks)) if block_idx is None else [int(i) for i in block_idx]
+    all_doc, all_tf, all_dl, all_pos = [], [], [], []
+    for i in sel:
+        b0 = blocks[i]
+        end = blocks[i + 1]["offset"] if i + 1 < len(blocks) else len(blob)
+        flat = varint_decode(blob[b0["offset"] : end])
+        idx = 0
+        prev_doc = 0
+        for _ in range(b0["n_docs"]):
+            gap, tf, dl = int(flat[idx]), int(flat[idx + 1]), int(flat[idx + 2])
+            idx += 3
+            prev_doc += gap
+            pos = np.cumsum(flat[idx : idx + tf])
+            idx += tf
+            all_doc.append(prev_doc)
+            all_tf.append(tf)
+            all_dl.append(dl)
+            all_pos.append(pos)
+    return (
+        np.asarray(all_doc, dtype=np.int64),
+        np.asarray(all_tf, dtype=np.int64),
+        np.asarray(all_dl, dtype=np.int64),
+        all_pos,
     )

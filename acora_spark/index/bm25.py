@@ -45,7 +45,19 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from acora_spark.functions.postings_codec import decode_postings, impact
+from acora_spark.functions.postings_codec import (
+    decode_postings,
+    decode_postings_positional,
+    impact,
+)
+
+
+def _decode(blob, blocks, positional: bool, block_idx=None):
+    """Uniform (docs, tfs, dls) decode for either blob layout."""
+    if positional:
+        d, t, l, _pos = decode_postings_positional(blob, blocks, block_idx)
+        return d, t, l
+    return decode_postings(blob, blocks, block_idx)
 from acora_spark.index.build import Index
 
 __all__ = [
@@ -77,11 +89,12 @@ class _Cursor:
     """Per-term posting cursor with block-level skip + lazy decode."""
 
     __slots__ = (
-        "idf", "blob", "blocks", "k1", "b", "avgdl",
+        "idf", "blob", "blocks", "k1", "b", "avgdl", "positional",
         "bi", "pos", "docs", "tfs", "dls", "exhausted", "ub",
     )
 
-    def __init__(self, term_idf, blob, blocks, k1, b, avgdl):
+    def __init__(self, term_idf, blob, blocks, k1, b, avgdl, positional=False):
+        self.positional = positional
         self.idf = term_idf
         self.blob = blob
         self.blocks = blocks
@@ -96,8 +109,8 @@ class _Cursor:
 
     def _load_block(self, bi: int) -> None:
         self.bi = bi
-        self.docs, self.tfs, self.dls = decode_postings(
-            self.blob, self.blocks, np.array([bi])
+        self.docs, self.tfs, self.dls = _decode(
+            self.blob, self.blocks, self.positional, np.array([bi])
         )
         self.pos = 0
 
@@ -148,6 +161,7 @@ def wand_topk(
     avgdl: float,
     k1: float,
     b: float,
+    positional: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over (idf, blob, blocks) per query term.
 
@@ -158,7 +172,8 @@ def wand_topk(
     if k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cursors = [
-        _Cursor(ti, blob, blocks, k1, b, avgdl) for ti, blob, blocks in term_postings
+        _Cursor(ti, blob, blocks, k1, b, avgdl, positional)
+        for ti, blob, blocks in term_postings
     ]
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
@@ -254,6 +269,7 @@ def taat_topk(
     k1: float,
     b: float,
     n_docs: int,
+    positional: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized term-at-a-time scorer: decode each term's postings fully
     and accumulate into a dense score array indexed by doc_id.
@@ -269,7 +285,7 @@ def taat_topk(
     scores = np.zeros(n_docs, dtype=np.float64)
     touched = np.zeros(n_docs, dtype=bool)
     for t_idf, blob, blocks in term_postings:
-        docs, tfs, dls = decode_postings(blob, blocks)
+        docs, tfs, dls = _decode(blob, blocks, positional)
         if not len(docs):
             continue
         scores[docs] += t_idf * impact(tfs, dls, avgdl, k1, b)
@@ -291,10 +307,11 @@ def taat_topk(
 TAAT_MAX_DOCS = 8_000_000
 
 
-def _execute_topk(term_postings, k, avgdl, k1, b, n_docs, executor="auto"):
+def _execute_topk(term_postings, k, avgdl, k1, b, n_docs, executor="auto",
+                  positional=False):
     if executor == "wand" or (executor == "auto" and n_docs > TAAT_MAX_DOCS):
-        return wand_topk(term_postings, k, avgdl, k1, b)
-    return taat_topk(term_postings, k, avgdl, k1, b, n_docs)
+        return wand_topk(term_postings, k, avgdl, k1, b, positional)
+    return taat_topk(term_postings, k, avgdl, k1, b, n_docs, positional)
 
 
 def term_buckets(spark: SparkSession, terms: Sequence[str], num_buckets: int) -> dict[str, int]:
@@ -343,6 +360,7 @@ def bm25_topk_batch(
 
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
+    positional = bool(stats.get("with_positions"))
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("term")  # ascending-term summation order
@@ -354,7 +372,8 @@ def bm25_topk_batch(
             )
             for _, r in pdf.iterrows()
         ]
-        docs, scores = _execute_topk(tp, k, avgdl, k1, b, n_docs)
+        docs, scores = _execute_topk(tp, k, avgdl, k1, b, n_docs,
+                                     positional=positional)
         qid = int(pdf["query_id"].iloc[0])
         return pd.DataFrame(
             {
@@ -372,6 +391,90 @@ def bm25_topk(
     spark: SparkSession, index: Index, query: str, k: int = 10
 ) -> DataFrame:
     return bm25_topk_batch(spark, index, [query], k).drop("query_id")
+
+
+PHRASE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("phrase_tf", LongType(), False),
+    ]
+)
+
+
+def phrase_match_batch(
+    spark: SparkSession, index: Index, phrases: Sequence[str]
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL index: for each phrase, the
+    documents containing its token sequence, with the occurrence count.
+
+    Positional intersection (classic phrase-query algorithm): candidate
+    docs = intersection of the terms' posting lists; within a doc a match
+    is a position p of token0 with p+i in positions(token_i) for all i.
+    Runs as one ``applyInPandas`` group per phrase — parallel across
+    phrases, postings read bucket-pruned."""
+    from acora_spark.functions.postings_codec import decode_postings_positional
+
+    stats = index.stats
+    if not stats.get("with_positions"):
+        raise ValueError("phrase queries require an index built with_positions=True")
+    token_lists = {qi: _TOKEN_RE.findall(p.lower()) for qi, p in enumerate(phrases)}
+    token_lists = {qi: t for qi, t in token_lists.items() if t}
+    if not token_lists:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    all_terms = sorted({t for toks in token_lists.values() for t in toks})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    qdf = spark.createDataFrame(
+        [(qi, t) for qi, toks in token_lists.items() for t in set(toks)],
+        "query_id long, term string",
+    )
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(all_terms)
+    )
+    joined = post.join(F.broadcast(qdf), "term")
+    bc_tokens = spark.sparkContext.broadcast(token_lists)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        tokens = bc_tokens.value[qid]
+        decoded: dict[str, tuple] = {}
+        for _, r in pdf.iterrows():
+            docs, _tfs, _dls, pos = decode_postings_positional(
+                bytes(r["postings"]), [dict(x) for x in r["blocks"]]
+            )
+            decoded[r["term"]] = (docs, pos)
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "phrase_tf": pd.Series(dtype="int64"),
+            }
+        )
+        if any(t not in decoded for t in tokens):
+            return empty
+        cand = decoded[tokens[0]][0]
+        for t in set(tokens[1:]):
+            cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
+        out_docs, out_tf = [], []
+        for d in cand:
+            base = None
+            ok = True
+            for i, t in enumerate(tokens):
+                docs_t, pos_t = decoded[t]
+                j = int(np.searchsorted(docs_t, d))
+                p = pos_t[j] - i  # candidate phrase-start positions
+                base = p if base is None else np.intersect1d(base, p, assume_unique=True)
+                if len(base) == 0:
+                    ok = False
+                    break
+            if ok and len(base):
+                out_docs.append(int(d))
+                out_tf.append(len(base))
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": out_docs, "phrase_tf": out_tf}
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run, PHRASE_SCHEMA)
 
 
 class QueryEngine:
@@ -403,6 +506,7 @@ class QueryEngine:
         )
         n_docs, avgdl = stats["N"], stats["avgdl"]
         k1, b = stats["k1"], stats["b"]
+        positional = bool(stats.get("with_positions"))
 
         def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("term")
@@ -414,7 +518,8 @@ class QueryEngine:
                 )
                 for _, r in pdf.iterrows()
             ]
-            docs, scores = _execute_topk(tp, k, avgdl, k1, b, n_docs)
+            docs, scores = _execute_topk(tp, k, avgdl, k1, b, n_docs,
+                                     positional=positional)
             return pd.DataFrame(
                 {
                     "query_id": int(pdf["query_id"].iloc[0]),

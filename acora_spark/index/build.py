@@ -171,16 +171,22 @@ def _mark_done(index_dir: str, step: str, **info) -> None:
     os.replace(tmp, _manifest_path(index_dir))
 
 
-def _encode_group(avgdl: float) -> callable:
+def _encode_group(avgdl: float, with_positions: bool = False) -> callable:
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
+        positions = (
+            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+            if with_positions
+            else None
+        )
         blob, blocks = encode_postings(
             pdf["doc_id"].to_numpy(np.int64),
             pdf["tf"].to_numpy(np.int64),
             pdf["dl"].to_numpy(np.int64),
             avgdl,
+            positions=positions,
         )
         return pd.DataFrame(
             {
@@ -235,9 +241,12 @@ def build_index(
     docs_per_salt: int = 50_000,
     bucket_group_size: int = 8,
     resume: bool = True,
+    with_positions: bool = False,
 ) -> "Index":
     """Build the full inverted index at ``index_dir``.  Idempotent: with
-    ``resume=True`` completed steps are skipped (manifest-driven)."""
+    ``resume=True`` completed steps are skipped (manifest-driven).
+    ``with_positions=True`` stores per-posting token positions (phrase
+    query support) — larger postings, same pipeline."""
     spark = corpus.sparkSession
     os.makedirs(index_dir, exist_ok=True)
     manifest = _load_manifest(index_dir) if resume else {"steps": {}}
@@ -274,6 +283,7 @@ def build_index(
             "num_buckets": num_buckets,
             "k1": K1,
             "b": B,
+            "with_positions": with_positions,
         }
         with open(stats_path, "w") as f:
             json.dump(stats, f)
@@ -296,19 +306,32 @@ def build_index(
 
         id_map = spark.read.parquet(docmap_path).select(*key_cols, "doc_id", "dl")
         docs = corpus.join(id_map, key_cols)
-        toks = docs.select(
-            "doc_id",
-            "dl",
-            F.explode(tokens_expr(F.col("content"))).alias("term"),
-        )
-        tf_df = toks.groupBy("doc_id", "term").agg(
-            F.count("*").alias("tf"), F.first("dl").alias("dl")
-        )
+        if with_positions:
+            toks = docs.select(
+                "doc_id",
+                "dl",
+                F.posexplode(tokens_expr(F.col("content"))).alias("pos", "term"),
+            )
+            tf_df = toks.groupBy("doc_id", "term").agg(
+                F.count("*").alias("tf"),
+                F.first("dl").alias("dl"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        else:
+            toks = docs.select(
+                "doc_id",
+                "dl",
+                F.explode(tokens_expr(F.col("content"))).alias("term"),
+            )
+            tf_df = toks.groupBy("doc_id", "term").agg(
+                F.count("*").alias("tf"), F.first("dl").alias("dl")
+            )
         runs = tf_df.select(
             "doc_id",
             "term",
             "tf",
             "dl",
+            *(["positions"] if with_positions else []),
             F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
         )
         # repartition by bucket before the partitioned write: without this,
@@ -375,7 +398,7 @@ def build_index(
             ).cast("long"),
         ).drop("n_salt")
         parts = salted.groupBy("term", "salt").applyInPandas(
-            _encode_group(avgdl), _PART_SCHEMA
+            _encode_group(avgdl, with_positions), _PART_SCHEMA
         )
         # only HOT terms have >1 salted part — cold terms (the vast
         # majority) skip the merge shuffle entirely

@@ -163,3 +163,50 @@ def test_resume_skips_done_buckets(spark, sf_dir, tmp_path):
 
 def test_query_terms_normalization():
     assert query_terms("The QUICK-brown fox_1 the") == ["brown", "fox_1", "quick", "the"]
+
+
+def test_positional_index_and_phrase_match(spark, sf_dir, tmp_path):
+    """Phrase search over a positional index vs a brute-force token-list
+    oracle computed driver-side."""
+    import re as _re
+
+    from acora_spark.index.bm25 import phrase_match_batch
+
+    corpus = load_corpus(spark, sf_dir).limit(150)
+    index_dir = str(tmp_path / "posidx")
+    idx = build_index(
+        corpus, index_dir, num_buckets=4, bucket_group_size=4,
+        with_positions=True, resume=False,
+    )
+    phrases = ["table scan", "the fast", "data data", "zzz qqq"]
+    res = phrase_match_batch(spark, idx, phrases).collect()
+    got: dict[int, dict[int, int]] = {}
+    for r in res:
+        got.setdefault(r.query_id, {})[r.doc_id] = r.phrase_tf
+
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    tok_re = _re.compile(r"[a-z0-9_]+")
+    for qi, phrase in enumerate(phrases):
+        want: dict[int, int] = {}
+        ptoks = tok_re.findall(phrase.lower())
+        for row in corpus.collect():
+            toks = tok_re.findall(row.content.lower())
+            c = sum(
+                1
+                for i in range(len(toks) - len(ptoks) + 1)
+                if toks[i : i + len(ptoks)] == ptoks
+            )
+            if c:
+                want[docmap[(row.repo, row.path, row.commit)]] = c
+        assert got.get(qi, {}) == want, phrase
+
+
+def test_phrase_requires_positions(spark, sf_dir, built):
+    from acora_spark.index.bm25 import phrase_match_batch
+
+    idx, _, _ = built
+    with pytest.raises(ValueError):
+        phrase_match_batch(spark, idx, ["table scan"])

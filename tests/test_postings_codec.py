@@ -74,3 +74,44 @@ def test_selective_block_decode():
     d, t, l = decode_postings(blob, blocks, np.array([2]))
     s = 2 * BLOCK_SIZE
     assert (d == doc_ids[s : s + BLOCK_SIZE]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.lists(st.integers(0, 5000), min_size=1, max_size=20),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_positional_roundtrip_property(rows):
+    from acora_spark.functions.postings_codec import decode_postings_positional
+
+    gaps = np.array([r[0] for r in rows], dtype=np.int64)
+    doc_ids = np.cumsum(gaps + 1)
+    positions = [np.array(sorted(set(r[1])), dtype=np.int64) for r in rows]
+    tfs = np.array([len(p) for p in positions], dtype=np.int64)
+    dls = np.array([int(p.max()) + 1 for p in positions], dtype=np.int64)
+    blob, blocks = encode_postings(doc_ids, tfs, dls, float(dls.mean()), positions=positions)
+    d2, t2, l2, p2 = decode_postings_positional(blob, blocks)
+    assert (d2 == doc_ids).all() and (t2 == tfs).all() and (l2 == dls).all()
+    for a, b in zip(p2, positions):
+        assert (a == b).all()
+
+
+def test_positional_selective_block():
+    from acora_spark.functions.postings_codec import decode_postings_positional
+
+    n = 300
+    doc_ids = np.arange(n, dtype=np.int64) * 2
+    positions = [np.array([i, i + 3], dtype=np.int64) for i in range(n)]
+    tfs = np.full(n, 2, dtype=np.int64)
+    dls = np.full(n, 100, dtype=np.int64)
+    blob, blocks = encode_postings(doc_ids, tfs, dls, 100.0, positions=positions)
+    d, t, l, p = decode_postings_positional(blob, blocks, np.array([1]))
+    s = BLOCK_SIZE
+    assert (d == doc_ids[s : s + BLOCK_SIZE]).all()
+    assert (p[0] == positions[s]).all()
