@@ -277,6 +277,21 @@ def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation composite: quality + language filters +
+    exact dedup (near-dup off so the result is SQL-mirrorable)."""
+    from acora_spark.operators.curate import curate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate(
+        d, content_col="text", id_col="doc_id",
+        min_quality=0.3, langs=["en"], near_dup=False,
+    )
+    return out.select(
+        "doc_id", "lang_pred", F.round("quality_score", 6).alias("quality")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -319,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_features": q_text_features,
         "token_classes": q_token_classes,
+        "curated_docs": q_curated_docs,
         "events_hourly": q_events_hourly,
     }
 
@@ -530,6 +546,43 @@ SELECT doc_id, n::BIGINT AS n_tokens,
                     THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
                     ELSE 0 END), 6) AS quality
 FROM feat
+"""
+
+    sql["curated_docs"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, len(t) AS n,
+         len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS nsw,
+         len(list_filter(t, x -> list_contains(['the','and','of','to','a'], x))) AS c_en,
+         len(list_filter(t, x -> list_contains(['el','la','de','que','y'], x))) AS c_es,
+         len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS c_fr
+  FROM base
+),
+scored AS (
+  SELECT doc_id, text,
+         CASE WHEN c_en > c_es AND c_en > c_fr AND c_en > 0 THEN 'en'
+              WHEN c_es > c_en AND c_es > c_fr AND c_es > 0 THEN 'es'
+              WHEN c_fr > c_en AND c_fr > c_es AND c_fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred,
+         0.4 * least(n / 256.0, 1.0)
+           + 0.3 * (1.0 - least(abs((CASE WHEN n > 0 THEN nsw::DOUBLE / n ELSE 0 END) - 0.3) / 0.3, 1.0))
+           + 0.3 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
+                    ELSE 0 END) AS q
+  FROM feat
+),
+filtered AS (
+  SELECT doc_id, lang_pred, q,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+  FROM scored
+  WHERE q >= 0.3 AND lang_pred = 'en'
+)
+SELECT doc_id, lang_pred, round(q, 6) AS quality
+FROM filtered WHERE rn = 1
 """
 
     sql["token_classes"] = """

@@ -50,6 +50,7 @@ from acora_spark.functions.postings_codec import (
     decode_postings_positional,
     impact,
 )
+from acora_spark.index.build import Index
 
 
 def _decode(blob, blocks, positional: bool, block_idx=None):
@@ -58,7 +59,6 @@ def _decode(blob, blocks, positional: bool, block_idx=None):
         d, t, l, _pos = decode_postings_positional(blob, blocks, block_idx)
         return d, t, l
     return decode_postings(blob, blocks, block_idx)
-from acora_spark.index.build import Index
 
 __all__ = [
     "query_terms",

@@ -1,0 +1,66 @@
+"""Corpus curation: the end-to-end training-data cleaning pipeline.
+
+Composes the individual operators into the standard pretraining-data
+sequence — quality filter -> language filter -> exact dedup -> near-dup
+removal — as ONE declarative DataFrame plan (Catalyst fuses the narrow
+stages; the only shuffles are the two dedup aggregations).
+
+Dedup keep-rule: within a duplicate group the SMALLEST doc_id (i.e. the
+first document in corpus key order) survives — deterministic across runs
+and parallelism levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from acora_spark.functions.text import lang_id, quality_score
+from acora_spark.operators.dedup import lsh_candidate_pairs
+
+__all__ = ["curate"]
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    min_quality: float = 0.0,
+    langs: list[str] | None = None,
+    near_dup: bool = True,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Returns the curated subset of ``docs`` (same schema, plus
+    ``quality_score`` and ``lang_pred`` columns)."""
+    c = F.col(content_col)
+    out = docs.withColumns(
+        {"quality_score": quality_score(c), "lang_pred": lang_id(c)}
+    )
+    if min_quality > 0.0:
+        out = out.filter(F.col("quality_score") >= min_quality)
+    if langs is not None:
+        out = out.filter(F.col("lang_pred").isin(langs))
+
+    # exact dedup: keep the smallest id per content hash (one shuffle)
+    w = Window.partitionBy(F.sha2(c, 256)).orderBy(F.col(id_col).asc())
+    out = out.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+    if near_dup:
+        # near-dup removal: LSH candidate pairs -> drop the larger id of
+        # each pair (transitively: any doc that is the larger side of some
+        # pair with a surviving smaller doc gets dropped; single pass —
+        # documented approximation of full connected components)
+        pairs = lsh_candidate_pairs(
+            out,
+            content_col=content_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            band_size=band_size,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        out = out.join(losers, id_col, "left_anti")
+    return out

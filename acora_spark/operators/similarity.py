@@ -21,7 +21,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_expr", "brute_force_topk", "lsh_buckets", "ivf_topk"]
+__all__ = [
+    "cosine_expr",
+    "brute_force_topk",
+    "lsh_buckets",
+    "ivf_topk",
+    "build_ann_index",
+    "ann_query",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -97,6 +104,91 @@ def lsh_buckets(
     return emb.select(id_col, vec_col).mapInPandas(
         bucketize, f"{id_col} long, bucket long"
     )
+
+
+def _train_centroids(emb: DataFrame, num_cells: int, seed: int, vec_col: str) -> np.ndarray:
+    """Hash-seeded sample + one Lloyd step (deterministic)."""
+    sample = emb.select(vec_col).limit(num_cells * 8).collect()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(num_cells, len(mat)), replace=False)]
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    assign = d2.argmin(1)
+    for c in range(len(cents)):
+        m = assign == c
+        if m.any():
+            cents[c] = mat[m].mean(0)
+    return cents
+
+
+def build_ann_index(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    num_cells: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: vectors written PARTITIONED BY coarse cell.
+
+    At query time only the probed cells' directories are read (hive
+    partition pruning) — at 100 TB the probe touches ``nprobe/num_cells``
+    of the data.  Centroids are stored alongside for the query router."""
+    import json
+    import os
+
+    cents = _train_centroids(emb, num_cells, seed, vec_col)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d2 = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+            out = pdf.copy()
+            out["cell"] = d2.argmin(1)
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
+    ) + ", cell int"
+    with_cell = emb.mapInPandas(assign_cells, schema)
+    os.makedirs(index_dir, exist_ok=True)
+    with_cell.repartition(num_cells, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "vectors"))
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump({"centroids": cents.tolist(), "seed": seed}, f)
+
+
+def ann_query(
+    spark,
+    index_dir: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted IVF index: read ONLY the nprobe nearest cells
+    (partition-pruned), exact cosine within them."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        cents = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qd = ((cents - q[None, :]) ** 2).sum(-1)
+    probe = np.argsort(qd)[:nprobe].tolist()
+    base = os.path.join(index_dir, "vectors")
+    cells = spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, f"cell={c}") for c in probe]
+    )
+    return brute_force_topk(cells, query_vec, k, id_col, vec_col)
 
 
 def ivf_topk(

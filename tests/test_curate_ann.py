@@ -1,0 +1,69 @@
+"""Tests for the curation composite and the persisted IVF ANN index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.operators.curate import curate
+from acora_spark.operators.similarity import ann_query, brute_force_topk, build_ann_index
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog in the house"),
+        (1, "the quick brown fox jumps over the lazy dog in the house"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog in a house"),  # near dup
+        (3, "el perro y la casa de que la vida es un sueno para todos"),  # es
+        (4, "zz"),  # too short -> low quality
+        (5, "a completely different document about the spark engine and the index"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_curate_exact_dedup_keeps_smallest(spark, docs):
+    out = curate(docs, near_dup=False)
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 1 not in ids  # dup of 0 dropped
+    assert 2 in ids  # near-dup kept when near_dup=False
+
+
+def test_curate_near_dup(spark, docs):
+    out = curate(docs, near_dup=True, band_size=1)
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids  # near-dup of 0 dropped
+    assert 5 in ids
+
+
+def test_curate_lang_and_quality_filters(spark, docs):
+    out = curate(docs, langs=["en"], min_quality=0.3, near_dup=False)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 3 not in rows  # es filtered
+    assert 4 not in rows  # low quality
+    assert all(r.lang_pred == "en" for r in rows.values())
+
+
+def test_curate_deterministic(spark, docs):
+    a = sorted(r.doc_id for r in curate(docs).collect())
+    b = sorted(r.doc_id for r in curate(docs).collect())
+    assert a == b
+
+
+def test_ann_index_partition_pruned_query(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(tmp_path / "annidx")
+    build_ann_index(emb, index_dir, num_cells=8)
+    q = list(emb.filter("vec_id = 0").collect()[0].embedding)
+    approx = ann_query(spark, index_dir, q, k=10, nprobe=4).collect()
+    exact = brute_force_topk(emb, q, k=10).collect()
+    inter = {r.vec_id for r in approx} & {r.vec_id for r in exact}
+    assert len(inter) >= 5  # half the cells probed -> decent recall
+    # probing ALL cells must equal exact search
+    full = ann_query(spark, index_dir, q, k=10, nprobe=8).collect()
+    assert [r.vec_id for r in full] == [r.vec_id for r in exact]
+    # the pruned read really only touches the probed cell dirs
+    files = ann_query(spark, index_dir, q, k=3, nprobe=2).inputFiles()
+    cells_read = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert len(cells_read) == 2
