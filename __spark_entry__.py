@@ -67,12 +67,19 @@ def _values(words: list[str]) -> str:
     return ", ".join(f"('{w}')" for w in words)
 
 
+# bump when the postings codec / index layout changes so cached index dirs
+# from older code are never reused
+INDEX_FORMAT_VERSION = 2
+
+
 def _index_for(spark: SparkSession, sf_dir: str):
     """Build (or resume) the inverted index for a testdata dir, cached."""
     from acora_spark.index.build import build_index
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    index_dir = os.path.join("/tmp", f"acora_spark_index_{tag}")
+    index_dir = os.path.join(
+        "/tmp", f"acora_spark_index_v{INDEX_FORMAT_VERSION}_{tag}"
+    )
     return build_index(
         _corpus(spark, sf_dir), index_dir, num_buckets=8, docs_per_salt=2000
     )
@@ -158,7 +165,9 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acora_spark.index.build import build_index
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    index_dir = os.path.join("/tmp", f"acora_spark_posindex_{tag}")
+    index_dir = os.path.join(
+        "/tmp", f"acora_spark_posindex_v{INDEX_FORMAT_VERSION}_{tag}"
+    )
     idx = build_index(
         _corpus(spark, sf_dir), index_dir, num_buckets=8,
         docs_per_salt=2000, with_positions=True,
