@@ -113,3 +113,22 @@ def test_content_integrity(spark, sf_dir):
     corpus = load_corpus(spark, sf_dir)
     chk = verify_content_integrity(corpus)
     assert chk.filter(~F.col("ok")).count() == 0
+
+
+def test_match_binary(spark):
+    """Bytes-domain scan over a BinaryType column (S3/S4 twin)."""
+    from acora_spark.operators.matcher import match_binary
+
+    rows = [
+        (1, b"\x00abc\xff\xfeab"),
+        (2, b"no hits here!"),
+        (3, None),
+        (4, b"ab" * 3),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {}
+    for r in match_binary(df, [b"ab", b"\xff\xfe"]).collect():
+        got.setdefault(r.media_id, []).append((bytes(r.term), r.start))
+    assert got[1] == [(b"ab", 1), (b"\xff\xfe", 4), (b"ab", 6)]
+    assert 2 not in got and 3 not in got
+    assert got[4] == [(b"ab", 0), (b"ab", 2), (b"ab", 4)]
