@@ -57,10 +57,18 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_corpus(spark, sf_dir)
 
 
+_DOCS_CACHE: dict[str, DataFrame] = {}
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-stamped corpus, memoized per sf_dir: assign_doc_ids persists the
+    range-partitioned layout it derives ids from, so repeated query entries
+    must reuse ONE cached copy instead of accumulating one per call."""
     from acora_spark.index.build import assign_doc_ids
 
-    return assign_doc_ids(_corpus(spark, sf_dir))
+    if sf_dir not in _DOCS_CACHE:
+        _DOCS_CACHE[sf_dir] = assign_doc_ids(_corpus(spark, sf_dir))
+    return _DOCS_CACHE[sf_dir]
 
 
 def _values(words: list[str]) -> str:
@@ -68,8 +76,9 @@ def _values(words: list[str]) -> str:
 
 
 # bump when the postings codec / index layout changes so cached index dirs
-# from older code are never reused
-INDEX_FORMAT_VERSION = 2
+# from older code are never reused (v3: sharded hot-term postings rows,
+# double-precision block max_impact)
+INDEX_FORMAT_VERSION = 3
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -150,7 +159,7 @@ def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     raw = bm25_topk_batch(spark, idx, [BM25_QUERY], k=4 * BM25_K)
     rounded = raw.withColumn("score", F.round("score", 4))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     topk = (
         rounded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= BM25_K)

@@ -277,8 +277,8 @@ def taat_topk(
     Exact, and bit-identical to the reference scorer: contributions are
     added in ascending-term order (the caller's ordering) into float64.
     O(n_docs) memory — the small-shard fast path.  At 10^12 docs you shard
-    by contiguous doc-id range (the salted postings layout already is that
-    sharding) or fall back to WAND.  ~100x faster than the pointer WAND
+    by contiguous doc-id range (the persisted (term, shard) postings layout
+    already is that sharding) or fall back to WAND.  ~100x faster than the pointer WAND
     loop when the candidate set is dense (all-hot-term queries)."""
     if k <= 0 or not term_postings:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -295,10 +295,18 @@ def taat_topk(
         return np.empty(0, np.int64), np.empty(0, np.float64)
     kk = min(k, len(cand))
     cs = scores[cand]
-    part = np.argpartition(-cs, kk - 1)[:kk]
-    sel = cand[part]
-    order = np.lexsort((sel, -scores[sel]))  # (score desc, doc asc)
-    sel = sel[order]
+    if len(cand) > kk:
+        # argpartition alone breaks the (score desc, doc_id asc) tie-break
+        # at the k boundary (tied scores are common: equal dl+tf docs score
+        # bit-identically).  Keep EVERY candidate tying the kth score, then
+        # resolve the boundary exactly by the lexsort below.
+        part = np.argpartition(-cs, kk - 1)
+        kth = cs[part[kk - 1]]
+        keep = cand[cs >= kth]
+    else:
+        keep = cand
+    order = np.lexsort((keep, -scores[keep]))[:kk]  # (score desc, doc asc)
+    sel = keep[order]
     return sel.astype(np.int64), scores[sel]
 
 
@@ -336,6 +344,48 @@ TOPK_SCHEMA = StructType(
 )
 
 
+def _shard_postings(pdf: pd.DataFrame, n_docs: int) -> list[tuple[float, bytes, list[dict]]]:
+    """(idf, blob, blocks) per SHARD row in (term, shard) order.
+
+    Hot terms are stored as multiple shard rows over disjoint contiguous
+    doc-id ranges; each shard becomes its own scoring cursor carrying the
+    TERM-TOTAL idf (df summed over the term's shards).  Disjointness means
+    a document receives its term contribution from exactly one shard, so
+    both executors stay exact and the ascending-(term, shard) order keeps
+    the float64 summation order fixed."""
+    pdf = pdf.sort_values(["term", "shard"])
+    df_tot = pdf.groupby("term", sort=False)["df"].transform("sum")
+    return [
+        (
+            idf(n_docs, int(df_tot.iloc[i])),
+            bytes(pdf["postings"].iloc[i]),
+            [dict(x) for x in pdf["blocks"].iloc[i]],
+        )
+        for i in range(len(pdf))
+    ]
+
+
+def _make_topk_runner(n_docs, avgdl, k1, b, k, positional):
+    """The per-query applyInPandas executor shared by the cold
+    (bucket-pruned) and warm (persisted-postings) paths."""
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        tp = _shard_postings(pdf, n_docs)
+        docs, scores = _execute_topk(
+            tp, k, avgdl, k1, b, n_docs, positional=positional
+        )
+        return pd.DataFrame(
+            {
+                "query_id": int(pdf["query_id"].iloc[0]),
+                "rank": np.arange(1, len(docs) + 1, dtype=np.int64),
+                "doc_id": docs,
+                "score": scores,
+            }
+        )
+
+    return run_query
+
+
 def bm25_topk_batch(
     spark: SparkSession,
     index: Index,
@@ -361,29 +411,7 @@ def bm25_topk_batch(
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     positional = bool(stats.get("with_positions"))
-
-    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("term")  # ascending-term summation order
-        tp = [
-            (
-                idf(n_docs, int(r["df"])),
-                bytes(r["postings"]),
-                [dict(x) for x in r["blocks"]],
-            )
-            for _, r in pdf.iterrows()
-        ]
-        docs, scores = _execute_topk(tp, k, avgdl, k1, b, n_docs,
-                                     positional=positional)
-        qid = int(pdf["query_id"].iloc[0])
-        return pd.DataFrame(
-            {
-                "query_id": qid,
-                "rank": np.arange(1, len(docs) + 1, dtype=np.int64),
-                "doc_id": docs,
-                "score": scores,
-            }
-        )
-
+    run_query = _make_topk_runner(n_docs, avgdl, k1, b, k, positional)
     return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 
 
@@ -437,12 +465,20 @@ def phrase_match_batch(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         tokens = bc_tokens.value[qid]
+        # hot terms arrive as multiple shard rows over disjoint ascending
+        # doc-id ranges — concatenating in shard order restores the single
+        # doc-sorted posting list
+        pdf = pdf.sort_values(["term", "shard"])
         decoded: dict[str, tuple] = {}
-        for _, r in pdf.iterrows():
-            docs, _tfs, _dls, pos = decode_postings_positional(
-                bytes(r["postings"]), [dict(x) for x in r["blocks"]]
-            )
-            decoded[r["term"]] = (docs, pos)
+        for term, grp in pdf.groupby("term", sort=False):
+            docs_parts, pos_parts = [], []
+            for _, r in grp.iterrows():
+                docs, _tfs, _dls, pos = decode_postings_positional(
+                    bytes(r["postings"]), [dict(x) for x in r["blocks"]]
+                )
+                docs_parts.append(docs)
+                pos_parts.extend(pos)
+            decoded[term] = (np.concatenate(docs_parts), pos_parts)
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int64"),
@@ -507,28 +543,7 @@ class QueryEngine:
         n_docs, avgdl = stats["N"], stats["avgdl"]
         k1, b = stats["k1"], stats["b"]
         positional = bool(stats.get("with_positions"))
-
-        def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("term")
-            tp = [
-                (
-                    idf(n_docs, int(r["df"])),
-                    bytes(r["postings"]),
-                    [dict(x) for x in r["blocks"]],
-                )
-                for _, r in pdf.iterrows()
-            ]
-            docs, scores = _execute_topk(tp, k, avgdl, k1, b, n_docs,
-                                     positional=positional)
-            return pd.DataFrame(
-                {
-                    "query_id": int(pdf["query_id"].iloc[0]),
-                    "rank": np.arange(1, len(docs) + 1, dtype=np.int64),
-                    "doc_id": docs,
-                    "score": scores,
-                }
-            )
-
+        run_query = _make_topk_runner(n_docs, avgdl, k1, b, k, positional)
         return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 
     def close(self) -> None:
@@ -579,12 +594,17 @@ def bm25_topk_dataframe(
         # rank on the ROUNDED score (cross-engine-stable ordering for the
         # SQL oracle: last-ulp float differences can't flip ranks)
         scored = scored.withColumn("score", F.round("score", score_round))
+    # rank runs AFTER the distributed limit(k) (<= k rows); the constant
+    # partition key keeps WindowExec off the no-partition-defined warning
+    # path while making the single-partition window explicit and tiny
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .withColumn(
             "rank",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
         )
         .select("doc_id", "score", "rank")
     )

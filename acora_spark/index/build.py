@@ -2,28 +2,33 @@
 
 Pipeline (each stage is a checkpointed step in ``_manifest.json``):
 
-1. ``docmap``   — deterministic dense doc_id assignment + per-doc stats
-                  (token count ``dl``, ``content_sha256`` lineage) written to
-                  ``<index>/docmap``; corpus-level stats to ``<index>/stats.json``.
-2. ``runs``     — tokenize -> ``(term, doc_id, tf, dl)`` aggregation rows
-                  ("SPIMI runs"), written to ``<index>/runs`` partitioned by
-                  ``bucket = pmod(xxhash64(term), num_buckets)``.  This is the
-                  one big shuffle of the build; materializing it to storage is
-                  what makes the build resumable at bucket granularity.
-3. ``bucket:K`` — per bucket-group: read runs (partition-pruned), salt hot
-                  terms into contiguous doc-id ranges, encode delta+varint
-                  posting blocks per ``(term, salt)`` group, merge salted
-                  parts per term, write ``<index>/postings/bucket=K``.
-                  Re-running the build skips buckets marked done.
+1. ``docmap``     — deterministic dense doc_id assignment + per-doc stats
+                    (token count ``dl``, ``content_sha256`` lineage) written to
+                    ``<index>/docmap``; corpus-level stats to ``<index>/stats.json``.
+2. ``runs``       — tokenize -> ``(term, doc_id, tf, dl)`` aggregation rows
+                    ("SPIMI runs"), written to ``<index>/runs`` partitioned by
+                    ``bucket = pmod(xxhash64(term), num_buckets)``.  This is the
+                    one big shuffle of the build; materializing it to storage is
+                    what makes the build resumable at bucket granularity.
+3. ``term_stats`` — ONE column-pruned job over the runs table (term column
+                    only) that yields the total run count AND the hot-term
+                    shard map in a single aggregation pass.
+4. ``bucket:K``   — per bucket-group: read runs (partition-pruned), split hot
+                    terms into contiguous doc-id ranges ("shards"), encode
+                    delta+varint posting blocks per ``(term, shard)`` group,
+                    write ``<index>/postings/bucket=K``.  Re-running the build
+                    skips buckets marked done.
 
 Skew handling is explicit (AQE skew-join does not cover groupBy skew):
 a term whose document frequency exceeds ``docs_per_salt`` is split into
-``ceil(df / docs_per_salt)`` contiguous doc-id ranges, encoded in parallel
-tasks, and re-assembled by cheap binary concatenation — block offsets are
-the only thing rewritten.
+``ceil(df / docs_per_salt)`` contiguous doc-id ranges and encoded in
+parallel tasks.  The shards are PERSISTED as separate ``(term, shard)``
+rows — never concatenated back into one blob — so a stopword's postings at
+10^12-doc scale never exceed a single Arrow/parquet cell limit, and the
+query executors parallelize naturally over doc-range shards.
 
 Scale notes (100 TB / 1000 executors): stage 2 is a map-side-combined
-hash aggregation (Catalyst partial+final); stage 3 reads each bucket's runs
+hash aggregation (Catalyst partial+final); stage 4 reads each bucket's runs
 via partition pruning, so a resumed build re-reads only undone buckets;
 postings output is hive-partitioned by bucket so query-time term lookups
 prune to one directory per term.
@@ -45,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -62,9 +67,15 @@ from acora_spark.functions.tokenize import token_counts
 
 __all__ = ["assign_doc_ids", "build_index", "Index", "load_index"]
 
+# On-disk postings row: ONE ROW PER (term, shard).  Cold terms have a single
+# shard 0; hot terms one row per contiguous doc-id range.  ``df`` is the
+# SHARD-LOCAL document frequency (query side sums shards for the term idf).
+# ``max_impact`` is double: narrowing to float32 could round the stored block
+# bound BELOW the true maximum and make WAND skip a tied top-k doc.
 POSTINGS_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
+        StructField("shard", LongType(), False),
         StructField("df", LongType(), False),
         StructField("postings", BinaryType(), False),
         StructField(
@@ -75,7 +86,7 @@ POSTINGS_SCHEMA = StructType(
                         StructField("last_doc", LongType(), False),
                         StructField("offset", LongType(), False),
                         StructField("n_docs", IntegerType(), False),
-                        StructField("max_impact", FloatType(), False),
+                        StructField("max_impact", DoubleType(), False),
                     ]
                 )
             ),
@@ -84,8 +95,9 @@ POSTINGS_SCHEMA = StructType(
     ]
 )
 
-_PART_SCHEMA = StructType(
-    [StructField("salt", LongType(), False)] + POSTINGS_SCHEMA.fields
+# the same rows as read back from a bucket-partitioned directory
+POSTINGS_READ_SCHEMA = StructType(
+    POSTINGS_SCHEMA.fields + [StructField("bucket", IntegerType(), True)]
 )
 
 
@@ -111,7 +123,11 @@ def assign_doc_ids(
 
     NB: the per-partition counts MUST come from the same physical layout
     the ids are derived from (AQE may lay out two separate evaluations
-    differently), hence the persist.
+    differently), hence the persist.  The persisted block is attached to
+    the returned DataFrame as ``_acora_persisted`` — callers that
+    materialize the result (e.g. write it to storage) should unpersist it
+    via :func:`release_doc_ids` so repeated invocations don't accumulate
+    cached copies of the corpus in executor storage.
     """
     spark = corpus.sparkSession
     if num_partitions is None:
@@ -138,13 +154,24 @@ def assign_doc_ids(
         base += int(r["cnt"])
     off = spark.createDataFrame(rows, "_pid int, _base long, _mn long")
     out_cols = [F.col(c) for c in corpus.columns]
-    return (
+    result = (
         with_mid.join(F.broadcast(off), "_pid")
         .select(
             (F.col("_mid") - F.col("_mn") + F.col("_base")).alias("doc_id"),
             *out_cols,
         )
     )
+    result._acora_persisted = with_mid  # noqa: SLF001 — cleanup handle
+    return result
+
+
+def release_doc_ids(df: DataFrame) -> None:
+    """Unpersist the cached layout behind an :func:`assign_doc_ids` result.
+    Call AFTER the result has been materialized (written/collected) — the
+    ids are only stable while the persisted layout is pinned."""
+    cached = getattr(df, "_acora_persisted", None)
+    if cached is not None:
+        cached.unpersist()
 
 
 # ------------------------------------------------------------------ build --
@@ -175,7 +202,7 @@ def _encode_group(avgdl: float, with_positions: bool = False) -> callable:
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
         positions = (
             [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
             if with_positions
@@ -190,8 +217,8 @@ def _encode_group(avgdl: float, with_positions: bool = False) -> callable:
         )
         return pd.DataFrame(
             {
-                "salt": [salt],
                 "term": [term],
+                "shard": [shard],
                 "df": [len(pdf)],
                 "postings": [blob],
                 "blocks": [blocks],
@@ -201,36 +228,7 @@ def _encode_group(avgdl: float, with_positions: bool = False) -> callable:
     return fn
 
 
-def _merge_parts(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Concatenate salted posting parts of one term in salt (= doc-range)
-    order; rewrite block offsets only."""
-    pdf = pdf.sort_values("salt")
-    if len(pdf) == 1:
-        row = pdf.iloc[0]
-        return pd.DataFrame(
-            {
-                "term": [row["term"]],
-                "df": [row["df"]],
-                "postings": [row["postings"]],
-                "blocks": [row["blocks"]],
-            }
-        )
-    blobs, blocks, base = [], [], 0
-    for _, row in pdf.iterrows():
-        blobs.append(row["postings"])
-        for blk in row["blocks"]:
-            b2 = dict(blk if isinstance(blk, dict) else blk.asDict())
-            b2["offset"] = int(b2["offset"]) + base
-            blocks.append(b2)
-        base += len(row["postings"])
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "df": [int(pdf["df"].sum())],
-            "postings": [b"".join(blobs)],
-            "blocks": [blocks],
-        }
-    )
+_BUILD_PARAMS = ("num_buckets", "docs_per_salt", "with_positions")
 
 
 def build_index(
@@ -246,7 +244,12 @@ def build_index(
     """Build the full inverted index at ``index_dir``.  Idempotent: with
     ``resume=True`` completed steps are skipped (manifest-driven).
     ``with_positions=True`` stores per-posting token positions (phrase
-    query support) — larger postings, same pipeline."""
+    query support) — larger postings, same pipeline.
+
+    Resume validates the build parameters against the persisted
+    ``stats.json``: resuming with different ``num_buckets`` /
+    ``docs_per_salt`` / ``with_positions`` raises instead of silently
+    returning an index built under the old parameters."""
     spark = corpus.sparkSession
     os.makedirs(index_dir, exist_ok=True)
     manifest = _load_manifest(index_dir) if resume else {"steps": {}}
@@ -257,6 +260,26 @@ def build_index(
     postings_path = os.path.join(index_dir, "postings")
     stats_path = os.path.join(index_dir, "stats.json")
 
+    params = {
+        "num_buckets": num_buckets,
+        "docs_per_salt": docs_per_salt,
+        "with_positions": with_positions,
+    }
+    if resume and steps and os.path.exists(stats_path):
+        with open(stats_path) as f:
+            prev = json.load(f)
+        mismatched = {
+            k: (prev.get(k), params[k])
+            for k in _BUILD_PARAMS
+            if k in prev and prev[k] != params[k]
+        }
+        if mismatched:
+            raise ValueError(
+                f"resume=True over {index_dir} with different build "
+                f"parameters {mismatched} (old, new); pass resume=False "
+                "to rebuild"
+            )
+
     key_cols = ["repo", "path", "commit"]
 
     # ---- step 1: docmap + stats ----------------------------------------
@@ -266,6 +289,7 @@ def build_index(
     # tf aggregation below is keyed by (repo, path, commit) and joins the
     # docmap afterwards.
     if steps.get("docmap", {}).get("status") != "done":
+        t0 = time.time()
         stat_rows = token_counts(corpus).select(
             *key_cols,
             "lang",
@@ -274,20 +298,20 @@ def build_index(
         )
         docmap = assign_doc_ids(stat_rows, key_cols)
         docmap.write.mode("overwrite").parquet(docmap_path)
+        release_doc_ids(docmap)  # ids are on disk now; drop the cached layout
         agg = spark.read.parquet(docmap_path).agg(
             F.count("*").alias("n"), F.avg("dl").alias("avgdl")
         ).collect()[0]
         stats = {
             "N": int(agg["n"]),
             "avgdl": float(agg["avgdl"]),
-            "num_buckets": num_buckets,
             "k1": K1,
             "b": B,
-            "with_positions": with_positions,
+            **params,
         }
         with open(stats_path, "w") as f:
             json.dump(stats, f)
-        _mark_done(index_dir, "docmap", rows=stats["N"])
+        _mark_done(index_dir, "docmap", rows=stats["N"], secs=round(time.time() - t0, 3))
 
     with open(stats_path) as f:
         stats = json.load(f)
@@ -295,6 +319,7 @@ def build_index(
 
     # ---- step 2: SPIMI runs --------------------------------------------
     if steps.get("runs", {}).get("status") != "done":
+        t0 = time.time()
         # Join doc ids onto the corpus FIRST (one sort-merge join that
         # shuffles the content once), then aggregate by the compact
         # (doc_id:int64, term) key.  Aggregating by the raw string key
@@ -341,29 +366,45 @@ def build_index(
         runs.repartition(num_buckets, "bucket").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(runs_path)
-        n_runs = spark.read.parquet(runs_path).count()
-        _mark_done(index_dir, "runs", rows=n_runs)
+        _mark_done(index_dir, "runs", secs=round(time.time() - t0, 3))
 
-    # ---- step 2b: hot-term detection for salting ------------------------
-    if steps.get("hot_terms", {}).get("status") != "done":
-        runs = spark.read.parquet(runs_path)
-        hot = (
-            runs.groupBy("term")
-            .count()
-            .filter(F.col("count") > docs_per_salt)
-            .collect()
+    # ---- step 3: term stats (run count + hot-term shard map, ONE job) ---
+    # A single aggregation over ONLY the ``term`` column (column pruning —
+    # the scan reads one string column, not the runs table): per-term df,
+    # then one tiny final agg producing the total run count, vocabulary
+    # size, and the (few) hot terms in the same pass.  collect_list skips
+    # the NULLs the WHEN leaves for cold terms, so only hot terms reach the
+    # driver.
+    if steps.get("term_stats", {}).get("status") != "done":
+        t0 = time.time()
+        counts = spark.read.parquet(runs_path).groupBy("term").agg(
+            F.count("*").alias("cnt")
         )
+        row = counts.agg(
+            F.sum("cnt").alias("n_runs"),
+            F.count("*").alias("vocab"),
+            F.collect_list(
+                F.when(F.col("cnt") > docs_per_salt, F.struct("term", "cnt"))
+            ).alias("hot"),
+        ).collect()[0]
         hot_map = {
-            r["term"]: int(math.ceil(r["count"] / docs_per_salt)) for r in hot
+            h["term"]: int(math.ceil(h["cnt"] / docs_per_salt)) for h in row["hot"]
         }
         with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
             json.dump(hot_map, f)
-        _mark_done(index_dir, "hot_terms", n_hot=len(hot_map))
+        _mark_done(
+            index_dir,
+            "term_stats",
+            rows=int(row["n_runs"]),
+            vocab=int(row["vocab"]),
+            n_hot=len(hot_map),
+            secs=round(time.time() - t0, 3),
+        )
 
     with open(os.path.join(index_dir, "hot_terms.json")) as f:
         hot_map = json.load(f)
 
-    # ---- step 3: per-bucket encode + merge ------------------------------
+    # ---- step 4: per-bucket encode (shards persisted, never merged) -----
     manifest = _load_manifest(index_dir)
     pending = [
         b
@@ -372,46 +413,38 @@ def build_index(
     ]
     hot_df = (
         spark.createDataFrame(
-            list(hot_map.items()), "term string, n_salt int"
+            list(hot_map.items()), "term string, n_shard int"
         )
         if hot_map
         else None
     )
     for i in range(0, len(pending), bucket_group_size):
+        t0 = time.time()
         group = pending[i : i + bucket_group_size]
         runs = spark.read.parquet(runs_path).filter(F.col("bucket").isin(group))
 
-        # salt assignment is a broadcast join + expressions (JVM-side);
-        # non-hot terms get a single salt, hot terms split into n_salt
-        # CONTIGUOUS doc-id ranges so merged blocks stay doc-sorted
+        # shard assignment is a broadcast join + expressions (JVM-side);
+        # non-hot terms get a single shard, hot terms split into n_shard
+        # CONTIGUOUS doc-id ranges — each range encodes in its own task and
+        # is stored as its own row (no re-merge: a single-blob hot-term row
+        # would blow the 2 GB Arrow/parquet cell limit at 10^12 docs)
         if hot_df is not None:
-            salted = runs.join(F.broadcast(hot_df), "term", "left")
+            sharded = runs.join(F.broadcast(hot_df), "term", "left")
         else:
-            salted = runs.withColumn("n_salt", F.lit(1))
-        salted = salted.withColumn(
-            "n_salt", F.coalesce("n_salt", F.lit(1)).cast("long")
+            sharded = runs.withColumn("n_shard", F.lit(1))
+        sharded = sharded.withColumn(
+            "n_shard", F.coalesce("n_shard", F.lit(1)).cast("long")
         ).withColumn(
-            "salt",
+            "shard",
             F.least(
-                F.col("n_salt") - 1,
-                F.floor(F.col("doc_id") * F.col("n_salt") / F.lit(max(n_docs, 1))),
+                F.col("n_shard") - 1,
+                F.floor(F.col("doc_id") * F.col("n_shard") / F.lit(max(n_docs, 1))),
             ).cast("long"),
-        ).drop("n_salt")
-        parts = salted.groupBy("term", "salt").applyInPandas(
-            _encode_group(avgdl, with_positions), _PART_SCHEMA
+        ).drop("n_shard")
+        parts = sharded.groupBy("term", "shard").applyInPandas(
+            _encode_group(avgdl, with_positions), POSTINGS_SCHEMA
         )
-        # only HOT terms have >1 salted part — cold terms (the vast
-        # majority) skip the merge shuffle entirely
-        hot_terms_list = list(hot_map)
-        if hot_terms_list:
-            cold = parts.filter(~F.col("term").isin(hot_terms_list)).drop("salt")
-            hot_parts = parts.filter(F.col("term").isin(hot_terms_list))
-            merged = hot_parts.groupBy("term").applyInPandas(
-                _merge_parts, POSTINGS_SCHEMA
-            ).unionByName(cold)
-        else:
-            merged = parts.drop("salt")
-        merged = merged.withColumn(
+        out = parts.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         )
         # ONE write job per group: dynamic partition overwrite replaces only
@@ -419,11 +452,12 @@ def build_index(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            out.write.mode("overwrite").partitionBy("bucket").parquet(
                 postings_path
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-partition metrics for the manifest (column-pruned tiny read)
         counts = {
             r["bucket"]: r["count"]
             for r in spark.read.parquet(postings_path)
@@ -432,8 +466,9 @@ def build_index(
             .count()
             .collect()
         }
+        secs = round(time.time() - t0, 3)
         for b in group:
-            _mark_done(index_dir, f"bucket:{b}", terms=int(counts.get(b, 0)))
+            _mark_done(index_dir, f"bucket:{b}", rows=int(counts.get(b, 0)), secs=secs)
 
     return load_index(spark, index_dir)
 
@@ -447,15 +482,23 @@ class Index:
     stats: dict
 
     def postings(self, spark: SparkSession, buckets: Iterable[int] | None = None) -> DataFrame:
+        """Postings rows, optionally restricted to specific buckets.
+
+        Requested buckets whose directory was never written (a bucket no
+        term hashed into) are treated as EMPTY posting lists rather than a
+        read error.  (Local-path existence check; on an object store the
+        same filtering comes from the FS listing.)"""
         base = os.path.join(self.index_dir, "postings")
-        df = spark.read.option("basePath", base).parquet(
-            *(
-                [os.path.join(base, f"bucket={b}") for b in buckets]
-                if buckets is not None
-                else [base]
-            )
-        )
-        return df
+        if buckets is None:
+            return spark.read.option("basePath", base).parquet(base)
+        paths = [
+            p
+            for p in (os.path.join(base, f"bucket={b}") for b in buckets)
+            if os.path.exists(p)
+        ]
+        if not paths:
+            return spark.createDataFrame([], POSTINGS_READ_SCHEMA)
+        return spark.read.option("basePath", base).parquet(*paths)
 
     def docmap(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "docmap"))

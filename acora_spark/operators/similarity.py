@@ -62,11 +62,13 @@ def brute_force_topk(
     )
     from pyspark.sql.window import Window
 
+    # rank after the distributed limit(k): <= k rows in one explicit
+    # constant partition (silences the no-partition WindowExec warning)
     return scored.select(
         id_col,
         "cosine",
         F.row_number()
-        .over(Window.orderBy(F.desc("cosine"), F.asc(id_col)))
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), F.asc(id_col)))
         .alias("rank"),
     )
 

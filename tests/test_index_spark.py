@@ -73,18 +73,30 @@ def test_index_build_artifacts(built, spark):
     done = [k for k, v in m["steps"].items() if v["status"] == "done"]
     assert "docmap" in done and "runs" in done
     assert all(f"bucket:{b}" in done for b in range(8))
-    # salting actually triggered (word-soup corpus has very hot terms)
+    # sharding actually triggered (word-soup corpus has very hot terms)
     hot = json.load(open(os.path.join(index_dir, "hot_terms.json")))
     assert len(hot) > 0 and max(hot.values()) > 1
-    # postings cover every distinct term exactly once
+    # (term, shard) rows are unique; every hot term is stored as multiple
+    # shard rows (never re-merged into one blob), cold terms as exactly one
     post = idx.postings(spark)
-    terms = post.groupBy("term").count().filter("count > 1").count()
-    assert terms == 0
+    assert post.groupBy("term", "shard").count().filter("count > 1").count() == 0
+    rows_per_term = {
+        r["term"]: r["n"]
+        for r in post.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    for term, n_shard in hot.items():
+        assert rows_per_term[term] == n_shard, term
+    assert all(
+        n == 1 for t, n in rows_per_term.items() if t not in hot
+    )
 
 
 def test_postings_df_matches_truth(built, spark):
     idx, _, corpus = built
-    post = idx.postings(spark).select("term", "df").collect()
+    # per-shard df sums to the term's total document frequency
+    post = (
+        idx.postings(spark).groupBy("term").agg(F.sum("df").alias("df")).collect()
+    )
     got = {r["term"]: r["df"] for r in post}
     docs = assign_doc_ids(corpus)
     truth = {
@@ -159,6 +171,54 @@ def test_resume_skips_done_buckets(spark, sf_dir, tmp_path):
     # ...re-done buckets have fresh ones and the index still answers
     assert m2["steps"]["bucket:2"]["ts"] > ts1["bucket:2"]
     assert bm25_topk_batch(spark, idx, ["data table"], k=3).count() > 0
+
+
+def test_resume_rejects_changed_params(spark, sf_dir, tmp_path):
+    index_dir = str(tmp_path / "idx3")
+    corpus = load_corpus(spark, sf_dir).limit(40)
+    build_index(corpus, index_dir, num_buckets=4, bucket_group_size=4)
+    with pytest.raises(ValueError, match="different build parameters"):
+        build_index(
+            corpus, index_dir, num_buckets=4, bucket_group_size=4,
+            with_positions=True,
+        )
+    with pytest.raises(ValueError, match="different build parameters"):
+        build_index(corpus, index_dir, num_buckets=8, bucket_group_size=4)
+    # same params resume cleanly
+    idx = build_index(corpus, index_dir, num_buckets=4, bucket_group_size=4)
+    assert idx.stats["num_buckets"] == 4
+
+
+def test_missing_bucket_dir_is_empty_not_error(built, spark):
+    """A query term hashing to a bucket that was never written must yield
+    empty postings, not a read failure."""
+    idx, _, _ = built
+    df = idx.postings(spark, [9998, 9999])
+    assert df.count() == 0
+    # and a batch query mixing real + impossible buckets still answers
+    assert bm25_topk_batch(spark, idx, ["spark data"], k=3).count() > 0
+
+
+def test_taat_boundary_ties_match_wand():
+    """Tied scores at the k boundary resolve by doc_id asc in BOTH
+    executors (the argpartition fast path must not return arbitrary tied
+    docs)."""
+    from acora_spark.functions.postings_codec import encode_postings
+    from acora_spark.index.bm25 import idf as _idf, taat_topk, wand_topk
+
+    n = 500
+    doc_ids = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)  # every doc ties exactly
+    dls = np.full(n, 10, dtype=np.int64)
+    avgdl = 10.0
+    blob, blocks = encode_postings(doc_ids, tfs, dls, avgdl)
+    tp = [(_idf(n, n), blob, blocks)]
+    for k in (3, 10, 127, 129):
+        td, ts = taat_topk(tp, k, avgdl, 1.2, 0.75, n)
+        wd, ws = wand_topk(tp, k, avgdl, 1.2, 0.75)
+        assert list(td) == list(range(k)), f"TAAT tie-break broken at k={k}"
+        assert list(td) == list(wd)
+        np.testing.assert_array_equal(ts, ws)
 
 
 def test_query_terms_normalization():
