@@ -198,32 +198,70 @@ def _mark_done(index_dir: str, step: str, **info) -> None:
     os.replace(tmp, _manifest_path(index_dir))
 
 
-def _encode_group(avgdl: float, with_positions: bool = False) -> callable:
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        positions = (
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-            if with_positions
-            else None
+def _encode_stream(avgdl: float, with_positions: bool = False) -> callable:
+    """Streaming posting-list encoder for ``mapInPandas`` over runs that are
+    hash-partitioned by (term, shard) and sorted by (term, shard, doc_id).
+
+    One ``applyInPandas`` call per (term, shard) group costs ~5 ms of
+    pandas/Arrow overhead per GROUP — at code-scale vocabularies that
+    overhead dwarfs the actual encode work.  Here each Arrow batch is
+    processed as a whole: group boundaries are found vectorized, every
+    complete group is encoded in one pass, and the final (possibly
+    batch-spanning) group is carried over to the next batch.  Carried rows
+    are bounded by the shard size (``docs_per_salt``), the sharding
+    invariant."""
+
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy()
+        change = (
+            np.flatnonzero((terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]))
+            + 1
         )
-        blob, blocks = encode_postings(
-            pdf["doc_id"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["dl"].to_numpy(np.int64),
-            avgdl,
-            positions=positions,
-        )
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "shard": [shard],
-                "df": [len(pdf)],
-                "postings": [blob],
-                "blocks": [blocks],
-            }
-        )
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        doc = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        pos = pdf["positions"].tolist() if with_positions else None
+        out = {"term": [], "shard": [], "df": [], "postings": [], "blocks": []}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            blob, blocks = encode_postings(
+                doc[s:e],
+                tf[s:e],
+                dl[s:e],
+                avgdl,
+                positions=(
+                    [np.asarray(p, dtype=np.int64) for p in pos[s:e]]
+                    if with_positions
+                    else None
+                ),
+            )
+            out["term"].append(terms[s])
+            out["shard"].append(int(shards[s]))
+            out["df"].append(int(e - s))
+            out["postings"].append(blob)
+            out["blocks"].append(blocks)
+        return pd.DataFrame(out)
+
+    def fn(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            # hold back the trailing (term, shard) group — it may continue
+            # in the next batch of this partition
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            tail = (terms == terms[-1]) & (shards == shards[-1])
+            n_tail = int(np.cumprod(tail[::-1]).sum())  # trailing-True run
+            head, pending = pdf.iloc[: len(pdf) - n_tail], pdf.iloc[len(pdf) - n_tail :]
+            if len(head):
+                yield encode_block(head)
+        if pending is not None and len(pending):
+            yield encode_block(pending)
 
     return fn
 
@@ -288,30 +326,46 @@ def build_index(
     # small stat rows only.  Content never moves in the whole build — the
     # tf aggregation below is keyed by (repo, path, commit) and joins the
     # docmap afterwards.
-    if steps.get("docmap", {}).get("status") != "done":
+    docstats_path = os.path.join(index_dir, "docstats")
+    if steps.get("docstats", {}).get("status") != "done":
         t0 = time.time()
+        from pyspark.sql import Observation
+
+        # Stage the narrow stat rows to storage BEFORE the range shuffle:
+        # repartitionByRange SAMPLES its child to pick boundaries, which
+        # would evaluate the sha256 + token-count pass over the full corpus
+        # content TWICE.  Staging reads content exactly once; the sampler
+        # then touches only the (column-pruned) key columns of the small
+        # parquet rows.  N and avgdl ride along the write via observe() —
+        # no separate aggregation job.
+        obs = Observation("corpus_stats")
         stat_rows = token_counts(corpus).select(
             *key_cols,
             "lang",
             F.col("n_tokens").alias("dl"),
             F.sha2(F.col("content"), 256).alias("content_sha256"),
-        )
-        docmap = assign_doc_ids(stat_rows, key_cols)
-        docmap.write.mode("overwrite").parquet(docmap_path)
-        release_doc_ids(docmap)  # ids are on disk now; drop the cached layout
-        agg = spark.read.parquet(docmap_path).agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
+        ).observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        stat_rows.write.mode("overwrite").parquet(docstats_path)
+        got = obs.get
         stats = {
-            "N": int(agg["n"]),
-            "avgdl": float(agg["avgdl"]),
+            "N": int(got["n"]),
+            "avgdl": float(got["avgdl"]),
             "k1": K1,
             "b": B,
             **params,
         }
         with open(stats_path, "w") as f:
             json.dump(stats, f)
-        _mark_done(index_dir, "docmap", rows=stats["N"], secs=round(time.time() - t0, 3))
+        _mark_done(
+            index_dir, "docstats", rows=stats["N"], secs=round(time.time() - t0, 3)
+        )
+
+    if steps.get("docmap", {}).get("status") != "done":
+        t0 = time.time()
+        docmap = assign_doc_ids(spark.read.parquet(docstats_path), key_cols)
+        docmap.write.mode("overwrite").parquet(docmap_path)
+        release_doc_ids(docmap)  # ids are on disk now; drop the cached layout
+        _mark_done(index_dir, "docmap", secs=round(time.time() - t0, 3))
 
     with open(stats_path) as f:
         stats = json.load(f)
@@ -441,8 +495,16 @@ def build_index(
                 F.floor(F.col("doc_id") * F.col("n_shard") / F.lit(max(n_docs, 1))),
             ).cast("long"),
         ).drop("n_shard")
-        parts = sharded.groupBy("term", "shard").applyInPandas(
-            _encode_group(avgdl, with_positions), POSTINGS_SCHEMA
+        enc_cols = ["term", "shard", "doc_id", "tf", "dl"] + (
+            ["positions"] if with_positions else []
+        )
+        arranged = (
+            sharded.select(*enc_cols)
+            .repartition("term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id")
+        )
+        parts = arranged.mapInPandas(
+            _encode_stream(avgdl, with_positions), POSTINGS_SCHEMA
         )
         out = parts.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")

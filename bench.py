@@ -68,8 +68,8 @@ def main() -> None:
     index_dir = "/tmp/acora_spark_bench_index"
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.time()
-    idx = build_index(synth, index_dir, num_buckets=16,
-                      docs_per_salt=20000, resume=False)
+    idx = build_index(synth, index_dir, num_buckets=16, docs_per_salt=20000,
+                      bucket_group_size=16, resume=False)
     timings["index_build"] = round(time.time() - t0, 3)
 
     queries = [
