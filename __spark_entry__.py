@@ -24,9 +24,15 @@ from pyspark.sql.window import Window
 MATCH_KWS = ["data", "spark", "table", "join", "merge"]
 POS_KWS = ["data", "spark"]
 LM_KWS = ["tab", "table", "t", "join"]
+LINE_KWS = ["table", "data"]
+BIN_KWS = [b"table", b"spark"]
 BM25_QUERY = "spark shuffle partition data"
 BM25_K = 20
 PHRASE = "table scan"
+# every 5 words -> newline: a deterministic multi-line view of the corpus
+# for the R2/R3 line recipes (documents.parquet text is single-line).
+# Java and RE2 regexes agree on this pattern and global replacement.
+_LINE_BREAK_RE = r"(\w+ \w+ \w+ \w+ \w+) "
 
 # DuckDB-side mirror of acora_spark.sources.corpus.load_corpus
 _CORPUS_CTE = """corpus AS (
@@ -114,6 +120,54 @@ def q_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = match(_corpus(spark, sf_dir), LM_KWS)
     return longest_match(m).select("path", "start", "term")
+
+
+def _multiline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    return c.select(
+        "repo",
+        "path",
+        "commit",
+        F.regexp_replace("content", _LINE_BREAK_RE, "$1\n").alias("content"),
+    )
+
+
+def q_match_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 line-scoped matching (reference README.rst:129-160): split on
+    CR/LF/CRLF, match within lines, offsets line-relative."""
+    from acora_spark.operators.matcher import match_lines
+
+    m = match_lines(_multiline_corpus(spark, sf_dir), LINE_KWS)
+    return m.select(
+        "path", F.col("line_no").cast("long").alias("line_no"), "term", "start"
+    )
+
+
+def q_matching_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 fgrep recipe (reference README.rst:163-190): the distinct lines
+    containing at least one keyword hit."""
+    from acora_spark.operators.matcher import matching_lines
+
+    m = matching_lines(_multiline_corpus(spark, sf_dir), LINE_KWS)
+    return m.select(
+        "path", F.col("line_no").cast("long").alias("line_no"), "line"
+    )
+
+
+def q_match_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-domain scan (reference BytesAcora, _cacora.pyx:596-633) over
+    the UTF-8-encoded corpus.  The testdata corpus is pure ASCII, so byte
+    offsets equal character offsets and the string-position SQL oracle is
+    exact."""
+    from acora_spark.operators.matcher import match_binary
+
+    c = _corpus(spark, sf_dir).select(
+        "path", F.encode("content", "UTF-8").alias("payload")
+    )
+    m = match_binary(c, BIN_KWS, payload_col="payload", id_cols=["path"])
+    return m.select(
+        "path", F.decode(F.col("term"), "UTF-8").alias("term"), "start"
+    )
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,8 +283,8 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (rows-only check: the banded self-join is
-    deliberately not mirrored in SQL)."""
+    """MinHash-LSH candidate pairs: banded bucket self-join, SQL-mirrored
+    over the same md5 minhash family."""
     from acora_spark.operators.dedup import lsh_candidate_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -240,12 +294,42 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (rows-only: bit-twiddling has no concise
-    SQL mirror)."""
+    """64-bit SimHash signatures — md5-hex bit sums, JVM-side; the DuckDB
+    oracle reproduces every bit from the same hash."""
     from acora_spark.operators.dedup import simhash
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash(d, content_col="text", id_col="doc_id")
+
+
+NEARDUP_SEED, NEARDUP_PLANES, NEARDUP_BAND, NEARDUP_THRESH = 7, 16, 4, 0.98
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH + exact
+    cosine verify (the scale path — no all-pairs join anywhere).  The raw
+    table has no near-dup pairs, so 50 exactly-collinear duplicates
+    (scaled copies, cosine 1.0) are planted deterministically; collinear
+    points share every hyperplane sign, so LSH recall on them is exact and
+    the SQL mirror (same plane literals, same bands) agrees."""
+    from acora_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    both = emb.unionByName(planted)
+    res = embedding_near_dup_pairs(
+        both,
+        threshold=NEARDUP_THRESH,
+        num_planes=NEARDUP_PLANES,
+        band_size=NEARDUP_BAND,
+        seed=NEARDUP_SEED,
+    )
+    return res.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count_by_term": q_match_count_by_term,
         "match_positions": q_match_positions,
         "longest_match": q_longest_match,
+        "match_lines": q_match_lines,
+        "matching_lines": q_matching_lines,
+        "match_binary": q_match_binary,
         "doc_stats": q_doc_stats,
         "term_doc_freq_top20": q_term_doc_freq_top20,
         "bm25_topk": q_bm25_topk,
@@ -350,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "text_features": q_text_features,
         "token_classes": q_token_classes,
         "curated_docs": q_curated_docs,
@@ -384,6 +472,128 @@ SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
 FROM scored JOIN dl USING (doc_id)
 ORDER BY score DESC, scored.doc_id ASC
 LIMIT {BM25_K}
+"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB mirror of operators.dedup.simhash: identical md5-hex hash,
+    identical bit layout (bit b lives at bit b%4 of hex digit 15 - b//4)."""
+    digit_defs = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 AS d{j}"
+        for j in range(16)
+    )
+    sum_defs = ",\n         ".join(
+        f"sum(((d{15 - b // 4} >> {b % 4}) & 1) * 2 - 1) AS s{b}"
+        for b in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if b == 63 else str(1 << b))
+        + " ELSE 0 END)"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+  FROM documents
+),
+h AS (SELECT doc_id, md5(term) AS h FROM toks),
+d AS (SELECT doc_id, {digit_defs} FROM h),
+s AS (SELECT doc_id, {sum_defs} FROM d GROUP BY doc_id)
+SELECT doc.doc_id AS doc_id,
+       CAST({sig_terms} AS BIGINT) AS simhash
+FROM documents doc LEFT JOIN s ON s.doc_id = doc.doc_id
+"""
+
+
+_MINHASH4_CTES = """toksm AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+shm AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+             j -> array_to_string(list_slice(t, j, j + 2), ' ')))
+         ELSE [] END AS sh
+  FROM toksm
+),
+shrm AS (SELECT doc_id, unnest(sh) AS s FROM shm),
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || s)) AS mh_0,
+         min(md5('1:' || s)) AS mh_1,
+         min(md5('2:' || s)) AS mh_2,
+         min(md5('3:' || s)) AS mh_3
+  FROM shrm GROUP BY doc_id
+)"""
+
+
+def _lsh_pairs_sql() -> str:
+    """Mirror of q_lsh_pairs (num_hashes=4, band_size=1): each band's
+    bucket is md5 of its single signature column (concat_ws of one column
+    is the column itself)."""
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, md5(mh_{i}) AS bucket FROM sig"
+        for i in range(4)
+    )
+    return f"""
+WITH {_MINHASH4_CTES},
+bands AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _near_dup_sql() -> str:
+    """Mirror of q_embedding_near_dups: the SAME plane literals (seeded
+    numpy), the same banded sign buckets, the same exact-cosine verify."""
+    import numpy as np
+
+    planes = np.random.RandomState(NEARDUP_SEED).standard_normal(
+        (NEARDUP_PLANES, 64)
+    )
+
+    def arr(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    band_selects = []
+    for bi, b0 in enumerate(range(0, NEARDUP_PLANES, NEARDUP_BAND)):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {arr(planes[b0 + i])}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(NEARDUP_BAND)
+        )
+        band_selects.append(f"SELECT vec_id, {bi} AS band, {terms} AS bucket FROM base")
+    bands = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+  FROM embeddings WHERE vec_id < 50
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+  FROM cand c JOIN base x ON x.vec_id = c.id_a JOIN base y ON y.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM verified WHERE cos >= {NEARDUP_THRESH}
 """
 
 
@@ -427,6 +637,46 @@ SELECT path, start, term FROM (
                             ORDER BY length(term) DESC, term DESC) AS rn
   FROM hits
 ) WHERE rn = 1
+"""
+
+    sql["match_binary"] = f"""
+WITH {_CORPUS_CTE},
+{_hits_cte([k.decode() for k in BIN_KWS])}
+SELECT path, term, start FROM hits
+"""
+
+    # multi-line view shared by the R2/R3 recipes: newline every 5 words
+    # (same regex + global replacement semantics in Java and RE2), then
+    # split on CR/LF/CRLF exactly like the Spark operator
+    _LINES_CTES = f"""ml AS (
+  SELECT path, regexp_replace(content, '{_LINE_BREAK_RE}', '\\1' || chr(10), 'g') AS content
+  FROM corpus
+),
+lines0 AS (SELECT path, string_split_regex(content, '\\r\\n|\\r|\\n') AS ls FROM ml),
+lines AS (
+  SELECT path, unnest(ls) AS line, unnest(range(0, len(ls))) AS line_no
+  FROM lines0
+)"""
+
+    sql["match_lines"] = f"""
+WITH {_CORPUS_CTE},
+{_LINES_CTES},
+kw(term) AS (VALUES {_values(LINE_KWS)}),
+hits AS (
+  SELECT l.path AS path, l.line_no AS line_no, k.term AS term,
+         unnest(list_filter(range(1, greatest(length(l.line) - length(k.term) + 2, 1)),
+                i -> substr(l.line, i, length(k.term)) = k.term)) - 1 AS start
+  FROM lines l CROSS JOIN kw k
+)
+SELECT path, line_no::BIGINT AS line_no, term, start FROM hits
+"""
+
+    sql["matching_lines"] = f"""
+WITH {_CORPUS_CTE},
+{_LINES_CTES},
+kw(term) AS (VALUES {_values(LINE_KWS)})
+SELECT DISTINCT l.path AS path, l.line_no::BIGINT AS line_no, l.line AS line
+FROM lines l JOIN kw k ON contains(l.line, k.term)
 """
 
     sql["doc_stats"] = f"""
@@ -619,5 +869,7 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 """
-    # lsh_pairs, simhash: intentionally no SQL mirror (rows-only check)
+    sql["simhash"] = _simhash_sql()
+    sql["lsh_pairs"] = _lsh_pairs_sql()
+    sql["embedding_near_dups"] = _near_dup_sql()
     return sql

@@ -6,11 +6,14 @@ All variants are shuffle-conscious:
 * MinHash + LSH — signatures via built-in md5 (JVM-side), candidate pairs
   via band-bucket self-join (the join key IS the LSH bucket, so the shuffle
   only moves band keys, never O(n^2) pairs);
-* SimHash — 64-bit signatures via a vectorized pandas UDF (bit-twiddling is
-  not expressible efficiently in Spark SQL), Hamming-adjacent buckets by
-  band rotation;
+* SimHash — 64-bit signatures entirely JVM-side: per-token md5-derived
+  hash bits aggregated as 64 conditional sums (whole-stage codegen), the
+  signature assembled with bitwise ORs — no per-token Python anywhere;
 * n-gram Jaccard — verification operator for LSH candidates (exact
-  similarity on the candidate set only, never all-pairs).
+  similarity on the candidate set only, never all-pairs);
+* embedding near-dups — banded random-hyperplane LSH buckets (JVM-side
+  fold dot products against literal plane vectors) + exact cosine verify
+  on candidates; the all-pairs form exists only behind ``method="exact"``.
 
 MinHash hash family: ``minhash_i(doc) = min over shingles s of
 md5(i || ':' || s)`` compared lexicographically on the hex string — a
@@ -20,10 +23,7 @@ hash family (md5 hex compares identically in Spark and any SQL oracle).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +37,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "hyperplane_bands",
     "embedding_near_dup_pairs",
 ]
 
@@ -122,6 +123,9 @@ def lsh_candidate_pairs(
     self-join is per-band on the bucket key, so shuffle volume is
     O(n * bands), not O(n^2)."""
     sig = minhash_signature(df, content_col, id_col, num_hashes, shingle_n)
+    # docs with no shingles have NULL signatures; concat_ws would fold them
+    # all into one md5('') bucket and pair every empty doc with every other
+    sig = sig.filter(F.col("mh_0").isNotNull())
     bands = []
     for b0 in range(0, num_hashes, band_size):
         cols = [f"mh_{i}" for i in range(b0, min(b0 + band_size, num_hashes))]
@@ -178,44 +182,88 @@ def ngram_jaccard_pairs(
 def simhash(
     df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash over the token stream (Charikar 2002): sign-sum of
-    per-token 64-bit hashes, vectorized in a pandas UDF (Arrow batches)."""
+    """64-bit SimHash over the token stream (Charikar, STOC 2002), entirely
+    JVM-side (whole-stage codegen — no per-token Python anywhere).
 
-    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
+    Per-token hash = the first 16 hex chars of md5(token) read big-endian
+    as 64 bits (bit 0 = least-significant bit of the LAST hex digit).  The
+    hex-digit formulation keeps the hash engine-independent: any SQL engine
+    with md5() reproduces the signature exactly (the DuckDB oracle does).
 
-        tok_re = re.compile(r"[a-z0-9_]+")
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for row_i, text in enumerate(pdf[content_col].fillna("")):
-                toks = tok_re.findall(text.lower())
-                if not toks:
-                    continue
-                import hashlib
+    Plan: explode tokens -> 16 hex-digit values per token -> one groupBy
+    with 64 conditional sums (sign counts per bit, map-side combined) ->
+    signature assembled with bitwise ORs.  Documents with no tokens get
+    signature 0 (every sign count empty)."""
+    from acora_spark.functions.text import tokens_col as _tokens
 
-                hs = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.md5(t.encode()).digest()[:8], "little"
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                    np.int64
-                )
-                v = (2 * bits - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for b, x in enumerate(v):
-                    if x > 0:
-                        sig |= np.uint64(1) << np.uint64(b)
-                out[row_i] = np.int64(sig.astype(np.int64))
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
-
-    return df.select(id_col, content_col).mapInPandas(
-        sim, f"{id_col} long, simhash long"
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(content_col))).alias("term")
     )
+    h = F.md5("term")
+    digits = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int").alias(f"d{j}")
+            for j in range(16)
+        ],
+    )
+    aggs = []
+    for b in range(64):
+        j, k = 15 - b // 4, b % 4  # hex digit j (from left), bit k within it
+        bit = F.shiftright(F.col(f"d{j}"), k).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    sums = digits.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    # left join keeps token-less documents (all sign sums NULL -> sig 0)
+    return (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .select(id_col, sig.alias("simhash"))
+    )
+
+
+def hyperplane_bands(
+    emb: DataFrame,
+    planes: np.ndarray,
+    band_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) rows: random-hyperplane sign bits packed per band.
+
+    The projections are JVM-side sequential folds of the vector against
+    LITERAL plane arrays (no Python, no broadcast variable), so any SQL
+    engine given the same plane literals reproduces the buckets."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dot_lit(plane: np.ndarray):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bands = []
+    for bi, b0 in enumerate(range(0, len(planes), band_size)):
+        bucket = F.lit(0)
+        for i, plane in enumerate(planes[b0 : b0 + band_size]):
+            bucket = bucket + (_dot_lit(plane) > 0).cast("int") * (1 << i)
+        bands.append(
+            emb.select(
+                F.col(id_col), F.lit(bi).alias("band"), bucket.alias("bucket")
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def embedding_near_dup_pairs(
@@ -223,19 +271,54 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    *,
+    method: str = "lsh",
+    num_planes: int = 16,
+    band_size: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
-    Baseline all-pairs variant (broadcast one side); for the scale path,
-    bucket by coarse LSH first (see similarity.lsh_buckets) and join within
-    buckets only."""
+    Default ``method="lsh"`` is the scale path: vectors are bucketed by
+    banded random-hyperplane signatures (two docs are candidates iff they
+    agree on EVERY plane of at least one band), candidates are verified
+    with the exact cosine.  Shuffle volume is O(n * bands) and the join is
+    an equi-join on (band, bucket) — never a cartesian.  Recall is the
+    standard LSH band bound (1 - (1 - p^band_size)^bands with
+    p = 1 - theta/pi); exactly collinear duplicates are always found.
+
+    ``method="exact"`` is the O(n^2) all-pairs verifier for tiny inputs."""
     from acora_spark.operators.similarity import cosine_expr
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if method == "exact":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = int(dim_row[0]["d"]) if dim_row else 0
+        planes = np.random.RandomState(seed).standard_normal((num_planes, dim))
+        bands = hyperplane_bands(emb, planes, band_size, id_col, vec_col)
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "bucket"])
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "cosine",
+            cosine_expr(
+                F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

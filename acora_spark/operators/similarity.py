@@ -108,9 +108,24 @@ def lsh_buckets(
     )
 
 
-def _train_centroids(emb: DataFrame, num_cells: int, seed: int, vec_col: str) -> np.ndarray:
-    """Hash-seeded sample + one Lloyd step (deterministic)."""
-    sample = emb.select(vec_col).limit(num_cells * 8).collect()
+def _train_centroids(
+    emb: DataFrame, num_cells: int, seed: int, vec_col: str, id_col: str
+) -> np.ndarray:
+    """Deterministic centroid training: hash-ORDERED sample + one Lloyd step.
+
+    ``limit(n)`` without an ordering is layout-dependent (a different
+    partitioning returns different rows), which would make the "same"
+    index differ across runs.  ``orderBy(xxhash64(id), id).limit(n)`` is a
+    distributed TakeOrdered over a pure function of the ids — identical
+    under any repartitioning."""
+    sample = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(num_cells * 8)
+        .collect()
+    )
+    if not sample:
+        return np.zeros((0, 0))
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(num_cells, len(mat)), replace=False)]
@@ -140,7 +155,7 @@ def build_ann_index(
     import json
     import os
 
-    cents = _train_centroids(emb, num_cells, seed, vec_col)
+    cents = _train_centroids(emb, num_cells, seed, vec_col, id_col)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(cents)
 
@@ -210,19 +225,9 @@ def ivf_topk(
     At scale the cell id is the storage partition key, so the probe reads
     ``nprobe/num_cells`` of the data (partition pruning); here the cell
     filter plays that role."""
-    sample = emb.select(vec_col).limit(num_cells * 8).collect()
-    if not sample:
+    cents = _train_centroids(emb, num_cells, seed, vec_col, id_col)
+    if not len(cents):
         return brute_force_topk(emb, query_vec, k, id_col, vec_col)
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    rng = np.random.RandomState(seed)
-    cents = mat[rng.choice(len(mat), size=min(num_cells, len(mat)), replace=False)]
-    # one Lloyd step over the sample for stability
-    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-    assign = d2.argmin(1)
-    for c in range(len(cents)):
-        m = assign == c
-        if m.any():
-            cents[c] = mat[m].mean(0)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(cents)
 

@@ -59,6 +59,26 @@ def test_lsh_candidates_and_jaccard(spark, docs):
         assert jmap[(0, 2)] > jmap[(0, 3)]
 
 
+def _simhash_reference(text: str) -> int:
+    """Pure-Python mirror of the documented signature: big-endian first 16
+    md5 hex chars per token, sign-sum per bit, bit set iff sum > 0."""
+    import hashlib
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    sums = [0] * 64
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        for b in range(64):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if sums[b] > 0:
+            sig |= 1 << b
+    # two's-complement into int64 (Spark longs are signed)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
 def test_simhash_properties(spark, docs):
     sh = {r.doc_id: r.simhash for r in simhash(docs, content_col="text").collect()}
     assert sh[0] == sh[1]  # identical text -> identical signature
@@ -67,6 +87,12 @@ def test_simhash_properties(spark, docs):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])  # near-dup closer than unrelated
+    # differential vs the documented pure-Python hash, incl. empty doc -> 0
+    for row in docs.collect():
+        assert sh[row.doc_id] == _simhash_reference(row.text), row.doc_id
+    empty = spark.createDataFrame([(7, ""), (8, "!!! ...")], "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash(empty, content_col="text").collect()}
+    assert got == {7: 0, 8: 0}
 
 
 @pytest.fixture(scope="module")
@@ -111,6 +137,14 @@ def test_ivf_topk_recall(spark, emb):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_centroids_invariant_under_repartition(spark, emb):
+    from acora_spark.operators.similarity import _train_centroids
+
+    c1 = _train_centroids(emb.repartition(7), 8, 7, "embedding", "vec_id")
+    c2 = _train_centroids(emb.repartition(13), 8, 7, "embedding", "vec_id")
+    np.testing.assert_array_equal(c1, c2)
+
+
 def test_lsh_buckets_deterministic(spark, emb):
     b1 = {r.vec_id: r.bucket for r in lsh_buckets(emb, num_planes=8).collect()}
     b2 = {r.vec_id: r.bucket for r in lsh_buckets(emb, num_planes=8).collect()}
@@ -123,6 +157,29 @@ def test_embedding_near_dup_pairs(spark, emb):
     pairs = embedding_near_dup_pairs(sub, threshold=0.9).collect()
     for r in pairs:
         assert r.id_a < r.id_b and r.cosine >= 0.9
+
+
+def test_embedding_near_dup_lsh_finds_planted_and_no_cartesian(spark, emb):
+    # plant exactly-collinear duplicates (scaled copies): cosine 1.0, same
+    # hyperplane signs -> banded LSH recall is guaranteed, so the scale
+    # path must return exactly the same pairs as the all-pairs verifier
+    planted = emb.filter("vec_id < 30").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    lsh = embedding_near_dup_pairs(both, threshold=0.98)
+    got = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert {(i, i + 100000) for i in range(30)} <= got
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(both, threshold=0.98, method="exact").collect()
+    }
+    assert got == exact
+    # the default path never degenerates into a cartesian/nested-loop join
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_multimodal_feature_plumbing(spark):
