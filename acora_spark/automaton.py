@@ -74,9 +74,30 @@ class Automaton:
     out_kw: np.ndarray
     is_bytes: bool = False
     kw_len: np.ndarray = field(init=False)
+    _direct: np.ndarray = field(init=False, repr=False)
+    _has_exotic: bool = field(init=False, repr=False)
+
+    # direct-map table bound: covers the BMP; code points above it (rare)
+    # fall back to the binary-search path
+    _DIRECT_LIMIT = 1 << 16
 
     def __post_init__(self) -> None:
         self.kw_len = np.asarray([len(k) for k in self.keywords], dtype=np.int64)
+        # dense code-point -> alphabet-index map: one vectorized gather per
+        # BATCH replaces one binary search per DOCUMENT (the profiled
+        # hotspot — ~60% of scan time went to per-doc searchsorted)
+        if len(self.lut_codes):
+            bound = int(
+                min(int(self.lut_codes.max()) + 1, self._DIRECT_LIMIT)
+            )
+            direct = np.zeros(max(bound, 1), dtype=np.int32)
+            in_range = self.lut_codes < bound
+            direct[self.lut_codes[in_range]] = self.lut_vals[in_range]
+            self._direct = direct
+            self._has_exotic = bool((~in_range).any())
+        else:
+            self._direct = np.zeros(1, dtype=np.int32)
+            self._has_exotic = False
 
     # -- encoding ---------------------------------------------------------
 
@@ -148,13 +169,28 @@ class Automaton:
             i += bsz
             b = len(sel)
             chunk_lens = lens[sel]
-            # map to alphabet indices doc-by-doc (1D), pad into the
-            # transposed (maxlen, b) step-major matrix
-            col = np.zeros((b, maxlen), dtype=col_dt)
+            # pad raw code points into the (b, maxlen) matrix, then map the
+            # WHOLE matrix to alphabet indices with one direct-table gather
+            # (padding zeros map to 0 — NUL is never in the alphabet)
+            codes_mat = np.zeros((b, maxlen), dtype=np.uint32)
             for r, doc_i in enumerate(sel):
                 c = codes[doc_i]
-                col[r, : len(c)] = self._alpha_idx(c)
-            col = np.ascontiguousarray(col.T)
+                codes_mat[r, : len(c)] = c
+            limit = len(self._direct)
+            if int(codes_mat.max(initial=0)) < limit:  # common (ASCII) case
+                col = self._direct[codes_mat]
+            else:
+                small = codes_mat < limit
+                col = np.where(
+                    small, self._direct[np.minimum(codes_mat, limit - 1)], 0
+                )
+                if self._has_exotic:
+                    # rare astral-plane alphabet chars: binary-search only
+                    # the out-of-range positions
+                    ex_i = np.nonzero(~small)
+                    if len(ex_i[0]):
+                        col[ex_i] = self._alpha_idx(codes_mat[ex_i])
+            col = np.ascontiguousarray(col.T.astype(col_dt, copy=False))
             states = np.zeros(b, dtype=np.int32)
             idx_buf = np.empty(b, dtype=np.int32)
             # record every step's state; extract hits vectorized afterwards
