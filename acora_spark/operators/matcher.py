@@ -27,6 +27,7 @@ from acora_spark.automaton import Automaton, build_automaton
 __all__ = [
     "match",
     "match_binary",
+    "match_binary_chunked",
     "match_counts",
     "search",
     "longest_match",
@@ -193,6 +194,64 @@ def match_binary(
             yield pd.DataFrame(out)
 
     return df.select(*id_cols, payload_col).mapInPandas(scan, schema)
+
+
+def match_binary_chunked(
+    df: DataFrame,
+    keywords: Sequence[bytes],
+    *,
+    chunk_size: int = 1 << 20,
+    payload_col: str = "payload",
+    id_cols: Sequence[str] = ("media_id",),
+) -> DataFrame:
+    """Bytes scan for OVERSIZED payloads: the reference's ``filefind``
+    carries automaton state across 32 KiB buffers
+    (acora/_cacora.pyx:843-847); the Spark-native equivalent is an
+    overlap-split — each payload explodes into ``chunk_size + maxlen - 1``
+    byte segments (overlap = longest keyword - 1), every match therefore
+    lies wholly inside exactly one segment's own region, and segments scan
+    in PARALLEL across tasks instead of sequentially through one buffer
+    loop.  Offsets are rebased to the payload (global-offset semantics of
+    the reference).  Bounded memory per task regardless of payload size;
+    a 10 GB blob becomes ~10k independent rows."""
+    auto = build_automaton(keywords)
+    if not auto.keywords:
+        return match_binary(df, keywords, payload_col=payload_col, id_cols=id_cols)
+    maxlen = max(len(k) for k in auto.keywords)
+    if chunk_size < maxlen:
+        raise ValueError(f"chunk_size must be >= longest keyword ({maxlen})")
+    overlap = maxlen - 1
+    id_cols = list(id_cols)
+    n_seg = F.greatest(
+        F.ceil(F.length(payload_col) / F.lit(chunk_size)).cast("int"), F.lit(1)
+    )
+    segs = df.select(
+        *id_cols,
+        F.col(payload_col),
+        F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_no"),
+    ).select(
+        *id_cols,
+        "seg_no",
+        F.expr(
+            f"substring({payload_col}, seg_no * {chunk_size}L + 1, "
+            f"{chunk_size + overlap}L)"
+        ).alias("_seg"),
+    )
+    m = match_binary(
+        segs, keywords, payload_col="_seg", id_cols=id_cols + ["seg_no"]
+    )
+    # a match belongs to the segment where it STARTS inside the own region
+    # [0, chunk_size); matches starting in the overlap tail re-appear at the
+    # head of the next segment and are emitted there
+    return (
+        m.filter(F.col("start") < chunk_size)
+        .select(
+            *id_cols,
+            "term",
+            (F.col("start") + F.col("seg_no") * chunk_size).alias("start"),
+            (F.col("end") + F.col("seg_no") * chunk_size).alias("end"),
+        )
+    )
 
 
 def search(

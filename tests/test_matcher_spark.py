@@ -132,3 +132,35 @@ def test_match_binary(spark):
     assert got[1] == [(b"ab", 1), (b"\xff\xfe", 4), (b"ab", 6)]
     assert 2 not in got and 3 not in got
     assert got[4] == [(b"ab", 0), (b"ab", 2), (b"ab", 4)]
+
+
+def test_match_binary_chunked_boundary_spanning(spark):
+    """The overlap-split chunked scan equals the whole-payload scan,
+    including matches that straddle chunk boundaries (reference filefind
+    cross-buffer semantics, _cacora.pyx:843-847)."""
+    import numpy as np
+    import pytest
+
+    from acora_spark.operators.matcher import match_binary, match_binary_chunked
+
+    rng = np.random.RandomState(3)
+    # payloads long enough for many chunks; plant hits ON the boundaries
+    kws = [b"needle", b"pin", b"xx"]
+    payloads = []
+    for i in range(4):
+        body = bytearray(rng.randint(0, 256, 3000, dtype=np.uint8).tobytes())
+        for pos in (97, 100 - 3, 200 - 1, 995, 1000, 2000 - 4):
+            body[pos : pos + 6] = b"needle"  # several straddle 100-multiples
+        payloads.append((i, bytes(body)))
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    whole = {
+        (r.media_id, bytes(r.term), r.start, r.end)
+        for r in match_binary(df, kws).collect()
+    }
+    chunked = {
+        (r.media_id, bytes(r.term), r.start, r.end)
+        for r in match_binary_chunked(df, kws, chunk_size=100).collect()
+    }
+    assert whole == chunked and len(whole) > 0
+    with pytest.raises(ValueError):
+        match_binary_chunked(df, kws, chunk_size=3)
