@@ -98,15 +98,29 @@ class Automaton:
         else:
             self._direct = np.zeros(1, dtype=np.int32)
             self._has_exotic = False
+        # uint8 twin of the direct map when the alphabet fits a byte:
+        # gathering straight into the scanner's narrow column dtype avoids
+        # an intermediate int32 matrix (the scan is memory-bandwidth-bound)
+        n_alpha = int(self.lut_vals.max()) if len(self.lut_vals) else 0
+        self._direct_u8 = (
+            self._direct.astype(np.uint8) if n_alpha < 256 else None
+        )
 
     # -- encoding ---------------------------------------------------------
 
     def _codes(self, text) -> np.ndarray:
         """str -> code points; bytes -> byte values (the two scalar domains
         of the reference: UnicodeAcora vs BytesAcora,
-        acora/__init__.py:264-268)."""
+        acora/__init__.py:264-268).
+
+        Pure-ASCII strings return uint8 (byte value == code point), cutting
+        the scanner's memory traffic 4x vs utf-32; anything else returns
+        uint32 code points (offsets stay CODE-POINT offsets either way)."""
         if self.is_bytes:
-            return np.frombuffer(text, dtype=np.uint8).astype(np.uint32)
+            return np.frombuffer(text, dtype=np.uint8)
+        b = text.encode("utf-8")
+        if len(b) == len(text):  # pure ASCII: utf-8 == code points
+            return np.frombuffer(b, dtype=np.uint8)
         return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
 
     def _alpha_idx(self, codes: np.ndarray) -> np.ndarray:
@@ -171,14 +185,26 @@ class Automaton:
             chunk_lens = lens[sel]
             # pad raw code points into the (b, maxlen) matrix, then map the
             # WHOLE matrix to alphabet indices with one direct-table gather
-            # (padding zeros map to 0 — NUL is never in the alphabet)
-            codes_mat = np.zeros((b, maxlen), dtype=np.uint32)
+            # (padding zeros map to 0 — NUL is never in the alphabet).
+            # ASCII-only chunks use a uint8 matrix + uint8 table: the scan
+            # is memory-bound, so 1 byte/char beats 4.
+            narrow = all(codes[d].dtype == np.uint8 for d in sel)
+            codes_mat = np.zeros(
+                (b, maxlen), dtype=np.uint8 if narrow else np.uint32
+            )
             for r, doc_i in enumerate(sel):
                 c = codes[doc_i]
                 codes_mat[r, : len(c)] = c
             limit = len(self._direct)
-            if int(codes_mat.max(initial=0)) < limit:  # common (ASCII) case
-                col = self._direct[codes_mat]
+            table = (
+                self._direct_u8
+                if (self._direct_u8 is not None and col_dt == np.uint8)
+                else self._direct
+            )
+            if narrow and limit > 256:
+                col = table[codes_mat]  # every byte value is in-table
+            elif int(codes_mat.max(initial=0)) < limit:  # common case
+                col = table[codes_mat]
             else:
                 small = codes_mat < limit
                 col = np.where(

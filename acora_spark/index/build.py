@@ -362,7 +362,17 @@ def build_index(
 
     if steps.get("docmap", {}).get("status") != "done":
         t0 = time.time()
-        docmap = assign_doc_ids(spark.read.parquet(docstats_path), key_cols)
+        with open(stats_path) as f:
+            n_rows = json.load(f)["N"]
+        # size the range shuffle by DATA, not by core count: the stat rows
+        # are tiny (~150 B), so at small N a core-proportional partition
+        # count is pure scheduling overhead that SCALES THE WRONG WAY with
+        # added parallelism (measured: docmap slower at local[32] than
+        # local[8]).  ~2M rows (~300 MB) per partition, floor 8.
+        parts = max(8, n_rows // 2_000_000)
+        docmap = assign_doc_ids(
+            spark.read.parquet(docstats_path), key_cols, num_partitions=parts
+        )
         docmap.write.mode("overwrite").parquet(docmap_path)
         release_doc_ids(docmap)  # ids are on disk now; drop the cached layout
         _mark_done(index_dir, "docmap", secs=round(time.time() - t0, 3))
@@ -413,13 +423,22 @@ def build_index(
             *(["positions"] if with_positions else []),
             F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
         )
-        # repartition by bucket before the partitioned write: without this,
-        # every shuffle partition writes a file into every bucket dir
-        # (shuffle_partitions x num_buckets files — file-commit overhead
-        # that GROWS with parallelism and kills scaling)
-        runs.repartition(num_buckets, "bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(runs_path)
+        # Partitioned write layout: repartition by (bucket, doc-slice).
+        # Plain repartition(num_buckets, "bucket") writes ONE file per
+        # bucket — reading a bucket group back would then be capped at
+        # num_buckets input splits regardless of cluster size.  A handful
+        # of doc-hash slices per bucket keeps both properties: each task
+        # writes into one bucket directory (no shuffle_partitions x buckets
+        # file explosion) AND the read side gets ~2 splits per core.
+        fpb = max(
+            1,
+            math.ceil(2 * spark.sparkContext.defaultParallelism / num_buckets),
+        )
+        runs.repartition(
+            num_buckets * fpb,
+            "bucket",
+            F.pmod(F.xxhash64("doc_id"), F.lit(fpb)),
+        ).write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
         _mark_done(index_dir, "runs", secs=round(time.time() - t0, 3))
 
     # ---- step 3: term stats (run count + hot-term shard map, ONE job) ---

@@ -45,7 +45,18 @@ def get_spark(
         # so larger batches amortize the per-batch automaton setup
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Input-split sizing: at production scale (100 MB-1 GB parquet
+        # files) the 128m default is right.  Sandbox corpora are hundreds
+        # of ~1-4 MB files, and the default packing (maxPartitionBytes +
+        # 4 MB openCost per file) folds them into a HANDFUL of input
+        # splits — capping every scan at ~4 tasks no matter how many cores
+        # the session has (measured: flat scan times from local[8] to
+        # local[32]).  16m/1m keeps split counts >= core counts here.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
         # single-box sandbox: put shuffle/spill files on tmpfs so local

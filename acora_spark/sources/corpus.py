@@ -107,6 +107,7 @@ def generate_corpus(
     words_per_doc: int = 120,
     n_repos: int = 50,
     rare_vocab: int = 5000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic synthetic source-code corpus at any scale.
 
@@ -120,7 +121,13 @@ def generate_corpus(
     ``rare_vocab``-word tail (``w0``..``w{n}``) — so document frequencies
     span the full hot/cold range the index has to handle.
     """
-    df = spark.range(n_docs)  # distributed id source
+    # Explicit partition count matters when the output is STAGED to parquet
+    # for a scaling measurement: spark.range defaults to the generating
+    # session's core count, and a corpus written as 8 files caps every
+    # later scan at 8 input splits no matter how many cores read it.
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    df = spark.range(0, n_docs, 1, num_partitions)  # distributed id source
     h = F.xxhash64(F.col("id"))
     lang = F.element_at(
         F.array(*[F.lit(x) for x in _LANGS]), (F.pmod(h, F.lit(len(_LANGS))) + 1).cast("int")

@@ -47,9 +47,11 @@ def main() -> None:
     # -- synthetic corpus (deterministic, staged once as parquet) ---------
     t0 = time.time()
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    corpus_path = f"{base}/acora_bench_corpus_{n_docs}"
+    corpus_path = f"{base}/acora_bench_corpus_{n_docs}_p128"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        generate_corpus(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+        generate_corpus(spark, n_docs, num_partitions=128).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
     synth = spark.read.parquet(corpus_path)
     total_chars = synth.selectExpr("sum(length(content)) s").collect()[0]["s"]
     timings["corpus_gen"] = round(time.time() - t0, 3)
