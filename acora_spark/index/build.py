@@ -517,10 +517,18 @@ def build_index(
         enc_cols = ["term", "shard", "doc_id", "tf", "dl"] + (
             ["positions"] if with_positions else []
         )
+        # Sort with a NUMERIC hash prefix: Spark's sorter prefix-compares
+        # the leading 8 bytes, so leading with xxhash64(term, shard) makes
+        # the in-partition sort radix-like instead of string-comparing 38M
+        # term keys (measured 2x on this stage).  The encoder only needs
+        # (term, shard) groups contiguous + doc_id ascending within them —
+        # any deterministic clustering order satisfies that.
         arranged = (
             sharded.select(*enc_cols)
             .repartition("term", "shard")
-            .sortWithinPartitions("term", "shard", "doc_id")
+            .sortWithinPartitions(
+                F.xxhash64("term", "shard"), "term", "shard", "doc_id"
+            )
         )
         parts = arranged.mapInPandas(
             _encode_stream(avgdl, with_positions), POSTINGS_SCHEMA

@@ -39,6 +39,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets 64 MB partitions by default — at sandbox
+        # data sizes that folds every post-shuffle stage to ~6 partitions
+        # NO MATTER THE CORE COUNT (measured: build stages constant-time
+        # from local[8] to local[32]).  8 MB keeps reduce-side parallelism
+        # >= core count here; production data sizes make 64 MB fine again.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch sizing: the scan UDF is vectorized across documents,
@@ -54,7 +63,7 @@ def get_spark(
         # local[32]).  16m/1m keeps split counts >= core counts here.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
         )
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
