@@ -415,11 +415,13 @@ def build_index(
             tf_df = toks.groupBy("doc_id", "term").agg(
                 F.count("*").alias("tf"), F.first("dl").alias("dl")
             )
+        # int32 tf/dl: halves those columns' bytes through BOTH remaining
+        # shuffles (tf and per-doc token counts are far below 2^31)
         runs = tf_df.select(
             "doc_id",
             "term",
-            "tf",
-            "dl",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
             *(["positions"] if with_positions else []),
             F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
         )
@@ -533,8 +535,23 @@ def build_index(
         parts = arranged.mapInPandas(
             _encode_stream(avgdl, with_positions), POSTINGS_SCHEMA
         )
+        # cluster the (small) encoded rows by bucket before the partitioned
+        # write: one file per bucket instead of tasks x buckets files —
+        # the dynamic-overwrite commit is driver-serial per file
         out = parts.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        ).repartition(len(group), "bucket")
+        # per-partition row metrics ride the write via observe() — no
+        # read-back counting job
+        from pyspark.sql import Observation
+
+        obs = Observation(f"buckets_{group[0]}")
+        out = out.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+                for b in group
+            ],
         )
         # ONE write job per group: dynamic partition overwrite replaces only
         # the buckets present in this group (idempotent under retry)
@@ -546,18 +563,15 @@ def build_index(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        # per-partition metrics for the manifest (column-pruned tiny read)
-        counts = {
-            r["bucket"]: r["count"]
-            for r in spark.read.parquet(postings_path)
-            .filter(F.col("bucket").isin(group))
-            .groupBy("bucket")
-            .count()
-            .collect()
-        }
+        counts = obs.get
         secs = round(time.time() - t0, 3)
         for b in group:
-            _mark_done(index_dir, f"bucket:{b}", rows=int(counts.get(b, 0)), secs=secs)
+            _mark_done(
+                index_dir,
+                f"bucket:{b}",
+                rows=int(counts.get(f"b{b}") or 0),
+                secs=secs,
+            )
 
     return load_index(spark, index_dir)
 
