@@ -33,7 +33,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SHUFFLE_PARTITIONS = 64  # fixed across levels: same plan, same task split
+SHUFFLE_PARTITIONS = int(__import__("os").environ.get("SPARK_GRAFT_SHUFFLE", "64"))  # fixed across levels: same plan, same task split
 KWS = [
     "import", "def", "class", "return", "struct", "impl", "func",
     "package", "public", "static", "void", "const", "template",
