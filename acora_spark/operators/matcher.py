@@ -29,6 +29,7 @@ __all__ = [
     "match_binary",
     "match_binary_chunked",
     "match_counts",
+    "filefind",
     "search",
     "longest_match",
     "match_lines",
@@ -251,6 +252,32 @@ def match_binary_chunked(
             (F.col("start") + F.col("seg_no") * chunk_size).alias("start"),
             (F.col("end") + F.col("seg_no") * chunk_size).alias("end"),
         )
+    )
+
+
+def filefind(
+    spark,
+    path_glob: str,
+    keywords: Sequence[bytes],
+    *,
+    chunk_size: int = 1 << 20,
+) -> DataFrame:
+    """The reference's file-scan surface (S4 ``filefind``/``filefindall``,
+    acora/_cacora.pyx:612-633) in Spark form: files ingested with the
+    distributed ``binaryFile`` source, each payload scanned with the
+    overlap-split chunked bytes scanner — bounded memory per task,
+    parallel across files AND across chunks of oversized files.  Returns
+    ``(path, term, start, end)`` with byte offsets from the start of the
+    file (the reference's global-offset semantics via
+    ``buffer_offset_count``, _cacora.pyx:843-847)."""
+    from acora_spark.sources.multimodal import read_binary_dir
+
+    files = read_binary_dir(spark, path_glob).select(
+        "path", F.col("content").alias("payload")
+    )
+    return match_binary_chunked(
+        files, keywords, chunk_size=chunk_size,
+        payload_col="payload", id_cols=["path"],
     )
 
 

@@ -32,7 +32,9 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+    # 150k synthetic docs (~112 MB): large enough that the scan/build
+    # numbers measure the engine rather than job-launch floors
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
 
     from acora_spark.index.bm25 import QueryEngine, bm25_topk_dataframe
     from acora_spark.index.build import assign_doc_ids, build_index
@@ -61,11 +63,15 @@ def main() -> None:
         "package", "public", "static", "void", "const", "template",
         "include", "namespace", "spark", "index", "query", "match", "shuffle",
     ]
-    t0 = time.time()
-    n_matches = sum(
-        r.n_matches for r in match_counts(synth, kws).collect()
-    )
-    timings["match_scan"] = round(time.time() - t0, 3)
+    # median of 3 (the first rep also pays automaton build + broadcast)
+    scan_times = []
+    for _ in range(3):
+        t0 = time.time()
+        n_matches = sum(
+            r.n_matches for r in match_counts(synth, kws).collect()
+        )
+        scan_times.append(time.time() - t0)
+    timings["match_scan"] = round(statistics.median(scan_times), 3)
 
     index_dir = "/tmp/acora_spark_bench_index"
     shutil.rmtree(index_dir, ignore_errors=True)

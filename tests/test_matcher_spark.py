@@ -164,3 +164,34 @@ def test_match_binary_chunked_boundary_spanning(spark):
     assert whole == chunked and len(whole) > 0
     with pytest.raises(ValueError):
         match_binary_chunked(df, kws, chunk_size=3)
+
+
+def test_filefind_matches_python_scan(spark, tmp_path):
+    """S4 file-scan surface: binaryFile source + chunked scan equals a
+    plain Python byte scan, including a file larger than one chunk with a
+    match straddling the boundary (reference test.py:380-408 pattern)."""
+    from acora_spark.operators.matcher import filefind
+
+    kws = [b"spark", b"ab"]
+    small = b"xx spark abab spark"
+    big = bytearray(b"q" * 5000)
+    big[995:1000] = b"spark"  # straddles the 1000-byte chunk boundary
+    big[2000:2002] = b"ab"
+    (tmp_path / "a.bin").write_bytes(small)
+    (tmp_path / "b.bin").write_bytes(bytes(big))
+
+    got = {
+        (r.path.split("/")[-1], bytes(r.term), r.start)
+        for r in filefind(spark, str(tmp_path), kws, chunk_size=1000).collect()
+    }
+
+    def py_scan(name, data):
+        return {
+            (name, k, i)
+            for k in kws
+            for i in range(len(data))
+            if data[i : i + len(k)] == k
+        }
+
+    want = py_scan("a.bin", small) | py_scan("b.bin", bytes(big))
+    assert got == want and ("b.bin", b"spark", 995) in got
