@@ -379,6 +379,21 @@ def q_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish (GPT-2 pre-tokenizer) token counts — the cheap estimator of
+    LLM token cost; lookahead-free pattern so RE2 (DuckDB) segments
+    identically to Java."""
+    from acora_spark.functions.text import bpe_token_count, token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        bpe_token_count(c).cast("long").alias("n_bpe_tokens"),
+        token_count(c).cast("long").alias("n_word_tokens"),
+    )
+
+
 def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation composite: quality + language filters +
     exact dedup (near-dup off so the result is SQL-mirrorable)."""
@@ -440,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "text_features": q_text_features,
         "token_classes": q_token_classes,
+        "token_count_bpe": q_token_count_bpe,
         "curated_docs": q_curated_docs,
         "events_hourly": q_events_hourly,
     }
@@ -869,6 +885,15 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 """
+    from acora_spark.functions.text import BPE_TOKEN_RE
+
+    sql["token_count_bpe"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE.replace("'", "''")}'))::BIGINT AS n_bpe_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_word_tokens
+FROM documents
+"""
+
     sql["simhash"] = _simhash_sql()
     sql["lsh_pairs"] = _lsh_pairs_sql()
     sql["embedding_near_dups"] = _near_dup_sql()

@@ -16,6 +16,8 @@ from acora_spark.functions.tokenize import TOKEN_RE, tokens_expr
 __all__ = [
     "tokens_col",
     "token_count",
+    "bpe_token_count",
+    "BPE_TOKEN_RE",
     "avg_token_len",
     "stopword_ratio",
     "quality_score",
@@ -24,6 +26,12 @@ __all__ = [
     "fingerprint",
     "with_text_features",
 ]
+
+# GPT-2-style pre-tokenizer pattern, lookahead-free so RE2 engines (the
+# DuckDB oracle) match Java's segmentation exactly.  Counts the segments a
+# byte-level BPE would split BEFORE merges — the standard cheap estimator
+# of LLM token cost (true BPE merges only ever reduce the count).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
 
 # language marker words for the n-gram-free stopword heuristic; the exact
 # sets are part of the documented semantics (the DuckDB oracle mirrors them)
@@ -41,6 +49,13 @@ def tokens_col(content: Column) -> Column:
 
 def token_count(content: Column) -> Column:
     return F.regexp_count(F.lower(content), F.lit(TOKEN_RE))
+
+
+def bpe_token_count(content: Column) -> Column:
+    """BPE-ish token count: segments of the GPT-2-style pre-tokenizer
+    (contractions / letter runs / digit runs / punctuation runs /
+    whitespace, each with the optional leading space)."""
+    return F.regexp_count(content, F.lit(BPE_TOKEN_RE))
 
 
 def avg_token_len(content: Column) -> Column:

@@ -68,3 +68,25 @@ def test_with_text_features_schema(spark):
         "fingerprint",
     } <= names
     out.collect()
+
+
+def test_bpe_token_count_segmentation(spark):
+    """GPT-2-style pre-tokenizer segments: contraction split, leading-space
+    attachment, punctuation runs, whitespace runs."""
+    import re
+
+    from acora_spark.functions.text import BPE_TOKEN_RE, bpe_token_count
+
+    cases = [
+        "it's a test",          # it | 's | _a | _test
+        "hello world",          # hello | _world
+        "x=1+2;",               # x | =| 1 | +| 2 | ;
+        "",                     # 0
+        "  spaced   out  ",     # whitespace runs count as segments
+    ]
+    c = F.col("content")
+    for text in cases:
+        got = _one(spark, text, bpe_token_count(c))
+        want = len(re.findall(BPE_TOKEN_RE, text))
+        assert got == want, (text, got, want)
+    assert _one(spark, "it's a test", bpe_token_count(c)) == 4
