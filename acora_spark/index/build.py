@@ -545,11 +545,24 @@ def build_index(
         # read-back counting job
         from pyspark.sql import Observation
 
+        # per-bucket metrics riding the write: row count + an
+        # order-independent content checksum (bit_xor of row hashes —
+        # includes the encoded blob bytes, so identical data under ANY
+        # partitioning/parallelism yields the identical checksum; the
+        # lineage record the north rule asks for, and the determinism
+        # evidence the tests assert)
         obs = Observation(f"buckets_{group[0]}")
+        row_hash = F.xxhash64("term", "shard", "df", "postings")
         out = out.observe(
             obs,
             *[
                 F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+                for b in group
+            ],
+            *[
+                F.bit_xor(
+                    F.when(F.col("bucket") == b, row_hash)
+                ).alias(f"x{b}")
                 for b in group
             ],
         )
@@ -566,10 +579,12 @@ def build_index(
         counts = obs.get
         secs = round(time.time() - t0, 3)
         for b in group:
+            xor = counts.get(f"x{b}")
             _mark_done(
                 index_dir,
                 f"bucket:{b}",
                 rows=int(counts.get(f"b{b}") or 0),
+                xor64=(int(xor) if xor is not None else 0),
                 secs=secs,
             )
 

@@ -221,6 +221,31 @@ def test_taat_boundary_ties_match_wand():
         np.testing.assert_array_equal(ts, ws)
 
 
+def test_index_bytes_identical_across_parallelism(spark, sf_dir, tmp_path):
+    """The persisted index is a pure function of the corpus: building from
+    a differently-partitioned input produces bit-identical postings rows
+    (the manifest's per-bucket xor64 lineage checksums cover the encoded
+    blob bytes)."""
+    corpus = load_corpus(spark, sf_dir).limit(200)
+    sums = []
+    for i, parts in enumerate((3, 11)):
+        d = str(tmp_path / f"idx_{i}")
+        build_index(
+            corpus.repartition(parts), d, num_buckets=4,
+            docs_per_salt=50, bucket_group_size=4, resume=False,
+        )
+        m = json.load(open(os.path.join(d, "_manifest.json")))
+        sums.append(
+            {
+                k: (v["rows"], v["xor64"])
+                for k, v in m["steps"].items()
+                if k.startswith("bucket:")
+            }
+        )
+    assert sums[0] == sums[1]
+    assert any(rows > 0 for rows, _ in sums[0].values())
+
+
 def test_query_terms_normalization():
     assert query_terms("The QUICK-brown fox_1 the") == ["brown", "fox_1", "quick", "the"]
 
