@@ -109,3 +109,36 @@ def test_running_totals_stateful(spark, staged, tmp_path):
         for r in match(corpus, KWS).groupBy("repo").agg(F.count("*").alias("n")).collect()
     }
     assert {r.repo: r.t for r in got} == expect
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    """Streaming exact dedup: first arrival of each content survives,
+    replays within the watermark horizon are dropped."""
+    from acora_spark.streaming.match_stream import dedup_stream
+
+    src = str(tmp_path / "dedup_src")
+    rows = [
+        (1, "2024-01-01 00:00:00", "alpha body"),
+        (2, "2024-01-01 00:00:10", "beta body"),
+        (3, "2024-01-01 00:00:20", "alpha body"),   # replay of 1
+        (4, "2024-01-01 00:00:30", "gamma body"),
+        (5, "2024-01-01 00:00:40", "beta body"),    # replay of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts_s string, content string")
+    df.select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "content") \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, content string").parquet(src)
+    out = dedup_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select content from dedupstream").collect()
+    finally:
+        q.stop()
+    assert sorted(r.content for r in got) == ["alpha body", "beta body", "gamma body"]
