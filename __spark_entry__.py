@@ -82,9 +82,9 @@ def _values(words: list[str]) -> str:
 
 
 # bump when the postings codec / index layout changes so cached index dirs
-# from older code are never reused (v3: sharded hot-term postings rows,
-# double-precision block max_impact)
-INDEX_FORMAT_VERSION = 3
+# from older code are never reused (v4: power-of-two shard counts for the
+# doc-range-parallel query grid)
+INDEX_FORMAT_VERSION = 4
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -212,6 +212,24 @@ def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index_for(spark, sf_dir)
     raw = bm25_topk_batch(spark, idx, [BM25_QUERY], k=4 * BM25_K)
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
+def q_index_bm25_topk_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-range-parallel executor (one query fans out across range
+    groups) — same oracle as the single-task WAND path: results must be
+    rank-identical."""
+    from acora_spark.index.bm25 import bm25_topk_batch_ranged
+
+    idx = _index_for(spark, sf_dir)
+    raw = bm25_topk_batch_ranged(spark, idx, [BM25_QUERY], k=4 * BM25_K)
     rounded = raw.withColumn("score", F.round("score", 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     topk = (
@@ -444,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_freq_top20": q_term_doc_freq_top20,
         "bm25_topk": q_bm25_topk,
         "index_bm25_topk": q_index_bm25_topk,
+        "index_bm25_topk_ranged": q_index_bm25_topk_ranged,
         "phrase_match": q_phrase_match,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -719,6 +738,7 @@ LIMIT 20
 
     sql["bm25_topk"] = _bm25_sql()
     sql["index_bm25_topk"] = _bm25_sql()
+    sql["index_bm25_topk_ranged"] = _bm25_sql()
 
     # phrase_tf = number of adjacent token runs equal to the phrase
     p_toks = PHRASE.lower().split()

@@ -5,24 +5,41 @@ reference multi-keyword matcher (scoder/acora) extended into a distributed
 inverted-index / BM25 pipeline.  See SURVEY.md for the capability map.
 """
 
-from acora_spark.automaton import Automaton, build_automaton
+from acora_spark.automaton import AcoraBuilder, Automaton, build_automaton
 from acora_spark.operators.matcher import (
+    filefind,
     longest_match,
     match,
+    match_binary,
+    match_binary_chunked,
+    match_counts,
     match_lines,
     matching_lines,
     search,
 )
 from acora_spark.session import get_spark
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def search_ignore_case(df, *keywords, **kw):
+    """Reference parity (acora/__init__.py:310-316): one-shot
+    case-insensitive build + scan."""
+    return search(df, *keywords, ignore_case=True, **kw)
+
 
 __all__ = [
+    "AcoraBuilder",
     "Automaton",
     "build_automaton",
     "get_spark",
     "match",
+    "match_binary",
+    "match_binary_chunked",
+    "match_counts",
+    "filefind",
     "search",
+    "search_ignore_case",
     "longest_match",
     "match_lines",
     "matching_lines",

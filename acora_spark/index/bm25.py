@@ -64,6 +64,7 @@ __all__ = [
     "query_terms",
     "idf",
     "bm25_topk_batch",
+    "bm25_topk_batch_ranged",
     "bm25_topk",
     "bm25_topk_dataframe",
     "reference_topk",
@@ -419,6 +420,158 @@ def bm25_topk(
     spark: SparkSession, index: Index, query: str, k: int = 10
 ) -> DataFrame:
     return bm25_topk_batch(spark, index, [query], k).drop("query_id")
+
+
+def _taat_topk_range(
+    term_rows, k, avgdl, k1, b, lo, hi, positional
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact TAAT restricted to the doc range [lo, hi): per term, decode
+    only the blocks overlapping the range (block skip via last_doc), mask,
+    and accumulate into a DENSE local array of size hi-lo — the memory
+    bound that makes single-query TAAT feasible at any corpus size.
+    ``term_rows`` are (idf_total, blob, blocks) in ascending-term order
+    (one row per term: ranges tile shards, so exactly one shard of each
+    term covers this range)."""
+    n_local = hi - lo
+    if k <= 0 or n_local <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores = np.zeros(n_local, dtype=np.float64)
+    touched = np.zeros(n_local, dtype=bool)
+    for t_idf, blob, blocks in term_rows:
+        if not blocks:
+            continue
+        last = np.asarray([blk["last_doc"] for blk in blocks], dtype=np.int64)
+        i0 = int(np.searchsorted(last, lo))  # first block ending >= lo
+        # blocks j > i0 start after last[j-1]; include while that start < hi
+        i1 = int(np.searchsorted(last, hi - 1)) + 1
+        i1 = min(i1, len(blocks))
+        if i0 >= i1:
+            continue
+        docs, tfs, dls = _decode(blob, blocks, positional, np.arange(i0, i1))
+        m = (docs >= lo) & (docs < hi)
+        if not m.any():
+            continue
+        d = docs[m] - lo
+        scores[d] += t_idf * impact(tfs[m], dls[m], avgdl, k1, b)
+        touched[d] = True
+    cand = np.nonzero(touched)[0]
+    if not len(cand):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    kk = min(k, len(cand))
+    cs = scores[cand]
+    if len(cand) > kk:
+        part = np.argpartition(-cs, kk - 1)
+        keep = cand[cs >= cs[part[kk - 1]]]
+    else:
+        keep = cand
+    order = np.lexsort((keep, -scores[keep]))[:kk]
+    sel = keep[order]
+    return (sel + lo).astype(np.int64), scores[sel]
+
+
+def bm25_topk_batch_ranged(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[str],
+    k: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Doc-range-parallel top-k: ONE query fans out across executors.
+
+    ``bm25_topk_batch`` parallelizes ACROSS queries (one task per query);
+    at 10^12 docs a single query would be one task over the full posting
+    lists.  Here the doc-id space splits into a power-of-two grid of
+    ``num_ranges`` ranges (default: the largest hot-term shard count among
+    the query's terms).  Shard counts are powers of two (build invariant),
+    so every term's shards tile the grid exactly: each (term, shard) row
+    is exploded to the ranges it covers — hot shards map to few ranges,
+    cold terms' single rows replicate to all (their blobs are bounded by
+    ``docs_per_salt``).  Each (query, range) group computes EXACT scores
+    for its docs (every contributing term is present in the group) with a
+    range-local dense TAAT, emits its top-k, and a final k-row-per-range
+    merge picks the global top-k — bit-identical to the single-task
+    executors (same ascending-term float64 summation; any global top-k doc
+    is necessarily in its own range's top-k)."""
+    stats = index.stats
+    all_terms = sorted({t for q in queries for t in query_terms(q)})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    pairs = [(qi, t) for qi, q in enumerate(queries) for t in query_terms(q)]
+    needed = sorted(set(buckets.values()))
+    if not needed or not pairs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    post = index.postings(spark, needed).filter(F.col("term").isin(all_terms))
+    # tiny pre-pass: per-term total df (for idf) + shard count (for range
+    # mapping) over just the query's terms
+    tstats = {
+        r["term"]: (int(r["df_tot"]), int(r["n_shard"]))
+        for r in post.groupBy("term")
+        .agg(
+            F.sum("df").alias("df_tot"),
+            (F.max("shard") + 1).alias("n_shard"),
+        )
+        .collect()
+    }
+    if not tstats:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    max_shards = max(n for _, n in tstats.values())
+    R = num_ranges or max_shards
+    R = max(1, 1 << (R - 1).bit_length())  # power of two >= requested
+    if R < max_shards:
+        raise ValueError(f"num_ranges must be >= max shard count {max_shards}")
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    positional = bool(stats.get("with_positions"))
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    span_df = spark.createDataFrame(
+        [(t, R // n) for t, (_, n) in tstats.items()], "term string, span int"
+    )
+    ranged = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(span_df), "term")
+        .withColumn(
+            "rng",
+            F.explode(
+                F.sequence(
+                    F.col("shard") * F.col("span"),
+                    (F.col("shard") + 1) * F.col("span") - 1,
+                )
+            ),
+        )
+    )
+    bc_idf = spark.sparkContext.broadcast(
+        {t: idf(n_docs, df_tot) for t, (df_tot, _) in tstats.items()}
+    )
+
+    def run_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid, r = int(key[0]), int(key[1])
+        lo = (r * n_docs + R - 1) // R
+        hi = ((r + 1) * n_docs + R - 1) // R
+        pdf = pdf.sort_values("term")
+        idf_map = bc_idf.value
+        rows = [
+            (
+                idf_map[pdf["term"].iloc[i]],
+                bytes(pdf["postings"].iloc[i]),
+                [dict(x) for x in pdf["blocks"].iloc[i]],
+            )
+            for i in range(len(pdf))
+        ]
+        docs, scores = _taat_topk_range(
+            rows, k, avgdl, k1, b, lo, hi, positional
+        )
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": docs, "score": scores}
+        )
+
+    partial = ranged.groupBy("query_id", "rng").applyInPandas(
+        run_range, "query_id long, doc_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 PHRASE_SCHEMA = StructType(

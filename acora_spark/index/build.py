@@ -462,8 +462,14 @@ def build_index(
                 F.when(F.col("cnt") > docs_per_salt, F.struct("term", "cnt"))
             ).alias("hot"),
         ).collect()[0]
+        # shard counts round UP to powers of two: every term's shard ranges
+        # are then DYADIC (shard s of an n-shard term covers exactly
+        # R/n consecutive ranges of any finer power-of-two split R), which
+        # lets the doc-range-parallel query executor align shards of
+        # different terms onto one common range grid without splitting blobs
         hot_map = {
-            h["term"]: int(math.ceil(h["cnt"] / docs_per_salt)) for h in row["hot"]
+            h["term"]: 1 << int(math.ceil(h["cnt"] / docs_per_salt) - 1).bit_length()
+            for h in row["hot"]
         }
         with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
             json.dump(hot_map, f)

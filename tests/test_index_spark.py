@@ -173,6 +173,26 @@ def test_resume_skips_done_buckets(spark, sf_dir, tmp_path):
     assert bm25_topk_batch(spark, idx, ["data table"], k=3).count() > 0
 
 
+def test_ranged_executor_matches_single_task(built, spark):
+    """Doc-range-parallel top-k (one query fanned out over range groups)
+    is bit-identical to the single-task-per-query executor: same docs,
+    same float64 scores, for hot+cold term mixes and k past tie
+    boundaries."""
+    from acora_spark.index.bm25 import bm25_topk_batch_ranged
+
+    idx, _, _ = built
+    for kk in (5, 25):
+        single = bm25_topk_batch(spark, idx, QUERIES, k=kk).collect()
+        ranged = bm25_topk_batch_ranged(spark, idx, QUERIES, k=kk).collect()
+        key = lambda rows: sorted(
+            (r.query_id, r.rank, r.doc_id, float(r.score)) for r in rows
+        )
+        assert key(single) == key(ranged), kk
+    # a hot term really was split: the grid has > 1 range
+    post = idx.postings(spark)
+    assert post.agg(F.max("shard")).collect()[0][0] >= 1
+
+
 def test_resume_rejects_changed_params(spark, sf_dir, tmp_path):
     index_dir = str(tmp_path / "idx3")
     corpus = load_corpus(spark, sf_dir).limit(40)
