@@ -542,7 +542,8 @@ def bm25_topk_batch_ranged(
         {t: idf(n_docs, df_tot) for t, (df_tot, _) in tstats.items()}
     )
 
-    def run_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_range(key, pdf):  # (key, pdf) applyInPandas form; no type hints
+        # (pyspark warns on partially-hinted grouped-map signatures)
         qid, r = int(key[0]), int(key[1])
         lo = (r * n_docs + R - 1) // R
         hi = ((r + 1) * n_docs + R - 1) // R
