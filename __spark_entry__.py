@@ -170,6 +170,23 @@ def q_match_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_binary_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlap-split chunked bytes scan (reference filefind cross-buffer
+    semantics) forced into multi-chunk mode: 200-byte chunks over ~700-byte
+    payloads, verified against the same whole-payload position oracle."""
+    from acora_spark.operators.matcher import match_binary_chunked
+
+    c = _corpus(spark, sf_dir).select(
+        "path", F.encode("content", "UTF-8").alias("payload")
+    )
+    m = match_binary_chunked(
+        c, BIN_KWS, chunk_size=200, payload_col="payload", id_cols=["path"]
+    )
+    return m.select(
+        "path", F.decode(F.col("term"), "UTF-8").alias("term"), "start"
+    )
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acora_spark.functions.tokenize import tokenize
 
@@ -427,6 +444,23 @@ def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curated_docs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline including LSH near-dup removal (drop the
+    larger id of every banded MinHash candidate pair) — mirrored in SQL
+    over the same md5 minhash family."""
+    from acora_spark.operators.curate import curate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate(
+        d, content_col="text", id_col="doc_id",
+        min_quality=0.3, langs=["en"], near_dup=True,
+        num_hashes=4, band_size=2,
+    )
+    return out.select(
+        "doc_id", "lang_pred", F.round("quality_score", 6).alias("quality")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -458,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_lines": q_match_lines,
         "matching_lines": q_matching_lines,
         "match_binary": q_match_binary,
+        "match_binary_chunked": q_match_binary_chunked,
         "doc_stats": q_doc_stats,
         "term_doc_freq_top20": q_term_doc_freq_top20,
         "bm25_topk": q_bm25_topk,
@@ -476,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_classes": q_token_classes,
         "token_count_bpe": q_token_count_bpe,
         "curated_docs": q_curated_docs,
+        "curated_docs_neardup": q_curated_docs_neardup,
         "events_hourly": q_events_hourly,
     }
 
@@ -679,6 +715,7 @@ WITH {_CORPUS_CTE},
 {_hits_cte([k.decode() for k in BIN_KWS])}
 SELECT path, term, start FROM hits
 """
+    sql["match_binary_chunked"] = sql["match_binary"]
 
     # multi-line view shared by the R2/R3 recipes: newline every 5 words
     # (same regex + global replacement semantics in Java and RE2), then
@@ -887,6 +924,70 @@ filtered AS (
 )
 SELECT doc_id, lang_pred, round(q, 6) AS quality
 FROM filtered WHERE rn = 1
+"""
+
+    sql["curated_docs_neardup"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, len(t) AS n, t,
+         len(list_filter(t, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS nsw,
+         len(list_filter(t, x -> list_contains(['the','and','of','to','a'], x))) AS c_en,
+         len(list_filter(t, x -> list_contains(['el','la','de','que','y'], x))) AS c_es,
+         len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS c_fr
+  FROM base
+),
+scored AS (
+  SELECT doc_id, text, t,
+         CASE WHEN c_en > c_es AND c_en > c_fr AND c_en > 0 THEN 'en'
+              WHEN c_es > c_en AND c_es > c_fr AND c_es > 0 THEN 'es'
+              WHEN c_fr > c_en AND c_fr > c_es AND c_fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_pred,
+         0.4 * least(n / 256.0, 1.0)
+           + 0.3 * (1.0 - least(abs((CASE WHEN n > 0 THEN nsw::DOUBLE / n ELSE 0 END) - 0.3) / 0.3, 1.0))
+           + 0.3 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
+                    ELSE 0 END) AS q
+  FROM feat
+),
+surv AS (
+  SELECT doc_id, lang_pred, q, t FROM (
+    SELECT doc_id, lang_pred, q, t,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+    FROM scored
+    WHERE q >= 0.3 AND lang_pred = 'en'
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+             j -> array_to_string(list_slice(t, j, j + 2), ' ')))
+         ELSE [] END AS sh
+  FROM surv
+),
+shr AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || s)) AS mh_0, min(md5('1:' || s)) AS mh_1,
+         min(md5('2:' || s)) AS mh_2, min(md5('3:' || s)) AS mh_3
+  FROM shr GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sig
+),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_id, lang_pred, round(q, 6) AS quality
+FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
     sql["token_classes"] = """
