@@ -95,6 +95,16 @@ def main() -> None:
         lat.append(time.time() - t0)
     timings["bm25_serve_p50"] = round(statistics.median(lat), 3)
 
+    # the doc-range-parallel executor (single query fanned out over ranges)
+    from acora_spark.index.bm25 import bm25_topk_batch_ranged
+
+    lat_r = []
+    for q in queries:
+        t0 = time.time()
+        bm25_topk_batch_ranged(spark, idx, [q], k=10).collect()
+        lat_r.append(time.time() - t0)
+    timings["bm25_ranged_p50"] = round(statistics.median(lat_r), 3)
+
     # -- sf-dir representative queries ------------------------------------
     corpus = load_corpus(spark, sf_dir)
     t0 = time.time()
