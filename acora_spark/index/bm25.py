@@ -40,7 +40,6 @@ from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
