@@ -380,6 +380,24 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_LSH_PLANES, ANN_LSH_HAMMING, ANN_LSH_SEED = 8, 1, 7
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball hyperplane-LSH ANN: sign-bucket candidates within
+    Hamming distance 1 of the query's bucket, exact-cosine verified —
+    entirely in-engine expressions, mirrored bit-for-bit in SQL with the
+    same plane literals."""
+    from acora_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = lsh_topk(
+        emb, query_id=0, k=10,
+        num_planes=ANN_LSH_PLANES, hamming=ANN_LSH_HAMMING, seed=ANN_LSH_SEED,
+    )
+    return res.select("rank", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acora_spark.functions.text import lang_id, quality_score, token_count
 
@@ -506,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "text_features": q_text_features,
         "token_classes": q_token_classes,
@@ -668,8 +687,43 @@ SELECT id_a, id_b, round(cos, 4) AS cosine FROM verified WHERE cos >= {NEARDUP_T
 """
 
 
+def _ann_lsh_sql() -> str:
+    """Mirror of q_ann_lsh_topk: identical plane literals, identical
+    sign-bucket packing, Hamming-ball candidate filter, exact cosine."""
+    import numpy as np
+
+    planes = np.random.RandomState(ANN_LSH_SEED).standard_normal(
+        (ANN_LSH_PLANES, 64)
+    )
+
+    def arr(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(planes[i])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(ANN_LSH_PLANES)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM base),
+q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT b.vec_id,
+         list_dot_product(b.v, q.qv)
+           / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM b CROSS JOIN q
+  WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= {ANN_LSH_HAMMING}
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+       vec_id, round(cos, 4) AS cosine
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+    sql["ann_lsh_topk"] = _ann_lsh_sql()
 
     sql["match_count_by_term"] = f"""
 WITH {_CORPUS_CTE},

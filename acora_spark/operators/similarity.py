@@ -25,6 +25,7 @@ __all__ = [
     "cosine_expr",
     "brute_force_topk",
     "lsh_buckets",
+    "lsh_topk",
     "ivf_topk",
     "build_ann_index",
     "ann_query",
@@ -105,6 +106,65 @@ def lsh_buckets(
 
     return emb.select(id_col, vec_col).mapInPandas(
         bucketize, f"{id_col} long, bucket long"
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    *,
+    num_planes: int = 12,
+    hamming: int = 1,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by random-hyperplane LSH with a Hamming ball:
+    candidates are vectors whose sign bucket differs from the query's in at
+    most ``hamming`` bits, verified with the exact cosine.
+
+    Everything — plane projections (literal seeded plane vectors, JVM fold
+    dots), the query's own bucket, the Hamming filter (bit_count of xor),
+    and the verify — is in-engine expressions, so the whole algorithm is
+    SQL-mirrorable and the candidate set shrinks ~2^num_planes-fold at
+    scale while the probe remains one equality-free filter (at 100 TB you
+    partition storage by bucket and the ball probe prunes partitions)."""
+    from acora_spark.operators.dedup import hyperplane_bands
+
+    dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+    planes = np.random.RandomState(seed).standard_normal((num_planes, dim))
+    buckets = hyperplane_bands(
+        emb, planes, band_size=num_planes, id_col=id_col, vec_col=vec_col
+    ).drop("band")
+    withv = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(buckets, id_col)
+    q = withv.filter(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("qb"), F.col("v").alias("qv")
+    )
+    scored = (
+        withv.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .filter(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= hamming
+        )
+        .select(
+            F.col(id_col),
+            cosine_expr(F.col("v"), F.col("qv")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    return scored.select(
+        id_col,
+        "cosine",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), F.asc(id_col)))
+        .alias("rank"),
     )
 
 
