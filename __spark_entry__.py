@@ -82,9 +82,10 @@ def _values(words: list[str]) -> str:
 
 
 # bump when the postings codec / index layout changes so cached index dirs
-# from older code are never reused (v4: power-of-two shard counts for the
-# doc-range-parallel query grid)
-INDEX_FORMAT_VERSION = 4
+# from older code are never reused (v5: width-based dyadic sharding
+# [shard = doc_id >> w], hot_terms.json stores log2 widths, stats carries
+# max_dl + min_avgdl_encode)
+INDEX_FORMAT_VERSION = 5
 
 
 def _index_for(spark: SparkSession, sf_dir: str):

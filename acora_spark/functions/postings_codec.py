@@ -32,6 +32,9 @@ __all__ = [
     "encode_postings",
     "decode_postings",
     "decode_postings_positional",
+    "slice_postings_by_range",
+    "decode_slice",
+    "positional_range_keys",
     "impact",
 ]
 
@@ -40,11 +43,16 @@ K1 = 1.2
 B = 0.75
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varint encode of a non-negative int64 array."""
+def varint_encode(values: np.ndarray, return_offsets: bool = False):
+    """LEB128-style varint encode of a non-negative int64 array.
+
+    With ``return_offsets=True`` returns ``(bytes, starts)`` where
+    ``starts[i]`` is the byte offset of value ``i`` — the hook the
+    range-slicer uses to cut one encoded stream into per-range blobs
+    without re-encoding."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return (b"", np.empty(0, np.int64)) if return_offsets else b""
     # bytes needed per value: ceil(bit_length / 7), min 1
     thresholds = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
     nb = (np.searchsorted(thresholds, v, side="right") + 1).astype(np.int64)
@@ -58,7 +66,8 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = (nb[mask] > slot + 1).astype(np.uint8) << 7
         out[starts[mask] + slot] = byte | cont
         rem[mask] >>= np.uint64(7)
-    return out.tobytes()
+    buf = out.tobytes()
+    return (buf, starts) if return_offsets else buf
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -212,3 +221,88 @@ def decode_postings_positional(
         np.asarray(all_dl, dtype=np.int64),
         all_pos,
     )
+
+
+# ------------------------------------------------- doc-range blob slicing --
+#
+# The doc-range-parallel query executors ship each posting byte to EXACTLY
+# one range group: a (term, shard) task decodes its blob once, re-varints
+# the triples with an absolute doc id at every range boundary, and cuts the
+# single encoded stream at per-value byte offsets.  Shuffle bytes ~= the
+# compressed postings of the query's terms — no blob replication, no
+# dependence on how the storage sharding aligns with the query grid.
+
+
+def slice_postings_by_range(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    shift: int,
+) -> tuple[np.ndarray, list[bytes]]:
+    """Cut one term's (doc-sorted) postings into per-range varint blobs.
+
+    Range of a doc = ``doc_id >> shift`` (dyadic grid, pure integer math).
+    Returns ``(range_ids, blobs)`` — one compact triple-stream blob per
+    NON-EMPTY range, decodable independently via :func:`decode_slice`
+    (the first gap of each slice is the absolute doc id).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return np.empty(0, np.int64), []
+    rng = doc_ids >> shift
+    cut = np.concatenate(([0], np.flatnonzero(rng[1:] != rng[:-1]) + 1))
+    gaps = np.diff(doc_ids, prepend=doc_ids[0:1])
+    gaps[cut] = doc_ids[cut]  # absolute doc id at every slice start
+    tri = np.empty(3 * n, dtype=np.int64)
+    tri[0::3] = gaps
+    tri[1::3] = tfs
+    tri[2::3] = dls
+    buf, offs = varint_encode(tri, return_offsets=True)
+    byte_cuts = np.concatenate((offs[3 * cut], [len(buf)]))
+    blobs = [
+        buf[byte_cuts[i] : byte_cuts[i + 1]] for i in range(len(cut))
+    ]
+    return rng[cut], blobs
+
+
+def decode_slice(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one range slice -> (doc_ids, tfs, dls)."""
+    tri = varint_decode(blob)
+    docs = np.cumsum(tri[0::3])
+    return docs, tri[1::3], tri[2::3]
+
+
+def positional_range_keys(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: list,
+    shift: int,
+    pos_bits: int,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Per-range packed (doc, position) keys for the phrase executor.
+
+    Key = ``(doc_id - range_lo) << pos_bits | position`` — range-local doc
+    in the high bits so keys never overflow int64 at any corpus size as
+    long as ``(range width) * 2**pos_bits < 2**63`` (the caller sizes
+    ``pos_bits`` from the corpus max document length).  Keys are sorted
+    ascending within each range; phrase intersection is then a chain of
+    ``np.intersect1d`` calls on shifted key arrays — fully vectorized
+    across candidate docs.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(doc_ids) == 0:
+        return np.empty(0, np.int64), []
+    rep = np.repeat(doc_ids, tfs)
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+        if positions
+        else np.empty(0, np.int64)
+    )
+    rng = rep >> shift
+    keys = ((rep - ((rep >> shift) << shift)) << pos_bits) | flat
+    cut = np.concatenate(([0], np.flatnonzero(rng[1:] != rng[:-1]) + 1, [len(rep)]))
+    out_rng = rng[cut[:-1]]
+    out_keys = [keys[cut[i] : cut[i + 1]] for i in range(len(out_rng))]
+    return out_rng, out_keys

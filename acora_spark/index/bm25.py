@@ -90,10 +90,11 @@ class _Cursor:
 
     __slots__ = (
         "idf", "blob", "blocks", "k1", "b", "avgdl", "positional",
-        "bi", "pos", "docs", "tfs", "dls", "exhausted", "ub",
+        "bi", "pos", "docs", "tfs", "dls", "exhausted", "ub", "_bscale",
     )
 
-    def __init__(self, term_idf, blob, blocks, k1, b, avgdl, positional=False):
+    def __init__(self, term_idf, blob, blocks, k1, b, avgdl, positional=False,
+                 bound_scale=1.0):
         self.positional = positional
         self.idf = term_idf
         self.blob = blob
@@ -103,7 +104,14 @@ class _Cursor:
         self.docs = self.tfs = self.dls = None
         self.pos = 0
         self.exhausted = not blocks
-        self.ub = term_idf * max((blk["max_impact"] for blk in blocks), default=0.0)
+        # bound_scale >= 1 keeps stored block bounds ADMISSIBLE after an
+        # incremental merge raised avgdl (impact grows at most by
+        # avgdl_new/avgdl_encode; see stats["min_avgdl_encode"]).  Exact
+        # scores are unaffected — only the skip bounds widen.
+        self._bscale = bound_scale
+        self.ub = term_idf * bound_scale * max(
+            (blk["max_impact"] for blk in blocks), default=0.0
+        )
         if not self.exhausted:
             self._load_block(0)
 
@@ -120,7 +128,7 @@ class _Cursor:
 
     def block_ub(self) -> float:
         return (
-            self.idf * self.blocks[self.bi]["max_impact"]
+            self.idf * self._bscale * self.blocks[self.bi]["max_impact"]
             if not self.exhausted
             else 0.0
         )
@@ -162,17 +170,20 @@ def wand_topk(
     k1: float,
     b: float,
     positional: bool = False,
+    bound_scale: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over (idf, blob, blocks) per query term.
 
     Returns (doc_ids, scores) ranked by (score desc, doc_id asc), length
     <= k.  Threshold comparisons use >= so ties at the k-boundary are
     resolved exactly by the doc_id tie-break (never pruned away).
+    ``bound_scale`` >= 1 widens the stored block bounds (admissibility
+    after incremental merges that raised avgdl).
     """
     if k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cursors = [
-        _Cursor(ti, blob, blocks, k1, b, avgdl, positional)
+        _Cursor(ti, blob, blocks, k1, b, avgdl, positional, bound_scale)
         for ti, blob, blocks in term_postings
     ]
     cursors = [c for c in cursors if not c.exhausted]
@@ -316,9 +327,9 @@ TAAT_MAX_DOCS = 8_000_000
 
 
 def _execute_topk(term_postings, k, avgdl, k1, b, n_docs, executor="auto",
-                  positional=False):
+                  positional=False, bound_scale=1.0):
     if executor == "wand" or (executor == "auto" and n_docs > TAAT_MAX_DOCS):
-        return wand_topk(term_postings, k, avgdl, k1, b, positional)
+        return wand_topk(term_postings, k, avgdl, k1, b, positional, bound_scale)
     return taat_topk(term_postings, k, avgdl, k1, b, n_docs, positional)
 
 
@@ -365,14 +376,15 @@ def _shard_postings(pdf: pd.DataFrame, n_docs: int) -> list[tuple[float, bytes, 
     ]
 
 
-def _make_topk_runner(n_docs, avgdl, k1, b, k, positional):
+def _make_topk_runner(n_docs, avgdl, k1, b, k, positional, bound_scale=1.0):
     """The per-query applyInPandas executor shared by the cold
     (bucket-pruned) and warm (persisted-postings) paths."""
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         tp = _shard_postings(pdf, n_docs)
         docs, scores = _execute_topk(
-            tp, k, avgdl, k1, b, n_docs, positional=positional
+            tp, k, avgdl, k1, b, n_docs, positional=positional,
+            bound_scale=bound_scale,
         )
         return pd.DataFrame(
             {
@@ -411,8 +423,17 @@ def bm25_topk_batch(
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     positional = bool(stats.get("with_positions"))
-    run_query = _make_topk_runner(n_docs, avgdl, k1, b, k, positional)
+    run_query = _make_topk_runner(
+        n_docs, avgdl, k1, b, k, positional, _bound_scale(stats)
+    )
     return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
+
+
+def _bound_scale(stats: dict) -> float:
+    """>=1 factor restoring block-bound admissibility after incremental
+    merges raised avgdl above the value some rows were encoded under."""
+    enc = float(stats.get("min_avgdl_encode") or stats["avgdl"])
+    return max(1.0, float(stats["avgdl"]) / enc) if enc > 0 else 1.0
 
 
 def bm25_topk(
@@ -421,51 +442,102 @@ def bm25_topk(
     return bm25_topk_batch(spark, index, [query], k).drop("query_id")
 
 
-def _taat_topk_range(
-    term_rows, k, avgdl, k1, b, lo, hi, positional
-) -> tuple[np.ndarray, np.ndarray]:
-    """Exact TAAT restricted to the doc range [lo, hi): per term, decode
-    only the blocks overlapping the range (block skip via last_doc), mask,
-    and accumulate into a DENSE local array of size hi-lo — the memory
-    bound that makes single-query TAAT feasible at any corpus size.
-    ``term_rows`` are (idf_total, blob, blocks) in ascending-term order
-    (one row per term: ranges tile shards, so exactly one shard of each
-    term covers this range)."""
-    n_local = hi - lo
-    if k <= 0 or n_local <= 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    scores = np.zeros(n_local, dtype=np.float64)
-    touched = np.zeros(n_local, dtype=bool)
-    for t_idf, blob, blocks in term_rows:
-        if not blocks:
-            continue
-        last = np.asarray([blk["last_doc"] for blk in blocks], dtype=np.int64)
-        i0 = int(np.searchsorted(last, lo))  # first block ending >= lo
-        # blocks j > i0 start after last[j-1]; include while that start < hi
-        i1 = int(np.searchsorted(last, hi - 1)) + 1
-        i1 = min(i1, len(blocks))
-        if i0 >= i1:
-            continue
-        docs, tfs, dls = _decode(blob, blocks, positional, np.arange(i0, i1))
-        m = (docs >= lo) & (docs < hi)
-        if not m.any():
-            continue
-        d = docs[m] - lo
-        scores[d] += t_idf * impact(tfs[m], dls[m], avgdl, k1, b)
-        touched[d] = True
-    cand = np.nonzero(touched)[0]
-    if not len(cand):
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    kk = min(k, len(cand))
-    cs = scores[cand]
-    if len(cand) > kk:
-        part = np.argpartition(-cs, kk - 1)
-        keep = cand[cs >= cs[part[kk - 1]]]
+def _range_shift(stats: dict, max_df: int, num_ranges: int | None) -> int:
+    """log2 of the doc-range width for the doc-range-parallel executors.
+
+    Default: size ranges so the HOTTEST query term contributes
+    ~``docs_per_salt`` postings per range (one range ~ one storage shard's
+    worth of work).  Explicit ``num_ranges`` requests at least that many
+    ranges (power-of-two width, pure integer math end to end)."""
+    n_docs = max(1, stats["N"])
+    if num_ranges:
+        width = max(1, math.ceil(n_docs / num_ranges))
     else:
-        keep = cand
-    order = np.lexsort((keep, -scores[keep]))[:kk]
-    sel = keep[order]
-    return (sel + lo).astype(np.int64), scores[sel]
+        salt = stats.get("docs_per_salt", 50_000)
+        width = max(1, math.ceil(n_docs / max(1, math.ceil(max_df / salt))))
+    return min(62, max(0, (width - 1).bit_length()))
+
+
+def _query_term_df(post: DataFrame) -> dict[str, int]:
+    """Per-term total df = SUM over the term's shard rows — never inferred
+    from shard indices, which would miscount terms whose trailing doc
+    ranges hold no occurrences.  One tiny aggregation job over the
+    bucket-pruned, term-filtered postings."""
+    rows = post.groupBy("term").agg(F.sum("df").alias("df_tot")).collect()
+    return {r["term"]: int(r["df_tot"]) for r in rows}
+
+
+_SLICE_SCHEMA = "query_id long, rng long, term string, blob binary"
+
+
+def _make_slicer(shift: int, positional: bool):
+    """Stage-1 mapInPandas fn: decode each (query, term, shard) postings
+    row ONCE and re-varint it into per-doc-range slices.  Every posting
+    byte is shipped to exactly one range group — no blob replication, no
+    dependence on how the storage shards align with the query grid (the
+    slicer cuts by doc VALUE)."""
+    from acora_spark.functions.postings_codec import slice_postings_by_range
+
+    def fn(batches):
+        for pdf in batches:
+            out = {"query_id": [], "rng": [], "term": [], "blob": []}
+            for qid, term, blob, blocks in zip(
+                pdf["query_id"], pdf["term"], pdf["postings"], pdf["blocks"]
+            ):
+                docs, tfs, dls = _decode(
+                    bytes(blob), [dict(x) for x in blocks], positional
+                )
+                rngs, blobs = slice_postings_by_range(docs, tfs, dls, shift)
+                n = len(rngs)
+                out["query_id"].extend([int(qid)] * n)
+                out["rng"].extend(int(r) for r in rngs)
+                out["term"].extend([term] * n)
+                out["blob"].extend(blobs)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _topk_from_slices(
+    term_rows: Sequence[tuple[str, bytes]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    idf_map: dict[str, float],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact range-local top-k over decoded slices.  ``term_rows`` sorted
+    by term (a term may repeat when a range straddles a storage-shard
+    boundary; its rows cover disjoint docs).  Per-doc contributions sum in
+    ascending-term order via ``np.add.at`` over compacted doc indices —
+    element-sequential adds into a zeroed array, the IDENTICAL float64 add
+    sequence the single-task dense TAAT executor performs, so scores are
+    bit-identical.  (``np.add.reduceat`` is NOT usable here: its segment
+    reduction associates differently and drifts by an ulp.)"""
+    from acora_spark.functions.postings_codec import decode_slice
+
+    docs_parts, contrib_parts = [], []
+    for term, blob in term_rows:
+        docs, tfs, dls = decode_slice(bytes(blob))
+        if not len(docs):
+            continue
+        docs_parts.append(docs)
+        contrib_parts.append(idf_map[term] * impact(tfs, dls, avgdl, k1, b))
+    if not docs_parts or k <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    d = np.concatenate(docs_parts)  # term-block order = term-asc per doc
+    c = np.concatenate(contrib_parts)
+    udocs, inv = np.unique(d, return_inverse=True)
+    scores = np.zeros(len(udocs), dtype=np.float64)
+    np.add.at(scores, inv, c)
+    kk = min(k, len(udocs))
+    if len(udocs) > kk:
+        part = np.argpartition(-scores, kk - 1)
+        kth = scores[part[kk - 1]]
+        m = scores >= kth  # keep ALL boundary ties; lexsort resolves exactly
+        udocs, scores = udocs[m], scores[m]
+    o = np.lexsort((udocs, -scores))[:kk]
+    return udocs[o].astype(np.int64), scores[o]
 
 
 def bm25_topk_batch_ranged(
@@ -479,18 +551,21 @@ def bm25_topk_batch_ranged(
 
     ``bm25_topk_batch`` parallelizes ACROSS queries (one task per query);
     at 10^12 docs a single query would be one task over the full posting
-    lists.  Here the doc-id space splits into a power-of-two grid of
-    ``num_ranges`` ranges (default: the largest hot-term shard count among
-    the query's terms).  Shard counts are powers of two (build invariant),
-    so every term's shards tile the grid exactly: each (term, shard) row
-    is exploded to the ranges it covers — hot shards map to few ranges,
-    cold terms' single rows replicate to all (their blobs are bounded by
-    ``docs_per_salt``).  Each (query, range) group computes EXACT scores
-    for its docs (every contributing term is present in the group) with a
-    range-local dense TAAT, emits its top-k, and a final k-row-per-range
-    merge picks the global top-k — bit-identical to the single-task
-    executors (same ascending-term float64 summation; any global top-k doc
-    is necessarily in its own range's top-k)."""
+    lists.  Here:
+
+    1. *Slice*: each (query, term, shard) postings row is decoded once and
+       re-encoded into per-doc-range varint slices (``doc >> shift`` grid).
+       Shuffle bytes ~= the compressed postings of the query's terms —
+       every byte ships to exactly ONE range group (the round-2 design
+       replicated cold-term blobs to every range).
+    2. *Score*: each (query, range) group holds every contribution for its
+       docs; an exact sparse TAAT emits the range-local top-k.
+    3. *Merge*: salted partial top-k (when the grid is large) + final
+       per-query top-k — both windows partition on real columns.
+
+    Bit-identical to the single-task executors: same ascending-term
+    float64 summation per doc; any global top-k doc is necessarily in its
+    own range's top-k."""
     stats = index.stats
     all_terms = sorted({t for q in queries for t in query_terms(q)})
     buckets = term_buckets(spark, all_terms, stats["num_buckets"])
@@ -499,73 +574,49 @@ def bm25_topk_batch_ranged(
     if not needed or not pairs:
         return spark.createDataFrame([], TOPK_SCHEMA)
     post = index.postings(spark, needed).filter(F.col("term").isin(all_terms))
-    # tiny pre-pass: per-term total df (for idf) + shard count (for range
-    # mapping) over just the query's terms
-    tstats = {
-        r["term"]: (int(r["df_tot"]), int(r["n_shard"]))
-        for r in post.groupBy("term")
-        .agg(
-            F.sum("df").alias("df_tot"),
-            (F.max("shard") + 1).alias("n_shard"),
-        )
-        .collect()
-    }
-    if not tstats:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    max_shards = max(n for _, n in tstats.values())
-    R = num_ranges or max_shards
-    R = max(1, 1 << (R - 1).bit_length())  # power of two >= requested
-    if R < max_shards:
-        raise ValueError(f"num_ranges must be >= max shard count {max_shards}")
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     positional = bool(stats.get("with_positions"))
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf_map = {t: idf(n_docs, d) for t, d in term_df.items()}
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+
     qdf = spark.createDataFrame(pairs, "query_id long, term string")
-    span_df = spark.createDataFrame(
-        [(t, R // n) for t, (_, n) in tstats.items()], "term string, span int"
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
     )
-    ranged = (
-        post.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(span_df), "term")
-        .withColumn(
-            "rng",
-            F.explode(
-                F.sequence(
-                    F.col("shard") * F.col("span"),
-                    (F.col("shard") + 1) * F.col("span") - 1,
-                )
-            ),
-        )
-    )
-    bc_idf = spark.sparkContext.broadcast(
-        {t: idf(n_docs, df_tot) for t, (df_tot, _) in tstats.items()}
-    )
+    sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
+    bc_idf = spark.sparkContext.broadcast(idf_map)
 
-    def run_range(key, pdf):  # (key, pdf) applyInPandas form; no type hints
-        # (pyspark warns on partially-hinted grouped-map signatures)
-        qid, r = int(key[0]), int(key[1])
-        lo = (r * n_docs + R - 1) // R
-        hi = ((r + 1) * n_docs + R - 1) // R
-        pdf = pdf.sort_values("term")
-        idf_map = bc_idf.value
-        rows = [
-            (
-                idf_map[pdf["term"].iloc[i]],
-                bytes(pdf["postings"].iloc[i]),
-                [dict(x) for x in pdf["blocks"].iloc[i]],
-            )
-            for i in range(len(pdf))
-        ]
-        docs, scores = _taat_topk_range(
-            rows, k, avgdl, k1, b, lo, hi, positional
+    def run_range(key, pdf):  # (key, pdf) applyInPandas form
+        qid = int(key[0])
+        pdf = pdf.sort_values("term", kind="mergesort")
+        docs, scores = _topk_from_slices(
+            list(zip(pdf["term"], pdf["blob"])), k, avgdl, k1, b, bc_idf.value
         )
-        return pd.DataFrame(
-            {"query_id": qid, "doc_id": docs, "score": scores}
-        )
+        return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": scores})
 
-    partial = ranged.groupBy("query_id", "rng").applyInPandas(
-        run_range, "query_id long, doc_id long, score double"
-    )
+    partial = sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, "query_id long, doc_id long, score double")
+
+    # two-level exact merge: the global top-k is a subset of every salted
+    # partial top-k union, so a fan-in stage bounds the final window's
+    # input to fan*k rows per query even when the grid has millions of
+    # ranges.  Skipped for small grids (extra shuffle isn't worth it).
+    est_ranges = (n_docs >> shift) + 1
+    if est_ranges > 1024:
+        fan = 64
+        w1 = Window.partitionBy(
+            "query_id", F.pmod(F.col("doc_id"), F.lit(fan))
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        partial = (
+            partial.withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= k)
+            .drop("r1")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
@@ -583,19 +634,70 @@ PHRASE_SCHEMA = StructType(
 )
 
 
+def _phrase_tf_from_keys(
+    key_arrays: dict[str, np.ndarray],
+    tokens: Sequence[str],
+    pos_bits: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized positional phrase intersection over PACKED keys.
+
+    ``key_arrays[term]`` holds sorted-unique ``doc << pos_bits | position``
+    keys for every occurrence of ``term``.  A phrase start at (doc, p)
+    exists iff key ``doc<<pos_bits | (p+i)`` exists for token i — i.e. the
+    chain intersection of the token key arrays shifted by -i.  One
+    ``np.intersect1d`` per TOKEN (not per candidate doc), then a
+    run-length over the surviving keys' doc halves gives per-doc phrase
+    counts.  Underflow at position < i borrows into the doc bits, landing
+    on a position value >= 2**pos_bits - len(phrase), which no legitimate
+    key can hold (``pos_bits`` is sized past max_dl + phrase length)."""
+    if any(t not in key_arrays for t in tokens):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    base = key_arrays[tokens[0]]
+    for i, t in enumerate(tokens[1:], start=1):
+        if not len(base):
+            break
+        base = np.intersect1d(base, key_arrays[t] - i, assume_unique=True)
+    if not len(base):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs = base >> pos_bits  # sorted (intersect1d returns sorted)
+    starts = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+    counts = np.diff(np.append(starts, len(docs)))
+    return docs[starts], counts
+
+
+def _phrase_pos_bits(stats: dict, max_phrase_len: int) -> int:
+    """Bits reserved for the position half of a packed (doc, pos) key —
+    sized so position + phrase offset can never collide with the doc half.
+    ``max_dl`` is recorded by the build; fall back generously."""
+    max_dl = int(stats.get("max_dl") or 1_048_576)
+    return max(1, (max_dl + max_phrase_len + 1).bit_length())
+
+
 def phrase_match_batch(
-    spark: SparkSession, index: Index, phrases: Sequence[str]
+    spark: SparkSession,
+    index: Index,
+    phrases: Sequence[str],
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Exact phrase search over a POSITIONAL index: for each phrase, the
     documents containing its token sequence, with the occurrence count.
 
-    Positional intersection (classic phrase-query algorithm): candidate
-    docs = intersection of the terms' posting lists; within a doc a match
-    is a position p of token0 with p+i in positions(token_i) for all i.
-    Runs as one ``applyInPandas`` group per phrase — parallel across
-    phrases, postings read bucket-pruned."""
-    from acora_spark.functions.postings_codec import decode_postings_positional
+    Doc-range-parallel, same grid machinery as the ranged BM25 executor:
 
+    1. *Slice*: each (phrase, term, shard) row decodes once and emits
+       per-range packed (doc, position) key arrays — every key ships to
+       exactly one range group.  All of a document's postings for every
+       phrase term land in the same range (ranges partition by doc id),
+       so range groups are independent and exact.
+    2. *Intersect*: per (phrase, range) group, one chain of vectorized
+       ``np.intersect1d`` calls over shifted key arrays — NO per-candidate-
+       doc Python loop — yields phrase-start keys; a run-length over their
+       doc halves gives ``phrase_tf``.
+    3. Ranges hold disjoint docs: the union of group outputs IS the
+       result (no merge stage).
+
+    A phrase containing a stopword therefore fans out across the grid
+    instead of pulling that term's entire postings into one task."""
     stats = index.stats
     if not stats.get("with_positions"):
         raise ValueError("phrase queries require an index built with_positions=True")
@@ -605,65 +707,79 @@ def phrase_match_batch(
         return spark.createDataFrame([], PHRASE_SCHEMA)
     all_terms = sorted({t for toks in token_lists.values() for t in toks})
     buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(all_terms)
+    )
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    pos_bits = _phrase_pos_bits(
+        stats, max(len(t) for t in token_lists.values())
+    )
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+    # the packed key must fit int64: doc ids (< N) keep their high bits
+    # even though keys are grouped per range, so require
+    # log2(N) + pos_bits <= 62 — at code-corpus scale (N=1e12, dl<=1e6)
+    # that is 40 + 21 bits; raise loudly rather than overflow silently
+    if max(1, stats["N"] - 1).bit_length() + pos_bits > 62:
+        raise ValueError(
+            "packed phrase keys would overflow int64: "
+            f"N={stats['N']}, pos_bits={pos_bits}"
+        )
     qdf = spark.createDataFrame(
         [(qi, t) for qi, toks in token_lists.items() for t in set(toks)],
         "query_id long, term string",
     )
-    post = index.postings(spark, sorted(set(buckets.values()))).filter(
-        F.col("term").isin(all_terms)
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
     )
-    joined = post.join(F.broadcast(qdf), "term")
+
+    from acora_spark.functions.postings_codec import (
+        decode_postings_positional,
+        positional_range_keys,
+    )
+
+    def slicer(batches):
+        for pdf in batches:
+            out = {"query_id": [], "rng": [], "term": [], "keys": []}
+            for qid, term, blob, blocks in zip(
+                pdf["query_id"], pdf["term"], pdf["postings"], pdf["blocks"]
+            ):
+                docs, tfs, _dls, pos = decode_postings_positional(
+                    bytes(blob), [dict(x) for x in blocks]
+                )
+                rngs, key_slices = positional_range_keys(
+                    docs, tfs, pos, shift, pos_bits
+                )
+                # positional_range_keys packs range-LOCAL doc ids; rebase
+                # to GLOBAL (fits int64 by the guard above) so the
+                # intersection kernel needs no per-range bookkeeping
+                for r, ks in zip(rngs, key_slices):
+                    out["query_id"].append(int(qid))
+                    out["rng"].append(int(r))
+                    out["term"].append(term)
+                    out["keys"].append(ks + (int(r) << (shift + pos_bits)))
+            yield pd.DataFrame(out)
+
+    sliced = joined.mapInPandas(
+        slicer, "query_id long, rng long, term string, keys array<long>"
+    )
     bc_tokens = spark.sparkContext.broadcast(token_lists)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0])
+    def run_range(key, pdf):
+        qid = int(key[0])
         tokens = bc_tokens.value[qid]
-        # hot terms arrive as multiple shard rows over disjoint ascending
-        # doc-id ranges — concatenating in shard order restores the single
-        # doc-sorted posting list
-        pdf = pdf.sort_values(["term", "shard"])
-        decoded: dict[str, tuple] = {}
+        key_arrays: dict[str, np.ndarray] = {}
         for term, grp in pdf.groupby("term", sort=False):
-            docs_parts, pos_parts = [], []
-            for _, r in grp.iterrows():
-                docs, _tfs, _dls, pos = decode_postings_positional(
-                    bytes(r["postings"]), [dict(x) for x in r["blocks"]]
-                )
-                docs_parts.append(docs)
-                pos_parts.extend(pos)
-            decoded[term] = (np.concatenate(docs_parts), pos_parts)
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series(dtype="int64"),
-                "doc_id": pd.Series(dtype="int64"),
-                "phrase_tf": pd.Series(dtype="int64"),
-            }
-        )
-        if any(t not in decoded for t in tokens):
-            return empty
-        cand = decoded[tokens[0]][0]
-        for t in set(tokens[1:]):
-            cand = np.intersect1d(cand, decoded[t][0], assume_unique=True)
-        out_docs, out_tf = [], []
-        for d in cand:
-            base = None
-            ok = True
-            for i, t in enumerate(tokens):
-                docs_t, pos_t = decoded[t]
-                j = int(np.searchsorted(docs_t, d))
-                p = pos_t[j] - i  # candidate phrase-start positions
-                base = p if base is None else np.intersect1d(base, p, assume_unique=True)
-                if len(base) == 0:
-                    ok = False
-                    break
-            if ok and len(base):
-                out_docs.append(int(d))
-                out_tf.append(len(base))
-        return pd.DataFrame(
-            {"query_id": qid, "doc_id": out_docs, "phrase_tf": out_tf}
-        )
+            arrs = [np.asarray(a, dtype=np.int64) for a in grp["keys"]]
+            a = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+            key_arrays[term] = a
+        docs, tfs = _phrase_tf_from_keys(key_arrays, tokens, pos_bits)
+        return pd.DataFrame({"query_id": qid, "doc_id": docs, "phrase_tf": tfs})
 
-    return joined.groupBy("query_id").applyInPandas(run, PHRASE_SCHEMA)
+    return sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, PHRASE_SCHEMA)
 
 
 class QueryEngine:
@@ -696,11 +812,27 @@ class QueryEngine:
         n_docs, avgdl = stats["N"], stats["avgdl"]
         k1, b = stats["k1"], stats["b"]
         positional = bool(stats.get("with_positions"))
-        run_query = _make_topk_runner(n_docs, avgdl, k1, b, k, positional)
+        run_query = _make_topk_runner(
+            n_docs, avgdl, k1, b, k, positional, _bound_scale(stats)
+        )
         return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 
     def close(self) -> None:
         self.post.unpersist()
+
+
+def _rank_rows(limited: DataFrame, order: list) -> DataFrame:
+    """1-based ``rank`` over an ALREADY-LIMITED (<= k rows) result without
+    a window: coalesce to one partition, re-sort, and use the in-partition
+    ``monotonically_increasing_id`` (0..n-1 with a single partition).
+    Deterministic, warning-free, and trivially cheap at <= k rows."""
+    return (
+        limited.coalesce(1)
+        .sortWithinPartitions(*order)
+        .withColumn(
+            "rank", (F.monotonically_increasing_id() + 1).cast("int")
+        )
+    )
 
 
 def bm25_topk_dataframe(
@@ -747,20 +879,16 @@ def bm25_topk_dataframe(
         # rank on the ROUNDED score (cross-engine-stable ordering for the
         # SQL oracle: last-ulp float differences can't flip ranks)
         scored = scored.withColumn("score", F.round("score", score_round))
-    # rank runs AFTER the distributed limit(k) (<= k rows); the constant
-    # partition key keeps WindowExec off the no-partition-defined warning
-    # path while making the single-partition window explicit and tiny
-    return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", "score", "rank")
-    )
+    # rank runs AFTER the distributed limit(k): <= k rows in one partition
+    # (TakeOrderedAndProject collects to a single partition).  Rank =
+    # in-partition row index after an explicit re-sort — no window at all,
+    # so no WindowExec and no no-partition-defined warning.  (A foldable
+    # partitionBy(lit(0)) would NOT silence it: Spark constant-folds the
+    # spec away.)
+    return _rank_rows(
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k),
+        [F.desc("score"), F.asc("doc_id")],
+    ).select("doc_id", "score", "rank")
 
 
 # ---------------------------------------------------------------- oracle --

@@ -21,11 +21,15 @@ Pipeline (each stage is a checkpointed step in ``_manifest.json``):
 
 Skew handling is explicit (AQE skew-join does not cover groupBy skew):
 a term whose document frequency exceeds ``docs_per_salt`` is split into
-``ceil(df / docs_per_salt)`` contiguous doc-id ranges and encoded in
-parallel tasks.  The shards are PERSISTED as separate ``(term, shard)``
-rows — never concatenated back into one blob — so a stopword's postings at
-10^12-doc scale never exceed a single Arrow/parquet cell limit, and the
-query executors parallelize naturally over doc-range shards.
+dyadic contiguous doc-id ranges of width ``2**w`` (``shard = doc_id >> w``,
+with ``w`` per term sized to ~``docs_per_salt`` postings per shard) and
+encoded in parallel tasks.  The shards are PERSISTED as separate
+``(term, shard)`` rows — never concatenated back into one blob — so a
+stopword's postings at 10^12-doc scale never exceed a single Arrow/parquet
+cell limit, and the query executors parallelize naturally over doc-range
+shards.  Width-based boundaries are independent of the corpus size, which
+is what makes :func:`merge_index` incremental: appending documents never
+moves an existing shard boundary.
 
 Scale notes (100 TB / 1000 executors): stage 2 is a map-side-combined
 hash aggregation (Catalyst partial+final); stage 4 reads each bucket's runs
@@ -266,6 +270,118 @@ def _encode_stream(avgdl: float, with_positions: bool = False) -> callable:
     return fn
 
 
+# shard width for cold terms: doc_id >> 62 == 0 for every valid doc id,
+# i.e. a single shard covering the whole doc-id space
+COLD_SHARD_WIDTH = 62
+
+
+def _shard_width(df: int, n_docs: int, docs_per_salt: int) -> int:
+    """log2 of the doc-id width of one shard of a hot term: the dyadic
+    width under which a term with ``df`` postings spread over ``n_docs``
+    ids holds ~``docs_per_salt`` postings per shard (within 2x)."""
+    n_shard = 1 << max(0, int(math.ceil(df / docs_per_salt) - 1).bit_length())
+    w = max(n_docs, 1).bit_length() - n_shard.bit_length() + 1
+    return min(COLD_SHARD_WIDTH, max(0, w))
+
+
+def _doc_term_runs(
+    corpus: DataFrame,
+    docmap: DataFrame,
+    key_cols: Sequence[str],
+    with_positions: bool,
+) -> DataFrame:
+    """(doc_id, term, tf:int, dl:int[, positions]) — one row per distinct
+    (document, term), computed WITHOUT an aggregation shuffle.
+
+    The token array is sorted per row and run-length encoded with built-in
+    array expressions: run starts are the indices where the sorted value
+    changes; ``tf`` = distance to the next start.  With positions, tokens
+    are lifted to (token, index) structs first — ``array_sort`` orders by
+    token then index, so each run's positions come out ascending (the
+    positional-postings invariant).
+
+    EVALUATION-ORDER TRAP: Catalyst collapses stacked projections, and
+    higher-order functions are interpreted (no codegen subexpression
+    elimination) — an array referenced inside a lambda via a column name
+    re-evaluates its WHOLE defining expression on every element access,
+    turning the run-length pass quadratic per document (measured: 2.4 ms
+    -> 2.4 s per 750-byte doc batch).  Binding each intermediate array as
+    a LAMBDA VARIABLE via single-element ``transform(array(x), v -> ...)``
+    wrappers materializes it once per row and keeps every access O(1).
+    CASE guards keep ANSI-mode subscripts in bounds; ``try_element_at``
+    returns NULL past the end (folded to ``size``)."""
+    id_map = docmap.select(*key_cols, "doc_id", "dl")
+    docs = corpus.join(id_map, list(key_cols))
+    from acora_spark.functions.tokenize import tokens_expr
+
+    if with_positions:
+        runs_expr = """
+        transform(array(array_sort(transform(_tk, (x, i) -> struct(x AS t, i AS p)))),
+          zz -> transform(
+            array(filter(if(size(zz) = 0, array(), sequence(0, size(zz) - 1)),
+                         i -> CASE WHEN i = 0 THEN true
+                              ELSE zz[i].t != zz[i-1].t END)),
+            st -> transform(st, (s, j) -> struct(
+              zz[s].t AS term,
+              CAST(coalesce(try_element_at(st, j + 2), size(zz)) - s AS INT) AS tf,
+              transform(slice(zz, s + 1,
+                              coalesce(try_element_at(st, j + 2), size(zz)) - s),
+                        e -> e.p) AS positions))
+          )[0]
+        )[0]
+        """
+        extra = [F.col("r.positions").alias("positions")]
+    else:
+        runs_expr = """
+        transform(array(array_sort(_tk)),
+          ts -> transform(
+            array(filter(if(size(ts) = 0, array(), sequence(0, size(ts) - 1)),
+                         i -> CASE WHEN i = 0 THEN true
+                              ELSE ts[i] != ts[i-1] END)),
+            st -> transform(st, (s, j) -> struct(
+              ts[s] AS term,
+              CAST(coalesce(try_element_at(st, j + 2), size(ts)) - s AS INT) AS tf))
+          )[0]
+        )[0]
+        """
+        extra = []
+    return (
+        docs.select("doc_id", "dl", tokens_expr(F.col("content")).alias("_tk"))
+        .select("doc_id", "dl", F.explode(F.expr(runs_expr)).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.term").alias("term"),
+            F.col("r.tf").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
+            *extra,
+        )
+    )
+
+
+def _assign_shards(runs: DataFrame, hot_df: DataFrame | None) -> DataFrame:
+    """Shard column via the per-term width map: ``shard = doc_id >> w``.
+
+    Broadcast join + one integer shift — no floating point anywhere, so a
+    boundary doc can never round into a different shard than the query
+    side computes (the double-arithmetic ``floor(doc*n/N)`` form could,
+    past ~1e10 docs).  Hot terms split into power-of-two-width contiguous
+    doc-id ranges, each encoded and stored as its own row (no re-merge: a
+    single-blob hot-term row would blow the 2 GB Arrow/parquet cell limit
+    at 10^12 docs); cold terms get one shard (width ``2**62`` covers every
+    valid doc id)."""
+    if hot_df is not None:
+        sharded = runs.join(F.broadcast(hot_df), "term", "left")
+    else:
+        sharded = runs.withColumn("w", F.lit(None).cast("int"))
+    return (
+        sharded.withColumn(
+            "w", F.coalesce("w", F.lit(COLD_SHARD_WIDTH)).cast("int")
+        )
+        .withColumn("shard", F.expr("shiftright(doc_id, w)").cast("long"))
+        .drop("w")
+    )
+
+
 _BUILD_PARAMS = ("num_buckets", "docs_per_salt", "with_positions")
 
 
@@ -344,12 +460,24 @@ def build_index(
             "lang",
             F.col("n_tokens").alias("dl"),
             F.sha2(F.col("content"), 256).alias("content_sha256"),
-        ).observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.max("dl").alias("max_dl"),
+        )
         stat_rows.write.mode("overwrite").parquet(docstats_path)
         got = obs.get
         stats = {
             "N": int(got["n"]),
             "avgdl": float(got["avgdl"]),
+            "max_dl": int(got["max_dl"] or 0),
+            # the smallest avgdl any postings row was ENCODED under: block
+            # max_impact bounds are exact relative to it.  Incremental
+            # merges that RAISE avgdl scale WAND bounds by
+            # avgdl/min_avgdl_encode to stay admissible (impact is
+            # monotone in avgdl, bounded by that ratio).
+            "min_avgdl_encode": float(got["avgdl"]),
             "k1": K1,
             "b": B,
             **params,
@@ -385,45 +513,19 @@ def build_index(
     if steps.get("runs", {}).get("status") != "done":
         t0 = time.time()
         # Join doc ids onto the corpus FIRST (one sort-merge join that
-        # shuffles the content once), then aggregate by the compact
-        # (doc_id:int64, term) key.  Aggregating by the raw string key
-        # instead shuffles every token-aggregate row with 3 string columns
-        # attached — several times the bytes, and shuffle I/O is what this
-        # stage is bound by.  ``dl`` rides through the partial agg as
-        # first().
-        from acora_spark.functions.tokenize import tokens_expr
-
-        id_map = spark.read.parquet(docmap_path).select(*key_cols, "doc_id", "dl")
-        docs = corpus.join(id_map, key_cols)
-        if with_positions:
-            toks = docs.select(
-                "doc_id",
-                "dl",
-                F.posexplode(tokens_expr(F.col("content"))).alias("pos", "term"),
-            )
-            tf_df = toks.groupBy("doc_id", "term").agg(
-                F.count("*").alias("tf"),
-                F.first("dl").alias("dl"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
-        else:
-            toks = docs.select(
-                "doc_id",
-                "dl",
-                F.explode(tokens_expr(F.col("content"))).alias("term"),
-            )
-            tf_df = toks.groupBy("doc_id", "term").agg(
-                F.count("*").alias("tf"), F.first("dl").alias("dl")
-            )
-        # int32 tf/dl: halves those columns' bytes through BOTH remaining
-        # shuffles (tf and per-doc token counts are far below 2^31)
-        runs = tf_df.select(
-            "doc_id",
-            "term",
-            F.col("tf").cast("int").alias("tf"),
-            F.col("dl").cast("int").alias("dl"),
-            *(["positions"] if with_positions else []),
-            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
+        # shuffles the content once), then compute per-(doc, term) tf rows
+        # ENTIRELY within the row: sort the document's token array and
+        # run-length it with array expressions (whole-stage codegen).  A
+        # document's tokens never leave their row, so the classic
+        # explode -> groupBy(doc_id, term) aggregation EXCHANGE disappears
+        # — at 100 TB that exchange (one row per distinct (doc, term) with
+        # the term string attached) was the single largest shuffle byte
+        # stream of the build.
+        runs = _doc_term_runs(
+            corpus, spark.read.parquet(docmap_path), key_cols, with_positions
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
         )
         # Partitioned write layout: repartition by (bucket, doc-slice).
         # Plain repartition(num_buckets, "bucket") writes ONE file per
@@ -462,15 +564,16 @@ def build_index(
                 F.when(F.col("cnt") > docs_per_salt, F.struct("term", "cnt"))
             ).alias("hot"),
         ).collect()[0]
-        # shard counts round UP to powers of two: every term's shard ranges
-        # are then DYADIC (shard s of an n-shard term covers exactly
-        # R/n consecutive ranges of any finer power-of-two split R), which
-        # lets the doc-range-parallel query executor align shards of
-        # different terms onto one common range grid without splitting blobs
-        hot_map = {
-            h["term"]: 1 << int(math.ceil(h["cnt"] / docs_per_salt) - 1).bit_length()
-            for h in row["hot"]
-        }
+        # Hot terms map to a SHARD WIDTH: shard(doc) = doc_id >> w, a pure
+        # integer function of the doc id alone.  Width-based (dyadic)
+        # sharding is N-INDEPENDENT: appending documents in an incremental
+        # merge never moves an existing shard boundary — new docs extend
+        # the top shard or open new shard slots, so merge touches only the
+        # colliding (term, shard) rows.  ``w`` is sized so one shard holds
+        # ~docs_per_salt of the term's postings (within 2x, assuming the
+        # term spreads roughly uniformly over doc ids).
+        hot_map = {h["term"]: _shard_width(h["cnt"], n_docs, docs_per_salt)
+                   for h in row["hot"]}
         with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
             json.dump(hot_map, f)
         _mark_done(
@@ -494,7 +597,7 @@ def build_index(
     ]
     hot_df = (
         spark.createDataFrame(
-            list(hot_map.items()), "term string, n_shard int"
+            list(hot_map.items()), "term string, w int"
         )
         if hot_map
         else None
@@ -503,25 +606,7 @@ def build_index(
         t0 = time.time()
         group = pending[i : i + bucket_group_size]
         runs = spark.read.parquet(runs_path).filter(F.col("bucket").isin(group))
-
-        # shard assignment is a broadcast join + expressions (JVM-side);
-        # non-hot terms get a single shard, hot terms split into n_shard
-        # CONTIGUOUS doc-id ranges — each range encodes in its own task and
-        # is stored as its own row (no re-merge: a single-blob hot-term row
-        # would blow the 2 GB Arrow/parquet cell limit at 10^12 docs)
-        if hot_df is not None:
-            sharded = runs.join(F.broadcast(hot_df), "term", "left")
-        else:
-            sharded = runs.withColumn("n_shard", F.lit(1))
-        sharded = sharded.withColumn(
-            "n_shard", F.coalesce("n_shard", F.lit(1)).cast("long")
-        ).withColumn(
-            "shard",
-            F.least(
-                F.col("n_shard") - 1,
-                F.floor(F.col("doc_id") * F.col("n_shard") / F.lit(max(n_docs, 1))),
-            ).cast("long"),
-        ).drop("n_shard")
+        sharded = _assign_shards(runs, hot_df)
         enc_cols = ["term", "shard", "doc_id", "tf", "dl"] + (
             ["positions"] if with_positions else []
         )
@@ -600,6 +685,24 @@ def build_index(
 # ------------------------------------------------------------------- load --
 
 
+def _join_path(base: str, child: str) -> str:
+    """Path join that preserves URI schemes (s3://..., hdfs://...)."""
+    if "://" in base:
+        return base.rstrip("/") + "/" + child
+    return os.path.join(base, child)
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check valid for ANY Hadoop-supported filesystem.  Local
+    paths short-circuit to os.path.exists (no JVM round-trip)."""
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf).exists(jpath)
+
+
 @dataclass
 class Index:
     index_dir: str
@@ -610,15 +713,17 @@ class Index:
 
         Requested buckets whose directory was never written (a bucket no
         term hashed into) are treated as EMPTY posting lists rather than a
-        read error.  (Local-path existence check; on an object store the
-        same filtering comes from the FS listing.)"""
-        base = os.path.join(self.index_dir, "postings")
+        read error.  Existence is checked through the Hadoop FileSystem
+        API so the same filtering works on HDFS/S3 paths — a plain local
+        ``os.path.exists`` would silently drop every remote bucket and
+        turn all queries into empty results."""
+        base = _join_path(self.index_dir, "postings")
         if buckets is None:
             return spark.read.option("basePath", base).parquet(base)
         paths = [
             p
-            for p in (os.path.join(base, f"bucket={b}") for b in buckets)
-            if os.path.exists(p)
+            for p in (_join_path(base, f"bucket={b}") for b in buckets)
+            if _hadoop_path_exists(spark, p)
         ]
         if not paths:
             return spark.createDataFrame([], POSTINGS_READ_SCHEMA)

@@ -73,19 +73,25 @@ def test_index_build_artifacts(built, spark):
     done = [k for k, v in m["steps"].items() if v["status"] == "done"]
     assert "docmap" in done and "runs" in done
     assert all(f"bucket:{b}" in done for b in range(8))
-    # sharding actually triggered (word-soup corpus has very hot terms)
+    # sharding actually triggered (word-soup corpus has very hot terms);
+    # hot_terms.json maps term -> log2 shard width, with widths strictly
+    # finer than the whole doc-id space
     hot = json.load(open(os.path.join(index_dir, "hot_terms.json")))
-    assert len(hot) > 0 and max(hot.values()) > 1
+    n_docs = idx.stats["N"]
+    assert len(hot) > 0
+    assert all(0 <= w < max(n_docs, 2).bit_length() for w in hot.values())
     # (term, shard) rows are unique; every hot term is stored as multiple
-    # shard rows (never re-merged into one blob), cold terms as exactly one
+    # shard rows (never re-merged into one blob), cold terms as exactly
+    # one; shard index is exactly doc_id >> w for every doc in the shard
     post = idx.postings(spark)
     assert post.groupBy("term", "shard").count().filter("count > 1").count() == 0
     rows_per_term = {
         r["term"]: r["n"]
         for r in post.groupBy("term").agg(F.count("*").alias("n")).collect()
     }
-    for term, n_shard in hot.items():
-        assert rows_per_term[term] == n_shard, term
+    for term, w in hot.items():
+        expected_slots = (n_docs - 1 >> w) + 1
+        assert 2 <= rows_per_term[term] <= expected_slots, term
     assert all(
         n == 1 for t, n in rows_per_term.items() if t not in hot
     )
