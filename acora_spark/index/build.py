@@ -69,7 +69,13 @@ from acora_spark.functions.postings_codec import (
 )
 from acora_spark.functions.tokenize import token_counts
 
-__all__ = ["assign_doc_ids", "build_index", "Index", "load_index"]
+__all__ = [
+    "assign_doc_ids",
+    "build_index",
+    "merge_index",
+    "Index",
+    "load_index",
+]
 
 # On-disk postings row: ONE ROW PER (term, shard).  Cold terms have a single
 # shard 0; hot terms one row per contiguous doc-id range.  ``df`` is the
@@ -463,21 +469,27 @@ def build_index(
         ).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_dl"),
             F.max("dl").alias("max_dl"),
         )
         stat_rows.write.mode("overwrite").parquet(docstats_path)
         got = obs.get
         stats = {
             "N": int(got["n"]),
-            "avgdl": float(got["avgdl"]),
+            # avgdl derives from the EXACT integer token total so an
+            # incremental merge updates it to the identical value a
+            # from-scratch build on the union would compute
+            "total_dl": int(got["total_dl"] or 0),
+            "avgdl": (int(got["total_dl"] or 0) / int(got["n"])) if int(got["n"]) else 0.0,
             "max_dl": int(got["max_dl"] or 0),
             # the smallest avgdl any postings row was ENCODED under: block
             # max_impact bounds are exact relative to it.  Incremental
             # merges that RAISE avgdl scale WAND bounds by
             # avgdl/min_avgdl_encode to stay admissible (impact is
             # monotone in avgdl, bounded by that ratio).
-            "min_avgdl_encode": float(got["avgdl"]),
+            "min_avgdl_encode": (
+                (int(got["total_dl"] or 0) / int(got["n"])) if int(got["n"]) else 0.0
+            ),
             "k1": K1,
             "b": B,
             **params,
@@ -679,6 +691,327 @@ def build_index(
                 secs=secs,
             )
 
+    return load_index(spark, index_dir)
+
+
+# ------------------------------------------------------------------ merge --
+
+
+def _merge_stream(avgdl: float, with_positions: bool) -> callable:
+    """mapInPandas fn merging COLLIDING (term, shard) rows: input rows are
+    clustered by (term, shard) and sorted by ``src`` (0 = existing row,
+    1 = delta row — delta doc ids are strictly larger, so concatenation in
+    src order keeps the posting list doc-sorted).  Each group decodes its
+    1-2 blobs, concatenates, and re-encodes under the merged avgdl.  A
+    group spanning an Arrow batch boundary is carried to the next batch."""
+    from acora_spark.functions.postings_codec import (
+        decode_postings,
+        decode_postings_positional,
+        encode_postings,
+    )
+
+    def merge_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"term": [], "shard": [], "df": [], "postings": [], "blocks": []}
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy()
+        change = (
+            np.flatnonzero((terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]))
+            + 1
+        )
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            docs_p, tfs_p, dls_p, pos_p = [], [], [], []
+            for i in range(s, e):
+                blob = bytes(pdf["postings"].iloc[i])
+                blocks = [dict(x) for x in pdf["blocks"].iloc[i]]
+                if with_positions:
+                    d, t, l, p = decode_postings_positional(blob, blocks)
+                    pos_p.extend(p)
+                else:
+                    d, t, l = decode_postings(blob, blocks)
+                docs_p.append(d)
+                tfs_p.append(t)
+                dls_p.append(l)
+            docs = np.concatenate(docs_p)
+            blob, blocks = encode_postings(
+                docs,
+                np.concatenate(tfs_p),
+                np.concatenate(dls_p),
+                avgdl,
+                positions=pos_p if with_positions else None,
+            )
+            out["term"].append(terms[s])
+            out["shard"].append(int(shards[s]))
+            out["df"].append(int(len(docs)))
+            out["postings"].append(blob)
+            out["blocks"].append(blocks)
+        return pd.DataFrame(out)
+
+    def fn(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            tail = (terms == terms[-1]) & (shards == shards[-1])
+            n_tail = int(np.cumprod(tail[::-1]).sum())
+            head, pending = pdf.iloc[: len(pdf) - n_tail], pdf.iloc[len(pdf) - n_tail :]
+            if len(head):
+                yield merge_block(head)
+        if pending is not None and len(pending):
+            yield merge_block(pending)
+
+    return fn
+
+
+def merge_index(
+    delta_corpus: DataFrame,
+    index_dir: str,
+    *,
+    bucket_group_size: int = 8,
+) -> "Index":
+    """Merge a corpus DELTA (new documents only) into an existing index —
+    the daily-snapshot ingest path.  Cost is proportional to the DELTA
+    plus a read+rewrite of the affected buckets; untouched buckets are
+    never opened.
+
+    How it stays cheap (and correct) at scale:
+
+    * Delta docs get the next dense doc-id segment ``[N, N+M)`` (rank
+      order within the delta).  When delta keys sort after all existing
+      keys — the common append-only-snapshot case — ids (and therefore
+      query results) are IDENTICAL to a from-scratch build on the union;
+      otherwise results map to the same documents under different ids.
+    * Width-based shard boundaries (``shard = doc_id >> w``) never move
+      when N grows, so only the (term, shard) rows the delta actually
+      COLLIDES with are decoded + re-encoded; every other existing row
+      passes through untouched bytes.
+    * ``avgdl``/``N``/``idf`` update exactly (integer ``total_dl``);
+      previously-encoded block bounds stay admissible via the
+      ``min_avgdl_encode`` scale factor applied at query time.
+    * A term that was cold and grows hot KEEPS its single-shard layout
+      (its blob keeps growing — run a periodic rebuild to re-shard);
+      a term NEW to the index with a hot-sized delta df gets a fresh
+      width in ``hot_terms.json``.
+
+    Not crash-atomic in v1: stats/docmap commit before the bucket
+    rewrites (which are idempotent dynamic overwrites); a merge
+    interrupted mid-bucket leaves some new docs unsearchable until the
+    merge is re-run on a fresh delta or the index rebuilt."""
+    spark = delta_corpus.sparkSession
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    num_buckets = stats["num_buckets"]
+    docs_per_salt = stats["docs_per_salt"]
+    with_positions = bool(stats.get("with_positions"))
+    n_old, total_dl_old = stats["N"], stats["total_dl"]
+    key_cols = ["repo", "path", "commit"]
+    docmap_path = os.path.join(index_dir, "docmap")
+    docstats_path = os.path.join(index_dir, "docstats")
+    postings_path = os.path.join(index_dir, "postings")
+    tmp = os.path.join(index_dir, "_merge_tmp")
+
+    from pyspark.sql import Observation
+
+    from acora_spark.functions.tokenize import token_counts
+
+    # ---- delta doc stats + ids (narrow pass; content never shuffles) ----
+    obs = Observation("delta_stats")
+    delta_stats = token_counts(delta_corpus).select(
+        *key_cols,
+        "lang",
+        F.col("n_tokens").alias("dl"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("total_dl"),
+        F.max("dl").alias("max_dl"),
+    )
+    delta_stats.write.mode("overwrite").parquet(os.path.join(tmp, "docstats"))
+    got = obs.get
+    m_docs = int(got["n"])
+    if m_docs == 0:
+        return load_index(spark, index_dir)
+    staged_stats = spark.read.parquet(os.path.join(tmp, "docstats"))
+    n_dup = (
+        staged_stats.join(
+            spark.read.parquet(docmap_path).select(*key_cols), key_cols
+        ).count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"merge_index delta contains {n_dup} documents already in the "
+            "index (same (repo, path, commit)); deltas must be new docs only"
+        )
+    dmap0 = assign_doc_ids(staged_stats, key_cols)
+    dmap = dmap0.withColumn("doc_id", F.col("doc_id") + F.lit(n_old))
+    dmap.write.mode("append").parquet(docmap_path)
+    release_doc_ids(dmap0)  # the persist handle lives on the ORIGINAL df
+    staged_stats.write.mode("append").parquet(docstats_path)
+
+    # ---- stats update (exact integer arithmetic) ------------------------
+    n_new = n_old + m_docs
+    total_dl_new = total_dl_old + int(got["total_dl"] or 0)
+    avgdl_new = total_dl_new / n_new
+    stats.update(
+        N=n_new,
+        total_dl=total_dl_new,
+        avgdl=avgdl_new,
+        max_dl=max(int(stats.get("max_dl") or 0), int(got["max_dl"] or 0)),
+        min_avgdl_encode=min(
+            float(stats.get("min_avgdl_encode") or avgdl_new), avgdl_new
+        ),
+    )
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
+
+    # ---- delta runs, staged partitioned by bucket -----------------------
+    id_df = spark.read.parquet(docmap_path).filter(F.col("doc_id") >= n_old)
+    runs = _doc_term_runs(delta_corpus, id_df, key_cols, with_positions)
+    runs = runs.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+    fpb = max(1, math.ceil(2 * spark.sparkContext.defaultParallelism / num_buckets))
+    runs.repartition(
+        num_buckets * fpb, "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(fpb))
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(tmp, "runs")
+    )
+    delta_runs = spark.read.parquet(os.path.join(tmp, "runs"))
+
+    # ---- widths for terms NEW to the index that arrive hot --------------
+    with open(os.path.join(index_dir, "hot_terms.json")) as f:
+        hot_map = json.load(f)
+    cand = {
+        r["term"]: int(r["cnt"])
+        for r in delta_runs.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > docs_per_salt)
+        .collect()
+        if r["term"] not in hot_map
+    }
+    if cand:
+        idx0 = load_index(spark, index_dir)
+        cand_buckets = sorted(
+            {
+                int(r["b"])
+                for r in spark.createDataFrame(
+                    [(t,) for t in cand], "term string"
+                )
+                .select(
+                    F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .collect()
+            }
+        )
+        existing_terms = {
+            r["term"]
+            for r in idx0.postings(spark, cand_buckets)
+            .filter(F.col("term").isin(list(cand)))
+            .select("term")
+            .distinct()
+            .collect()
+        }
+        for t, cnt in cand.items():
+            if t not in existing_terms:  # existing-cold terms keep w=62
+                hot_map[t] = _shard_width(cnt, n_new, docs_per_salt)
+        with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
+            json.dump(hot_map, f)
+    hot_df = (
+        spark.createDataFrame(list(hot_map.items()), "term string, w int")
+        if hot_map
+        else None
+    )
+
+    # ---- per-bucket merge ------------------------------------------------
+    affected = sorted(
+        r["bucket"]
+        for r in delta_runs.select("bucket").distinct().collect()
+    )
+    index = load_index(spark, index_dir)
+    post_cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    for i in range(0, len(affected), bucket_group_size):
+        group = affected[i : i + bucket_group_size]
+        d_runs = delta_runs.filter(F.col("bucket").isin(group))
+        sharded = _assign_shards(d_runs, hot_df)
+        enc_cols = ["term", "shard", "doc_id", "tf", "dl"] + (
+            ["positions"] if with_positions else []
+        )
+        arranged = (
+            sharded.select(*enc_cols)
+            .repartition("term", "shard")
+            .sortWithinPartitions(
+                F.xxhash64("term", "shard"), "term", "shard", "doc_id"
+            )
+        )
+        new_rows = arranged.mapInPandas(
+            _encode_stream(avgdl_new, with_positions), POSTINGS_SCHEMA
+        )
+        ex = index.postings(spark, group).select(*post_cols)
+        new_keys = new_rows.select("term", "shard")
+        ex_keys = ex.select("term", "shard")
+        ex_pass = ex.join(new_keys, ["term", "shard"], "left_anti")
+        ex_coll = ex.join(new_keys, ["term", "shard"], "left_semi")
+        nw_pass = new_rows.join(ex_keys, ["term", "shard"], "left_anti")
+        nw_coll = new_rows.join(ex_keys, ["term", "shard"], "left_semi")
+        merged = (
+            ex_coll.withColumn("src", F.lit(0))
+            .unionByName(nw_coll.withColumn("src", F.lit(1)))
+            .repartition("term", "shard")
+            .sortWithinPartitions(
+                F.xxhash64("term", "shard"), "term", "shard", "src"
+            )
+            .mapInPandas(_merge_stream(avgdl_new, with_positions), POSTINGS_SCHEMA)
+        )
+        out = (
+            ex_pass.unionByName(nw_pass).unionByName(merged)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+            )
+            .repartition(len(group), "bucket")
+        )
+        obs_b = Observation(f"merge_buckets_{group[0]}")
+        row_hash = F.xxhash64("term", "shard", "df", "postings")
+        out = out.observe(
+            obs_b,
+            *[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+                for b in group
+            ],
+            *[
+                F.bit_xor(F.when(F.col("bucket") == b, row_hash)).alias(f"x{b}")
+                for b in group
+            ],
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("bucket").parquet(postings_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        counts = obs_b.get
+        for b in group:
+            xor = counts.get(f"x{b}")
+            _mark_done(
+                index_dir,
+                f"bucket:{b}",
+                rows=int(counts.get(f"b{b}") or 0),
+                xor64=(int(xor) if xor is not None else 0),
+                merged=True,
+            )
+    _mark_done(index_dir, f"merge:{n_old}:{n_new}", docs_added=m_docs)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return load_index(spark, index_dir)
 
 

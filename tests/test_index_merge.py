@@ -1,0 +1,164 @@
+"""Incremental index merge: build(A) + merge(B) must equal a from-scratch
+build on A ∪ B — identical stats, identical decoded postings, identical
+BM25 top-k docs and float64 scores (ids coincide because the test deltas'
+keys sort after the base corpus keys, the append-only-snapshot case the
+docstring documents)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.functions.postings_codec import (
+    decode_postings,
+    decode_postings_positional,
+)
+from acora_spark.index.bm25 import bm25_topk_batch, phrase_match_batch
+from acora_spark.index.build import build_index, load_index, merge_index
+from acora_spark.sources.corpus import load_corpus
+
+QUERIES = ["spark shuffle partition", "data table join", "the fast query"]
+
+
+def _decoded_postings(spark, idx, positional=False):
+    """term -> sorted [(doc, tf, dl)] decoded from every shard row —
+    shard layouts may legitimately differ between a merged and a
+    from-scratch index; the decoded content must not."""
+    out: dict[str, list] = {}
+    for r in idx.postings(spark).collect():
+        blocks = [x.asDict() for x in r["blocks"]]
+        if positional:
+            d, t, l, _ = decode_postings_positional(bytes(r["postings"]), blocks)
+        else:
+            d, t, l = decode_postings(bytes(r["postings"]), blocks)
+        out.setdefault(r["term"], []).extend(
+            (int(a), int(b), int(c)) for a, b, c in zip(d, t, l)
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _split_after(spark, sf_dir, n_base, n_delta):
+    """Base corpus + a delta whose keys all sort AFTER the base keys."""
+    corpus = load_corpus(spark, sf_dir)
+    base = corpus.limit(n_base)
+    delta = (
+        corpus.limit(n_base + n_delta)
+        .subtract(base)
+        .withColumn("repo", F.concat(F.lit("zz_"), F.col("repo")))
+    )
+    return base, delta
+
+
+def test_merge_equals_scratch_build(spark, sf_dir, tmp_path):
+    base, delta = _split_after(spark, sf_dir, 150, 80)
+    merged_dir = str(tmp_path / "merged")
+    build_index(base, merged_dir, num_buckets=8, docs_per_salt=100,
+                bucket_group_size=8)
+    merged = merge_index(delta, merged_dir)
+
+    scratch_dir = str(tmp_path / "scratch")
+    scratch = build_index(
+        base.unionByName(delta), scratch_dir, num_buckets=8,
+        docs_per_salt=100, bucket_group_size=8,
+    )
+
+    # stats identical (exact integer total_dl arithmetic)
+    for key in ("N", "total_dl", "avgdl", "max_dl"):
+        assert merged.stats[key] == scratch.stats[key], key
+
+    # decoded postings identical term by term (collisions really merged)
+    assert _decoded_postings(spark, merged) == _decoded_postings(spark, scratch)
+
+    # query results bit-identical
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, float(r.score))
+        for r in bm25_topk_batch(spark, merged, QUERIES, k=10).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, float(r.score))
+        for r in bm25_topk_batch(spark, scratch, QUERIES, k=10).collect()
+    )
+    assert got == want
+
+    # docmap covers both segments densely
+    ids = sorted(r.doc_id for r in merged.docmap(spark).collect())
+    assert ids == list(range(merged.stats["N"]))
+
+    # the merge is recorded in the manifest
+    m = json.load(open(os.path.join(merged_dir, "_manifest.json")))
+    assert any(k.startswith("merge:") for k in m["steps"])
+
+
+def test_merge_positional_phrases(spark, sf_dir, tmp_path):
+    base, delta = _split_after(spark, sf_dir, 100, 60)
+    merged_dir = str(tmp_path / "mpos")
+    build_index(base, merged_dir, num_buckets=4, docs_per_salt=100,
+                bucket_group_size=4, with_positions=True)
+    merged = merge_index(delta, merged_dir)
+    scratch = build_index(
+        base.unionByName(delta), str(tmp_path / "spos"), num_buckets=4,
+        docs_per_salt=100, bucket_group_size=4, with_positions=True,
+    )
+    assert _decoded_postings(spark, merged, positional=True) == \
+        _decoded_postings(spark, scratch, positional=True)
+    phrases = ["table scan", "the fast", "data data"]
+    got = sorted(
+        (r.query_id, r.doc_id, r.phrase_tf)
+        for r in phrase_match_batch(spark, merged, phrases).collect()
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, r.phrase_tf)
+        for r in phrase_match_batch(spark, scratch, phrases).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_merge_rejects_duplicate_docs(spark, sf_dir, tmp_path):
+    base, delta = _split_after(spark, sf_dir, 60, 30)
+    d = str(tmp_path / "dup")
+    build_index(base, d, num_buckets=4, bucket_group_size=4)
+    merge_index(delta, d)
+    with pytest.raises(ValueError, match="already in the index"):
+        merge_index(delta, d)
+
+
+def test_merge_interleaved_keys_still_correct(spark, sf_dir, tmp_path):
+    """Delta keys sorting BEFORE existing keys: ids differ from a scratch
+    build, but the merged index must still score exactly like the
+    DataFrame scorer over the union with the MERGED docmap ids."""
+    from acora_spark.index.bm25 import bm25_topk_dataframe
+
+    corpus = load_corpus(spark, sf_dir)
+    base = corpus.limit(120)
+    delta = (
+        corpus.limit(180).subtract(base)
+        .withColumn("repo", F.concat(F.lit("aaa_"), F.col("repo")))
+    )
+    d = str(tmp_path / "inter")
+    build_index(base, d, num_buckets=4, docs_per_salt=100, bucket_group_size=4)
+    merged = merge_index(delta, d)
+    union = base.unionByName(delta)
+    docs_with_ids = union.join(
+        merged.docmap(spark).select("repo", "path", "commit", "doc_id"),
+        ["repo", "path", "commit"],
+    )
+    q = QUERIES[0]
+    import numpy as np
+
+    want = [
+        (r.doc_id, float(r.score))
+        for r in bm25_topk_dataframe(docs_with_ids, q, k=10)
+        .orderBy("rank").collect()
+    ]
+    got = [
+        (r.doc_id, float(r.score))
+        for r in bm25_topk_batch(spark, merged, [q], k=10)
+        .orderBy("rank").collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=0, atol=1e-9
+    )
