@@ -29,6 +29,10 @@ BIN_KWS = [b"table", b"spark"]
 BM25_QUERY = "spark shuffle partition data"
 BM25_K = 20
 PHRASE = "table scan"
+# the corpus's most frequent adjacent pair, led by a near-stopword term
+# (df ~ 78% of docs) — the doc-range-parallel phrase path's worst case
+PHRASE_RANGED = "table hash"
+PHRASE_NUM_RANGES = 8
 # every 5 words -> newline: a deterministic multi-line view of the corpus
 # for the R2/R3 line recipes (documents.parquet text is single-line).
 # Java and RE2 regexes agree on this pattern and global replacement.
@@ -258,24 +262,63 @@ def q_index_bm25_topk_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
-def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase search over a POSITIONAL compressed index."""
-    from acora_spark.index.bm25 import phrase_match_batch
+def _pos_index_for(spark: SparkSession, sf_dir: str):
     from acora_spark.index.build import build_index
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     index_dir = os.path.join(
         "/tmp", f"acora_spark_posindex_v{INDEX_FORMAT_VERSION}_{tag}"
     )
-    idx = build_index(
+    return build_index(
         _corpus(spark, sf_dir), index_dir, num_buckets=8,
         docs_per_salt=2000, with_positions=True,
     )
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL compressed index."""
+    from acora_spark.index.bm25 import phrase_match_batch
+
+    idx = _pos_index_for(spark, sf_dir)
     res = phrase_match_batch(spark, idx, [PHRASE]).drop("query_id")
     docmap = idx.docmap(spark).select("doc_id", "path")
     return res.join(docmap, "doc_id").select(
         "path", F.col("phrase_tf").cast("long").alias("phrase_tf")
     )
+
+
+def q_phrase_match_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search FORCED across a multi-range grid (num_ranges=8): a
+    hot-term phrase fans out over doc-range groups instead of pulling the
+    hot term's postings into one task; results must equal the same
+    adjacent-run SQL oracle."""
+    from acora_spark.index.bm25 import phrase_match_batch
+
+    idx = _pos_index_for(spark, sf_dir)
+    res = phrase_match_batch(
+        spark, idx, [PHRASE_RANGED], num_ranges=PHRASE_NUM_RANGES
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "path", F.col("phrase_tf").cast("long").alias("phrase_tf")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification over the MinHash-LSH candidate
+    pairs (the dedup pipeline's verify stage) — candidates only, never
+    all-pairs."""
+    from acora_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = lsh_candidate_pairs(
+        d, content_col="text", id_col="doc_id", num_hashes=4, band_size=1
+    )
+    j = ngram_jaccard_pairs(d, cand, content_col="text", id_col="doc_id")
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_content_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_bm25_topk": q_index_bm25_topk,
         "index_bm25_topk_ranged": q_index_bm25_topk_ranged,
         "phrase_match": q_phrase_match,
+        "phrase_match_ranged": q_phrase_match_ranged,
+        "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
         "fingerprint_dupes": q_fingerprint_dupes,
@@ -833,11 +878,12 @@ LIMIT 20
     sql["index_bm25_topk_ranged"] = _bm25_sql()
 
     # phrase_tf = number of adjacent token runs equal to the phrase
-    p_toks = PHRASE.lower().split()
-    pred = " AND ".join(
-        f"t[j + {i}] = '{tok}'" for i, tok in enumerate(p_toks)
-    )
-    sql["phrase_match"] = f"""
+    def _phrase_sql(phrase: str) -> str:
+        p_toks = phrase.lower().split()
+        pred = " AND ".join(
+            f"t[j + {i}] = '{tok}'" for i, tok in enumerate(p_toks)
+        )
+        return f"""
 WITH {_CORPUS_CTE},
 {_TOKS_CTE},
 counted AS (
@@ -848,6 +894,9 @@ counted AS (
 )
 SELECT path, phrase_tf::BIGINT AS phrase_tf FROM counted WHERE phrase_tf > 0
 """
+
+    sql["phrase_match"] = _phrase_sql(PHRASE)
+    sql["phrase_match_ranged"] = _phrase_sql(PHRASE_RANGED)
 
     sql["content_integrity"] = f"""
 WITH {_CORPUS_CTE}
@@ -1072,5 +1121,28 @@ FROM documents
 
     sql["simhash"] = _simhash_sql()
     sql["lsh_pairs"] = _lsh_pairs_sql()
+
+    # exact Jaccard on the SAME candidate set, over the shm shingle CTE
+    ngram_bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, md5(mh_{i}) AS bucket FROM sig"
+        for i in range(4)
+    )
+    sql["ngram_jaccard"] = f"""
+WITH {_MINHASH4_CTES},
+bands AS (
+  {ngram_bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+FROM cand
+JOIN shm sa ON sa.doc_id = cand.id_a
+JOIN shm sb ON sb.doc_id = cand.id_b
+"""
     sql["embedding_near_dups"] = _near_dup_sql()
     return sql

@@ -39,7 +39,13 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["AcoraBuilder", "Automaton", "build_automaton", "py_finditer"]
+__all__ = [
+    "AcoraBuilder",
+    "Automaton",
+    "build_automaton",
+    "py_finditer",
+    "tree_to_dot",
+]
 
 # Cap on elements of the (batch x maxlen) scratch matrices used by the
 # lockstep scanner; keeps per-task peak memory bounded regardless of
@@ -436,6 +442,67 @@ def build_automaton(keywords, ignore_case: bool = False) -> Automaton:
         out_kw=out_kw,
         is_bytes=is_bytes,
     )
+
+
+def tree_to_dot(keywords, ignore_case: bool = False) -> str:
+    """Graphviz dump of the keyword TRIE — fail links dashed, match sets
+    as note shapes — debug parity with the reference's trie-level
+    ``tree_to_dot`` (acora/_acora.py:234-260; the compiled-machine dump
+    is :meth:`Automaton.to_dot`).  Returns the dot source as a string."""
+    kws = sorted({kw for kw in keywords})
+    norm = (lambda c: c.lower()) if ignore_case else (lambda c: c)
+
+    def printable(x) -> str:
+        s = x if isinstance(x, str) else repr(x)[2:-1]
+        return "".join(
+            ch if ch.isprintable() and ch not in '"\\' else f"U+{ord(ch):04X}"
+            for ch in s
+        )
+
+    children: list[dict] = [{}]
+    letters: list = [None]
+    matches: list[list] = [[]]
+    for kw in kws:
+        node = 0
+        for ch in kw:
+            a = norm(ch)
+            nxt = children[node].get(a)
+            if nxt is None:
+                nxt = len(children)
+                children.append({})
+                letters.append(a)
+                matches.append([])
+                children[node][a] = nxt
+            node = nxt
+        matches[node].append(kw)
+    fail = [0] * len(children)
+    q: deque[int] = deque()
+    for child in children[0].values():
+        q.append(child)
+    while q:
+        node = q.popleft()
+        for a, child in children[node].items():
+            f = fail[node]
+            while f and a not in children[f]:
+                f = fail[f]
+            tgt = children[f].get(a, 0)
+            fail[child] = tgt if tgt != child else 0
+            q.append(child)
+    lines = ["digraph {", 'N0 [label="start"];']
+    for s in range(1, len(children)):
+        letter = letters[s]
+        lines.append(f'N{s} [label="{printable(letter)}"];')
+    for s in range(len(children)):
+        if s and fail[s] is not None:
+            lines.append(f"N{s} -> N{fail[s]} [style=dashed, arrowsize=0.5];")
+        for child in children[s].values():
+            lines.append(f"N{s} -> N{child};")
+        if matches[s]:
+            label = "\\n".join(printable(m) for m in matches[s])
+            lines.append(f'M{s} [label="{label}", shape=note];')
+            lines.append(f"N{s} -> M{s} [style=dotted];")
+    lines.append("}")
+    return "\n".join(lines)
 
 
 class AcoraBuilder:

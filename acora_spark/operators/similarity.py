@@ -61,16 +61,22 @@ def brute_force_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
-    from pyspark.sql.window import Window
+    return _rank_topk(scored, id_col)
 
-    # rank after the distributed limit(k): <= k rows in one explicit
-    # constant partition (silences the no-partition WindowExec warning)
-    return scored.select(
-        id_col,
-        "cosine",
-        F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), F.asc(id_col)))
-        .alias("rank"),
+
+def _rank_topk(scored: DataFrame, id_col: str) -> DataFrame:
+    """1-based rank over an ALREADY-LIMITED (<= k rows) cosine result
+    without a window (a foldable partitionBy(lit(0)) would NOT silence
+    the no-partition WindowExec warning — Spark constant-folds it away):
+    coalesce to one partition, re-sort, use the in-partition row index."""
+    return (
+        scored.coalesce(1)
+        .sortWithinPartitions(F.desc("cosine"), F.asc(id_col))
+        .select(
+            id_col,
+            "cosine",
+            (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
+        )
     )
 
 
@@ -157,15 +163,7 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
-    from pyspark.sql.window import Window
-
-    return scored.select(
-        id_col,
-        "cosine",
-        F.row_number()
-        .over(Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), F.asc(id_col)))
-        .alias("rank"),
-    )
+    return _rank_topk(scored, id_col)
 
 
 def _train_centroids(

@@ -176,3 +176,38 @@ def test_differential_vs_reference(kws, text, ignore_case):
 def test_pywalk_vs_vectorized(kws, text):
     a = build_automaton(kws)
     assert list(py_finditer(a, text)) == a.findall(text)
+
+
+# ------------------------------------------------------------- dot dumps --
+
+
+def test_tree_to_dot_structure():
+    """Trie-level dot dump (reference tree_to_dot parity): every keyword
+    ends at a note node, fail links are dashed, trie edges count =
+    number of trie states minus the root."""
+    from acora_spark.automaton import tree_to_dot
+
+    kws = ["he", "she", "his", "hers"]
+    dot = tree_to_dot(kws)
+    assert dot.startswith("digraph {") and dot.endswith("}")
+    assert 'label="start"' in dot
+    # one note per keyword-terminal state (no shared terminals here)
+    assert dot.count("shape=note") == len(kws)
+    # trie of he/she/his/hers has 9 non-root states -> 9 solid edges
+    solid = [l for l in dot.splitlines()
+             if "->" in l and "style" not in l]
+    assert len(solid) == 9
+    dashed = [l for l in dot.splitlines() if "style=dashed" in l]
+    assert len(dashed) == 9  # every non-root state has exactly one fail link
+    # ignore_case folds case variants onto ONE path: a single terminal
+    # note listing both original keywords
+    folded = tree_to_dot(["Ab", "ab"], ignore_case=True)
+    assert folded.count("shape=note") == 1
+    assert "Ab" in folded and "ab" in folded
+
+
+def test_machine_to_dot_still_works():
+    from acora_spark.automaton import build_automaton
+
+    dot = build_automaton(["ab", "b"]).to_dot()
+    assert "doublecircle" in dot and "digraph" in dot

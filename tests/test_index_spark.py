@@ -321,3 +321,45 @@ def test_phrase_requires_positions(spark, sf_dir, built):
     idx, _, _ = built
     with pytest.raises(ValueError):
         phrase_match_batch(spark, idx, ["table scan"])
+
+
+def test_query_engine_warm_and_empty_bucket(spark, sf_dir, tmp_path):
+    """Warm (persisted-postings) serving equals the cold bucket-pruned
+    path, including a batch mixing a term that hashes to a NEVER-WRITTEN
+    bucket with present terms (the empty-bucket contract end to end)."""
+    from acora_spark.index.bm25 import QueryEngine, term_buckets
+
+    corpus = load_corpus(spark, sf_dir).limit(50)
+    # many buckets over a tiny vocabulary guarantees unwritten bucket dirs
+    index_dir = str(tmp_path / "qeidx")
+    idx = build_index(corpus, index_dir, num_buckets=64, bucket_group_size=64)
+    written = {
+        int(p.split("=")[1])
+        for p in os.listdir(os.path.join(index_dir, "postings"))
+        if p.startswith("bucket=")
+    }
+    assert len(written) < 64, "need at least one empty bucket"
+    # find a nonsense term hashing into an unwritten bucket
+    probe = [f"zzqx{i}" for i in range(200)]
+    buckets = term_buckets(spark, probe, 64)
+    ghost = next(t for t, b in buckets.items() if b not in written)
+    queries = [f"data table {ghost}", ghost, "spark query"]
+    engine = QueryEngine(spark, idx)
+    try:
+        warm = sorted(
+            (r.query_id, r.rank, r.doc_id, float(r.score))
+            for r in engine.topk(queries, k=5).collect()
+        )
+    finally:
+        engine.close()
+    cold = sorted(
+        (r.query_id, r.rank, r.doc_id, float(r.score))
+        for r in bm25_topk_batch(spark, idx, queries, k=5).collect()
+    )
+    assert warm == cold
+    by_q = {}
+    for qid, *_ in cold:
+        by_q[qid] = by_q.get(qid, 0) + 1
+    assert by_q.get(0, 0) > 0      # ghost term ignored, real terms answer
+    assert by_q.get(1, 0) == 0     # ghost-only query -> empty, no error
+    assert by_q.get(2, 0) > 0
