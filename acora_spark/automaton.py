@@ -111,6 +111,34 @@ class Automaton:
         self._direct_u8 = (
             self._direct.astype(np.uint8) if n_alpha < 256 else None
         )
+        self._scaled = None  # pre-scaled scan tables, built lazily/process
+
+    def _scaled_tables(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pre-scaled DFA tables for the 2-op scan loop:
+
+        ``goto_scaled[s*width + a] = goto[s, a] * width`` — states travel
+        PRE-MULTIPLIED, so the sequential loop is one add + one gather per
+        character instead of multiply+add+gather.  ``match_scaled`` and
+        ``unscale`` are indexed by the scaled value directly, so hit
+        extraction needs no division.  Built lazily per process (derived
+        data — adds nothing to the broadcast pickle)."""
+        if self._scaled is None:
+            g = self.goto.astype(np.int64)
+            width = g.shape[1]
+            goto_scaled = (g * width).ravel()
+            dt = np.uint16 if goto_scaled.max(initial=0) < 65536 else np.int32
+            match_scaled = np.zeros(len(goto_scaled), dtype=bool)
+            unscale = np.zeros(len(goto_scaled), dtype=np.int32)
+            states = np.arange(g.shape[0], dtype=np.int64)
+            match_scaled[states * width] = self.out_count > 0
+            unscale[states * width] = states
+            self._scaled = (
+                np.ascontiguousarray(goto_scaled.astype(np.int32)),
+                match_scaled,
+                unscale,
+                dt,
+            )
+        return self._scaled
 
     # -- encoding ---------------------------------------------------------
 
@@ -164,21 +192,45 @@ class Automaton:
 
         codes = [self._codes(t) for t in texts]
         lens = np.asarray([len(c) for c in codes], dtype=np.int64)
-        order = np.argsort(-lens, kind="stable")  # long docs first
+        # split by encoding WIDTH before chunking (ASCII/bytes docs scan
+        # through a uint8 matrix, everything else through uint32): one
+        # non-ASCII doc must not drag a whole chunk of ASCII docs onto the
+        # 4-bytes-per-char path — the scan is memory-bandwidth-bound
+        is_narrow = np.asarray([c.dtype == np.uint8 for c in codes])
+        groups: list[tuple[bool, np.ndarray]] = []
+        for flag in (True, False):
+            idxs = np.nonzero(is_narrow == flag)[0]
+            if len(idxs):
+                # long docs first within the group
+                groups.append((flag, idxs[np.argsort(-lens[idxs], kind="stable")]))
 
         rec_doc: list[np.ndarray] = []
         rec_state: list[np.ndarray] = []
         rec_end: list[np.ndarray] = []
 
-        goto_flat = np.ascontiguousarray(self.goto).ravel()
-        width = self.goto.shape[1]
-        is_match = self.out_count > 0  # bool gather is cheaper than int64
-
         # narrow dtypes keep the per-chunk working set small — with many
         # parallel workers on one box the scan is memory-bandwidth-bound,
         # so bytes moved per character matter more than instruction count
-        col_dt = np.uint8 if width <= 256 else np.int32
-        st_dt = np.uint16 if self.goto.shape[0] < 65536 else np.int32
+        col_dt = np.uint8 if self.goto.shape[1] <= 256 else np.int32
+        for narrow, order in groups:
+            self._scan_group(
+                codes, lens, order, narrow, col_dt,
+                rec_doc, rec_state, rec_end,
+            )
+
+        if not rec_doc:
+            return empty
+        doc = np.concatenate(rec_doc)
+        st = np.concatenate(rec_state)
+        end = np.concatenate(rec_end)
+        return self._expand_outputs(doc, st, end)
+
+    def _scan_group(
+        self, codes, lens, order, narrow, col_dt,
+        rec_doc, rec_state, rec_end,
+    ) -> None:
+        """Chunked lockstep DFA scan over one same-width doc group."""
+        n = len(order)
         i = 0
         while i < n:
             maxlen = int(lens[order[i]])
@@ -194,7 +246,6 @@ class Automaton:
             # (padding zeros map to 0 — NUL is never in the alphabet).
             # ASCII-only chunks use a uint8 matrix + uint8 table: the scan
             # is memory-bound, so 1 byte/char beats 4.
-            narrow = all(codes[d].dtype == np.uint8 for d in sel)
             codes_mat = np.zeros(
                 (b, maxlen), dtype=np.uint8 if narrow else np.uint32
             )
@@ -223,30 +274,32 @@ class Automaton:
                     if len(ex_i[0]):
                         col[ex_i] = self._alpha_idx(codes_mat[ex_i])
             col = np.ascontiguousarray(col.T.astype(col_dt, copy=False))
+            goto_scaled, match_scaled, unscale, sc_dt = self._scaled_tables()
+            # sequential lockstep walk with PRE-SCALED states: the loop
+            # body is one add + one gather per character (the multiply is
+            # baked into the table values); hit extraction indexes the
+            # scaled-value tables directly, so no divisions either
             states = np.zeros(b, dtype=np.int32)
             idx_buf = np.empty(b, dtype=np.int32)
-            # record every step's state; extract hits vectorized afterwards
-            # (keeps the sequential loop body to 3 in-place numpy ops)
-            states_all = np.empty((maxlen, b), dtype=st_dt)
+            states_all = np.empty((maxlen, b), dtype=sc_dt)
             for t in range(maxlen):
-                np.multiply(states, width, out=idx_buf)
-                np.add(idx_buf, col[t], out=idx_buf)
-                np.take(goto_flat, idx_buf, out=states)
+                np.add(states, col[t], out=idx_buf)
+                np.take(goto_scaled, idx_buf, out=states)
                 states_all[t] = states
-            hit = is_match[states_all]
+            hit = match_scaled[states_all]
             # mask positions past each doc's end (padding)
             hit &= np.arange(maxlen, dtype=np.int64)[:, None] < chunk_lens[None, :]
             t_idx, b_idx = np.nonzero(hit)
             if len(t_idx):
                 rec_doc.append(sel.astype(np.int64)[b_idx])
-                rec_state.append(states_all[t_idx, b_idx].astype(np.int64))
+                rec_state.append(
+                    unscale[states_all[t_idx, b_idx]].astype(np.int64)
+                )
                 rec_end.append(t_idx + 1)
 
-        if not rec_doc:
-            return empty
-        doc = np.concatenate(rec_doc)
-        st = np.concatenate(rec_state)
-        end = np.concatenate(rec_end)
+    def _expand_outputs(
+        self, doc: np.ndarray, st: np.ndarray, end: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         # expand co-terminal outputs: one row per keyword in the state's
         # output list, preserving the longest-first slot order
         cnt = self.out_count[st].astype(np.int64)

@@ -638,12 +638,23 @@ def build_index(
         parts = arranged.mapInPandas(
             _encode_stream(avgdl, with_positions), POSTINGS_SCHEMA
         )
-        # cluster the (small) encoded rows by bucket before the partitioned
-        # write: one file per bucket instead of tasks x buckets files —
-        # the dynamic-overwrite commit is driver-serial per file
+        # cluster the encoded rows by (bucket, slice) before the
+        # partitioned write: a few files per bucket instead of
+        # tasks x buckets files (the dynamic-overwrite commit is
+        # driver-serial per file), while keeping the number of WRITE tasks
+        # >= the core count — a plain repartition(len(group)) would leave
+        # half the cluster idle through the encode+write tail whenever
+        # group size < cores
+        wpb = max(
+            1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
+        )
         out = parts.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-        ).repartition(len(group), "bucket")
+        ).repartition(
+            len(group) * wpb,
+            "bucket",
+            F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
+        )
         # per-partition row metrics ride the write via observe() — no
         # read-back counting job
         from pyspark.sql import Observation
@@ -971,13 +982,20 @@ def merge_index(
             )
             .mapInPandas(_merge_stream(avgdl_new, with_positions), POSTINGS_SCHEMA)
         )
+        wpb = max(
+            1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
+        )
         out = (
             ex_pass.unionByName(nw_pass).unionByName(merged)
             .withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
             )
-            .repartition(len(group), "bucket")
+            .repartition(
+                len(group) * wpb,
+                "bucket",
+                F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
+            )
         )
         obs_b = Observation(f"merge_buckets_{group[0]}")
         row_hash = F.xxhash64("term", "shard", "df", "postings")

@@ -118,6 +118,21 @@ def child(cores: int, n_docs: int) -> None:
     synth = spark.read.parquet(corpus_path)
     n_chars = synth.selectExpr("sum(length(content)) s").collect()[0]["s"]
 
+    # JIT/codegen warmup (identical at both levels, excluded from timing):
+    # run every stage shape once on a 3k-doc prefix — first execution of
+    # each codegen'd stage pays ~3-5s of JVM compilation that a
+    # production-scale build amortizes to nothing but which reads as fake
+    # inefficiency on a sub-minute measured build (constant additive time
+    # drags a (t_lo/t_hi)/4 ratio toward 0.25).
+    warm_dir = f"/dev/shm/acora_scaling_warm_{cores}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(
+        synth.limit(3000), warm_dir, num_buckets=4, docs_per_salt=20000,
+        bucket_group_size=4, resume=False,
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    match_counts(synth.limit(1000), KWS).collect()
+
     # CPU-bound JVM calibration probe: allocation-free trig arithmetic in
     # whole-stage codegen — no shuffle, no Python workers, no storage, no
     # GC pressure.  Measures what THIS HOST gives pure JVM compute from

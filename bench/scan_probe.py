@@ -1,0 +1,75 @@
+"""Raw (no-Spark) scanner throughput probe: single-process find_batch over
+deterministic synthetic docs — the per-process ceiling the distributed scan
+multiplies by its worker count.
+
+Cases:
+* ``ascii``  — pure-ASCII docs (uint8 matrix path);
+* ``mixed``  — 90% ASCII docs + 10% docs salted with non-BMP code points.
+  Before the dtype-split chunking, ONE wide doc dragged every ASCII doc
+  sharing its chunk onto the 4-bytes-per-char uint32 path; now the groups
+  scan separately and the blend tracks the ascii rate.
+
+Usage: ``python bench/scan_probe.py [--mb 64]`` — prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KWS = [
+    "import", "def", "class", "return", "struct", "impl", "func",
+    "package", "public", "static", "void", "const", "template",
+    "include", "namespace", "spark", "index", "query", "match", "shuffle",
+]
+# ~5% keyword density (realistic code-corpus hit rate) — a keyword-heavy
+# mix would measure match-extraction overhead, not scan throughput
+WORDS = KWS + [f"w{i}" for i in range(400)]
+
+
+def make_docs(total_chars: int, mixed: bool) -> list[str]:
+    rng = random.Random(42)
+    docs, chars = [], 0
+    i = 0
+    while chars < total_chars:
+        body = " ".join(rng.choice(WORDS) for _ in range(120))
+        if mixed and i % 10 == 0:
+            body = "\U0001f600" + body + "é"  # forces the uint32 path
+        docs.append(body)
+        chars += len(body)
+        i += 1
+    return docs
+
+
+def run(docs: list[str], reps: int = 3) -> float:
+    from acora_spark.automaton import build_automaton
+
+    a = build_automaton(KWS)
+    total = sum(len(d) for d in docs)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        a.find_batch(docs)
+        best = min(best, time.time() - t0)
+    return total / best / 1e6
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=64)
+    args = ap.parse_args()
+    out = {}
+    for case in ("ascii", "mixed"):
+        docs = make_docs(args.mb * 1_000_000, mixed=(case == "mixed"))
+        out[f"{case}_mb_per_sec"] = round(run(docs), 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,3 +115,66 @@ def test_positional_selective_block():
     s = BLOCK_SIZE
     assert (d == doc_ids[s : s + BLOCK_SIZE]).all()
     assert (p[0] == positions[s]).all()
+
+
+# ------------------------------------------------- doc-range blob slicing --
+
+
+def test_slice_postings_by_range_roundtrip_and_no_replication():
+    """Every posting byte ships to exactly ONE range: slice rows = the
+    distinct ranges the term's docs actually occupy (a cold term spread
+    over the whole doc space produces one row per TOUCHED range, never one
+    per grid range), and decoding the slices reproduces the postings."""
+    import numpy as np
+
+    from acora_spark.functions.postings_codec import (
+        decode_slice,
+        slice_postings_by_range,
+    )
+
+    rng = np.random.RandomState(11)
+    n_docs_space = 1 << 20
+    docs = np.sort(rng.choice(n_docs_space, size=700, replace=False)).astype(np.int64)
+    tfs = rng.randint(1, 9, size=700).astype(np.int64)
+    dls = rng.randint(10, 500, size=700).astype(np.int64)
+    shift = 12  # 256-range grid over the doc space
+    rngs, blobs = slice_postings_by_range(docs, tfs, dls, shift)
+    touched = np.unique(docs >> shift)
+    assert list(rngs) == list(touched)          # exactly the touched ranges
+    assert len(blobs) == len(touched)           # zero replication
+    got_docs, got_tfs, got_dls = [], [], []
+    for r, blob in zip(rngs, blobs):
+        d, t, l = decode_slice(blob)
+        assert ((d >> shift) == r).all()        # every doc in its own range
+        got_docs.append(d)
+        got_tfs.append(t)
+        got_dls.append(l)
+    np.testing.assert_array_equal(np.concatenate(got_docs), docs)
+    np.testing.assert_array_equal(np.concatenate(got_tfs), tfs)
+    np.testing.assert_array_equal(np.concatenate(got_dls), dls)
+    # degenerate grids: one range (shift past the space) and empty input
+    r1, b1 = slice_postings_by_range(docs, tfs, dls, 62)
+    assert list(r1) == [0] and len(b1) == 1
+    r0, b0 = slice_postings_by_range(
+        np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 12
+    )
+    assert len(r0) == 0 and b0 == []
+
+
+def test_positional_range_keys_pack_and_split():
+    import numpy as np
+
+    from acora_spark.functions.postings_codec import positional_range_keys
+
+    docs = np.array([3, 70, 71], dtype=np.int64)
+    tfs = np.array([2, 1, 3], dtype=np.int64)
+    pos = [np.array([0, 5]), np.array([7]), np.array([1, 2, 9])]
+    shift, pos_bits = 6, 4  # ranges of 64 docs; positions < 16
+    rngs, keys = positional_range_keys(docs, tfs, pos, shift, pos_bits)
+    assert list(rngs) == [0, 1]
+    # range 0: doc 3 local=3 -> keys 3<<4|{0,5}
+    np.testing.assert_array_equal(keys[0], [48, 53])
+    # range 1: docs 70,71 local={6,7}
+    np.testing.assert_array_equal(keys[1], [6 << 4 | 7, 7 << 4 | 1, 7 << 4 | 2, 7 << 4 | 9])
+    for ks in keys:
+        assert (np.diff(ks) > 0).all()  # sorted unique within the range
