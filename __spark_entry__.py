@@ -275,6 +275,50 @@ def _pos_index_for(spark: SparkSession, sf_dir: str):
     )
 
 
+def q_index_bm25_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-merge path, end to end: build the index on HALF the
+    corpus (lower (repo,path,commit) keys), merge_index the other half as
+    a delta, query the merged index — results must equal the SAME BM25
+    SQL oracle over the full corpus (N/avgdl/df update exactly on merge;
+    output keys by path, so doc-id assignment drops out)."""
+    from acora_spark.index.bm25 import bm25_topk_batch
+    from acora_spark.index.build import build_index, load_index, merge_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = os.path.join(
+        "/tmp", f"acora_spark_mergeidx_v{INDEX_FORMAT_VERSION}_{tag}"
+    )
+    corpus = _corpus(spark, sf_dir)
+    manifest = os.path.join(index_dir, "_manifest.json")
+    already_merged = False
+    if os.path.exists(manifest):
+        import json as _json
+
+        steps = _json.load(open(manifest))["steps"]
+        already_merged = any(k.startswith("merge:") for k in steps)
+    if not already_merged:
+        keys = corpus.select("repo", "path", "commit")
+        n = keys.count()
+        half = (
+            keys.orderBy("repo", "path", "commit").limit(n // 2)
+        )
+        base = corpus.join(half, ["repo", "path", "commit"], "left_semi")
+        delta = corpus.join(half, ["repo", "path", "commit"], "left_anti")
+        build_index(base, index_dir, num_buckets=8, docs_per_salt=2000)
+        idx = merge_index(delta, index_dir)
+    else:
+        idx = load_index(spark, index_dir)
+    raw = bm25_topk_batch(spark, idx, [BM25_QUERY], k=4 * BM25_K)
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search over a POSITIONAL compressed index."""
     from acora_spark.index.bm25 import phrase_match_batch
@@ -560,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "index_bm25_topk": q_index_bm25_topk,
         "index_bm25_topk_ranged": q_index_bm25_topk_ranged,
+        "index_bm25_topk_merged": q_index_bm25_topk_merged,
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
         "ngram_jaccard": q_ngram_jaccard,
@@ -876,6 +921,9 @@ LIMIT 20
     sql["bm25_topk"] = _bm25_sql()
     sql["index_bm25_topk"] = _bm25_sql()
     sql["index_bm25_topk_ranged"] = _bm25_sql()
+    # the merged (build-half + merge-half) index must answer IDENTICALLY
+    # to the full-corpus oracle — the strongest end-to-end merge check
+    sql["index_bm25_topk_merged"] = _bm25_sql()
 
     # phrase_tf = number of adjacent token runs equal to the phrase
     def _phrase_sql(phrase: str) -> str:

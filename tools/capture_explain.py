@@ -95,6 +95,28 @@ def main() -> None:
         )
     )
 
+    # 4b. doc-range-parallel executor: slice stage exchanges by
+    #     (query_id, rng) and moves ONLY re-encoded slice rows
+    from acora_spark.index.bm25 import bm25_topk_batch_ranged
+
+    ranged = bm25_topk_batch_ranged(spark, idx, [entry.BM25_QUERY], k=10,
+                                    num_ranges=8)
+    p4b = plan_of(ranged, "simple")
+    assert "CartesianProduct" not in p4b
+    sections.append(
+        (
+            "Doc-range-parallel BM25 (slice shuffle)",
+            "Stage order: bucket-pruned postings scan -> broadcast query "
+            "join -> MapInPandas SLICER (decodes each blob once, re-varints "
+            "per doc range) -> hash exchange keyed by (query_id, rng) "
+            "moving only the compact slice rows (every posting byte ships "
+            "to exactly one range group; nothing is replicated) -> "
+            "per-range exact TAAT -> windowed per-query top-k merge on "
+            "real partition keys.",
+            p4b,
+        )
+    )
+
     # 5. BM25 DataFrame top-k: distributed TakeOrderedAndProject
     docs_ids = entry._docs(spark, SF_DIR)
     from acora_spark.index.bm25 import bm25_topk_dataframe
