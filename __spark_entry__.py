@@ -416,6 +416,26 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups = connected components over the MinHash-LSH
+    candidate pairs (min-label propagation, exact transitive closure) —
+    the DuckDB mirror computes the same closure with a recursive CTE."""
+    from acora_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_candidate_pairs(
+        d, content_col="text", id_col="doc_id", num_hashes=4, band_size=1
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures — md5-hex bit sums, JVM-side; the DuckDB
     oracle reproduces every bit from the same hash."""
@@ -613,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dupes": q_fingerprint_dupes,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
+        "dup_groups": q_dup_groups,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1169,6 +1190,37 @@ FROM documents
 
     sql["simhash"] = _simhash_sql()
     sql["lsh_pairs"] = _lsh_pairs_sql()
+
+    # connected components over the same candidate pairs via a recursive
+    # reachability CTE: reach(id, r) closes over symmetric edges; the
+    # component id is the minimum reachable node
+    cc_bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, md5(mh_{i}) AS bucket FROM sig"
+        for i in range(4)
+    )
+    sql["dup_groups"] = f"""
+WITH RECURSIVE {_MINHASH4_CTES},
+bands AS (
+  {cc_bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst
+)
+SELECT id::BIGINT AS doc_id, min(r)::BIGINT AS group_id
+FROM reach GROUP BY id
+"""
 
     # exact Jaccard on the SAME candidate set, over the shm shingle CTE
     ngram_bands = "\n  UNION ALL ".join(

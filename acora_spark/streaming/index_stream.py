@@ -1,0 +1,74 @@
+"""Streaming index ingest: an unbounded corpus stream feeds the inverted
+index through incremental merges.
+
+Each micro-batch is a corpus DELTA (new documents); ``foreachBatch``
+routes it into :func:`acora_spark.index.build.build_index` (first batch)
+or :func:`acora_spark.index.build.merge_index` (every later batch).  The
+merge touches only the buckets the batch's terms hash into and re-encodes
+only colliding ``(term, shard)`` rows, so steady-state ingest cost is
+proportional to the batch — the daily-snapshot / hourly-crawl shape.
+
+Exactly-once-ish semantics: ``foreachBatch`` may REPLAY a batch after a
+failure.  ``merge_index`` rejects documents already present by key, so a
+replayed batch is detected; ``on_duplicate="skip"`` (default) treats that
+as the already-ingested signal and moves on — at-least-once delivery +
+key-level idempotence.  Batches must carry NEW (repo, path, commit) keys;
+updates-in-place need a rebuild (see merge_index's docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+__all__ = ["index_ingest_stream"]
+
+
+def index_ingest_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    on_duplicate: str = "skip",
+    build_kwargs: dict | None = None,
+):
+    """Attach the index-ingest sink to a streaming corpus DataFrame.
+
+    Returns the started ``StreamingQuery``.  ``stream_df`` must have the
+    corpus shape (repo, path, commit, lang, content).  ``build_kwargs``
+    (num_buckets, docs_per_salt, with_positions, ...) apply to the FIRST
+    batch's full build; later batches merge under the persisted params.
+    """
+    from acora_spark.index.build import build_index, merge_index
+
+    kwargs = dict(build_kwargs or {})
+    if on_duplicate not in ("skip", "error"):
+        raise ValueError("on_duplicate must be 'skip' or 'error'")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(os.path.join(index_dir, "stats.json")):
+            build_index(batch_df, index_dir, **kwargs)
+            return
+        try:
+            merge_index(batch_df, index_dir)
+        except ValueError as e:
+            if not (on_duplicate == "skip" and "already in the index" in str(e)):
+                raise
+            # replayed batch: drop the keys a previous attempt already
+            # ingested and merge any unseen remainder (a fully-replayed
+            # batch becomes a no-op)
+            spark = batch_df.sparkSession
+            seen = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+                "repo", "path", "commit"
+            )
+            rest = batch_df.join(seen, ["repo", "path", "commit"], "left_anti")
+            if not rest.isEmpty():
+                merge_index(rest, index_dir)
+
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

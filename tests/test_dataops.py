@@ -207,3 +207,27 @@ def test_multimodal_feature_plumbing(spark):
 
     with _pytest.raises(Exception):
         extract_image_features(df, fake_decode=False).collect()
+
+
+def test_connected_components_exact_closure(spark):
+    """Pointer-jumping CC: exact transitive closure for cliques, chains
+    (long diameter — the LSH bucket-chain shape), and forests; group id =
+    component minimum."""
+    from acora_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (1, 10)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.group_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (8, 1), (9, 1), (10, 1),
+                   (5, 5), (6, 5)}
+    # 80-node chain: needs O(log n) rounds, not O(n)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "id_a long, id_b long"
+    )
+    labels = {r.group_id for r in connected_components(chain).collect()}
+    assert labels == {0}

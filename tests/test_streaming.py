@@ -142,3 +142,65 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(r.content for r in got) == ["alpha body", "beta body", "gamma body"]
+
+
+def test_index_ingest_stream_incremental_merge(spark, sf_dir, tmp_path):
+    """Streaming index ingest: two file-source micro-batches (base +
+    later delta with keys sorting after it) produce an index that answers
+    identically to a from-scratch build on the union."""
+    from pyspark.sql import functions as F
+
+    from acora_spark.index.bm25 import bm25_topk_batch
+    from acora_spark.index.build import build_index, load_index
+    from acora_spark.streaming.index_stream import index_ingest_stream
+
+    corpus = load_corpus(spark, sf_dir)
+    base = corpus.limit(80)
+    delta = (
+        corpus.limit(130).subtract(base)
+        .withColumn("repo", F.concat(F.lit("zz_"), F.col("repo")))
+    )
+    src = str(tmp_path / "ingest_src")
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+
+    index_dir = str(tmp_path / "stream_idx")
+    stream = spark.readStream.schema(corpus.schema).option(
+        "maxFilesPerTrigger", "64"
+    ).parquet(src)
+    q = index_ingest_stream(
+        stream, index_dir,
+        checkpoint_dir=str(tmp_path / "ingest_ckpt"),
+        build_kwargs=dict(num_buckets=4, docs_per_salt=100,
+                          bucket_group_size=4),
+    )
+    try:
+        q.processAllAvailable()          # batch 0: full build
+        delta.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()          # batch 1: incremental merge
+    finally:
+        q.stop()
+
+    merged = load_index(spark, index_dir)
+    scratch = build_index(
+        base.unionByName(delta), str(tmp_path / "scratch_idx"),
+        num_buckets=4, docs_per_salt=100, bucket_group_size=4,
+    )
+    assert merged.stats["N"] == scratch.stats["N"] == 130
+    queries = ["spark shuffle partition", "data table join"]
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, float(r.score))
+        for r in bm25_topk_batch(spark, merged, queries, k=10).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, float(r.score))
+        for r in bm25_topk_batch(spark, scratch, queries, k=10).collect()
+    )
+    assert got == want
+
+    # replaying the same delta through the sink is a no-op (idempotence)
+    from acora_spark.streaming.index_stream import index_ingest_stream as _  # noqa: F401
+    from acora_spark.index.build import merge_index
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already in the index"):
+        merge_index(delta, index_dir)
