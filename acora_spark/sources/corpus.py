@@ -108,6 +108,7 @@ def generate_corpus(
     n_repos: int = 50,
     rare_vocab: int = 5000,
     num_partitions: int | None = None,
+    id_offset: int = 0,
 ) -> DataFrame:
     """Deterministic synthetic source-code corpus at any scale.
 
@@ -127,7 +128,9 @@ def generate_corpus(
     # later scan at 8 input splits no matter how many cores read it.
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
-    df = spark.range(0, n_docs, 1, num_partitions)  # distributed id source
+    # id_offset shifts the id space: every column is a function of id, so
+    # an offset range is a DISJOINT-key corpus delta (merge/ingest benches)
+    df = spark.range(id_offset, id_offset + n_docs, 1, num_partitions)
     h = F.xxhash64(F.col("id"))
     lang = F.element_at(
         F.array(*[F.lit(x) for x in _LANGS]), (F.pmod(h, F.lit(len(_LANGS))) + 1).cast("int")

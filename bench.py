@@ -105,6 +105,19 @@ def main() -> None:
         lat_r.append(time.time() - t0)
     timings["bm25_ranged_p50"] = round(statistics.median(lat_r), 3)
 
+    # incremental merge throughput (informational — OUTSIDE the headline
+    # wall so round-over-round totals stay comparable): merge a 10%-sized
+    # disjoint-key delta into the just-built index
+    from acora_spark.index.build import merge_index
+
+    n_delta = max(1000, n_docs // 10)
+    delta = generate_corpus(
+        spark, n_delta, num_partitions=32, id_offset=n_docs
+    )
+    t0 = time.time()
+    merge_index(delta, index_dir)
+    merge_secs = round(time.time() - t0, 3)
+
     # -- sf-dir representative queries ------------------------------------
     corpus = load_corpus(spark, sf_dir)
     t0 = time.time()
@@ -129,6 +142,8 @@ def main() -> None:
         "cpus": cpus,
         "n_matches": int(n_matches),
         "build_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "merge_secs": merge_secs,
+        "merge_docs_per_sec": round(n_delta / merge_secs, 1),
         "scan_mb_per_sec": round(
             total_chars / 1e6 / timings["match_scan"], 1
         ),
