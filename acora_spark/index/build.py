@@ -73,6 +73,7 @@ __all__ = [
     "assign_doc_ids",
     "build_index",
     "merge_index",
+    "compact_index",
     "Index",
     "load_index",
 ]
@@ -709,12 +710,13 @@ def build_index(
 
 
 def _merge_stream(avgdl: float, with_positions: bool) -> callable:
-    """mapInPandas fn merging COLLIDING (term, shard) rows: input rows are
-    clustered by (term, shard) and sorted by ``src`` (0 = existing row,
-    1 = delta row — delta doc ids are strictly larger, so concatenation in
-    src order keeps the posting list doc-sorted).  Each group decodes its
-    1-2 blobs, concatenates, and re-encodes under the merged avgdl.  A
-    group spanning an Arrow batch boundary is carried to the next batch."""
+    """mapInPandas fn coalescing same-(term, shard) rows: input rows are
+    clustered by (term, shard) and sorted doc-ascending (segment rows
+    cover disjoint doc ranges, so ordering by the first block's last_doc
+    orders whole rows).  Each group decodes its blobs, concatenates, and
+    re-encodes under the CURRENT avgdl — which also refreshes the block
+    max_impact bounds to exact.  A group spanning an Arrow batch boundary
+    is carried to the next batch."""
     from acora_spark.functions.postings_codec import (
         decode_postings,
         decode_postings_positional,
@@ -783,12 +785,27 @@ def merge_index(
     delta_corpus: DataFrame,
     index_dir: str,
     *,
+    mode: str = "append",
     bucket_group_size: int = 8,
 ) -> "Index":
     """Merge a corpus DELTA (new documents only) into an existing index —
-    the daily-snapshot ingest path.  Cost is proportional to the DELTA
-    plus a read+rewrite of the affected buckets; untouched buckets are
-    never opened.
+    the daily-snapshot ingest path.
+
+    Two modes (the LSM trade):
+
+    * ``mode="append"`` (default) — the delta's encoded postings land as
+      NEW segment rows in their bucket directories; existing bytes are
+      never read or rewritten, so merge cost is proportional to the
+      DELTA alone (at 10^12 docs a common-vocabulary delta touches every
+      bucket — a rewrite-style merge would round-trip the whole index).
+      A (term, shard) key then has one row per merge generation; query
+      executors treat each row as an independent cursor over disjoint
+      doc ranges, so results stay exact.  Run :func:`compact_index`
+      periodically to coalesce generations.
+    * ``mode="rewrite"`` — compact-on-merge: affected buckets are read,
+      colliding rows coalesced, and the buckets dynamic-overwritten
+      (one row per (term, shard) restored immediately, at full
+      read+rewrite cost for those buckets).
 
     How it stays cheap (and correct) at scale:
 
@@ -798,21 +815,21 @@ def merge_index(
       query results) are IDENTICAL to a from-scratch build on the union;
       otherwise results map to the same documents under different ids.
     * Width-based shard boundaries (``shard = doc_id >> w``) never move
-      when N grows, so only the (term, shard) rows the delta actually
-      COLLIDES with are decoded + re-encoded; every other existing row
-      passes through untouched bytes.
+      when N grows, so delta rows slot into the same grid as existing
+      rows without re-sharding anything.
     * ``avgdl``/``N``/``idf`` update exactly (integer ``total_dl``);
       previously-encoded block bounds stay admissible via the
-      ``min_avgdl_encode`` scale factor applied at query time.
+      ``min_avgdl_encode`` scale factor applied at query time (reset to
+      exact by compaction).
     * A term that was cold and grows hot KEEPS its single-shard layout
       (its blob keeps growing — run a periodic rebuild to re-shard);
       a term NEW to the index with a hot-sized delta df gets a fresh
       width in ``hot_terms.json``.
 
-    Not crash-atomic in v1: stats/docmap commit before the bucket
-    rewrites (which are idempotent dynamic overwrites); a merge
-    interrupted mid-bucket leaves some new docs unsearchable until the
-    merge is re-run on a fresh delta or the index rebuilt."""
+    Not crash-atomic in v1: stats/docmap commit before the postings
+    write; a merge interrupted mid-write leaves some new docs
+    unsearchable until the merge is re-run on a fresh delta or the
+    index rebuilt."""
     spark = delta_corpus.sparkSession
     stats_path = os.path.join(index_dir, "stats.json")
     with open(stats_path) as f:
@@ -942,65 +959,123 @@ def merge_index(
         else None
     )
 
-    # ---- per-bucket merge ------------------------------------------------
+    # ---- postings update -------------------------------------------------
     affected = sorted(
         r["bucket"]
         for r in delta_runs.select("bucket").distinct().collect()
     )
+    sharded = _assign_shards(delta_runs, hot_df)
+    enc_cols = ["term", "shard", "doc_id", "tf", "dl"] + (
+        ["positions"] if with_positions else []
+    )
+    arranged = (
+        sharded.select(*enc_cols)
+        .repartition("term", "shard")
+        .sortWithinPartitions(
+            F.xxhash64("term", "shard"), "term", "shard", "doc_id"
+        )
+    )
+    new_rows = arranged.mapInPandas(
+        _encode_stream(avgdl_new, with_positions), POSTINGS_SCHEMA
+    )
+    if mode == "append":
+        # LSM-style segment append: the delta's encoded rows land as NEW
+        # parquet files in their bucket directories; existing bytes are
+        # never read or rewritten, so merge cost is proportional to the
+        # DELTA alone.  A (term, shard) key may then have one row per
+        # merge generation — the query executors treat every row as an
+        # independent cursor over disjoint docs (exactness unaffected);
+        # run compact_index periodically to coalesce generations.
+        wpb = max(
+            1,
+            math.ceil(
+                spark.sparkContext.defaultParallelism / max(1, len(affected))
+            ),
+        )
+        out = new_rows.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        ).repartition(
+            len(affected) * wpb,
+            "bucket",
+            F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
+        )
+        out.write.mode("append").partitionBy("bucket").parquet(postings_path)
+    elif mode == "rewrite":
+        # compact-on-merge: coalesce existing + delta rows per (term,
+        # shard) and dynamic-overwrite the affected buckets (the
+        # round-trip cost of compaction, paid inline)
+        _coalesce_buckets(
+            spark, index_dir, affected, new_rows, avgdl_new,
+            with_positions, bucket_group_size, num_buckets,
+        )
+    else:
+        raise ValueError("mode must be 'append' or 'rewrite'")
+    _mark_done(
+        index_dir, f"merge:{n_old}:{n_new}", docs_added=m_docs, mode=mode
+    )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return load_index(spark, index_dir)
+
+
+def _coalesce_buckets(
+    spark: SparkSession,
+    index_dir: str,
+    buckets: Sequence[int],
+    extra_rows: DataFrame | None,
+    avgdl: float,
+    with_positions: bool,
+    bucket_group_size: int,
+    num_buckets: int,
+) -> None:
+    """Re-encode each (term, shard) of the given buckets as ONE row:
+    existing rows (+ optional extra rows) cluster by key, order by their
+    first block's last_doc (segment rows hold disjoint doc ranges, so
+    that orders whole rows doc-ascending), and stream through the merge
+    encoder.  Dynamic-overwrite per bucket group; per-bucket row/xor64
+    lineage refreshed in the manifest."""
+    from pyspark.sql import Observation
+
     index = load_index(spark, index_dir)
+    postings_path = os.path.join(index_dir, "postings")
     post_cols = [f.name for f in POSTINGS_SCHEMA.fields]
-    for i in range(0, len(affected), bucket_group_size):
-        group = affected[i : i + bucket_group_size]
-        d_runs = delta_runs.filter(F.col("bucket").isin(group))
-        sharded = _assign_shards(d_runs, hot_df)
-        enc_cols = ["term", "shard", "doc_id", "tf", "dl"] + (
-            ["positions"] if with_positions else []
-        )
+    buckets = sorted(buckets)
+    for i in range(0, len(buckets), bucket_group_size):
+        group = buckets[i : i + bucket_group_size]
+        rows = index.postings(spark, group).select(*post_cols)
+        if extra_rows is not None:
+            extra = extra_rows.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+            ).filter(F.col("bucket").isin(list(group))).select(*post_cols)
+            rows = rows.unionByName(extra)
         arranged = (
-            sharded.select(*enc_cols)
+            rows.withColumn(
+                "ord", F.element_at("blocks", 1).getField("last_doc")
+            )
             .repartition("term", "shard")
             .sortWithinPartitions(
-                F.xxhash64("term", "shard"), "term", "shard", "doc_id"
+                F.xxhash64("term", "shard"), "term", "shard", "ord"
             )
         )
-        new_rows = arranged.mapInPandas(
-            _encode_stream(avgdl_new, with_positions), POSTINGS_SCHEMA
-        )
-        ex = index.postings(spark, group).select(*post_cols)
-        new_keys = new_rows.select("term", "shard")
-        ex_keys = ex.select("term", "shard")
-        ex_pass = ex.join(new_keys, ["term", "shard"], "left_anti")
-        ex_coll = ex.join(new_keys, ["term", "shard"], "left_semi")
-        nw_pass = new_rows.join(ex_keys, ["term", "shard"], "left_anti")
-        nw_coll = new_rows.join(ex_keys, ["term", "shard"], "left_semi")
-        merged = (
-            ex_coll.withColumn("src", F.lit(0))
-            .unionByName(nw_coll.withColumn("src", F.lit(1)))
-            .repartition("term", "shard")
-            .sortWithinPartitions(
-                F.xxhash64("term", "shard"), "term", "shard", "src"
-            )
-            .mapInPandas(_merge_stream(avgdl_new, with_positions), POSTINGS_SCHEMA)
+        merged = arranged.mapInPandas(
+            _merge_stream(avgdl, with_positions), POSTINGS_SCHEMA
         )
         wpb = max(
             1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
         )
-        out = (
-            ex_pass.unionByName(nw_pass).unionByName(merged)
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
-            )
-            .repartition(
-                len(group) * wpb,
-                "bucket",
-                F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
-            )
+        out = merged.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        ).repartition(
+            len(group) * wpb,
+            "bucket",
+            F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
         )
-        obs_b = Observation(f"merge_buckets_{group[0]}")
+        obs = Observation(f"coalesce_{group[0]}")
         row_hash = F.xxhash64("term", "shard", "df", "postings")
         out = out.observe(
-            obs_b,
+            obs,
             *[
                 F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
                 for b in group
@@ -1016,7 +1091,7 @@ def merge_index(
             out.write.mode("overwrite").partitionBy("bucket").parquet(postings_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        counts = obs_b.get
+        counts = obs.get
         for b in group:
             xor = counts.get(f"x{b}")
             _mark_done(
@@ -1024,12 +1099,36 @@ def merge_index(
                 f"bucket:{b}",
                 rows=int(counts.get(f"b{b}") or 0),
                 xor64=(int(xor) if xor is not None else 0),
-                merged=True,
+                coalesced=True,
             )
-    _mark_done(index_dir, f"merge:{n_old}:{n_new}", docs_added=m_docs)
-    import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
+
+def compact_index(
+    spark: SparkSession, index_dir: str, *, bucket_group_size: int = 8
+) -> "Index":
+    """Coalesce append-merge segment rows: every (term, shard) becomes one
+    row again, re-encoded under the CURRENT avgdl (block max_impact
+    bounds return to exact, so ``min_avgdl_encode`` resets and WAND bound
+    widening drops back to 1.0).  Run periodically between append-mode
+    merges — the LSM compaction step."""
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    base = os.path.join(index_dir, "postings")
+    buckets = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(base)
+        if p.startswith("bucket=")
+    )
+    _coalesce_buckets(
+        spark, index_dir, buckets, None, stats["avgdl"],
+        bool(stats.get("with_positions")), bucket_group_size,
+        stats["num_buckets"],
+    )
+    stats["min_avgdl_encode"] = stats["avgdl"]
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
+    _mark_done(index_dir, "compact:%d" % stats["N"])
     return load_index(spark, index_dir)
 
 

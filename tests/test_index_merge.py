@@ -52,12 +52,21 @@ def _split_after(spark, sf_dir, n_base, n_delta):
     return base, delta
 
 
-def test_merge_equals_scratch_build(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("mode", ["append", "rewrite"])
+def test_merge_equals_scratch_build(spark, sf_dir, tmp_path, mode):
     base, delta = _split_after(spark, sf_dir, 150, 80)
-    merged_dir = str(tmp_path / "merged")
+    merged_dir = str(tmp_path / f"merged_{mode}")
     build_index(base, merged_dir, num_buckets=8, docs_per_salt=100,
                 bucket_group_size=8)
-    merged = merge_index(delta, merged_dir)
+    merged = merge_index(delta, merged_dir, mode=mode)
+
+    if mode == "rewrite":
+        # compact-on-merge keeps the one-row-per-(term, shard) invariant
+        post = merged.postings(spark)
+        assert (
+            post.groupBy("term", "shard").count().filter("count > 1").count()
+            == 0
+        )
 
     scratch_dir = str(tmp_path / "scratch")
     scratch = build_index(
@@ -162,3 +171,45 @@ def test_merge_interleaved_keys_still_correct(spark, sf_dir, tmp_path):
     np.testing.assert_allclose(
         [s for _, s in got], [s for _, s in want], rtol=0, atol=1e-9
     )
+
+
+def test_compaction_coalesces_segments(spark, sf_dir, tmp_path):
+    """Two append-mode merges leave multiple segment rows per (term,
+    shard); compact_index coalesces them back to one row each, resets the
+    WAND bound scale (min_avgdl_encode == avgdl), and leaves every query
+    answer unchanged."""
+    from acora_spark.index.build import compact_index
+
+    corpus = load_corpus(spark, sf_dir)
+    base = corpus.limit(100)
+    d1 = (
+        corpus.limit(140).subtract(base)
+        .withColumn("repo", F.concat(F.lit("zy_"), F.col("repo")))
+    )
+    d2 = (
+        corpus.limit(180).subtract(corpus.limit(140))
+        .withColumn("repo", F.concat(F.lit("zz_"), F.col("repo")))
+    )
+    d = str(tmp_path / "seg")
+    build_index(base, d, num_buckets=4, docs_per_salt=100, bucket_group_size=4)
+    merge_index(d1, d, mode="append")
+    merged = merge_index(d2, d, mode="append")
+    post = merged.postings(spark)
+    assert (
+        post.groupBy("term", "shard").count().filter("count > 1").count() > 0
+    ), "append merges should leave multi-segment keys"
+    before = sorted(
+        (r.query_id, r.rank, r.doc_id, float(r.score))
+        for r in bm25_topk_batch(spark, merged, QUERIES, k=10).collect()
+    )
+    compacted = compact_index(spark, d, bucket_group_size=4)
+    post2 = compacted.postings(spark)
+    assert (
+        post2.groupBy("term", "shard").count().filter("count > 1").count() == 0
+    )
+    assert compacted.stats["min_avgdl_encode"] == compacted.stats["avgdl"]
+    after = sorted(
+        (r.query_id, r.rank, r.doc_id, float(r.score))
+        for r in bm25_topk_batch(spark, compacted, QUERIES, k=10).collect()
+    )
+    assert before == after
