@@ -363,3 +363,55 @@ def test_query_engine_warm_and_empty_bucket(spark, sf_dir, tmp_path):
     assert by_q.get(0, 0) > 0      # ghost term ignored, real terms answer
     assert by_q.get(1, 0) == 0     # ghost-only query -> empty, no error
     assert by_q.get(2, 0) > 0
+
+
+def test_phrase_edge_cases_vs_bruteforce(spark, tmp_path):
+    """Adversarial phrase shapes against a sliding-window brute force:
+    repeated tokens (overlapping occurrences), the same term at multiple
+    phrase offsets, phrase longer than the doc, single-token phrases, and
+    a forced multi-range grid — all over one crafted corpus."""
+    import re as _re
+
+    from acora_spark.index.bm25 import phrase_match_batch
+
+    docs = [
+        "a a a a",                      # overlapping 'a a' runs
+        "a b a b a",                    # 'a b a' repeats with shared term
+        "x y z",                        # no matches for most phrases
+        "a",                            # shorter than most phrases
+        "b a a b a a b",                # mixed
+        "the the the data the the",     # hot-ish term repetition
+    ]
+    rows = [("r", f"p{i}", f"c{i}", "en", t) for i, t in enumerate(docs)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    idx = build_index(
+        corpus, str(tmp_path / "edgeidx"), num_buckets=4,
+        bucket_group_size=4, with_positions=True, resume=False,
+    )
+    docmap = {
+        r.path: r.doc_id for r in idx.docmap(spark).collect()
+    }
+    phrases = ["a a", "a b a", "a", "the the", "a a a a a", "z", "q q"]
+    tok = _re.compile(r"[a-z0-9_]+")
+
+    def brute(phrase):
+        p = tok.findall(phrase)
+        out = {}
+        for i, text in enumerate(docs):
+            t = tok.findall(text)
+            c = sum(
+                1 for j in range(len(t) - len(p) + 1) if t[j:j + len(p)] == p
+            )
+            if c:
+                out[docmap[f"p{i}"]] = c
+        return out
+
+    for num_ranges in (None, 4):
+        res = phrase_match_batch(spark, idx, phrases, num_ranges=num_ranges)
+        got: dict[int, dict[int, int]] = {}
+        for r in res.collect():
+            got.setdefault(r.query_id, {})[r.doc_id] = r.phrase_tf
+        for qi, ph in enumerate(phrases):
+            assert got.get(qi, {}) == brute(ph), (ph, num_ranges)
