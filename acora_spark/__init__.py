@@ -5,7 +5,18 @@ reference multi-keyword matcher (scoder/acora) extended into a distributed
 inverted-index / BM25 pipeline.  See SURVEY.md for the capability map.
 """
 
-from acora_spark.automaton import AcoraBuilder, Automaton, build_automaton
+from acora_spark.automaton import (
+    AcoraBuilder,
+    Automaton,
+    build_automaton,
+    tree_to_dot,
+)
+from acora_spark.index.build import (
+    build_index,
+    compact_index,
+    load_index,
+    merge_index,
+)
 from acora_spark.operators.matcher import (
     filefind,
     longest_match,
@@ -19,7 +30,7 @@ from acora_spark.operators.matcher import (
 )
 from acora_spark.session import get_spark
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def search_ignore_case(df, *keywords, **kw):
@@ -32,6 +43,11 @@ __all__ = [
     "AcoraBuilder",
     "Automaton",
     "build_automaton",
+    "tree_to_dot",
+    "build_index",
+    "merge_index",
+    "compact_index",
+    "load_index",
     "get_spark",
     "match",
     "match_binary",
