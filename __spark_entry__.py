@@ -416,6 +416,28 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dup pairs over base docs + planted one-token-
+    appended copies (ids +10000): pigeonhole band join (4 x 16-bit bands)
+    + exact bit_count verify at hamming <= 3."""
+    from acora_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqplantedzz")).alias("text"),
+    )
+    full = d.unionByName(planted)
+    pairs = simhash_near_dup_pairs(
+        full, content_col="text", id_col="doc_id", max_hamming=3, num_bands=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups = connected components over the MinHash-LSH
     candidate pairs (min-label propagation, exact transitive closure) —
@@ -634,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "dup_groups": q_dup_groups,
+        "simhash_near_dups": q_simhash_near_dups,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -677,9 +700,10 @@ LIMIT {BM25_K}
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(src: str = "documents") -> str:
     """DuckDB mirror of operators.dedup.simhash: identical md5-hex hash,
-    identical bit layout (bit b lives at bit b%4 of hex digit 15 - b//4)."""
+    identical bit layout (bit b lives at bit b%4 of hex digit 15 - b//4).
+    ``src`` is the doc table/CTE (doc_id, text) to sign."""
     digit_defs = ",\n         ".join(
         f"strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 AS d{j}"
         for j in range(16)
@@ -694,19 +718,19 @@ def _simhash_sql() -> str:
         + " ELSE 0 END)"
         for b in range(64)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
-  FROM documents
+  FROM {src}
 ),
 h AS (SELECT doc_id, md5(term) AS h FROM toks),
 d AS (SELECT doc_id, {digit_defs} FROM h),
-s AS (SELECT doc_id, {sum_defs} FROM d GROUP BY doc_id)
-SELECT doc.doc_id AS doc_id,
-       CAST({sig_terms} AS BIGINT) AS simhash
-FROM documents doc LEFT JOIN s ON s.doc_id = doc.doc_id
-"""
+s AS (SELECT doc_id, {sum_defs} FROM d GROUP BY doc_id),
+sim AS (
+  SELECT doc.doc_id AS doc_id,
+         CAST({sig_terms} AS BIGINT) AS simhash
+  FROM {src} doc LEFT JOIN s ON s.doc_id = doc.doc_id
+)"""
 
 
 _MINHASH4_CTES = """toksm AS (
@@ -1188,7 +1212,37 @@ SELECT doc_id,
 FROM documents
 """
 
-    sql["simhash"] = _simhash_sql()
+    sql["simhash"] = f"WITH {_simhash_sql()}\nSELECT doc_id, simhash FROM sim"
+
+    # SimHash near-dup pairs over base docs + planted one-token-appended
+    # copies (ids +10000): Hamming banding (4 x 16-bit bands, pigeonhole
+    # recall 1.0 at hamming <= 3) + exact bit_count verify — identical
+    # signature math on both engines, so identical pairs
+    planted_src = """docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' qqplantedzz' AS text
+  FROM documents WHERE doc_id < 40
+)"""
+    sim_bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {16 * i}) & 65535 AS bucket FROM sim"
+        for i in range(4)
+    )
+    sql["simhash_near_dups"] = f"""
+WITH {planted_src},
+{_simhash_sql('docs2')},
+sbands AS (
+  {sim_bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM sbands a JOIN sbands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
     sql["lsh_pairs"] = _lsh_pairs_sql()
 
     # connected components over the same candidate pairs via a recursive

@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "connected_components",
     "simhash",
+    "simhash_near_dup_pairs",
     "hyperplane_bands",
     "embedding_near_dup_pairs",
 ]
@@ -303,6 +304,62 @@ def simhash(
         df.select(id_col)
         .join(sums, id_col, "left")
         .select(id_col, sig.alias("simhash"))
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance: ``(id_a, id_b,
+    hamming)`` with ``hamming <= max_hamming``.
+
+    Pigeonhole banding (Charikar-style near-dup search): the 64-bit
+    signature splits into ``num_bands`` equal bit bands; two signatures
+    within Hamming distance ``num_bands - 1`` (or less) agree EXACTLY on
+    at least one band, so a per-band bucket equi-join finds every such
+    pair — O(n * bands) shuffle, never all-pairs.  Exact verification is
+    one JVM expression: ``bit_count(sig_a XOR sig_b)``.  Recall is 1.0
+    while ``max_hamming < num_bands`` (the default 3 < 4); a larger
+    ``max_hamming`` needs more bands to keep the guarantee.
+    """
+    if not 64 % num_bands == 0:
+        raise ValueError("num_bands must divide 64")
+    if max_hamming >= num_bands:
+        raise ValueError(
+            "pigeonhole recall guarantee needs max_hamming < num_bands"
+        )
+    bits = 64 // num_bands
+    mask = (1 << bits) - 1
+    sig = simhash(df, content_col=content_col, id_col=id_col)
+    bands = None
+    for i in range(num_bands):
+        b = sig.select(
+            F.col(id_col),
+            "simhash",
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", i * bits).bitwiseAND(F.lit(mask)).alias(
+                "bucket"
+            ),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

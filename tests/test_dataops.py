@@ -231,3 +231,35 @@ def test_connected_components_exact_closure(spark):
     )
     labels = {r.group_id for r in connected_components(chain).collect()}
     assert labels == {0}
+
+
+def test_simhash_near_dup_pairs_planted(spark, docs):
+    """Hamming banding finds every planted one-token-appended copy whose
+    signature is within max_hamming (pigeonhole recall 1.0 below the band
+    count), with exact bit_count distances."""
+    from acora_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    base = docs.select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzplantq")).alias("text"),
+    )
+    full = base.unionByName(planted)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            full, content_col="text", id_col="doc_id",
+            max_hamming=3, num_bands=4,
+        ).collect()
+    }
+    # ground truth by brute force over the signatures
+    sigs = {r.doc_id: r.simhash
+            for r in simhash(full, content_col="text").collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and len(want) > 0
