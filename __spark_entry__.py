@@ -262,6 +262,26 @@ def q_index_bm25_topk_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+BOOL_MUST = ["table", "data"]
+BOOL_SHOULD = ["query", "row"]
+BOOL_NOT = ["window"]
+
+
+def q_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval over the compressed index: docs containing ALL
+    must terms, >=1 should term, and NO must_not term — mirrored by a
+    direct token-membership SQL filter."""
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = boolean_query_batch(
+        spark, idx,
+        [{"must": BOOL_MUST, "should": BOOL_SHOULD, "must_not": BOOL_NOT}],
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("path")
+
+
 def _pos_index_for(spark: SparkSession, sf_dir: str):
     from acora_spark.index.build import build_index
 
@@ -647,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_bm25_topk": q_index_bm25_topk,
         "index_bm25_topk_ranged": q_index_bm25_topk_ranged,
         "index_bm25_topk_merged": q_index_bm25_topk_merged,
+        "boolean_query": q_boolean_query,
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
         "ngram_jaccard": q_ngram_jaccard,
@@ -969,6 +990,18 @@ LIMIT 20
     # the merged (build-half + merge-half) index must answer IDENTICALLY
     # to the full-corpus oracle — the strongest end-to-end merge check
     sql["index_bm25_topk_merged"] = _bm25_sql()
+
+    # boolean retrieval: token-membership predicates over the same
+    # tokenization
+    musts = " AND ".join(f"list_contains(t, '{w}')" for w in BOOL_MUST)
+    shoulds = " OR ".join(f"list_contains(t, '{w}')" for w in BOOL_SHOULD)
+    nots = " AND ".join(f"NOT list_contains(t, '{w}')" for w in BOOL_NOT)
+    sql["boolean_query"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT path FROM toks
+WHERE {musts} AND ({shoulds}) AND {nots}
+"""
 
     # phrase_tf = number of adjacent token runs equal to the phrase
     def _phrase_sql(phrase: str) -> str:

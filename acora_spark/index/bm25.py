@@ -64,6 +64,7 @@ __all__ = [
     "idf",
     "bm25_topk_batch",
     "bm25_topk_batch_ranged",
+    "boolean_query_batch",
     "bm25_topk",
     "bm25_topk_dataframe",
     "reference_topk",
@@ -780,6 +781,108 @@ def phrase_match_batch(
     return sliced.repartition("query_id", "rng").groupBy(
         "query_id", "rng"
     ).applyInPandas(run_range, PHRASE_SCHEMA)
+
+
+BOOLEAN_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+    ]
+)
+
+
+def boolean_query_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[dict],
+) -> DataFrame:
+    """Classic boolean retrieval over the inverted index: for each query
+    ``{"must": [...], "should": [...], "must_not": [...]}`` return the
+    matching ``(query_id, doc_id)`` set — docs containing EVERY must
+    term, AT LEAST ONE should term (when any are given), and NO must_not
+    term.
+
+    Plan shape matches the BM25 batch executor: bucket-pruned postings
+    read + broadcast query join; one vectorized set-algebra task per
+    query (posting lists decode to sorted doc arrays; intersections /
+    unions / differences are ``np.intersect1d``-family calls — no per-doc
+    Python).  Every query needs at least one positive (must/should) term:
+    pure negation would mean materializing the complement of a posting
+    list, which is the full doc space at 10^12 docs."""
+    norm: dict[int, dict[str, list[str]]] = {}
+    for qi, q in enumerate(queries):
+        spec = {
+            role: sorted({t for x in q.get(role, []) for t in query_terms(x)})
+            for role in ("must", "should", "must_not")
+        }
+        if not spec["must"] and not spec["should"]:
+            raise ValueError(
+                f"query {qi}: boolean queries need at least one must/should term"
+            )
+        norm[qi] = spec
+    stats = index.stats
+    all_terms = sorted(
+        {t for s in norm.values() for r in s.values() for t in r}
+    )
+    if not all_terms:
+        return spark.createDataFrame([], BOOLEAN_SCHEMA)
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(all_terms)
+    )
+    pairs = [
+        (qi, t)
+        for qi, spec in norm.items()
+        for t in {x for r in spec.values() for x in r}
+    ]
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    positional = bool(stats.get("with_positions"))
+    bc_spec = spark.sparkContext.broadcast(norm)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        spec = bc_spec.value[qid]
+        docs_by_term: dict[str, list] = {}
+        for term, blob, blocks in zip(pdf["term"], pdf["postings"], pdf["blocks"]):
+            d, _t, _l = _decode(bytes(blob), [dict(x) for x in blocks], positional)
+            docs_by_term.setdefault(term, []).append(d)
+        sets = {
+            t: np.unique(np.concatenate(parts))
+            for t, parts in docs_by_term.items()
+        }
+        empty = np.empty(0, np.int64)
+        cand = None
+        for t in spec["must"]:
+            arr = sets.get(t, empty)
+            cand = arr if cand is None else np.intersect1d(
+                cand, arr, assume_unique=True
+            )
+            if not len(cand):
+                break
+        if spec["should"]:
+            union = (
+                np.unique(np.concatenate(
+                    [sets.get(t, empty) for t in spec["should"]]
+                ))
+                if spec["should"]
+                else empty
+            )
+            cand = union if cand is None else np.intersect1d(
+                cand, union, assume_unique=True
+            )
+        if cand is None:
+            cand = empty
+        for t in spec["must_not"]:
+            if len(cand):
+                cand = np.setdiff1d(cand, sets.get(t, empty), assume_unique=True)
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": cand.astype(np.int64)}
+        )
+
+    return joined.groupBy("query_id").applyInPandas(run, BOOLEAN_SCHEMA)
 
 
 class QueryEngine:

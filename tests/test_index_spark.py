@@ -415,3 +415,43 @@ def test_phrase_edge_cases_vs_bruteforce(spark, tmp_path):
             got.setdefault(r.query_id, {})[r.doc_id] = r.phrase_tf
         for qi, ph in enumerate(phrases):
             assert got.get(qi, {}) == brute(ph), (ph, num_ranges)
+
+
+def test_boolean_query_semantics(built, spark):
+    """must/should/must_not set algebra vs a tokenized brute force."""
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    idx, _, corpus = built
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    import re as _re
+
+    tok = _re.compile(r"[a-z0-9_]+")
+    token_sets = {}
+    for row in corpus.collect():
+        token_sets[docmap[(row.repo, row.path, row.commit)]] = set(
+            tok.findall(row.content.lower())
+        )
+    queries = [
+        {"must": ["data", "table"], "must_not": ["window"]},
+        {"should": ["spark", "query"]},
+        {"must": ["the"], "should": ["fast", "slow"], "must_not": ["join"]},
+        {"must": ["zzzqqq"]},  # unknown term -> empty
+    ]
+    res = boolean_query_batch(spark, idx, queries).collect()
+    got: dict[int, set] = {}
+    for r in res:
+        got.setdefault(r.query_id, set()).add(r.doc_id)
+    for qi, q in enumerate(queries):
+        want = {
+            d for d, ts in token_sets.items()
+            if all(m in ts for m in q.get("must", []))
+            and (not q.get("should") or any(s in ts for s in q["should"]))
+            and not any(n in ts for n in q.get("must_not", []))
+        }
+        assert got.get(qi, set()) == want, q
+    assert len(got.get(0, set())) > 0 and len(got.get(2, set())) > 0
+    with pytest.raises(ValueError, match="at least one must/should"):
+        boolean_query_batch(spark, idx, [{"must_not": ["data"]}])
