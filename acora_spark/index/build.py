@@ -45,6 +45,7 @@ import math
 import os
 import time
 from collections.abc import Iterable, Sequence
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import numpy as np
@@ -209,9 +210,57 @@ def _mark_done(index_dir: str, step: str, **info) -> None:
     os.replace(tmp, _manifest_path(index_dir))
 
 
-def _encode_stream(avgdl: float, with_positions: bool = False) -> callable:
+@contextmanager
+def _pinned_split_confs(spark: SparkSession):
+    """Pin the file-split arithmetic while the zero-shuffle encoder reads
+    the runs table.
+
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCost, total/minPartitionNum))``
+    and ``minPartitionNum`` DEFAULTS to the core count — so without
+    pinning, the same runs files would split differently at local[8] vs
+    local[32], a reader split mid-(term, shard) group would fall in
+    different places, and the resulting segment rows (hence the per-bucket
+    xor64 lineage checksums) would differ across cluster sizes.  Pinned to
+    (128 MB, 1), the split layout is a pure function of the file sizes:
+    bit-identical postings at any parallelism.  Read parallelism at scale
+    comes from the 128 MB splits over big files, not from the
+    core-derived minimum."""
+    pairs = {
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.files.minPartitionNum": "1",
+    }
+    saved = {}
+    for k, v in pairs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _encode_stream(
+    avgdl: float,
+    with_positions: bool = False,
+    hot_map: dict[str, int] | None = None,
+) -> callable:
     """Streaming posting-list encoder for ``mapInPandas`` over runs that are
-    hash-partitioned by (term, shard) and sorted by (term, shard, doc_id).
+    term-clustered (all rows of a term in one input partition) and sorted
+    by (term, doc_id) within each partition.
+
+    The shard column is computed HERE, not upstream: ``shard = doc_id >> w``
+    with ``w`` from the (small, driver-held) ``hot_map`` — and because the
+    shift is monotone in ``doc_id``, a (term, doc_id)-sorted stream is
+    automatically (term, shard, doc_id)-sorted.  That lets the build write
+    runs clustered by ``hash(term)`` ONCE and encode straight off the read
+    — no second shuffle of the raw runs.
 
     One ``applyInPandas`` call per (term, shard) group costs ~5 ms of
     pandas/Arrow overhead per GROUP — at code-scale vocabularies that
@@ -220,17 +269,31 @@ def _encode_stream(avgdl: float, with_positions: bool = False) -> callable:
     complete group is encoded in one pass, and the final (possibly
     batch-spanning) group is carried over to the next batch.  Carried rows
     are bounded by the shard size (``docs_per_salt``), the sharding
-    invariant."""
+    invariant.
+
+    Robustness: a doc-id DESCENT inside a (term, shard) run also closes a
+    group.  When the parquet reader splits one runs file into several
+    chunks and packs them into a read partition out of offset order, the
+    same group can arrive as separated (or even adjacent, reordered)
+    doc-contiguous slices; splitting at descents turns each slice into its
+    own valid SEGMENT row — the same multi-row-per-key shape the LSM
+    append merge produces, which every query executor already treats as
+    independent cursors over disjoint doc ranges."""
+    hot = hot_map or {}
 
     def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = pdf["term"].to_numpy()
-        shards = pdf["shard"].to_numpy()
+        shards = pdf["shard"].to_numpy(np.int64)
+        doc = pdf["doc_id"].to_numpy(np.int64)
         change = (
-            np.flatnonzero((terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]))
+            np.flatnonzero(
+                (terms[1:] != terms[:-1])
+                | (shards[1:] != shards[:-1])
+                | (doc[1:] <= doc[:-1])
+            )
             + 1
         )
         bounds = np.concatenate(([0], change, [len(pdf)]))
-        doc = pdf["doc_id"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.int64)
         dl = pdf["dl"].to_numpy(np.int64)
         pos = pdf["positions"].tolist() if with_positions else None
@@ -259,6 +322,16 @@ def _encode_stream(avgdl: float, with_positions: bool = False) -> callable:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # shard = doc_id >> w, vectorized: hot terms map to their width,
+            # everything else to the single-shard cold width
+            w = (
+                pdf["term"].map(hot).fillna(COLD_SHARD_WIDTH).to_numpy(np.int64)
+                if hot
+                else np.full(len(pdf), COLD_SHARD_WIDTH, np.int64)
+            )
+            pdf = pdf.assign(
+                shard=pdf["doc_id"].to_numpy(np.int64) >> w
+            )
             if pending is not None:
                 pdf = pd.concat([pending, pdf], ignore_index=True)
                 pending = None
@@ -365,30 +438,6 @@ def _doc_term_runs(
     )
 
 
-def _assign_shards(runs: DataFrame, hot_df: DataFrame | None) -> DataFrame:
-    """Shard column via the per-term width map: ``shard = doc_id >> w``.
-
-    Broadcast join + one integer shift — no floating point anywhere, so a
-    boundary doc can never round into a different shard than the query
-    side computes (the double-arithmetic ``floor(doc*n/N)`` form could,
-    past ~1e10 docs).  Hot terms split into power-of-two-width contiguous
-    doc-id ranges, each encoded and stored as its own row (no re-merge: a
-    single-blob hot-term row would blow the 2 GB Arrow/parquet cell limit
-    at 10^12 docs); cold terms get one shard (width ``2**62`` covers every
-    valid doc id)."""
-    if hot_df is not None:
-        sharded = runs.join(F.broadcast(hot_df), "term", "left")
-    else:
-        sharded = runs.withColumn("w", F.lit(None).cast("int"))
-    return (
-        sharded.withColumn(
-            "w", F.coalesce("w", F.lit(COLD_SHARD_WIDTH)).cast("int")
-        )
-        .withColumn("shard", F.expr("shiftright(doc_id, w)").cast("long"))
-        .drop("w")
-    )
-
-
 _BUILD_PARAMS = ("num_buckets", "docs_per_salt", "with_positions")
 
 
@@ -401,6 +450,7 @@ def build_index(
     bucket_group_size: int = 8,
     resume: bool = True,
     with_positions: bool = False,
+    runs_files_per_bucket: int = 4,
 ) -> "Index":
     """Build the full inverted index at ``index_dir``.  Idempotent: with
     ``resume=True`` completed steps are skipped (manifest-driven).
@@ -410,7 +460,12 @@ def build_index(
     Resume validates the build parameters against the persisted
     ``stats.json``: resuming with different ``num_buckets`` /
     ``docs_per_salt`` / ``with_positions`` raises instead of silently
-    returning an index built under the old parameters."""
+    returning an index built under the old parameters.
+
+    ``runs_files_per_bucket`` fixes the runs-table file layout (a
+    CONSTANT, deliberately not core-derived — see the runs step below for
+    why that buys cross-cluster-size bit-identity).  Scale the total write
+    fan-out via ``num_buckets``."""
     spark = corpus.sparkSession
     os.makedirs(index_dir, exist_ok=True)
     manifest = _load_manifest(index_dir) if resume else {"steps": {}}
@@ -540,23 +595,38 @@ def build_index(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
         )
-        # Partitioned write layout: repartition by (bucket, doc-slice).
-        # Plain repartition(num_buckets, "bucket") writes ONE file per
-        # bucket — reading a bucket group back would then be capped at
-        # num_buckets input splits regardless of cluster size.  A handful
-        # of doc-hash slices per bucket keeps both properties: each task
-        # writes into one bucket directory (no shuffle_partitions x buckets
-        # file explosion) AND the read side gets ~2 splits per core.
-        fpb = max(
-            1,
-            math.ceil(2 * spark.sparkContext.defaultParallelism / num_buckets),
-        )
+        # Partitioned write layout: repartition by (bucket, TERM-slice) and
+        # sort within partitions by (bucket, hash(term), term, doc_id).
+        # This is the ONLY shuffle the raw runs ever take: because every
+        # row of a term lands in one slice file in (term, doc_id) order —
+        # and shard = doc_id >> w is monotone in doc_id — the encode stage
+        # reads these files back and streams them straight into the
+        # encoder, with no second repartition("term", "shard") exchange
+        # (previously the single largest shuffle byte stream of the
+        # build).  ``fpb`` is a CONSTANT, not core-derived: the file
+        # layout (and therefore the segment boundaries any reader split
+        # can induce) is then a pure function of the corpus, which is
+        # what makes the per-bucket xor64 lineage checksums reproducible
+        # across cluster sizes.  Size ``num_buckets`` to the cluster
+        # (buckets*fpb write tasks; read parallelism recovers via
+        # 128 MB reader splits on the big files).
+        # Sort notes: leading with ``bucket`` satisfies the partitioned
+        # writer's required ordering (otherwise it inserts its own
+        # UNSTABLE sort by bucket on top, destroying the term/doc order);
+        # the numeric xxhash64(term) prefix keeps the sorter's 8-byte
+        # prefix comparison radix-like instead of string-comparing tens
+        # of millions of term keys (measured 2x on this stage).
+        fpb = runs_files_per_bucket
         runs.repartition(
             num_buckets * fpb,
             "bucket",
-            F.pmod(F.xxhash64("doc_id"), F.lit(fpb)),
+            F.pmod(F.xxhash64("term"), F.lit(fpb)),
+        ).sortWithinPartitions(
+            "bucket", F.xxhash64("term"), "term", "doc_id"
         ).write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
-        _mark_done(index_dir, "runs", secs=round(time.time() - t0, 3))
+        _mark_done(
+            index_dir, "runs", layout=2, secs=round(time.time() - t0, 3)
+        )
 
     # ---- step 3: term stats (run count + hot-term shard map, ONE job) ---
     # A single aggregation over ONLY the ``term`` column (column pruning —
@@ -603,107 +673,110 @@ def build_index(
 
     # ---- step 4: per-bucket encode (shards persisted, never merged) -----
     manifest = _load_manifest(index_dir)
+    if manifest["steps"].get("runs", {}).get("layout") != 2:
+        raise ValueError(
+            f"runs table at {runs_path} predates the term-clustered sorted "
+            "layout (v2) — the zero-shuffle encoder requires it; rebuild "
+            "with resume=False"
+        )
     pending = [
         b
         for b in range(num_buckets)
         if manifest["steps"].get(f"bucket:{b}", {}).get("status") != "done"
     ]
-    hot_df = (
-        spark.createDataFrame(
-            list(hot_map.items()), "term string, w int"
-        )
-        if hot_map
-        else None
+    enc_cols = ["term", "doc_id", "tf", "dl"] + (
+        ["positions"] if with_positions else []
     )
-    for i in range(0, len(pending), bucket_group_size):
-        t0 = time.time()
-        group = pending[i : i + bucket_group_size]
-        runs = spark.read.parquet(runs_path).filter(F.col("bucket").isin(group))
-        sharded = _assign_shards(runs, hot_df)
-        enc_cols = ["term", "shard", "doc_id", "tf", "dl"] + (
-            ["positions"] if with_positions else []
-        )
-        # Sort with a NUMERIC hash prefix: Spark's sorter prefix-compares
-        # the leading 8 bytes, so leading with xxhash64(term, shard) makes
-        # the in-partition sort radix-like instead of string-comparing 38M
-        # term keys (measured 2x on this stage).  The encoder only needs
-        # (term, shard) groups contiguous + doc_id ascending within them —
-        # any deterministic clustering order satisfies that.
-        arranged = (
-            sharded.select(*enc_cols)
-            .repartition("term", "shard")
-            .sortWithinPartitions(
-                F.xxhash64("term", "shard"), "term", "shard", "doc_id"
+    with _pinned_split_confs(spark):
+        for i in range(0, len(pending), bucket_group_size):
+            t0 = time.time()
+            group = pending[i : i + bucket_group_size]
+            # Zero-shuffle encode: the runs files are already term-clustered
+            # and (term, doc_id)-sorted (see the runs write above), so the
+            # bucket-pruned read streams straight into the encoder — shard
+            # assignment happens inside it (doc_id >> w, monotone in doc_id,
+            # so the order invariant carries over).  A reader split landing
+            # mid-group just yields two valid segment rows.
+            runs = spark.read.parquet(runs_path).filter(
+                F.col("bucket").isin(group)
             )
-        )
-        parts = arranged.mapInPandas(
-            _encode_stream(avgdl, with_positions), POSTINGS_SCHEMA
-        )
-        # cluster the encoded rows by (bucket, slice) before the
-        # partitioned write: a few files per bucket instead of
-        # tasks x buckets files (the dynamic-overwrite commit is
-        # driver-serial per file), while keeping the number of WRITE tasks
-        # >= the core count — a plain repartition(len(group)) would leave
-        # half the cluster idle through the encode+write tail whenever
-        # group size < cores
-        wpb = max(
-            1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
-        )
-        out = parts.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-        ).repartition(
-            len(group) * wpb,
-            "bucket",
-            F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
-        )
-        # per-partition row metrics ride the write via observe() — no
-        # read-back counting job
-        from pyspark.sql import Observation
-
-        # per-bucket metrics riding the write: row count + an
-        # order-independent content checksum (bit_xor of row hashes —
-        # includes the encoded blob bytes, so identical data under ANY
-        # partitioning/parallelism yields the identical checksum; the
-        # lineage record the north rule asks for, and the determinism
-        # evidence the tests assert)
-        obs = Observation(f"buckets_{group[0]}")
-        row_hash = F.xxhash64("term", "shard", "df", "postings")
-        out = out.observe(
-            obs,
-            *[
-                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
-                for b in group
-            ],
-            *[
-                F.bit_xor(
-                    F.when(F.col("bucket") == b, row_hash)
-                ).alias(f"x{b}")
-                for b in group
-            ],
-        )
-        # ONE write job per group: dynamic partition overwrite replaces only
-        # the buckets present in this group (idempotent under retry)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy("bucket").parquet(
-                postings_path
+            parts = runs.select(*enc_cols).mapInPandas(
+                _encode_stream(avgdl, with_positions, hot_map), POSTINGS_SCHEMA
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        counts = obs.get
-        secs = round(time.time() - t0, 3)
-        for b in group:
-            xor = counts.get(f"x{b}")
-            _mark_done(
-                index_dir,
-                f"bucket:{b}",
-                rows=int(counts.get(f"b{b}") or 0),
-                xor64=(int(xor) if xor is not None else 0),
-                secs=secs,
+            _write_bucket_group(
+                spark, parts, group, num_buckets, index_dir, t0
             )
 
     return load_index(spark, index_dir)
+
+
+def _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0):
+    """Cluster encoded rows by (bucket, slice), ride per-bucket row/xor64
+    lineage metrics on the write, and dynamic-overwrite the group's bucket
+    directories (idempotent under retry).
+
+    Clustering by (bucket, slice) gives a few files per bucket instead of
+    tasks x buckets files (the dynamic-overwrite commit is driver-serial
+    per file) while keeping the number of WRITE tasks >= the core count —
+    a plain repartition(len(group)) would leave half the cluster idle
+    through the encode+write tail whenever group size < cores.
+
+    The xor64 checksum is a bit_xor of per-row hashes covering the encoded
+    blob bytes: order- and file-layout-independent, so with the fixed runs
+    layout (constant files-per-bucket, pinned reader splits) the checksum
+    is a pure function of the corpus — the lineage record the north rule
+    asks for, and the determinism evidence the tests assert."""
+    postings_path = os.path.join(index_dir, "postings")
+    wpb = max(
+        1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
+    )
+    out = parts.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    ).repartition(
+        len(group) * wpb,
+        "bucket",
+        F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
+    )
+    # per-bucket row metrics ride the write via observe() — no read-back
+    # counting job
+    from pyspark.sql import Observation
+
+    obs = Observation(f"buckets_{group[0]}")
+    row_hash = F.xxhash64("term", "shard", "df", "postings")
+    out = out.observe(
+        obs,
+        *[
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+            for b in group
+        ],
+        *[
+            F.bit_xor(
+                F.when(F.col("bucket") == b, row_hash)
+            ).alias(f"x{b}")
+            for b in group
+        ],
+    )
+    # ONE write job per group: dynamic partition overwrite replaces only
+    # the buckets present in this group (idempotent under retry)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("bucket").parquet(
+            postings_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    counts = obs.get
+    secs = round(time.time() - t0, 3)
+    for b in group:
+        xor = counts.get(f"x{b}")
+        _mark_done(
+            index_dir,
+            f"bucket:{b}",
+            rows=int(counts.get(f"b{b}") or 0),
+            xor64=(int(xor) if xor is not None else 0),
+            secs=secs,
+        )
 
 
 # ------------------------------------------------------------------ merge --
@@ -905,9 +978,13 @@ def merge_index(
     runs = runs.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
-    fpb = max(1, math.ceil(2 * spark.sparkContext.defaultParallelism / num_buckets))
+    # same term-clustered sorted layout as the main build's runs step, so
+    # the delta encode below is likewise zero-shuffle off the read
+    fpb = 4
     runs.repartition(
-        num_buckets * fpb, "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(fpb))
+        num_buckets * fpb, "bucket", F.pmod(F.xxhash64("term"), F.lit(fpb))
+    ).sortWithinPartitions(
+        "bucket", F.xxhash64("term"), "term", "doc_id"
     ).write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(tmp, "runs")
     )
@@ -953,30 +1030,18 @@ def merge_index(
                 hot_map[t] = _shard_width(cnt, n_new, docs_per_salt)
         with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
             json.dump(hot_map, f)
-    hot_df = (
-        spark.createDataFrame(list(hot_map.items()), "term string, w int")
-        if hot_map
-        else None
-    )
-
     # ---- postings update -------------------------------------------------
     affected = sorted(
         r["bucket"]
         for r in delta_runs.select("bucket").distinct().collect()
     )
-    sharded = _assign_shards(delta_runs, hot_df)
-    enc_cols = ["term", "shard", "doc_id", "tf", "dl"] + (
+    enc_cols = ["term", "doc_id", "tf", "dl"] + (
         ["positions"] if with_positions else []
     )
-    arranged = (
-        sharded.select(*enc_cols)
-        .repartition("term", "shard")
-        .sortWithinPartitions(
-            F.xxhash64("term", "shard"), "term", "shard", "doc_id"
-        )
-    )
-    new_rows = arranged.mapInPandas(
-        _encode_stream(avgdl_new, with_positions), POSTINGS_SCHEMA
+    # zero-shuffle delta encode: the staged delta runs are term-clustered
+    # and (term, doc_id)-sorted, shard assignment happens in-encoder
+    new_rows = delta_runs.select(*enc_cols).mapInPandas(
+        _encode_stream(avgdl_new, with_positions, hot_map), POSTINGS_SCHEMA
     )
     if mode == "append":
         # LSM-style segment append: the delta's encoded rows land as NEW
@@ -999,15 +1064,17 @@ def merge_index(
             "bucket",
             F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
         )
-        out.write.mode("append").partitionBy("bucket").parquet(postings_path)
+        with _pinned_split_confs(spark):
+            out.write.mode("append").partitionBy("bucket").parquet(postings_path)
     elif mode == "rewrite":
         # compact-on-merge: coalesce existing + delta rows per (term,
         # shard) and dynamic-overwrite the affected buckets (the
         # round-trip cost of compaction, paid inline)
-        _coalesce_buckets(
-            spark, index_dir, affected, new_rows, avgdl_new,
-            with_positions, bucket_group_size, num_buckets,
-        )
+        with _pinned_split_confs(spark):
+            _coalesce_buckets(
+                spark, index_dir, affected, new_rows, avgdl_new,
+                with_positions, bucket_group_size, num_buckets,
+            )
     else:
         raise ValueError("mode must be 'append' or 'rewrite'")
     _mark_done(

@@ -455,3 +455,76 @@ def test_boolean_query_semantics(built, spark):
     assert len(got.get(0, set())) > 0 and len(got.get(2, set())) > 0
     with pytest.raises(ValueError, match="at least one must/should"):
         boolean_query_batch(spark, idx, [{"must_not": ["data"]}])
+
+
+def test_runs_layout_term_clustered_sorted(built, spark):
+    """The zero-shuffle encoder's input invariant, checked ON DISK: within
+    every runs parquet file, each term's rows are CONTIGUOUS and doc_id
+    is strictly ascending inside the term (shard = doc_id >> w is monotone
+    in doc_id, so (term, shard) groups are then contiguous + ascending —
+    exactly what _encode_stream needs with no repartition)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    _, index_dir, _ = built
+    files = glob.glob(os.path.join(index_dir, "runs", "bucket=*", "*.parquet"))
+    assert files
+    checked_rows = 0
+    for fp in files:
+        t = pq.read_table(fp, columns=["term", "doc_id"])
+        terms = t["term"].to_pylist()
+        docs = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        first, last = {}, {}
+        cnt = {}
+        for i, term in enumerate(terms):
+            if term not in first:
+                first[term] = i
+            last[term] = i
+            cnt[term] = cnt.get(term, 0) + 1
+        for term in cnt:
+            assert last[term] - first[term] + 1 == cnt[term], (
+                fp, term, "term rows not contiguous")
+            seg = docs[first[term]: last[term] + 1]
+            assert np.all(np.diff(seg) > 0), (fp, term, "doc_id not ascending")
+        checked_rows += len(terms)
+    assert checked_rows > 0
+
+
+def test_encode_stream_chunk_reorder_segments():
+    """The encoder must stay correct when the parquet reader hands a
+    partition's chunks out of offset order (split packing): a doc-id
+    DESCENT closes a group, so each doc-contiguous slice becomes its own
+    valid segment row — decode of all segments reproduces the postings."""
+    import pandas as pd
+
+    from acora_spark.functions.postings_codec import decode_postings
+    from acora_spark.index.build import _encode_stream
+
+    avgdl = 10.0
+    docs = np.arange(1, 401, dtype=np.int64)
+    tf = np.ones(400, dtype=np.int64) * 2
+    dl = np.full(400, 10, dtype=np.int64)
+    mk = lambda sl: pd.DataFrame(
+        {"term": "x", "doc_id": docs[sl], "tf": tf[sl], "dl": dl[sl]}
+    )
+    # chunk2 (docs 201..400) arrives BEFORE chunk1 (docs 1..200): the
+    # degenerate single-group-file case where naive concatenation would
+    # produce negative deltas
+    out = pd.concat(
+        list(_encode_stream(avgdl)([mk(slice(200, 400)), mk(slice(0, 200))])),
+        ignore_index=True,
+    )
+    assert len(out) == 2, "descent must split into two segment rows"
+    got_docs, got_tf = [], []
+    segs = sorted(
+        (decode_postings(bytes(r.postings), list(r.blocks))
+         for r in out.itertuples())
+        , key=lambda s: s[0][0]
+    )
+    for d, t, _l in segs:
+        got_docs.extend(d.tolist())
+        got_tf.extend(t.tolist())
+    assert got_docs == docs.tolist()
+    assert got_tf == tf.tolist()
+    assert int(out["df"].sum()) == 400
