@@ -211,24 +211,9 @@ def _mark_done(index_dir: str, step: str, **info) -> None:
 
 
 @contextmanager
-def _pinned_split_confs(spark: SparkSession):
-    """Pin the file-split arithmetic while the zero-shuffle encoder reads
-    the runs table.
-
-    ``maxSplitBytes = min(maxPartitionBytes, max(openCost, total/minPartitionNum))``
-    and ``minPartitionNum`` DEFAULTS to the core count — so without
-    pinning, the same runs files would split differently at local[8] vs
-    local[32], a reader split mid-(term, shard) group would fall in
-    different places, and the resulting segment rows (hence the per-bucket
-    xor64 lineage checksums) would differ across cluster sizes.  Pinned to
-    (128 MB, 1), the split layout is a pure function of the file sizes:
-    bit-identical postings at any parallelism.  Read parallelism at scale
-    comes from the 128 MB splits over big files, not from the
-    core-derived minimum."""
-    pairs = {
-        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-        "spark.sql.files.minPartitionNum": "1",
-    }
+def _pinned_confs(spark: SparkSession, pairs: dict):
+    """Set session confs for the duration of the block, restoring the
+    previous values (or unsetting) on exit."""
     saved = {}
     for k, v in pairs.items():
         try:
@@ -244,6 +229,58 @@ def _pinned_split_confs(spark: SparkSession):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@contextmanager
+def _fixed_layout_write(spark: SparkSession):
+    """Disable AQE partition coalescing while writing the runs table.
+
+    The runs exchange is EXPLICITLY sized (4 * num_buckets * fpb); AQE's
+    coalescing would re-merge those partitions using a target that, with
+    the default ``parallelismFirst=true``, depends on the CORE COUNT — so
+    the same corpus would produce a different runs file layout at
+    local[8] vs local[32], and with it different reader-split-induced
+    segment boundaries and lineage checksums.  With coalescing off for
+    this one write, the layout is the pure hash layout the build
+    specifies, identical at any parallelism."""
+    with _pinned_confs(
+        spark, {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    ):
+        yield
+
+
+@contextmanager
+def _pinned_split_confs(spark: SparkSession):
+    """Pin the file-split arithmetic while the zero-shuffle encoder reads
+    the runs table.
+
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCost, total/minPartitionNum))``
+    and ``minPartitionNum`` DEFAULTS to the core count — so without
+    pinning, the same runs files would split differently at local[8] vs
+    local[32], a reader split mid-(term, shard) group would fall in
+    different places, and the resulting segment rows (hence the per-bucket
+    xor64 lineage checksums) would differ across cluster sizes.  Pinned,
+    the split layout is a pure function of the file sizes: bit-identical
+    postings at any parallelism.
+
+    ``openCostInBytes`` is pinned EQUAL to ``maxPartitionBytes``: every
+    file's padded cost then fills a whole split, so the reader's bin
+    packing can never merge two files into one task.  Without this, a
+    small-corpus runs table (N files totalling under maxPartitionBytes)
+    collapses to ONE encode task regardless of cluster size — measured as
+    a near-serial encode stage at both local[8] and local[32].  With it,
+    encode parallelism = one task per runs file (plus one per extra
+    128 MB chunk of big files) at ANY corpus size, still independent of
+    the core count."""
+    with _pinned_confs(
+        spark,
+        {
+            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(128 * 1024 * 1024),
+            "spark.sql.files.minPartitionNum": "1",
+        },
+    ):
+        yield
 
 
 def _encode_stream(
@@ -450,7 +487,7 @@ def build_index(
     bucket_group_size: int = 8,
     resume: bool = True,
     with_positions: bool = False,
-    runs_files_per_bucket: int = 4,
+    runs_files_per_bucket: int = 12,
 ) -> "Index":
     """Build the full inverted index at ``index_dir``.  Idempotent: with
     ``resume=True`` completed steps are skipped (manifest-driven).
@@ -608,22 +645,32 @@ def build_index(
         # can induce) is then a pure function of the corpus, which is
         # what makes the per-bucket xor64 lineage checksums reproducible
         # across cluster sizes.  Size ``num_buckets`` to the cluster
-        # (buckets*fpb write tasks; read parallelism recovers via
-        # 128 MB reader splits on the big files).
+        # (buckets*fpb sort/write tasks; encode-read parallelism = one
+        # task per file via the pinned split confs, plus one per extra
+        # 128 MB chunk of big files).
         # Sort notes: leading with ``bucket`` satisfies the partitioned
         # writer's required ordering (otherwise it inserts its own
         # UNSTABLE sort by bucket on top, destroying the term/doc order);
         # the numeric xxhash64(term) prefix keeps the sorter's 8-byte
         # prefix comparison radix-like instead of string-comparing tens
         # of millions of term keys (measured 2x on this stage).
+        # The slice hash is SEEDED (xxhash64 over a literal tag + term),
+        # decorrelating it from the bucket hash: ``xxhash64(term) % B``
+        # and ``xxhash64(term) % fpb`` agree modulo gcd(B, fpb), so an
+        # unseeded slice could only take fpb/gcd values within a bucket
+        # (measured: gcd 4 collapsed a 16x4 layout to ONE file per
+        # bucket, and with it the sort parallelism and encode fan-out).
+        # The exchange also hashes the combo over 4x more partitions than
+        # there are combos, making partition-level collisions rare.
         fpb = runs_files_per_bucket
-        runs.repartition(
-            num_buckets * fpb,
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(fpb)),
-        ).sortWithinPartitions(
-            "bucket", F.xxhash64("term"), "term", "doc_id"
-        ).write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
+        with _fixed_layout_write(spark):
+            runs.repartition(
+                4 * num_buckets * fpb,
+                "bucket",
+                F.pmod(F.xxhash64(F.lit("slice"), F.col("term")), F.lit(fpb)),
+            ).sortWithinPartitions(
+                "bucket", F.xxhash64("term"), "term", "doc_id"
+            ).write.mode("overwrite").partitionBy("bucket").parquet(runs_path)
         _mark_done(
             index_dir, "runs", layout=2, secs=round(time.time() - t0, 3)
         )
@@ -978,16 +1025,25 @@ def merge_index(
     runs = runs.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
-    # same term-clustered sorted layout as the main build's runs step, so
-    # the delta encode below is likewise zero-shuffle off the read
+    # same term-clustered sorted layout as the main build's runs step
+    # (incl. the seeded slice hash and 4x anti-collision partition
+    # headroom), so the delta encode below is likewise zero-shuffle off
+    # the read.  fpb is smaller than the full build's: a delta is by
+    # definition a fraction of the corpus, and encode-read parallelism
+    # for a LARGE delta still recovers through the pinned 128 MB chunk
+    # splits (a split landing mid-group just yields an extra segment
+    # row, which append-mode produces anyway).
     fpb = 4
-    runs.repartition(
-        num_buckets * fpb, "bucket", F.pmod(F.xxhash64("term"), F.lit(fpb))
-    ).sortWithinPartitions(
-        "bucket", F.xxhash64("term"), "term", "doc_id"
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(tmp, "runs")
-    )
+    with _fixed_layout_write(spark):
+        runs.repartition(
+            4 * num_buckets * fpb,
+            "bucket",
+            F.pmod(F.xxhash64(F.lit("slice"), F.col("term")), F.lit(fpb)),
+        ).sortWithinPartitions(
+            "bucket", F.xxhash64("term"), "term", "doc_id"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(tmp, "runs")
+        )
     delta_runs = spark.read.parquet(os.path.join(tmp, "runs"))
 
     # ---- widths for terms NEW to the index that arrive hot --------------

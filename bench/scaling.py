@@ -165,6 +165,15 @@ def child(cores: int, n_docs: int) -> None:
     )
     build_sec = time.time() - t0
     manifest = json.load(open(os.path.join(index_dir, "_manifest.json")))
+    # bit-identity evidence across parallelism: the per-bucket xor64
+    # lineage checksums cover the encoded postings blob bytes, so equal
+    # checksums at local[8] and local[32] mean the PERSISTED INDEX BYTES
+    # (not just query results) are a pure function of the corpus
+    bucket_xors = {
+        k: v["xor64"]
+        for k, v in manifest["steps"].items()
+        if k.startswith("bucket:")
+    }
     stage_secs = {
         s: manifest["steps"][s]["secs"]
         for s in ("docstats", "docmap", "runs", "term_stats")
@@ -203,6 +212,7 @@ def child(cores: int, n_docs: int) -> None:
                 "serve_p50": round(statistics.median(lat), 3),
                 "top_docs": [int(r.doc_id) for r in top],
                 "top_scores": [round(float(r.score), 10) for r in top],
+                "bucket_xors": bucket_xors,
             }
         )
     )
@@ -259,6 +269,8 @@ def main() -> None:
     for rr in runs_lo + runs_hi:
         assert rr["top_docs"] == runs_lo[0]["top_docs"], "rank identity broken"
         assert rr["top_scores"] == runs_lo[0]["top_scores"], "score identity broken"
+        assert rr["bucket_xors"] == runs_lo[0]["bucket_xors"], \
+            "index-bytes identity broken across parallelism"
 
     ratio = hi / lo
 
@@ -292,8 +304,10 @@ def main() -> None:
         f"`local[{lo}]` vs `local[{hi}]` — the pair BASELINE.md specifies "
         "(sandbox substitute for N vs 4N executors).  Each level ran "
         f"{args.reps}x interleaved; per-metric MIN reported.  Rank identity "
-        "of BM25 top-10 (doc ids AND scores) verified across every run at "
-        "both levels.",
+        "of BM25 top-10 (doc ids AND scores) AND bit-identity of the "
+        "persisted index bytes (per-bucket xor64 checksums over the "
+        "encoded postings blobs) verified across every run at both "
+        "levels.",
         "",
         "## Host ceiling calibration (three independent probes)",
         "",

@@ -117,6 +117,33 @@ def main() -> None:
         )
     )
 
+    # 4c. zero-shuffle encode: the plan from the runs read to the
+    #     streaming encoder contains NO Exchange — the term-clustered
+    #     sorted runs layout feeds mapInPandas directly
+    from acora_spark.index.build import _encode_stream, _pinned_split_confs
+    from acora_spark.index.build import POSTINGS_SCHEMA
+
+    runs_path = os.path.join(idx.index_dir, "runs")
+    with _pinned_split_confs(spark):
+        runs = spark.read.parquet(runs_path).filter(F.col("bucket").isin([0, 1]))
+        enc = runs.select("term", "doc_id", "tf", "dl").mapInPandas(
+            _encode_stream(idx.stats["avgdl"]), POSTINGS_SCHEMA
+        )
+        p4c = plan_of(enc, "simple")
+    assert "Exchange" not in p4c, p4c
+    sections.append(
+        (
+            "Index build encode: zero-shuffle off the runs read",
+            "The runs table is written ONCE, term-clustered and "
+            "(term, doc_id)-sorted; the posting-list encoder streams "
+            "straight off the bucket-pruned parquet read.  Asserted here: "
+            "the plan contains NO Exchange between the scan and "
+            "MapInPandas — the raw postings data shuffles exactly once "
+            "per build (the runs write itself).",
+            p4c,
+        )
+    )
+
     # 5. BM25 DataFrame top-k: distributed TakeOrderedAndProject
     docs_ids = entry._docs(spark, SF_DIR)
     from acora_spark.index.bm25 import bm25_topk_dataframe
