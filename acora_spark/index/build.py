@@ -249,38 +249,122 @@ def _fixed_layout_write(spark: SparkSession):
         yield
 
 
-@contextmanager
-def _pinned_split_confs(spark: SparkSession):
-    """Pin the file-split arithmetic while the zero-shuffle encoder reads
-    the runs table.
+def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursively list data files under ``path`` with sizes via the Hadoop
+    FileSystem API (local, HDFS, and object-store paths alike), sorted by
+    path for determinism.  Hidden/metadata files are skipped."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out.append((st.getPath().toUri().getPath(), int(st.getLen())))
+    out.sort()
+    return out
 
-    ``maxSplitBytes = min(maxPartitionBytes, max(openCost, total/minPartitionNum))``
-    and ``minPartitionNum`` DEFAULTS to the core count — so without
-    pinning, the same runs files would split differently at local[8] vs
-    local[32], a reader split mid-(term, shard) group would fall in
-    different places, and the resulting segment rows (hence the per-bucket
-    xor64 lineage checksums) would differ across cluster sizes.  Pinned,
-    the split layout is a pure function of the file sizes: bit-identical
-    postings at any parallelism.
 
-    ``openCostInBytes`` is pinned EQUAL to ``maxPartitionBytes``: every
-    file's padded cost then fills a whole split, so the reader's bin
-    packing can never merge two files into one task.  Without this, a
-    small-corpus runs table (N files totalling under maxPartitionBytes)
-    collapses to ONE encode task regardless of cluster size — measured as
-    a near-serial encode stage at both local[8] and local[32].  With it,
-    encode parallelism = one task per runs file (plus one per extra
-    128 MB chunk of big files) at ANY corpus size, still independent of
-    the core count."""
-    with _pinned_confs(
-        spark,
-        {
-            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(128 * 1024 * 1024),
-            "spark.sql.files.minPartitionNum": "1",
-        },
-    ):
-        yield
+# target bytes of ONE encode task's slice of a runs file.  A CONSTANT (not
+# core-derived): task boundaries are then a pure function of the file
+# layout, part of the cross-parallelism bit-identity story.
+ENCODE_TASK_BYTES = 128 * 1024 * 1024
+
+
+def _encode_tasks(files: list[tuple[str, int]]) -> list[tuple[str, int, int]]:
+    """(path, chunk, n_chunks) rows — one encode task each.  Files beyond
+    ``ENCODE_TASK_BYTES`` get one task per 128 MB so a hot term's
+    oversized slice file cannot serialize the encode stage; the task
+    picks up the parquet ROW GROUPS whose cumulative offset falls in its
+    chunk (computed from footer metadata inside the task, deterministic)."""
+    tasks = []
+    for path, size in files:
+        n = max(1, math.ceil(size / ENCODE_TASK_BYTES))
+        tasks.extend((path, k, n) for k in range(n))
+    return tasks
+
+
+def _encode_files_fn(
+    avgdl: float, with_positions: bool, hot_map: dict[str, int] | None
+) -> callable:
+    """``mapInPandas`` task body for the zero-shuffle encode: each input
+    row names a runs file (plus a chunk index for oversized files); the
+    task opens it DIRECTLY with pyarrow and streams its record batches
+    through :func:`_encode_stream`.
+
+    Why not read the runs table through ``spark.read.parquet``: the rows
+    only exist to be re-batched into Python — routing them through the
+    JVM costs a full parquet->JVM->Arrow->pandas round trip PER ROW
+    BYTE.  Measured at 1.5M docs: the encode stage spends ~1/20 of its
+    time in the actual encoder; reading the (term-clustered, sorted)
+    files in-task cut the stage ~3x.  The file list is tiny (one row per
+    task), so what ships through Spark is file names, not data.  Paths
+    resolve through ``pyarrow``'s filesystem layer (local/HDFS/S3).
+
+    Chunked files split at ROW-GROUP boundaries: each chunk takes the
+    row groups whose cumulative byte offset lands in its window — pure
+    function of the file footer, so the split (hence the emitted segment
+    rows and lineage checksums) is identical at any parallelism.  A
+    chunk boundary inside a (term, shard) group just yields an extra
+    segment row, which every query executor already accepts."""
+    cols = ["term", "doc_id", "tf", "dl"] + (
+        ["positions"] if with_positions else []
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for path, chunk, n_chunks in zip(
+                pdf["path"], pdf["chunk"], pdf["n_chunks"]
+            ):
+                pf = pq.ParquetFile(path)
+                if n_chunks <= 1:
+                    rgs = None
+                else:
+                    md = pf.metadata
+                    rgs, off = [], 0
+                    for i in range(md.num_row_groups):
+                        if (
+                            off // ENCODE_TASK_BYTES
+                        ) == chunk:
+                            rgs.append(i)
+                        off += md.row_group(i).total_byte_size
+                    if not rgs:
+                        continue
+                enc = _encode_stream(avgdl, with_positions, hot_map)
+                it = pf.iter_batches(
+                    batch_size=65536, columns=cols, row_groups=rgs
+                )
+                yield from enc(b.to_pandas() for b in it)
+
+    return gen
+
+
+def _encode_runs_files(
+    spark: SparkSession,
+    files: list[tuple[str, int]],
+    avgdl: float,
+    with_positions: bool,
+    hot_map: dict[str, int] | None,
+) -> DataFrame:
+    """Encoded postings rows for the given runs files: one Spark task per
+    file (plus per 128 MB chunk of oversized files), no exchange of the
+    runs data anywhere."""
+    tasks = _encode_tasks(files)
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(tasks, max(1, len(tasks))),
+        "path string, chunk int, n_chunks int",
+    )
+    return fdf.mapInPandas(
+        _encode_files_fn(avgdl, with_positions, hot_map), POSTINGS_SCHEMA
+    )
 
 
 def _encode_stream(
@@ -731,28 +815,29 @@ def build_index(
         for b in range(num_buckets)
         if manifest["steps"].get(f"bucket:{b}", {}).get("status") != "done"
     ]
-    enc_cols = ["term", "doc_id", "tf", "dl"] + (
-        ["positions"] if with_positions else []
-    )
-    with _pinned_split_confs(spark):
-        for i in range(0, len(pending), bucket_group_size):
-            t0 = time.time()
-            group = pending[i : i + bucket_group_size]
-            # Zero-shuffle encode: the runs files are already term-clustered
-            # and (term, doc_id)-sorted (see the runs write above), so the
-            # bucket-pruned read streams straight into the encoder — shard
-            # assignment happens inside it (doc_id >> w, monotone in doc_id,
-            # so the order invariant carries over).  A reader split landing
-            # mid-group just yields two valid segment rows.
-            runs = spark.read.parquet(runs_path).filter(
-                F.col("bucket").isin(group)
+    for i in range(0, len(pending), bucket_group_size):
+        t0 = time.time()
+        group = pending[i : i + bucket_group_size]
+        # Zero-shuffle encode: the runs files are already term-clustered
+        # and (term, doc_id)-sorted (see the runs write above), so each
+        # task streams ONE file (bucket pruning = listing only the
+        # group's bucket directories) straight into the encoder — shard
+        # assignment happens inside it (doc_id >> w, monotone in doc_id,
+        # so the order invariant carries over).
+        files = []
+        for b in group:
+            files.extend(
+                _list_files(spark, os.path.join(runs_path, f"bucket={b}"))
             )
-            parts = runs.select(*enc_cols).mapInPandas(
-                _encode_stream(avgdl, with_positions, hot_map), POSTINGS_SCHEMA
-            )
-            _write_bucket_group(
-                spark, parts, group, num_buckets, index_dir, t0
-            )
+        if not files:
+            for b in group:
+                _mark_done(index_dir, f"bucket:{b}", rows=0, xor64=0, secs=0)
+            continue
+        files.sort()
+        parts = _encode_runs_files(
+            spark, files, avgdl, with_positions, hot_map
+        )
+        _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0)
 
     return load_index(spark, index_dir)
 
@@ -1091,13 +1176,16 @@ def merge_index(
         r["bucket"]
         for r in delta_runs.select("bucket").distinct().collect()
     )
-    enc_cols = ["term", "doc_id", "tf", "dl"] + (
-        ["positions"] if with_positions else []
-    )
     # zero-shuffle delta encode: the staged delta runs are term-clustered
-    # and (term, doc_id)-sorted, shard assignment happens in-encoder
-    new_rows = delta_runs.select(*enc_cols).mapInPandas(
-        _encode_stream(avgdl_new, with_positions, hot_map), POSTINGS_SCHEMA
+    # and (term, doc_id)-sorted; each task reads its file directly with
+    # pyarrow (same path as the main build's encode), shard assignment
+    # happens in-encoder
+    new_rows = _encode_runs_files(
+        spark,
+        _list_files(spark, os.path.join(tmp, "runs")),
+        avgdl_new,
+        with_positions,
+        hot_map,
     )
     if mode == "append":
         # LSM-style segment append: the delta's encoded rows land as NEW
@@ -1120,17 +1208,15 @@ def merge_index(
             "bucket",
             F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
         )
-        with _pinned_split_confs(spark):
-            out.write.mode("append").partitionBy("bucket").parquet(postings_path)
+        out.write.mode("append").partitionBy("bucket").parquet(postings_path)
     elif mode == "rewrite":
         # compact-on-merge: coalesce existing + delta rows per (term,
         # shard) and dynamic-overwrite the affected buckets (the
         # round-trip cost of compaction, paid inline)
-        with _pinned_split_confs(spark):
-            _coalesce_buckets(
-                spark, index_dir, affected, new_rows, avgdl_new,
-                with_positions, bucket_group_size, num_buckets,
-            )
+        _coalesce_buckets(
+            spark, index_dir, affected, new_rows, avgdl_new,
+            with_positions, bucket_group_size, num_buckets,
+        )
     else:
         raise ValueError("mode must be 'append' or 'rewrite'")
     _mark_done(

@@ -117,29 +117,27 @@ def main() -> None:
         )
     )
 
-    # 4c. zero-shuffle encode: the plan from the runs read to the
-    #     streaming encoder contains NO Exchange — the term-clustered
-    #     sorted runs layout feeds mapInPandas directly
-    from acora_spark.index.build import _encode_stream, _pinned_split_confs
-    from acora_spark.index.build import POSTINGS_SCHEMA
+    # 4c. zero-shuffle encode: the encode stage's Spark plan moves only
+    #     FILE NAMES — each task reads its runs file directly with
+    #     pyarrow, so the raw postings data shuffles exactly once per
+    #     build (the runs write itself)
+    from acora_spark.index.build import _encode_runs_files, _list_files
 
     runs_path = os.path.join(idx.index_dir, "runs")
-    with _pinned_split_confs(spark):
-        runs = spark.read.parquet(runs_path).filter(F.col("bucket").isin([0, 1]))
-        enc = runs.select("term", "doc_id", "tf", "dl").mapInPandas(
-            _encode_stream(idx.stats["avgdl"]), POSTINGS_SCHEMA
-        )
-        p4c = plan_of(enc, "simple")
+    files = _list_files(spark, os.path.join(runs_path, "bucket=0"))
+    enc = _encode_runs_files(spark, files, idx.stats["avgdl"], False, {})
+    p4c = plan_of(enc, "simple")
     assert "Exchange" not in p4c, p4c
     sections.append(
         (
-            "Index build encode: zero-shuffle off the runs read",
+            "Index build encode: zero-shuffle, file-task reads",
             "The runs table is written ONCE, term-clustered and "
-            "(term, doc_id)-sorted; the posting-list encoder streams "
-            "straight off the bucket-pruned parquet read.  Asserted here: "
-            "the plan contains NO Exchange between the scan and "
-            "MapInPandas — the raw postings data shuffles exactly once "
-            "per build (the runs write itself).",
+            "(term, doc_id)-sorted; the encode stage's Spark plan is a "
+            "scan of the (tiny) file-task list feeding MapInPandas — "
+            "each task opens its runs file directly with pyarrow and "
+            "streams record batches through the encoder, so no runs "
+            "byte ever crosses the JVM or an exchange.  Asserted here: "
+            "the plan contains NO Exchange.",
             p4c,
         )
     )
