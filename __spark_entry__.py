@@ -192,6 +192,29 @@ def q_match_binary_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window match snippets (window=60) for the position keywords —
+    JVM array-expression argmax over per-doc sorted match starts."""
+    from acora_spark.operators.snippets import snippets
+
+    s = snippets(_corpus(spark, sf_dir), POS_KWS, window=60)
+    return s.select(
+        "path",
+        "snippet_start",
+        F.col("n_matches").cast("long").alias("n_matches"),
+        "snippet",
+    )
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-matching-doc counts per (repo, term) — the search
+    refinement sidebar, one declarative aggregation."""
+    from acora_spark.operators.snippets import facet_counts
+
+    f = facet_counts(_corpus(spark, sf_dir), MATCH_KWS, "repo")
+    return f.select("repo", "term", F.col("n_docs").cast("long").alias("n_docs"))
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acora_spark.functions.tokenize import tokenize
 
@@ -661,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_lines": q_matching_lines,
         "match_binary": q_match_binary,
         "match_binary_chunked": q_match_binary_chunked,
+        "snippets": q_snippets,
+        "facet_counts": q_facet_counts,
         "doc_stats": q_doc_stats,
         "term_doc_freq_top20": q_term_doc_freq_top20,
         "bm25_topk": q_bm25_topk,
@@ -927,6 +952,40 @@ WITH {_CORPUS_CTE},
 SELECT path, term, start FROM hits
 """
     sql["match_binary_chunked"] = sql["match_binary"]
+
+    # snippets: same hits CTE; per-anchor window score via a correlated
+    # count, argmax by (score desc, start asc), substring for the window
+    sql["snippets"] = f"""
+WITH {_CORPUS_CTE},
+{_hits_cte(POS_KWS)},
+scored AS (
+  SELECT h.path AS path, h.start AS snippet_start,
+         (SELECT count(*) FROM hits h2
+          WHERE h2.path = h.path AND h2.start >= h.start
+            AND h2.start < h.start + 60) AS n_matches
+  FROM hits h
+),
+best AS (
+  SELECT path, snippet_start, n_matches,
+         row_number() OVER (PARTITION BY path
+                            ORDER BY n_matches DESC, snippet_start ASC) AS rn
+  FROM scored
+)
+SELECT b.path AS path, b.snippet_start AS snippet_start,
+       b.n_matches::BIGINT AS n_matches,
+       substr(c.content, CAST(b.snippet_start AS INT) + 1, 60) AS snippet
+FROM best b JOIN corpus c ON b.path = c.path
+WHERE b.rn = 1
+"""
+
+    sql["facet_counts"] = f"""
+WITH {_CORPUS_CTE},
+kw(term) AS (VALUES {_values(MATCH_KWS)})
+SELECT c.repo AS repo, k.term AS term,
+       count(DISTINCT c.path)::BIGINT AS n_docs
+FROM corpus c JOIN kw k ON position(k.term IN c.content) > 0
+GROUP BY c.repo, k.term
+"""
 
     # multi-line view shared by the R2/R3 recipes: newline every 5 words
     # (same regex + global replacement semantics in Java and RE2), then

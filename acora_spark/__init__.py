@@ -28,9 +28,10 @@ from acora_spark.operators.matcher import (
     matching_lines,
     search,
 )
+from acora_spark.operators.snippets import facet_counts, snippets
 from acora_spark.session import get_spark
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 
 def search_ignore_case(df, *keywords, **kw):
@@ -57,6 +58,8 @@ __all__ = [
     "search",
     "search_ignore_case",
     "longest_match",
+    "snippets",
+    "facet_counts",
     "match_lines",
     "matching_lines",
 ]

@@ -1,0 +1,144 @@
+"""Search-result presentation operators: best-window snippets and facet
+counts over Aho-Corasick match positions.
+
+The reference engine stops at match tuples (acora/_acora.py:303-317
+``finditer`` yields ``(keyword, position)``); every consumer then slices
+context windows out of the matched documents by hand (the reference's
+README shows exactly this ``line`` recipe).  These operators make the two
+standard consumers first-class, Spark-first:
+
+* :func:`snippets` — for each matching document, the fixed-width window
+  containing the MOST matches (ties -> smallest start), plus the window
+  text.  The window scoring runs entirely in JVM array expressions over
+  each document's sorted match positions — no Python, no explode, no
+  shuffle beyond the match aggregation itself.
+* :func:`facet_counts` — distinct-matching-document counts per facet
+  value per term (the "refine by repo / language" sidebar).  One
+  declarative aggregation; Catalyst handles partial aggregation
+  map-side.
+
+Scale notes: both operators aggregate the (already scan-parallel) match
+rows by document or facet key — the shuffle carries compact match
+tuples, never document content.  ``snippets`` re-joins content only for
+the per-document window slice, keyed by the id columns, and only for
+documents that matched (semi-join pruning)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acora_spark.operators.matcher import match
+
+__all__ = ["snippets", "facet_counts"]
+
+
+def snippets(
+    df: DataFrame,
+    keywords: Sequence[str],
+    *,
+    window: int = 80,
+    ignore_case: bool = False,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Best-window snippet per matching document.
+
+    For each document with at least one match, consider the windows
+    ``[p, p + window)`` anchored at each match start ``p``; return the
+    anchor maximizing the number of matches STARTING inside the window,
+    breaking ties by the smallest anchor.  Columns: ``id_cols +
+    (snippet_start, n_matches, snippet)`` with ``snippet_start`` a
+    0-based code-point offset and ``snippet`` the window's text.
+
+    The argmax runs as JVM array expressions on the per-doc sorted match
+    starts: for anchor index ``i`` the match count is
+    ``#(starts < starts[i] + window) - i``, found with a binary-search-free
+    ``filter``+``size`` over the (bounded: per-doc match count) array.
+    Documents with no matches are absent from the result.
+    """
+    id_cols = list(id_cols)
+    m = match(
+        df,
+        keywords,
+        ignore_case=ignore_case,
+        content_col=content_col,
+        id_cols=id_cols,
+    )
+    starts = (
+        m.groupBy(*id_cols)
+        .agg(F.array_sort(F.collect_list("start")).alias("ps"))
+    )
+    # per-anchor score: matches starting within [ps[i], ps[i]+window).
+    # Interpreted higher-order funcs re-evaluate a referenced column's
+    # WHOLE defining expression per element access, so compute scores in
+    # one transform over the already-bound ps column, then fold for the
+    # (score, -start)-max in a second expression over the small pair
+    # array.
+    scored = starts.withColumn(
+        "scores",
+        F.expr(
+            "transform(ps, (p, i) -> "
+            "size(filter(ps, q -> q >= p AND q < p + {w})))".format(w=int(window))
+        ),
+    ).withColumn(
+        "best",
+        F.expr(
+            "aggregate(sequence(0, size(ps) - 1), "
+            "named_struct('score', -1, 'start', bigint(0)), "
+            "(acc, i) -> IF(scores[i] > acc.score, "
+            "named_struct('score', scores[i], 'start', bigint(ps[i])), acc))"
+        ),
+    )
+    content = df.select(*id_cols, content_col)
+    return (
+        scored.join(content, id_cols)
+        .select(
+            *id_cols,
+            F.col("best.start").alias("snippet_start"),
+            F.col("best.score").alias("n_matches"),
+            F.expr(
+                f"substring({content_col}, cast(best.start AS int) + 1, "
+                f"{int(window)})"
+            ).alias("snippet"),
+        )
+    )
+
+
+def facet_counts(
+    df: DataFrame,
+    keywords: Sequence[str],
+    facet_col: str,
+    *,
+    ignore_case: bool = False,
+    content_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Distinct-matching-document counts per ``(facet value, term)`` — the
+    search-refinement sidebar.  Columns: ``(facet_col, term, n_docs)``.
+
+    The distinct is over the match rows' id columns (content never enters
+    the aggregation); count_distinct over the concatenated key keeps it
+    one aggregation pass."""
+    id_cols = list(id_cols)
+    if facet_col not in id_cols:
+        raise ValueError(
+            f"facet_col {facet_col!r} must be one of the match id columns "
+            f"{id_cols} (facets beyond the match key: add the column to "
+            "id_cols so the scan carries it)"
+        )
+    m = match(
+        df,
+        keywords,
+        ignore_case=ignore_case,
+        content_col=content_col,
+        id_cols=id_cols,
+    )
+    return (
+        m.groupBy(facet_col, "term")
+        .agg(
+            F.count_distinct(*[F.col(c) for c in id_cols]).alias("n_docs")
+        )
+    )

@@ -1,0 +1,78 @@
+"""Snippet extraction + facet counts vs a brute-force Python oracle."""
+
+import pytest
+
+from acora_spark.operators.snippets import facet_counts, snippets
+
+DOCS = [
+    # (repo, path, commit, content)
+    ("r1", "a.txt", "c1", "data spark data x data y spark data end"),
+    ("r1", "b.txt", "c2", "nothing interesting here"),
+    ("r2", "c.txt", "c3", "spark " + "z" * 100 + " data data data"),
+    ("r2", "d.txt", "c4", "data"),
+]
+KWS = ["data", "spark"]
+
+
+def _brute_best(content: str, window: int):
+    starts = sorted(
+        i
+        for k in KWS
+        for i in range(len(content))
+        if content.startswith(k, i)
+    )
+    if not starts:
+        return None
+    best = None
+    for p in starts:
+        score = sum(1 for q in starts if p <= q < p + window)
+        if best is None or score > best[1]:
+            best = (p, score)
+    return best
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        DOCS, "repo string, path string, commit string, content string"
+    )
+
+
+def test_snippets_best_window(spark, docs_df):
+    got = {
+        r.path: (r.snippet_start, r.n_matches, r.snippet)
+        for r in snippets(docs_df, KWS, window=20).collect()
+    }
+    assert "b.txt" not in got, "non-matching doc must be absent"
+    for repo, path, commit, content in DOCS:
+        exp = _brute_best(content, 20)
+        if exp is None:
+            assert path not in got
+            continue
+        p, score = exp
+        assert got[path][0] == p, path
+        assert got[path][1] == score, path
+        assert got[path][2] == content[p : p + 20], path
+
+
+def test_snippets_window_spans_doc_end(spark, docs_df):
+    got = {r.path: r.snippet for r in snippets(docs_df, KWS, window=50).collect()}
+    # d.txt is 4 chars: snippet is the whole (short) doc, not padded
+    assert got["d.txt"] == "data"
+
+
+def test_facet_counts(spark, docs_df):
+    got = {
+        (r.repo, r.term): r.n_docs
+        for r in facet_counts(docs_df, KWS, "repo").collect()
+    }
+    assert got[("r1", "data")] == 1
+    assert got[("r1", "spark")] == 1
+    assert got[("r2", "data")] == 2
+    assert got[("r2", "spark")] == 1
+    assert ("r1", "nothing") not in got
+
+
+def test_facet_col_must_be_id_col(spark, docs_df):
+    with pytest.raises(ValueError, match="facet_col"):
+        facet_counts(docs_df, KWS, "lang")
