@@ -16,6 +16,7 @@ from acora_spark.index.build import (
     compact_index,
     load_index,
     merge_index,
+    verify_index,
 )
 from acora_spark.operators.matcher import (
     filefind,
@@ -49,6 +50,7 @@ __all__ = [
     "merge_index",
     "compact_index",
     "load_index",
+    "verify_index",
     "get_spark",
     "match",
     "match_binary",

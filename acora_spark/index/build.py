@@ -1208,7 +1208,43 @@ def merge_index(
             "bucket",
             F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
         )
+        # manifest lineage stays audit-true across append generations:
+        # ride the delta's per-bucket row count + xor64 on the write and
+        # FOLD it into the existing entries — xor is its own combiner
+        # (new_xor = old_xor ^ delta_xor), rows add.  verify_index then
+        # checks the post-merge state with no extra read.
+        from pyspark.sql import Observation
+
+        obs = Observation("merge_append")
+        row_hash = F.xxhash64("term", "shard", "df", "postings")
+        out = out.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == b, 1).otherwise(0)
+                ).alias(f"b{b}")
+                for b in affected
+            ],
+            *[
+                F.bit_xor(F.when(F.col("bucket") == b, row_hash)).alias(
+                    f"x{b}"
+                )
+                for b in affected
+            ],
+        )
         out.write.mode("append").partitionBy("bucket").parquet(postings_path)
+        counts = obs.get
+        manifest_now = _load_manifest(index_dir)
+        for b in affected:
+            prev = manifest_now["steps"].get(f"bucket:{b}", {})
+            xor = counts.get(f"x{b}")
+            _mark_done(
+                index_dir,
+                f"bucket:{b}",
+                rows=int(prev.get("rows", 0)) + int(counts.get(f"b{b}") or 0),
+                xor64=int(prev.get("xor64", 0))
+                ^ (int(xor) if xor is not None else 0),
+            )
     elif mode == "rewrite":
         # compact-on-merge: coalesce existing + delta rows per (term,
         # shard) and dynamic-overwrite the affected buckets (the
@@ -1390,6 +1426,79 @@ class Index:
 
     def docmap(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+
+    def describe(self, spark: SparkSession) -> DataFrame:
+        """Per-bucket index statistics — the ops view: postings rows,
+        distinct terms, segment rows per (term, shard) key (LSM
+        generations since the last compaction), and stored blob bytes.
+        One aggregation over the postings table; content never reads."""
+        return (
+            self.postings(spark)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.count_distinct("term").alias("terms"),
+                (
+                    F.count("*") / F.count_distinct("term", "shard")
+                ).alias("segments_per_key"),
+                F.sum(F.length("postings")).alias("blob_bytes"),
+                F.sum("df").alias("postings_entries"),
+            )
+            .orderBy("bucket")
+        )
+
+
+def verify_index(spark: SparkSession, index: Index) -> DataFrame:
+    """Lineage audit: recompute each bucket's xor64 content checksum from
+    the STORED postings rows and compare it against the build/merge
+    manifest.  Returns one row per manifest bucket entry:
+    ``(bucket, rows_expected, rows_actual, xor_expected, xor_actual, ok)``.
+
+    The checksum is the same order-independent ``bit_xor(xxhash64(term,
+    shard, df, postings))`` the build rides on its writes — covering the
+    encoded blob bytes — so a corrupted, truncated, lost, or duplicated
+    postings file flips ``ok`` for its bucket.  One column-pruned pass
+    over the postings table; the manifest side is driver-held.  After an
+    LSM append (``merge_index`` mode="append") the manifest records the
+    post-merge totals per affected bucket, so the audit stays valid
+    across merge generations."""
+    manifest = _load_manifest(index.index_dir)
+    expected = [
+        (int(k.split(":", 1)[1]), int(v.get("rows", 0)), int(v.get("xor64", 0)))
+        for k, v in manifest["steps"].items()
+        if k.startswith("bucket:") and v.get("status") == "done"
+    ]
+    if not expected:
+        raise ValueError(f"no completed buckets in manifest at {index.index_dir}")
+    exp_df = spark.createDataFrame(
+        expected, "bucket int, rows_expected long, xor_expected long"
+    )
+    actual = (
+        index.postings(spark)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_actual"),
+            F.bit_xor(
+                F.xxhash64("term", "shard", "df", "postings")
+            ).alias("xor_actual"),
+        )
+    )
+    return (
+        exp_df.join(actual, "bucket", "left")
+        .select(
+            "bucket",
+            "rows_expected",
+            F.coalesce("rows_actual", F.lit(0)).alias("rows_actual"),
+            "xor_expected",
+            F.coalesce("xor_actual", F.lit(0)).alias("xor_actual"),
+            (
+                (F.coalesce("rows_actual", F.lit(0)) == F.col("rows_expected"))
+                & (F.coalesce("xor_actual", F.lit(0)) == F.col("xor_expected"))
+            ).alias("ok"),
+        )
+        .orderBy("bucket")
+    )
+
 
 def load_index(spark: SparkSession, index_dir: str) -> Index:
     with open(os.path.join(index_dir, "stats.json")) as f:
