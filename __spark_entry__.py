@@ -267,6 +267,62 @@ def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+def _del_index_for(spark: SparkSession, sf_dir: str):
+    """A SEPARATE index (own /tmp dir) with the flagship query's top-2
+    documents soft-deleted — exercises the tombstone machinery end to
+    end.  The deleted set is self-referential and deterministic: the
+    top-2 of the PRE-delete rounded ranking, which the SQL oracle can
+    derive independently as a rank shift."""
+    import hashlib
+
+    from acora_spark.index.build import build_index, delete_docs, load_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = os.path.join(
+        "/tmp", f"acora_spark_delidx_v{INDEX_FORMAT_VERSION}_{tag}"
+    )
+    idx = build_index(
+        _corpus(spark, sf_dir), index_dir, num_buckets=8, docs_per_salt=2000
+    )
+    if idx.tombstones(spark).size == 0:
+        from acora_spark.index.bm25 import bm25_topk_batch
+
+        raw = bm25_topk_batch(spark, idx, [BM25_QUERY], k=4 * BM25_K)
+        rounded = raw.withColumn("score", F.round("score", 4))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        top2 = (
+            rounded.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+            .select("doc_id")
+        )
+        keys = idx.docmap(spark).join(top2, "doc_id").select(
+            "repo", "path", "commit"
+        )
+        delete_docs(spark, index_dir, keys)
+        idx = load_index(spark, index_dir)
+    return idx
+
+
+def q_index_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND top-k over the index with the pre-delete top-2 docs
+    tombstoned: the executors must skip them BEFORE they can occupy
+    top-k slots (soft-delete keeps full-corpus scoring statistics)."""
+    from acora_spark.index.bm25 import bm25_topk_batch
+
+    idx = _del_index_for(spark, sf_dir)
+    raw = bm25_topk_batch(spark, idx, [BM25_QUERY], k=4 * BM25_K)
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 def q_index_bm25_topk_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The doc-range-parallel executor (one query fans out across range
     groups) — same oracle as the single-task WAND path: results must be
@@ -691,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "index_bm25_topk": q_index_bm25_topk,
         "index_bm25_topk_ranged": q_index_bm25_topk_ranged,
+        "index_bm25_deleted": q_index_bm25_deleted,
         "index_bm25_topk_merged": q_index_bm25_topk_merged,
         "boolean_query": q_boolean_query,
         "phrase_match": q_phrase_match,
@@ -742,6 +799,45 @@ SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
        dl.path AS path, score
 FROM scored JOIN dl USING (doc_id)
 ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+
+def _bm25_deleted_sql() -> str:
+    """Full-corpus BM25 ranking with the top-2 rows excluded and the rest
+    re-ranked — the soft-delete semantics (scores keep full-corpus
+    statistics; deleted docs just cannot occupy result slots)."""
+    terms = sorted(set(BM25_QUERY.lower().split()))
+    return f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT row_number() OVER (ORDER BY score DESC, ranked.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM ranked JOIN dl USING (doc_id)
+WHERE rn > 2
+ORDER BY score DESC, ranked.doc_id ASC
 LIMIT {BM25_K}
 """
 
@@ -1046,6 +1142,7 @@ LIMIT 20
     sql["bm25_topk"] = _bm25_sql()
     sql["index_bm25_topk"] = _bm25_sql()
     sql["index_bm25_topk_ranged"] = _bm25_sql()
+    sql["index_bm25_deleted"] = _bm25_deleted_sql()
     # the merged (build-half + merge-half) index must answer IDENTICALLY
     # to the full-corpus oracle — the strongest end-to-end merge check
     sql["index_bm25_topk_merged"] = _bm25_sql()

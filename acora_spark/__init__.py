@@ -14,6 +14,7 @@ from acora_spark.automaton import (
 from acora_spark.index.build import (
     build_index,
     compact_index,
+    delete_docs,
     load_index,
     merge_index,
     verify_index,
@@ -51,6 +52,7 @@ __all__ = [
     "compact_index",
     "load_index",
     "verify_index",
+    "delete_docs",
     "get_spark",
     "match",
     "match_binary",

@@ -79,6 +79,20 @@ def query_terms(query: str) -> list[str]:
     return sorted(set(_TOKEN_RE.findall(query.lower())))
 
 
+def _id_space(stats: dict) -> int:
+    """Upper bound of the doc-id space (ids are dense 0..id_space-1 MINUS
+    deletion holes).  Equals N until a deletion compaction shrinks the
+    live count; dense score arrays, range grids, and packed keys must
+    size to THIS, while idf/avgdl use the live N."""
+    return int(stats.get("id_space", stats["N"]))
+
+
+def _is_dead(exclude: np.ndarray, d: int) -> bool:
+    """Membership test against the sorted tombstone array — O(log n)."""
+    i = int(np.searchsorted(exclude, d))
+    return i < len(exclude) and int(exclude[i]) == d
+
+
 def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -172,6 +186,7 @@ def wand_topk(
     b: float,
     positional: bool = False,
     bound_scale: float = 1.0,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over (idf, blob, blocks) per query term.
 
@@ -180,6 +195,12 @@ def wand_topk(
     resolved exactly by the doc_id tie-break (never pruned away).
     ``bound_scale`` >= 1 widens the stored block bounds (admissibility
     after incremental merges that raised avgdl).
+
+    ``exclude`` (sorted tombstoned doc ids) keeps soft-deleted documents
+    out of the heap: they are skipped at full-evaluation time, BEFORE
+    they can occupy a top-k slot, so the result is the exact top-k of
+    the live documents.  Block upper bounds may still include dead docs
+    — bounds only get looser, never inadmissible.
     """
     if k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -246,7 +267,9 @@ def wand_topk(
             for c in contrib:  # cursors list is term-ascending
                 score += c.score()
             item = (score, -pivot_doc)
-            if len(heap) < k:
+            if exclude is not None and _is_dead(exclude, pivot_doc):
+                pass  # soft-deleted: fully advanced past, never ranked
+            elif len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
@@ -282,6 +305,7 @@ def taat_topk(
     b: float,
     n_docs: int,
     positional: bool = False,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized term-at-a-time scorer: decode each term's postings fully
     and accumulate into a dense score array indexed by doc_id.
@@ -302,6 +326,9 @@ def taat_topk(
             continue
         scores[docs] += t_idf * impact(tfs, dls, avgdl, k1, b)
         touched[docs] = True
+    if exclude is not None and len(exclude):
+        dead = exclude[(exclude >= 0) & (exclude < n_docs)]
+        touched[dead] = False
     cand = np.nonzero(touched)[0]
     if not len(cand):
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -328,10 +355,12 @@ TAAT_MAX_DOCS = 8_000_000
 
 
 def _execute_topk(term_postings, k, avgdl, k1, b, n_docs, executor="auto",
-                  positional=False, bound_scale=1.0):
+                  positional=False, bound_scale=1.0, exclude=None):
     if executor == "wand" or (executor == "auto" and n_docs > TAAT_MAX_DOCS):
-        return wand_topk(term_postings, k, avgdl, k1, b, positional, bound_scale)
-    return taat_topk(term_postings, k, avgdl, k1, b, n_docs, positional)
+        return wand_topk(term_postings, k, avgdl, k1, b, positional,
+                         bound_scale, exclude)
+    return taat_topk(term_postings, k, avgdl, k1, b, n_docs, positional,
+                     exclude)
 
 
 def term_buckets(spark: SparkSession, terms: Sequence[str], num_buckets: int) -> dict[str, int]:
@@ -377,15 +406,19 @@ def _shard_postings(pdf: pd.DataFrame, n_docs: int) -> list[tuple[float, bytes, 
     ]
 
 
-def _make_topk_runner(n_docs, avgdl, k1, b, k, positional, bound_scale=1.0):
+def _make_topk_runner(n_docs, avgdl, k1, b, k, positional, bound_scale=1.0,
+                      exclude=None, id_space=None):
     """The per-query applyInPandas executor shared by the cold
-    (bucket-pruned) and warm (persisted-postings) paths."""
+    (bucket-pruned) and warm (persisted-postings) paths.  ``n_docs`` is
+    the LIVE count (idf); ``id_space`` bounds the dense TAAT array (they
+    differ after a deletion compaction leaves id holes)."""
+    id_space = n_docs if id_space is None else id_space
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         tp = _shard_postings(pdf, n_docs)
         docs, scores = _execute_topk(
-            tp, k, avgdl, k1, b, n_docs, positional=positional,
-            bound_scale=bound_scale,
+            tp, k, avgdl, k1, b, id_space, positional=positional,
+            bound_scale=bound_scale, exclude=exclude,
         )
         return pd.DataFrame(
             {
@@ -424,8 +457,10 @@ def bm25_topk_batch(
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     positional = bool(stats.get("with_positions"))
+    tomb = index.tombstones(spark)
     run_query = _make_topk_runner(
-        n_docs, avgdl, k1, b, k, positional, _bound_scale(stats)
+        n_docs, avgdl, k1, b, k, positional, _bound_scale(stats),
+        exclude=tomb if len(tomb) else None, id_space=_id_space(stats),
     )
     return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 
@@ -450,7 +485,7 @@ def _range_shift(stats: dict, max_df: int, num_ranges: int | None) -> int:
     ~``docs_per_salt`` postings per range (one range ~ one storage shard's
     worth of work).  Explicit ``num_ranges`` requests at least that many
     ranges (power-of-two width, pure integer math end to end)."""
-    n_docs = max(1, stats["N"])
+    n_docs = max(1, _id_space(stats))
     if num_ranges:
         width = max(1, math.ceil(n_docs / num_ranges))
     else:
@@ -506,6 +541,7 @@ def _topk_from_slices(
     k1: float,
     b: float,
     idf_map: dict[str, float],
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact range-local top-k over decoded slices.  ``term_rows`` sorted
     by term (a term may repeat when a range straddles a storage-shard
@@ -531,6 +567,15 @@ def _topk_from_slices(
     udocs, inv = np.unique(d, return_inverse=True)
     scores = np.zeros(len(udocs), dtype=np.float64)
     np.add.at(scores, inv, c)
+    if exclude is not None and len(exclude):
+        pos = np.searchsorted(exclude, udocs)
+        dead = (pos < len(exclude)) & (
+            exclude[np.minimum(pos, len(exclude) - 1)] == udocs
+        )
+        if dead.any():
+            udocs, scores = udocs[~dead], scores[~dead]
+            if not len(udocs):
+                return np.empty(0, np.int64), np.empty(0, np.float64)
     kk = min(k, len(udocs))
     if len(udocs) > kk:
         part = np.argpartition(-scores, kk - 1)
@@ -590,12 +635,15 @@ def bm25_topk_batch_ranged(
     )
     sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
     bc_idf = spark.sparkContext.broadcast(idf_map)
+    tomb = index.tombstones(spark)
+    exclude = tomb if len(tomb) else None
 
     def run_range(key, pdf):  # (key, pdf) applyInPandas form
         qid = int(key[0])
         pdf = pdf.sort_values("term", kind="mergesort")
         docs, scores = _topk_from_slices(
-            list(zip(pdf["term"], pdf["blob"])), k, avgdl, k1, b, bc_idf.value
+            list(zip(pdf["term"], pdf["blob"])), k, avgdl, k1, b,
+            bc_idf.value, exclude,
         )
         return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": scores})
 
@@ -607,7 +655,7 @@ def bm25_topk_batch_ranged(
     # partial top-k union, so a fan-in stage bounds the final window's
     # input to fan*k rows per query even when the grid has millions of
     # ranges.  Skipped for small grids (extra shuffle isn't worth it).
-    est_ranges = (n_docs >> shift) + 1
+    est_ranges = (_id_space(stats) >> shift) + 1
     if est_ranges > 1024:
         fan = 64
         w1 = Window.partitionBy(
@@ -722,7 +770,7 @@ def phrase_match_batch(
     # even though keys are grouped per range, so require
     # log2(N) + pos_bits <= 62 — at code-corpus scale (N=1e12, dl<=1e6)
     # that is 40 + 21 bits; raise loudly rather than overflow silently
-    if max(1, stats["N"] - 1).bit_length() + pos_bits > 62:
+    if max(1, _id_space(stats) - 1).bit_length() + pos_bits > 62:
         raise ValueError(
             "packed phrase keys would overflow int64: "
             f"N={stats['N']}, pos_bits={pos_bits}"
@@ -766,6 +814,8 @@ def phrase_match_batch(
         slicer, "query_id long, rng long, term string, keys array<long>"
     )
     bc_tokens = spark.sparkContext.broadcast(token_lists)
+    tomb = index.tombstones(spark)
+    exclude = tomb if len(tomb) else None
 
     def run_range(key, pdf):
         qid = int(key[0])
@@ -776,6 +826,12 @@ def phrase_match_batch(
             a = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
             key_arrays[term] = a
         docs, tfs = _phrase_tf_from_keys(key_arrays, tokens, pos_bits)
+        if exclude is not None and len(docs):
+            pos = np.searchsorted(exclude, docs)
+            dead = (pos < len(exclude)) & (
+                exclude[np.minimum(pos, len(exclude) - 1)] == docs
+            )
+            docs, tfs = docs[~dead], tfs[~dead]
         return pd.DataFrame({"query_id": qid, "doc_id": docs, "phrase_tf": tfs})
 
     return sliced.repartition("query_id", "rng").groupBy(
@@ -841,6 +897,8 @@ def boolean_query_batch(
     )
     positional = bool(stats.get("with_positions"))
     bc_spec = spark.sparkContext.broadcast(norm)
+    tomb = index.tombstones(spark)
+    exclude = tomb if len(tomb) else None
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -878,6 +936,8 @@ def boolean_query_batch(
         for t in spec["must_not"]:
             if len(cand):
                 cand = np.setdiff1d(cand, sets.get(t, empty), assume_unique=True)
+        if exclude is not None and len(cand):
+            cand = np.setdiff1d(cand, exclude, assume_unique=True)
         return pd.DataFrame(
             {"query_id": qid, "doc_id": cand.astype(np.int64)}
         )
@@ -899,6 +959,8 @@ class QueryEngine:
 
         self.spark = spark
         self.index = index
+        tomb = index.tombstones(spark)
+        self._exclude = tomb if len(tomb) else None
         self.post = index.postings(spark).persist(StorageLevel.MEMORY_AND_DISK)
         self.post.count()  # materialize now
 
@@ -916,7 +978,8 @@ class QueryEngine:
         k1, b = stats["k1"], stats["b"]
         positional = bool(stats.get("with_positions"))
         run_query = _make_topk_runner(
-            n_docs, avgdl, k1, b, k, positional, _bound_scale(stats)
+            n_docs, avgdl, k1, b, k, positional, _bound_scale(stats),
+            exclude=self._exclude, id_space=_id_space(stats),
         )
         return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 

@@ -75,6 +75,8 @@ __all__ = [
     "build_index",
     "merge_index",
     "compact_index",
+    "delete_docs",
+    "verify_index",
     "Index",
     "load_index",
 ]
@@ -914,14 +916,20 @@ def _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0):
 # ------------------------------------------------------------------ merge --
 
 
-def _merge_stream(avgdl: float, with_positions: bool) -> callable:
+def _merge_stream(
+    avgdl: float, with_positions: bool, exclude: np.ndarray | None = None
+) -> callable:
     """mapInPandas fn coalescing same-(term, shard) rows: input rows are
     clustered by (term, shard) and sorted doc-ascending (segment rows
     cover disjoint doc ranges, so ordering by the first block's last_doc
     orders whole rows).  Each group decodes its blobs, concatenates, and
     re-encodes under the CURRENT avgdl — which also refreshes the block
     max_impact bounds to exact.  A group spanning an Arrow batch boundary
-    is carried to the next batch."""
+    is carried to the next batch.
+
+    ``exclude`` (sorted tombstoned doc ids) drops those documents' entries
+    during the re-encode — compaction physically applies deletions; a
+    group left empty emits no row (its term/shard key disappears)."""
     from acora_spark.functions.postings_codec import (
         decode_postings,
         decode_postings_positional,
@@ -951,10 +959,24 @@ def _merge_stream(avgdl: float, with_positions: bool) -> callable:
                 tfs_p.append(t)
                 dls_p.append(l)
             docs = np.concatenate(docs_p)
+            tfs = np.concatenate(tfs_p)
+            dls = np.concatenate(dls_p)
+            if exclude is not None and len(exclude):
+                pos_i = np.searchsorted(exclude, docs)
+                dead = (pos_i < len(exclude)) & (
+                    exclude[np.minimum(pos_i, len(exclude) - 1)] == docs
+                )
+                if dead.any():
+                    live = ~dead
+                    if with_positions:
+                        pos_p = [p for p, ok in zip(pos_p, live) if ok]
+                    docs, tfs, dls = docs[live], tfs[live], dls[live]
+            if not len(docs):
+                continue
             blob, blocks = encode_postings(
                 docs,
-                np.concatenate(tfs_p),
-                np.concatenate(dls_p),
+                tfs,
+                dls,
                 avgdl,
                 positions=pos_p if with_positions else None,
             )
@@ -1043,6 +1065,10 @@ def merge_index(
     docs_per_salt = stats["docs_per_salt"]
     with_positions = bool(stats.get("with_positions"))
     n_old, total_dl_old = stats["N"], stats["total_dl"]
+    # new ids start AFTER the id space, not the live count: a deletion
+    # compact shrinks N but leaves surviving ids in place, so basing new
+    # ids on N would collide with survivors
+    id_base = int(stats.get("id_space", n_old))
     key_cols = ["repo", "path", "commit"]
     docmap_path = os.path.join(index_dir, "docmap")
     docstats_path = os.path.join(index_dir, "docstats")
@@ -1083,7 +1109,7 @@ def merge_index(
             "index (same (repo, path, commit)); deltas must be new docs only"
         )
     dmap0 = assign_doc_ids(staged_stats, key_cols)
-    dmap = dmap0.withColumn("doc_id", F.col("doc_id") + F.lit(n_old))
+    dmap = dmap0.withColumn("doc_id", F.col("doc_id") + F.lit(id_base))
     dmap.write.mode("append").parquet(docmap_path)
     release_doc_ids(dmap0)  # the persist handle lives on the ORIGINAL df
     staged_stats.write.mode("append").parquet(docstats_path)
@@ -1094,6 +1120,7 @@ def merge_index(
     avgdl_new = total_dl_new / n_new
     stats.update(
         N=n_new,
+        id_space=id_base + m_docs,
         total_dl=total_dl_new,
         avgdl=avgdl_new,
         max_dl=max(int(stats.get("max_dl") or 0), int(got["max_dl"] or 0)),
@@ -1105,7 +1132,7 @@ def merge_index(
         json.dump(stats, f)
 
     # ---- delta runs, staged partitioned by bucket -----------------------
-    id_df = spark.read.parquet(docmap_path).filter(F.col("doc_id") >= n_old)
+    id_df = spark.read.parquet(docmap_path).filter(F.col("doc_id") >= id_base)
     runs = _doc_term_runs(delta_corpus, id_df, key_cols, with_positions)
     runs = runs.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
@@ -1273,6 +1300,7 @@ def _coalesce_buckets(
     with_positions: bool,
     bucket_group_size: int,
     num_buckets: int,
+    exclude: np.ndarray | None = None,
 ) -> None:
     """Re-encode each (term, shard) of the given buckets as ONE row:
     existing rows (+ optional extra rows) cluster by key, order by their
@@ -1305,7 +1333,7 @@ def _coalesce_buckets(
             )
         )
         merged = arranged.mapInPandas(
-            _merge_stream(avgdl, with_positions), POSTINGS_SCHEMA
+            _merge_stream(avgdl, with_positions, exclude), POSTINGS_SCHEMA
         )
         wpb = max(
             1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
@@ -1348,6 +1376,40 @@ def _coalesce_buckets(
             )
 
 
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    keys: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+) -> int:
+    """Soft-delete documents by key — the content-removal path (takedowns,
+    GDPR, dedup-driven pruning of a training corpus).
+
+    Resolves keys through the docmap, appends ``(doc_id, dl)`` tombstone
+    rows under ``<index>/tombstones``, and returns how many documents the
+    call tombstoned.  Deletions are visible to every query executor
+    immediately (tombstoned docs are skipped pre-top-k); the scoring
+    STATISTICS (N, avgdl, per-term df/idf) intentionally stay at their
+    pre-delete values until :func:`compact_index` physically drops the
+    postings entries and refreshes stats — the standard soft-delete
+    trade (cf. Lucene liveDocs), which keeps deletes O(|keys|).
+    Repeated deletes of the same key are idempotent (tombstones dedupe on
+    read and at compaction)."""
+    key_cols = list(key_cols)
+    idx = load_index(spark, index_dir)
+    hit = (
+        idx.docmap(spark)
+        .join(keys.select(*key_cols).distinct(), key_cols)
+        .select("doc_id", "dl")
+    )
+    path = _join_path(index_dir, "tombstones")
+    hit.write.mode("append").parquet(path)
+    n = hit.count()
+    m = _load_manifest(index_dir)
+    _mark_done(index_dir, f"delete:{len(m['steps'])}", docs=int(n))
+    return int(n)
+
+
 def compact_index(
     spark: SparkSession, index_dir: str, *, bucket_group_size: int = 8
 ) -> "Index":
@@ -1355,25 +1417,75 @@ def compact_index(
     row again, re-encoded under the CURRENT avgdl (block max_impact
     bounds return to exact, so ``min_avgdl_encode`` resets and WAND bound
     widening drops back to 1.0).  Run periodically between append-mode
-    merges — the LSM compaction step."""
+    merges — the LSM compaction step.
+
+    Pending tombstones (:func:`delete_docs`) are APPLIED here: deleted
+    documents' postings entries are dropped during the re-encode, the
+    docmap is rewritten without them, the corpus stats (N, total_dl,
+    avgdl — hence every idf and length norm) refresh to the surviving
+    corpus, and the tombstone set is cleared."""
     stats_path = os.path.join(index_dir, "stats.json")
     with open(stats_path) as f:
         stats = json.load(f)
+    idx = load_index(spark, index_dir)
+    tomb = idx.tombstones(spark)
     base = os.path.join(index_dir, "postings")
     buckets = sorted(
         int(p.split("=")[1])
         for p in os.listdir(base)
         if p.startswith("bucket=")
     )
+    n_del, dl_del = 0, 0
+    if len(tomb):
+        # exact stat deltas from the (deduped) tombstone rows
+        trows = (
+            spark.read.parquet(_join_path(index_dir, "tombstones"))
+            .dropDuplicates(["doc_id"])
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("dl"))
+            .collect()[0]
+        )
+        n_del, dl_del = int(trows["n"]), int(trows["dl"] or 0)
+        new_n = stats["N"] - n_del
+        new_total = stats.get("total_dl", 0) - dl_del
+        # the ID SPACE does not shrink: surviving docs keep their ids, so
+        # dense arrays / range grids / the next merge's id base must still
+        # cover the original range
+        stats["id_space"] = int(stats.get("id_space", stats["N"]))
+        stats["N"] = new_n
+        stats["total_dl"] = new_total
+        stats["avgdl"] = (new_total / new_n) if new_n else 0.0
     _coalesce_buckets(
         spark, index_dir, buckets, None, stats["avgdl"],
         bool(stats.get("with_positions")), bucket_group_size,
-        stats["num_buckets"],
+        stats["num_buckets"], exclude=tomb if len(tomb) else None,
     )
+    if len(tomb):
+        # docmap rewrite without the deleted keys — a left-anti join
+        # against the (small, deduped) tombstone set; staged + swapped so
+        # a crash never leaves a half-written docmap in place
+        dm_path = os.path.join(index_dir, "docmap")
+        dm_new = dm_path + "_compact"
+        tdf = (
+            spark.read.parquet(_join_path(index_dir, "tombstones"))
+            .select("doc_id")
+            .dropDuplicates()
+        )
+        idx.docmap(spark).join(
+            F.broadcast(tdf), "doc_id", "left_anti"
+        ).write.mode("overwrite").parquet(dm_new)
+        import shutil
+
+        shutil.rmtree(dm_path)
+        os.replace(dm_new, dm_path)
+        shutil.rmtree(
+            _join_path(index_dir, "tombstones"), ignore_errors=True
+        )
     stats["min_avgdl_encode"] = stats["avgdl"]
     with open(stats_path, "w") as f:
         json.dump(stats, f)
-    _mark_done(index_dir, "compact:%d" % stats["N"])
+    _mark_done(
+        index_dir, "compact:%d" % stats["N"], docs_deleted=n_del
+    )
     return load_index(spark, index_dir)
 
 
@@ -1426,6 +1538,22 @@ class Index:
 
     def docmap(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+
+    def tombstones(self, spark: SparkSession) -> np.ndarray:
+        """Sorted unique tombstoned doc ids (empty array when none).
+
+        Collected driver-side and shipped to the query executors in their
+        closures: the set is bounded by the compaction cadence (every
+        :func:`compact_index` clears it), the same liveDocs-bitset-style
+        bound Lucene operates under.  Run compaction before the pending
+        set outgrows what a broadcast comfortably carries (~10^8 ids)."""
+        path = _join_path(self.index_dir, "tombstones")
+        if not _hadoop_path_exists(spark, path):
+            return np.empty(0, np.int64)
+        rows = (
+            spark.read.parquet(path).select("doc_id").dropDuplicates().collect()
+        )
+        return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
 
     def describe(self, spark: SparkSession) -> DataFrame:
         """Per-bucket index statistics — the ops view: postings rows,

@@ -590,3 +590,109 @@ def test_verify_index_after_append_merge(spark, sf_dir, tmp_path):
     idx = merge_index(b, d, mode="append")
     res = {r.bucket: r.ok for r in verify_index(spark, idx).collect()}
     assert res and all(res.values())
+
+
+def test_delete_docs_soft_then_compact(spark, sf_dir, tmp_path):
+    """Soft-delete lifecycle: delete -> every executor excludes the doc
+    immediately (scores of survivors unchanged); compact -> postings
+    entries physically dropped, stats refresh to the surviving corpus,
+    docmap shrinks, tombstones clear, lineage audit green."""
+    import json as _json
+
+    from acora_spark.index.bm25 import (
+        bm25_topk_batch,
+        bm25_topk_batch_ranged,
+        boolean_query_batch,
+        taat_topk,
+        wand_topk,
+    )
+    from acora_spark.index.build import (
+        build_index,
+        compact_index,
+        delete_docs,
+        load_index,
+        verify_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir).limit(300)
+    d = str(tmp_path / "del_idx")
+    idx = build_index(
+        corpus, d, num_buckets=4, docs_per_salt=100, bucket_group_size=4,
+        resume=False,
+    )
+    q = "data spark table"
+    before = bm25_topk_batch(spark, idx, [q], k=8).orderBy("rank").collect()
+    assert len(before) == 8
+    victim_id = int(before[0].doc_id)
+    dm = idx.docmap(spark)
+    victim_key = dm.filter(F.col("doc_id") == victim_id).select(
+        "repo", "path", "commit"
+    )
+    n = delete_docs(spark, d, victim_key)
+    assert n == 1
+    idx = load_index(spark, d)
+    assert idx.tombstones(spark).tolist() == [victim_id]
+
+    # batch executor: victim gone, survivors keep EXACT pre-delete scores
+    # (soft delete does not touch statistics), order preserved
+    after = bm25_topk_batch(spark, idx, [q], k=8).orderBy("rank").collect()
+    assert victim_id not in {r.doc_id for r in after}
+    exp = [(r.doc_id, r.score) for r in before[1:]]
+    got = [(r.doc_id, r.score) for r in after[: len(exp)]]
+    assert got == exp
+
+    # ranged executor agrees
+    ranged = (
+        bm25_topk_batch_ranged(spark, idx, [q], k=8, num_ranges=4)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.doc_id, round(r.score, 9)) for r in ranged[: len(exp)]] == [
+        (i, round(s, 9)) for i, s in exp
+    ]
+
+    # boolean executor excludes the victim
+    bq = boolean_query_batch(spark, idx, [{"should": ["data", "spark"]}])
+    assert victim_id not in {r.doc_id for r in bq.collect()}
+
+    # WAND with exclude == TAAT with exclude (direct-executor agreement)
+    post = idx.postings(spark).filter(
+        F.col("term").isin(["data", "spark", "table"])
+    ).toPandas()
+    from acora_spark.index.bm25 import _shard_postings
+
+    tp = _shard_postings(post, idx.stats["N"])
+    excl = np.array([victim_id], dtype=np.int64)
+    wd, ws = wand_topk(tp, 8, idx.stats["avgdl"], idx.stats["k1"],
+                       idx.stats["b"], exclude=excl)
+    td, ts = taat_topk(tp, 8, idx.stats["avgdl"], idx.stats["k1"],
+                       idx.stats["b"], idx.stats["N"], exclude=excl)
+    assert wd.tolist() == td.tolist() and ws.tolist() == ts.tolist()
+    assert victim_id not in wd.tolist()
+
+    # ---- compact: physical drop + stats refresh -------------------------
+    n_before = idx.stats["N"]
+    total_before = idx.stats["total_dl"]
+    dm_count_before = idx.docmap(spark).count()
+    idx2 = compact_index(spark, d)
+    assert idx2.stats["N"] == n_before - 1
+    assert idx2.stats["total_dl"] < total_before
+    assert idx2.tombstones(spark).size == 0
+    assert idx2.docmap(spark).count() == dm_count_before - 1
+    assert idx2.docmap(spark).filter(
+        F.col("doc_id") == victim_id
+    ).count() == 0
+    # no postings entry anywhere references the victim doc
+    from acora_spark.functions.postings_codec import decode_postings
+
+    for r in idx2.postings(spark).collect():
+        docs, _t, _l = decode_postings(
+            bytes(r.postings), [x.asDict() for x in r.blocks]
+        )
+        assert victim_id not in docs.tolist()
+    # lineage audit green after compaction
+    v = verify_index(spark, idx2)
+    assert all(r.ok for r in v.collect())
+    # queries still exclude the victim, now via physical absence
+    final = bm25_topk_batch(spark, idx2, [q], k=8).orderBy("rank").collect()
+    assert victim_id not in {r.doc_id for r in final}
