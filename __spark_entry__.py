@@ -323,6 +323,28 @@ def q_index_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+def q_index_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-free serving path: pyarrow reads + local XXH64 bucket
+    routing + the same WAND executor, no Spark job — results must equal
+    the full-corpus SQL oracle like every other BM25 entry."""
+    from acora_spark.index.bm25 import bm25_topk_local
+
+    idx = _index_for(spark, sf_dir)
+    loc = bm25_topk_local(idx, [BM25_QUERY], k=4 * BM25_K)
+    loc["score"] = loc["score"].round(4)
+    loc = loc.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(BM25_K)
+    loc["rank"] = range(1, len(loc) + 1)
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    sdf = spark.createDataFrame(
+        loc[["rank", "doc_id", "score"]].astype(
+            {"rank": "int64", "doc_id": "int64"}
+        )
+    )
+    return sdf.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 def q_index_bm25_topk_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The doc-range-parallel executor (one query fans out across range
     groups) — same oracle as the single-task WAND path: results must be
@@ -748,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_bm25_topk": q_index_bm25_topk,
         "index_bm25_topk_ranged": q_index_bm25_topk_ranged,
         "index_bm25_deleted": q_index_bm25_deleted,
+        "index_bm25_local": q_index_bm25_local,
         "index_bm25_topk_merged": q_index_bm25_topk_merged,
         "boolean_query": q_boolean_query,
         "phrase_match": q_phrase_match,
@@ -1143,6 +1166,7 @@ LIMIT 20
     sql["index_bm25_topk"] = _bm25_sql()
     sql["index_bm25_topk_ranged"] = _bm25_sql()
     sql["index_bm25_deleted"] = _bm25_deleted_sql()
+    sql["index_bm25_local"] = _bm25_sql()
     # the merged (build-half + merge-half) index must answer IDENTICALLY
     # to the full-corpus oracle — the strongest end-to-end merge check
     sql["index_bm25_topk_merged"] = _bm25_sql()

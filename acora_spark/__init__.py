@@ -30,6 +30,7 @@ from acora_spark.operators.matcher import (
     matching_lines,
     search,
 )
+from acora_spark.index.bm25 import QueryEngine, bm25_topk_local
 from acora_spark.operators.snippets import facet_counts, snippets
 from acora_spark.session import get_spark
 
@@ -53,6 +54,8 @@ __all__ = [
     "load_index",
     "verify_index",
     "delete_docs",
+    "QueryEngine",
+    "bm25_topk_local",
     "get_spark",
     "match",
     "match_binary",

@@ -1,0 +1,98 @@
+"""Pure-Python XXH64 matching Spark's ``xxhash64`` expression.
+
+Implements the public xxHash64 algorithm (Yann Collet's specification,
+github.com/Cyan4973/xxHash — BSD-2-Clause; Spark ships a faithful Java
+port as ``org.apache.spark.sql.catalyst.expressions.XXH64``) with
+Spark's default seed 42, so the TERM -> BUCKET routing the distributed
+build computes with ``pmod(xxhash64(term), num_buckets)`` can be
+reproduced WITHOUT a SparkSession — the key that unlocks cluster-free
+index reads (:func:`acora_spark.index.bm25.bm25_topk_local`).
+Equivalence with Spark's expression is asserted by
+``tests/test_xxh64.py`` over ASCII, unicode, and empty inputs.
+"""
+
+from __future__ import annotations
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _MASK, 31) * _P1) & _MASK
+
+
+def _merge_round(h: int, acc: int) -> int:
+    return ((h ^ _round(0, acc)) * _P1 + _P4) & _MASK
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Canonical XXH64 of ``data`` with the given seed, as an UNSIGNED
+    64-bit int.  Use :func:`spark_xxhash64` for Spark's signed view."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        a1 = (seed + _P1 + _P2) & _MASK
+        a2 = (seed + _P2) & _MASK
+        a3 = seed & _MASK
+        a4 = (seed - _P1) & _MASK
+        while i + 32 <= n:
+            a1 = _round(a1, int.from_bytes(data[i : i + 8], "little"))
+            a2 = _round(a2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            a3 = _round(a3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            a4 = _round(a4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl(a1, 1) + _rotl(a2, 7) + _rotl(a3, 12) + _rotl(a4, 18)
+        ) & _MASK
+        h = _merge_round(h, a1)
+        h = _merge_round(h, a2)
+        h = _merge_round(h, a3)
+        h = _merge_round(h, a4)
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i + 8 <= n:
+        h = (
+            _rotl(h ^ _round(0, int.from_bytes(data[i : i + 8], "little")), 27)
+            * _P1
+            + _P4
+        ) & _MASK
+        i += 8
+    if i + 4 <= n:
+        h = (
+            _rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _MASK), 23)
+            * _P2
+            + _P3
+        ) & _MASK
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _MASK), 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64(value: str | bytes, seed: int = 42) -> int:
+    """Spark's ``xxhash64(value)``: XXH64 over the UTF-8 bytes with seed
+    42, reinterpreted as a SIGNED 64-bit long (Spark's LongType view)."""
+    data = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    h = xxh64(data, seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """The build's bucket routing, computed locally:
+    ``pmod(xxhash64(term), num_buckets)``."""
+    return spark_xxhash64(term) % num_buckets

@@ -95,6 +95,19 @@ def main() -> None:
         lat.append(time.time() - t0)
     timings["bm25_serve_p50"] = round(statistics.median(lat), 3)
 
+    # cluster-free serving: pyarrow reads + local XXH64 routing, no Spark
+    # job (informational — outside the headline wall; measures the format
+    # as a portable sidecar-serving artifact)
+    from acora_spark.index.bm25 import bm25_topk_local
+
+    bm25_topk_local(idx, [queries[0]], k=10)  # warm imports / page cache
+    lat_l = []
+    for q in queries:
+        t0 = time.time()
+        bm25_topk_local(idx, [q], k=10)
+        lat_l.append(time.time() - t0)
+    bm25_local_p50 = round(statistics.median(lat_l), 4)
+
     # the doc-range-parallel executor (single query fanned out over ranges)
     from acora_spark.index.bm25 import bm25_topk_batch_ranged
 
@@ -142,6 +155,7 @@ def main() -> None:
         "cpus": cpus,
         "n_matches": int(n_matches),
         "build_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "bm25_local_p50": bm25_local_p50,
         "merge_secs": merge_secs,
         "merge_docs_per_sec": round(n_delta / merge_secs, 1),
         "scan_mb_per_sec": round(

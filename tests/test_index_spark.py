@@ -696,3 +696,43 @@ def test_delete_docs_soft_then_compact(spark, sf_dir, tmp_path):
     # queries still exclude the victim, now via physical absence
     final = bm25_topk_batch(spark, idx2, [q], k=8).orderBy("rank").collect()
     assert victim_id not in {r.doc_id for r in final}
+
+
+def test_bm25_topk_local_matches_distributed(built, spark):
+    """The cluster-free pyarrow serving path returns IDENTICAL results
+    (ids AND float64 scores) to the distributed batch executor."""
+    from acora_spark.index.bm25 import bm25_topk_batch, bm25_topk_local
+
+    idx, _, _ = built
+    queries = ["data spark table", "merge w17", "zzz_absent_term"]
+    dist = (
+        bm25_topk_batch(spark, idx, queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    loc = bm25_topk_local(idx, queries, k=10).sort_values(
+        ["query_id", "rank"]
+    )
+    assert [(r.query_id, r.rank, r.doc_id, r.score) for r in dist] == list(
+        zip(loc["query_id"], loc["rank"], loc["doc_id"], loc["score"])
+    )
+
+
+def test_bm25_topk_local_respects_tombstones(spark, sf_dir, tmp_path):
+    from acora_spark.index.bm25 import bm25_topk_local
+    from acora_spark.index.build import build_index, delete_docs, load_index
+
+    corpus = load_corpus(spark, sf_dir).limit(200)
+    d = str(tmp_path / "local_del")
+    idx = build_index(
+        corpus, d, num_buckets=4, docs_per_salt=100, bucket_group_size=4,
+        resume=False,
+    )
+    before = bm25_topk_local(idx, ["data spark"], k=5)
+    victim = int(before["doc_id"].iloc[0])
+    keys = idx.docmap(spark).filter(F.col("doc_id") == victim).select(
+        "repo", "path", "commit"
+    )
+    delete_docs(spark, d, keys)
+    after = bm25_topk_local(load_index(spark, d), ["data spark"], k=5)
+    assert victim not in set(after["doc_id"])

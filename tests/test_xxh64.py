@@ -1,0 +1,44 @@
+"""Pure-Python XXH64 must agree with Spark's xxhash64 expression —
+the contract behind cluster-free bucket routing."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from acora_spark.functions.xxh64 import spark_xxhash64, term_bucket
+
+CASES = [
+    "", "a", "ab", "abc", "data", "the", "import",
+    "a" * 7, "b" * 8, "c" * 9, "d" * 31, "e" * 32, "f" * 33, "g" * 100,
+    "naïve", "日本語テキスト", "🚀🚀🚀", "mixédcontent日本",
+]
+
+
+def test_matches_spark_fixed_cases(spark):
+    df = spark.createDataFrame([(s,) for s in CASES], "v string")
+    got = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for s in CASES:
+        assert spark_xxhash64(s) == got[s], s
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(min_size=0, max_size=80))
+def test_matches_spark_hypothesis(spark_global, s):
+    df = spark_global.createDataFrame([(s,)], "v string")
+    h = df.select(F.xxhash64("v").alias("h")).collect()[0]["h"]
+    assert spark_xxhash64(s) == h
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
+
+
+def test_term_bucket_matches_build_routing(spark):
+    from acora_spark.index.bm25 import term_buckets
+
+    terms = ["data", "spark", "merge", "w123", "テスト"]
+    expected = term_buckets(spark, terms, 8)
+    for t in terms:
+        assert term_bucket(t, 8) == expected[t], t
