@@ -365,15 +365,14 @@ def _execute_topk(term_postings, k, avgdl, k1, b, n_docs, executor="auto",
 
 
 def term_buckets(spark: SparkSession, terms: Sequence[str], num_buckets: int) -> dict[str, int]:
-    """Buckets of query terms, via Spark's own xxhash64 (guarantees the
-    exact hash the build used; one tiny local job)."""
-    if not terms:
-        return {}
-    df = spark.createDataFrame([(t,) for t in terms], ["term"])
-    rows = df.select(
-        "term", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("b")
-    ).collect()
-    return {r["term"]: r["b"] for r in rows}
+    """Buckets of query terms — the build's ``pmod(xxhash64(term), n)``
+    routing, computed DRIVER-SIDE via the pure-Python XXH64 port
+    (equivalence with Spark's expression is test-asserted in
+    tests/test_xxh64.py).  Saves one Spark job per query batch; the
+    ``spark`` parameter is kept for API stability."""
+    from acora_spark.functions.xxh64 import term_bucket
+
+    return {t: term_bucket(t, num_buckets) for t in terms}
 
 
 TOPK_SCHEMA = StructType(
