@@ -411,14 +411,17 @@ def _make_topk_runner(n_docs, avgdl, k1, b, k, positional, bound_scale=1.0,
     """The per-query applyInPandas executor shared by the cold
     (bucket-pruned) and warm (persisted-postings) paths.  ``n_docs`` is
     the LIVE count (idf); ``id_space`` bounds the dense TAAT array (they
-    differ after a deletion compaction leaves id holes)."""
+    differ after a deletion compaction leaves id holes).  ``exclude``
+    may be a Spark Broadcast (shipped once per executor, the right shape
+    for large tombstone sets) or a plain array (driver-side callers)."""
     id_space = n_docs if id_space is None else id_space
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        ex = exclude.value if hasattr(exclude, "value") else exclude
         tp = _shard_postings(pdf, n_docs)
         docs, scores = _execute_topk(
             tp, k, avgdl, k1, b, id_space, positional=positional,
-            bound_scale=bound_scale, exclude=exclude,
+            bound_scale=bound_scale, exclude=ex,
         )
         return pd.DataFrame(
             {
@@ -460,7 +463,8 @@ def bm25_topk_batch(
     tomb = index.tombstones(spark)
     run_query = _make_topk_runner(
         n_docs, avgdl, k1, b, k, positional, _bound_scale(stats),
-        exclude=tomb if len(tomb) else None, id_space=_id_space(stats),
+        exclude=spark.sparkContext.broadcast(tomb) if len(tomb) else None,
+        id_space=_id_space(stats),
     )
     return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 
@@ -636,14 +640,14 @@ def bm25_topk_batch_ranged(
     sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
     bc_idf = spark.sparkContext.broadcast(idf_map)
     tomb = index.tombstones(spark)
-    exclude = tomb if len(tomb) else None
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
 
     def run_range(key, pdf):  # (key, pdf) applyInPandas form
         qid = int(key[0])
         pdf = pdf.sort_values("term", kind="mergesort")
         docs, scores = _topk_from_slices(
             list(zip(pdf["term"], pdf["blob"])), k, avgdl, k1, b,
-            bc_idf.value, exclude,
+            bc_idf.value, bc_ex.value if bc_ex is not None else None,
         )
         return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": scores})
 
@@ -815,10 +819,11 @@ def phrase_match_batch(
     )
     bc_tokens = spark.sparkContext.broadcast(token_lists)
     tomb = index.tombstones(spark)
-    exclude = tomb if len(tomb) else None
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
 
     def run_range(key, pdf):
         qid = int(key[0])
+        exclude = bc_ex.value if bc_ex is not None else None
         tokens = bc_tokens.value[qid]
         key_arrays: dict[str, np.ndarray] = {}
         for term, grp in pdf.groupby("term", sort=False):
@@ -898,7 +903,7 @@ def boolean_query_batch(
     positional = bool(stats.get("with_positions"))
     bc_spec = spark.sparkContext.broadcast(norm)
     tomb = index.tombstones(spark)
-    exclude = tomb if len(tomb) else None
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
@@ -936,8 +941,8 @@ def boolean_query_batch(
         for t in spec["must_not"]:
             if len(cand):
                 cand = np.setdiff1d(cand, sets.get(t, empty), assume_unique=True)
-        if exclude is not None and len(cand):
-            cand = np.setdiff1d(cand, exclude, assume_unique=True)
+        if bc_ex is not None and len(cand):
+            cand = np.setdiff1d(cand, bc_ex.value, assume_unique=True)
         return pd.DataFrame(
             {"query_id": qid, "doc_id": cand.astype(np.int64)}
         )
@@ -964,13 +969,32 @@ def bm25_topk_local(
     Spark job floor (~1-2 s) to milliseconds; use it for interactive /
     sidecar serving while the cluster path handles query BATCHES.
 
-    Local and pyarrow-filesystem paths only (local/HDFS/S3 via pyarrow's
-    fs layer); returns a pandas DataFrame (query_id, rank, doc_id,
+    LOCAL index paths only (a remote path raises rather than silently
+    returning empty results — sync or mount the index for sidecar
+    serving); returns a pandas DataFrame (query_id, rank, doc_id,
     score)."""
     import pyarrow.parquet as pq
 
     from acora_spark.functions.xxh64 import term_bucket
 
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+        }
+    )
+    if not queries:
+        return empty
+    if "://" in index.index_dir:
+        # os.path checks below are local-only; failing loud beats the
+        # silent-empty-results failure mode Index.postings documents
+        raise NotImplementedError(
+            "bm25_topk_local reads the index through the local "
+            "filesystem; for a remote index use bm25_topk_batch, or "
+            "mount/sync the index directory locally"
+        )
     stats = index.stats
     out_frames = []
     tomb_path = _join_path(index.index_dir, "tombstones")
@@ -1000,14 +1024,7 @@ def bm25_topk_local(
             if t.num_rows:
                 frames.append(t.to_pandas())
         if not frames:
-            out_frames.append(
-                pd.DataFrame(
-                    {"query_id": pd.Series([], dtype=np.int64),
-                     "rank": pd.Series([], dtype=np.int64),
-                     "doc_id": pd.Series([], dtype=np.int64),
-                     "score": pd.Series([], dtype=np.float64)}
-                )
-            )
+            out_frames.append(empty)
             continue
         pdf = pd.concat(frames, ignore_index=True)
         tp = _shard_postings(pdf, n_docs)
@@ -1042,8 +1059,8 @@ class QueryEngine:
 
         self.spark = spark
         self.index = index
-        tomb = index.tombstones(spark)
-        self._exclude = tomb if len(tomb) else None
+        self._exclude = None
+        self.refresh_tombstones()
         self.post = index.postings(spark).persist(StorageLevel.MEMORY_AND_DISK)
         self.post.count()  # materialize now
 
@@ -1065,6 +1082,16 @@ class QueryEngine:
             exclude=self._exclude, id_space=_id_space(stats),
         )
         return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
+
+    def refresh_tombstones(self) -> None:
+        """Re-read the tombstone set.  The engine is a POINT-IN-TIME
+        searcher (Lucene-reopen semantics): deletions made after
+        construction are invisible until this is called — per-call paths
+        (``bm25_topk_batch`` etc.) re-read tombstones every time."""
+        tomb = self.index.tombstones(self.spark)
+        self._exclude = (
+            self.spark.sparkContext.broadcast(tomb) if len(tomb) else None
+        )
 
     def close(self) -> None:
         self.post.unpersist()

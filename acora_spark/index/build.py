@@ -253,8 +253,14 @@ def _fixed_layout_write(spark: SparkSession):
 
 def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """Recursively list data files under ``path`` with sizes via the Hadoop
-    FileSystem API (local, HDFS, and object-store paths alike), sorted by
-    path for determinism.  Hidden/metadata files are skipped."""
+    FileSystem API, sorted by path for determinism.  Hidden/metadata
+    files are skipped.
+
+    Local (``file:`` / scheme-less) paths are returned as plain
+    filesystem paths; remote paths keep their full ``scheme://`` URI so
+    the encode tasks can resolve them through pyarrow's filesystem layer
+    (s3://, hdfs://, gs:// — Hadoop-only schemes like s3a:// need a
+    pyarrow-resolvable alias)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -265,10 +271,16 @@ def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):
+        fp = st.getPath()
+        if fp.getName().startswith(("_", ".")):
             continue
-        out.append((st.getPath().toUri().getPath(), int(st.getLen())))
+        scheme = fp.toUri().getScheme()
+        loc = (
+            fp.toUri().getPath()
+            if scheme in (None, "file")
+            else str(fp)
+        )
+        out.append((loc, int(st.getLen())))
     out.sort()
     return out
 
@@ -309,12 +321,21 @@ def _encode_files_fn(
     task), so what ships through Spark is file names, not data.  Paths
     resolve through ``pyarrow``'s filesystem layer (local/HDFS/S3).
 
-    Chunked files split at ROW-GROUP boundaries: each chunk takes the
-    row groups whose cumulative byte offset lands in its window — pure
-    function of the file footer, so the split (hence the emitted segment
-    rows and lineage checksums) is identical at any parallelism.  A
-    chunk boundary inside a (term, shard) group just yields an extra
-    segment row, which every query executor already accepts."""
+    Chunked files split at ROW-GROUP boundaries: chunk ``k`` of ``n``
+    takes the row groups whose cumulative-size FRACTION falls in
+    ``[k/n, (k+1)/n)`` — the partition of row groups over chunk ids is
+    exhaustive BY CONSTRUCTION (``n_chunks`` derives from the COMPRESSED
+    file size while ``total_byte_size`` is the uncompressed row-group
+    size, so an absolute-offset rule would assign late row groups to
+    chunk ids no task owns and silently drop them).  A pure function of
+    the file footer + ``n_chunks``, so the split (hence the emitted
+    segment rows and lineage checksums) is identical at any parallelism.
+    A chunk boundary inside a (term, shard) group just yields an extra
+    segment row, which every query executor already accepts.
+
+    Remote paths: a ``scheme://`` path resolves through
+    ``pyarrow.fs.FileSystem.from_uri`` (s3://, hdfs://, gs://);
+    scheme-less paths open locally."""
     cols = ["term", "doc_id", "tf", "dl"] + (
         ["positions"] if with_positions else []
     )
@@ -326,18 +347,27 @@ def _encode_files_fn(
             for path, chunk, n_chunks in zip(
                 pdf["path"], pdf["chunk"], pdf["n_chunks"]
             ):
-                pf = pq.ParquetFile(path)
+                if "://" in path:
+                    from pyarrow import fs as pafs
+
+                    fsys, fpath = pafs.FileSystem.from_uri(path)
+                    pf = pq.ParquetFile(fsys.open_input_file(fpath))
+                else:
+                    pf = pq.ParquetFile(path)
                 if n_chunks <= 1:
                     rgs = None
                 else:
                     md = pf.metadata
+                    sizes = [
+                        md.row_group(i).total_byte_size
+                        for i in range(md.num_row_groups)
+                    ]
+                    total = max(1, sum(sizes))
                     rgs, off = [], 0
-                    for i in range(md.num_row_groups):
-                        if (
-                            off // ENCODE_TASK_BYTES
-                        ) == chunk:
+                    for i, sz in enumerate(sizes):
+                        if (off * int(n_chunks)) // total == chunk:
                             rgs.append(i)
-                        off += md.row_group(i).total_byte_size
+                        off += sz
                     if not rgs:
                         continue
                 enc = _encode_stream(avgdl, with_positions, hot_map)
@@ -1001,9 +1031,16 @@ def _merge_stream(
             n_tail = int(np.cumprod(tail[::-1]).sum())
             head, pending = pdf.iloc[: len(pdf) - n_tail], pdf.iloc[len(pdf) - n_tail :]
             if len(head):
-                yield merge_block(head)
+                blk = merge_block(head)
+                # an all-tombstoned batch produces zero rows; yielding an
+                # untyped empty pandas frame would fail the Arrow
+                # conversion to the list<struct> blocks column
+                if len(blk):
+                    yield blk
         if pending is not None and len(pending):
-            yield merge_block(pending)
+            blk = merge_block(pending)
+            if len(blk):
+                yield blk
 
     return fn
 
@@ -1367,10 +1404,26 @@ def _coalesce_buckets(
         counts = obs.get
         for b in group:
             xor = counts.get(f"x{b}")
+            rows_b = int(counts.get(f"b{b}") or 0)
+            if rows_b == 0:
+                # dynamic partition overwrite only replaces partitions
+                # PRESENT in the output — a bucket whose every (term,
+                # shard) group emptied out (all docs tombstoned) writes
+                # nothing, so its stale pre-compact files must be
+                # deleted explicitly or the deleted documents would
+                # resurface once the tombstone set is cleared
+                bp = _join_path(postings_path, f"bucket={b}")
+                jvm = spark.sparkContext._jvm
+                jp = jvm.org.apache.hadoop.fs.Path(bp)
+                fs = jp.getFileSystem(
+                    spark.sparkContext._jsc.hadoopConfiguration()
+                )
+                if fs.exists(jp):
+                    fs.delete(jp, True)
             _mark_done(
                 index_dir,
                 f"bucket:{b}",
-                rows=int(counts.get(f"b{b}") or 0),
+                rows=rows_b,
                 xor64=(int(xor) if xor is not None else 0),
                 coalesced=True,
             )
@@ -1387,27 +1440,36 @@ def delete_docs(
 
     Resolves keys through the docmap, appends ``(doc_id, dl)`` tombstone
     rows under ``<index>/tombstones``, and returns how many documents the
-    call tombstoned.  Deletions are visible to every query executor
-    immediately (tombstoned docs are skipped pre-top-k); the scoring
+    call tombstoned.  Deletions are visible to every per-call query path
+    immediately (tombstoned docs are skipped pre-top-k; a long-lived
+    ``QueryEngine`` snapshots the set at construction — call its
+    ``refresh_tombstones()`` after deleting); the scoring
     STATISTICS (N, avgdl, per-term df/idf) intentionally stay at their
     pre-delete values until :func:`compact_index` physically drops the
     postings entries and refreshes stats — the standard soft-delete
     trade (cf. Lucene liveDocs), which keeps deletes O(|keys|).
     Repeated deletes of the same key are idempotent (tombstones dedupe on
     read and at compaction)."""
+    from pyspark.sql import Observation
+
     key_cols = list(key_cols)
     idx = load_index(spark, index_dir)
+    # count rides the write via observe(): ONE job, and the count is of
+    # the rows actually WRITTEN (a separate count() would re-execute the
+    # join and could diverge for a non-deterministic keys DataFrame)
+    obs = Observation("delete_docs")
     hit = (
         idx.docmap(spark)
         .join(keys.select(*key_cols).distinct(), key_cols)
         .select("doc_id", "dl")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
     path = _join_path(index_dir, "tombstones")
     hit.write.mode("append").parquet(path)
-    n = hit.count()
+    n = int(obs.get["n"] or 0)
     m = _load_manifest(index_dir)
-    _mark_done(index_dir, f"delete:{len(m['steps'])}", docs=int(n))
-    return int(n)
+    _mark_done(index_dir, f"delete:{len(m['steps'])}", docs=n)
+    return n
 
 
 def compact_index(
@@ -1526,6 +1588,13 @@ class Index:
         turn all queries into empty results."""
         base = _join_path(self.index_dir, "postings")
         if buckets is None:
+            # an index whose every bucket emptied out (all docs deleted +
+            # compacted) has no parquet files to infer a schema from —
+            # that is an empty postings table, not an error
+            if not _hadoop_path_exists(spark, base) or not _list_files(
+                spark, base
+            ):
+                return spark.createDataFrame([], POSTINGS_READ_SCHEMA)
             return spark.read.option("basePath", base).parquet(base)
         paths = [
             p

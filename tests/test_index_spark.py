@@ -736,3 +736,76 @@ def test_bm25_topk_local_respects_tombstones(spark, sf_dir, tmp_path):
     delete_docs(spark, d, keys)
     after = bm25_topk_local(load_index(spark, d), ["data spark"], k=5)
     assert victim not in set(after["doc_id"])
+
+
+def test_compact_after_deleting_everything(spark, sf_dir, tmp_path):
+    """Tombstoning EVERY document then compacting must leave no stale
+    postings behind (dynamic overwrite writes nothing for an emptied
+    bucket — the bucket dirs must be deleted explicitly) and queries
+    must return empty, not resurrect deleted docs."""
+    from acora_spark.index.bm25 import bm25_topk_batch
+    from acora_spark.index.build import (
+        build_index,
+        compact_index,
+        delete_docs,
+        verify_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir).limit(40)
+    d = str(tmp_path / "delete_all")
+    idx = build_index(
+        corpus, d, num_buckets=4, docs_per_salt=100, bucket_group_size=4,
+        resume=False,
+    )
+    n = delete_docs(spark, d, corpus.select("repo", "path", "commit"))
+    assert n == 40
+    idx2 = compact_index(spark, d)
+    assert idx2.stats["N"] == 0
+    assert idx2.postings(spark).count() == 0
+    assert idx2.docmap(spark).count() == 0
+    res = bm25_topk_batch(spark, idx2, ["data spark"], k=5)
+    assert res.count() == 0
+    assert all(r.ok for r in verify_index(spark, idx2).collect())
+
+
+def test_encode_chunk_assignment_exhaustive(tmp_path):
+    """Chunked encode tasks must partition a file's row groups EXACTLY
+    (every row group in exactly one chunk) even though n_chunks derives
+    from the COMPRESSED size and offsets from the UNCOMPRESSED row-group
+    sizes — the fraction rule guarantees it by construction."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from acora_spark.index.build import _encode_files_fn
+
+    fp = str(tmp_path / "runs.parquet")
+    # 6 row groups of very different uncompressed sizes
+    frames = [
+        pd.DataFrame(
+            {
+                "term": [f"t{g}"] * (1000 * (g + 1)),
+                "doc_id": np.arange(1000 * (g + 1), dtype=np.int64),
+                "tf": np.ones(1000 * (g + 1), dtype=np.int64),
+                "dl": np.full(1000 * (g + 1), 10, dtype=np.int64),
+            }
+        )
+        for g in range(6)
+    ]
+    w = pq.ParquetWriter(fp, pa.Schema.from_pandas(frames[0]))
+    for f in frames:
+        w.write_table(pa.Table.from_pandas(f))
+    w.close()
+    assert pq.ParquetFile(fp).metadata.num_row_groups == 6
+
+    total_rows = sum(len(f) for f in frames)
+    for n_chunks in (1, 2, 3, 5, 11):
+        fn = _encode_files_fn(10.0, False, {})
+        seen = 0
+        for k in range(n_chunks):
+            task = pd.DataFrame(
+                {"path": [fp], "chunk": [k], "n_chunks": [n_chunks]}
+            )
+            for out in fn(iter([task])):
+                seen += int(out["df"].sum())
+        assert seen == total_rows, f"n_chunks={n_chunks} lost rows"
