@@ -809,3 +809,67 @@ def test_encode_chunk_assignment_exhaustive(tmp_path):
             for out in fn(iter([task])):
                 seen += int(out["df"].sum())
         assert seen == total_rows, f"n_chunks={n_chunks} lost rows"
+
+
+def test_delete_consistency_across_all_executors(spark, sf_dir, tmp_path):
+    """Property-style sweep: for several random delete sets, the batch
+    (WAND/TAAT), doc-range-parallel, and cluster-free local executors
+    must return the SAME live top-k, equal to brute-force filtering of
+    the no-deletion ranking."""
+    import random
+
+    from acora_spark.index.bm25 import (
+        bm25_topk_batch,
+        bm25_topk_batch_ranged,
+        bm25_topk_local,
+    )
+    from acora_spark.index.build import build_index, delete_docs, load_index
+
+    corpus = load_corpus(spark, sf_dir).limit(250)
+    base = build_index(
+        corpus, str(tmp_path / "base"), num_buckets=4, docs_per_salt=100,
+        bucket_group_size=4, resume=False,
+    )
+    q = "data spark table merge"
+    full = bm25_topk_batch(spark, base, [q], k=40).orderBy("rank").collect()
+    assert len(full) >= 20
+    rng = random.Random(7)
+    dm = base.docmap(spark).select("doc_id", "repo", "path", "commit").collect()
+    key_of = {int(r.doc_id): (r.repo, r.path, r.commit) for r in dm}
+
+    for trial in range(3):
+        # delete a random subset of the CURRENT top docs + some misses
+        dead = {int(r.doc_id) for r in rng.sample(full, 6)}
+        d = str(tmp_path / f"trial{trial}")
+        import shutil
+
+        shutil.copytree(base.index_dir, d)
+        keys = spark.createDataFrame(
+            [key_of[x] for x in dead], "repo string, path string, commit string"
+        )
+        assert delete_docs(spark, d, keys) == len(dead)
+        idx = load_index(spark, d)
+        expect = [
+            (int(r.doc_id), round(float(r.score), 9))
+            for r in full
+            if int(r.doc_id) not in dead
+        ][:10]
+        got_b = [
+            (int(r.doc_id), round(float(r.score), 9))
+            for r in bm25_topk_batch(spark, idx, [q], k=10).orderBy("rank").collect()
+        ]
+        got_r = [
+            (int(r.doc_id), round(float(r.score), 9))
+            for r in bm25_topk_batch_ranged(spark, idx, [q], k=10, num_ranges=4)
+            .orderBy("rank")
+            .collect()
+        ]
+        loc = bm25_topk_local(idx, [q], k=10).sort_values("rank")
+        got_l = [
+            (int(a), round(float(s), 9))
+            for a, s in zip(loc["doc_id"], loc["score"])
+        ]
+        assert got_b == expect, f"trial {trial}: batch"
+        assert got_r == expect, f"trial {trial}: ranged"
+        assert got_l == expect, f"trial {trial}: local"
+        shutil.rmtree(d, ignore_errors=True)
