@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-__all__ = ["index_ingest_stream"]
+__all__ = ["index_ingest_stream", "index_delete_stream"]
 
 
 def index_ingest_stream(
@@ -69,6 +69,38 @@ def index_ingest_stream(
                 merge_index(rest, index_dir)
 
     writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def index_delete_stream(
+    key_stream: DataFrame,
+    index_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+):
+    """Attach a DELETION sink: each micro-batch of (repo, path, commit)
+    keys is tombstoned via :func:`acora_spark.index.build.delete_docs` —
+    the streaming half of the takedown/GDPR path.  Returns the started
+    ``StreamingQuery``.
+
+    Replay-safe by construction: delete_docs resolves keys through the
+    docmap and tombstones dedupe on read and at compaction, so a
+    replayed batch re-appends the same (doc_id, dl) rows with no effect
+    on query results or compaction stats (which aggregate DISTINCT doc
+    ids).  Keys not present in the index resolve to zero tombstones —
+    deletes may race ahead of ingest harmlessly.  Run
+    :func:`acora_spark.index.build.compact_index` on whatever cadence
+    bounds the pending-tombstone set."""
+    from acora_spark.index.build import delete_docs
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delete_docs(batch_df.sparkSession, index_dir, batch_df)
+
+    writer = key_stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

@@ -204,3 +204,53 @@ def test_index_ingest_stream_incremental_merge(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="already in the index"):
         merge_index(delta, index_dir)
+
+
+def test_index_delete_stream(spark, sf_dir, tmp_path):
+    """Streaming deletion sink: a micro-batch of keys tombstones its
+    docs (queries exclude them immediately); replaying the same keys is
+    a no-op; unknown keys are harmless."""
+    from acora_spark.index.bm25 import bm25_topk_batch
+    from acora_spark.index.build import build_index, load_index
+    from acora_spark.streaming.index_stream import index_delete_stream
+
+    corpus = load_corpus(spark, sf_dir).limit(120)
+    index_dir = str(tmp_path / "del_stream_idx")
+    idx = build_index(
+        corpus, index_dir, num_buckets=4, docs_per_salt=100,
+        bucket_group_size=4, resume=False,
+    )
+    q = "data spark table"
+    before = bm25_topk_batch(spark, idx, [q], k=5).orderBy("rank").collect()
+    victim = int(before[0].doc_id)
+    victim_keys = idx.docmap(spark).filter(
+        F.col("doc_id") == victim
+    ).select("repo", "path", "commit")
+
+    src = str(tmp_path / "del_src")
+    victim_keys.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(victim_keys.schema).parquet(src)
+    sq = index_delete_stream(
+        stream, index_dir, checkpoint_dir=str(tmp_path / "del_ckpt")
+    )
+    try:
+        sq.processAllAvailable()
+        # replay the same keys + an unknown key: both no-ops
+        unknown = spark.createDataFrame(
+            [("no_such", "no/doc.txt", "deadbeef")],
+            "repo string, path string, commit string",
+        )
+        victim_keys.unionByName(unknown).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    idx2 = load_index(spark, index_dir)
+    assert idx2.tombstones(spark).tolist() == [victim]
+    after = bm25_topk_batch(spark, idx2, [q], k=5).orderBy("rank").collect()
+    assert victim not in {r.doc_id for r in after}
+    assert [(r.doc_id, r.score) for r in after[:4]] == [
+        (r.doc_id, r.score) for r in before[1:5]
+    ]
