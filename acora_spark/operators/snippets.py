@@ -71,25 +71,48 @@ def snippets(
         m.groupBy(*id_cols)
         .agg(F.array_sort(F.collect_list("start")).alias("ps"))
     )
-    # per-anchor score: matches starting within [ps[i], ps[i]+window).
-    # Interpreted higher-order funcs re-evaluate a referenced column's
-    # WHOLE defining expression per element access, so compute scores in
-    # one transform over the already-bound ps column, then fold for the
-    # (score, -start)-max in a second expression over the small pair
-    # array.
+    # Per-anchor score = matches starting within [ps[i], ps[i]+window),
+    # computed by SORT-MERGE RANKING instead of a filter() per anchor:
+    # merge the anchor events (value p+window, one per DISTINCT anchor
+    # value, carrying its first ps index ``i`` and its rank among anchors
+    # ``qi``) with the base positions ps into one sorted array.  For an
+    # anchor event at merged index ``idx``, the number of base positions
+    # strictly below p+window is ``idx - qi`` (anchors are distinct so
+    # exactly qi anchor events precede it), and the number below p is
+    # ``i`` (first occurrence index in the sorted ps) — so the window
+    # count is ``idx - qi - i``.  Total work O(m log m) for the one
+    # array_sort vs the previous O(m^2) nested filter, which Catalyst's
+    # projection collapsing additionally re-evaluated per fold step
+    # (O(m^3) per document in interpreted HOF mode).  At equal values the
+    # (v, tag) sort puts anchor events BEFORE base positions, matching
+    # the exclusive upper bound q < p + window.  ``ps`` is an aggregation
+    # output attribute (not a collapsed projection), so ps[...] access
+    # inside the lambdas is O(1).
     scored = starts.withColumn(
-        "scores",
+        "best",
         F.expr(
-            "transform(ps, (p, i) -> "
-            "size(filter(ps, q -> q >= p AND q < p + {w})))".format(w=int(window))
+            """
+            array_max(transform(
+              array_sort(concat(
+                transform(
+                  filter(transform(ps, (p, i) -> struct(p AS p, i AS i)),
+                         s -> s.i = 0 OR ps[s.i - 1] != s.p),
+                  (a, qi) -> named_struct(
+                    'v', a.p + bigint({w}), 'tag', 0, 'i', a.i, 'qi', qi)),
+                transform(ps, p -> named_struct(
+                    'v', bigint(p), 'tag', 1, 'i', 0, 'qi', 0))
+              )),
+              (e, idx) -> IF(e.tag = 0,
+                named_struct('score', idx - e.qi - e.i,
+                             'neg_start', -(e.v - bigint({w}))),
+                CAST(NULL AS STRUCT<score: INT, neg_start: BIGINT>))
+            ))
+            """.format(w=int(window))
         ),
     ).withColumn(
         "best",
         F.expr(
-            "aggregate(sequence(0, size(ps) - 1), "
-            "named_struct('score', -1, 'start', bigint(0)), "
-            "(acc, i) -> IF(scores[i] > acc.score, "
-            "named_struct('score', scores[i], 'start', bigint(ps[i])), acc))"
+            "named_struct('score', best.score, 'start', -best.neg_start)"
         ),
     )
     content = df.select(*id_cols, content_col)

@@ -36,9 +36,16 @@ def spark_global(spark):
 
 
 def test_term_bucket_matches_build_routing(spark):
-    from acora_spark.index.bm25 import term_buckets
-
+    # expected buckets computed via the SPARK EXPRESSION the build uses
+    # (pmod(xxhash64(term), n)) — NOT via term_buckets, which itself
+    # calls term_bucket and would make this test circular
     terms = ["data", "spark", "merge", "w123", "テスト"]
-    expected = term_buckets(spark, terms, 8)
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    expected = {
+        r["term"]: r["b"]
+        for r in df.select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(8)).cast("int").alias("b")
+        ).collect()
+    }
     for t in terms:
         assert term_bucket(t, 8) == expected[t], t
