@@ -383,6 +383,25 @@ def q_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("path")
 
 
+def q_boolean_query_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval FORCED across a multi-range grid (num_ranges=8)
+    with a hot must term ('the' — the corpus's hottest token): exercises
+    the range-parallel set algebra (per-range intersect/union/subtract)
+    against the same token-membership SQL oracle.  Results must equal
+    the single-grid answer exactly — ranges partition the doc space."""
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = boolean_query_batch(
+        spark, idx,
+        [{"must": ["the", "data"], "should": ["merge", "stream"],
+          "must_not": ["window"]}],
+        num_ranges=8,
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("path")
+
+
 def _pos_index_for(spark: SparkSession, sf_dir: str):
     from acora_spark.index.build import build_index
 
@@ -773,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_bm25_local": q_index_bm25_local,
         "index_bm25_topk_merged": q_index_bm25_topk_merged,
         "boolean_query": q_boolean_query,
+        "boolean_query_ranged": q_boolean_query_ranged,
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1181,6 +1201,22 @@ WITH {_CORPUS_CTE},
 {_TOKS_CTE}
 SELECT path FROM toks
 WHERE {musts} AND ({shoulds}) AND {nots}
+"""
+
+    # the multi-range boolean executor answers the SAME token-membership
+    # predicate shape (hot must term 'the', forced 8-range grid on the
+    # Spark side — the grid must be invisible in the results)
+    musts_r = " AND ".join(
+        f"list_contains(t, '{w}')" for w in ("the", "data")
+    )
+    shoulds_r = " OR ".join(
+        f"list_contains(t, '{w}')" for w in ("merge", "stream")
+    )
+    sql["boolean_query_ranged"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT path FROM toks
+WHERE {musts_r} AND ({shoulds_r}) AND NOT list_contains(t, 'window')
 """
 
     # phrase_tf = number of adjacent token runs equal to the phrase

@@ -856,6 +856,7 @@ def boolean_query_batch(
     spark: SparkSession,
     index: Index,
     queries: Sequence[dict],
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Classic boolean retrieval over the inverted index: for each query
     ``{"must": [...], "should": [...], "must_not": [...]}`` return the
@@ -863,13 +864,24 @@ def boolean_query_batch(
     term, AT LEAST ONE should term (when any are given), and NO must_not
     term.
 
-    Plan shape matches the BM25 batch executor: bucket-pruned postings
-    read + broadcast query join; one vectorized set-algebra task per
-    query (posting lists decode to sorted doc arrays; intersections /
-    unions / differences are ``np.intersect1d``-family calls — no per-doc
-    Python).  Every query needs at least one positive (must/should) term:
-    pure negation would mean materializing the complement of a posting
-    list, which is the full doc space at 10^12 docs."""
+    DOC-RANGE-PARALLEL, on the same slice grid as the ranged BM25 and
+    phrase executors: every (query, term, shard) postings row decodes
+    once and re-varints into per-doc-range slices; each (query, range)
+    group then runs vectorized set algebra (``np.intersect1d``-family
+    calls over sorted doc arrays — no per-doc Python) on ITS docs only.
+    Set membership is doc-local, so ranges are independent and their
+    union IS the exact result (no merge stage).  A boolean query
+    containing a stopword-hot must term therefore fans out across the
+    grid instead of pulling that term's entire postings into one task —
+    the previous single-task-per-query executor decoded every shard of
+    every term in one ``applyInPandas`` group, exactly the shape the
+    ranged BM25/phrase executors were built to kill.
+
+    Every query needs at least one positive (must/should) term: pure
+    negation would mean materializing the complement of a posting list,
+    which is the full doc space at 10^12 docs.  ``must_not`` terms slice
+    and fan out like positive terms; their docs are subtracted
+    range-locally."""
     norm: dict[int, dict[str, list[str]]] = {}
     for qi, q in enumerate(queries):
         spec = {
@@ -891,6 +903,12 @@ def boolean_query_batch(
     post = index.postings(spark, sorted(set(buckets.values()))).filter(
         F.col("term").isin(all_terms)
     )
+    term_df = _query_term_df(post)
+    if not term_df:
+        # none of the queried terms exist in the index; every query has a
+        # positive requirement, so every result set is empty
+        return spark.createDataFrame([], BOOLEAN_SCHEMA)
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
     pairs = [
         (qi, t)
         for qi, spec in norm.items()
@@ -901,21 +919,28 @@ def boolean_query_batch(
         "query_id", "term", "postings", "blocks"
     )
     positional = bool(stats.get("with_positions"))
+    # the BM25 slicer re-varints (doc, tf, dl) triples; boolean algebra
+    # only needs the doc column, but sharing the slicer keeps ONE slice
+    # format across the three ranged executors (the tf/dl bytes it carries
+    # are a bounded constant factor of the compressed postings)
+    sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
     bc_spec = spark.sparkContext.broadcast(norm)
     tomb = index.tombstones(spark)
     bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0])
+    from acora_spark.functions.postings_codec import decode_slice
+
+    def run_range(key, pdf):  # (key, pdf) applyInPandas form
+        qid = int(key[0])
         spec = bc_spec.value[qid]
-        docs_by_term: dict[str, list] = {}
-        for term, blob, blocks in zip(pdf["term"], pdf["postings"], pdf["blocks"]):
-            d, _t, _l = _decode(bytes(blob), [dict(x) for x in blocks], positional)
-            docs_by_term.setdefault(term, []).append(d)
-        sets = {
-            t: np.unique(np.concatenate(parts))
-            for t, parts in docs_by_term.items()
-        }
+        sets: dict[str, np.ndarray] = {}
+        for term, grp in pdf.groupby("term", sort=False):
+            parts = [decode_slice(bytes(b))[0] for b in grp["blob"]]
+            sets[term] = (
+                parts[0]
+                if len(parts) == 1
+                else np.unique(np.concatenate(parts))
+            )
         empty = np.empty(0, np.int64)
         cand = None
         for t in spec["must"]:
@@ -925,13 +950,9 @@ def boolean_query_batch(
             )
             if not len(cand):
                 break
-        if spec["should"]:
-            union = (
-                np.unique(np.concatenate(
-                    [sets.get(t, empty) for t in spec["should"]]
-                ))
-                if spec["should"]
-                else empty
+        if spec["should"] and (cand is None or len(cand)):
+            union = np.unique(
+                np.concatenate([sets.get(t, empty) for t in spec["should"]])
             )
             cand = union if cand is None else np.intersect1d(
                 cand, union, assume_unique=True
@@ -947,7 +968,9 @@ def boolean_query_batch(
             {"query_id": qid, "doc_id": cand.astype(np.int64)}
         )
 
-    return joined.groupBy("query_id").applyInPandas(run, BOOLEAN_SCHEMA)
+    return sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, BOOLEAN_SCHEMA)
 
 
 def bm25_topk_local(
@@ -1050,19 +1073,55 @@ class QueryEngine:
     memory, so each query batch is a single broadcast-join + WAND job (no
     per-query parquet read, no term-bucket lookup job).
 
-    At 100 TB you would persist only the hot buckets and fall back to the
-    bucket-pruned ``bm25_topk_batch`` path for cold terms; in this sandbox
-    the whole postings table fits."""
+    ``buckets`` selects WHICH postings buckets stay persisted:
 
-    def __init__(self, spark: SparkSession, index: Index):
+    * ``"all"`` (default) — the whole table (sandbox scale).
+    * an iterable of bucket ids — only those buckets persist (the 100-TB
+      shape: pin the buckets your query log actually hits); query terms
+      routing to a non-persisted bucket fall back to the bucket-pruned
+      cold parquet read PER BATCH, unioned with the warm rows before the
+      executor, so cold-term queries still answer exactly — they just pay
+      the scan."""
+
+    def __init__(self, spark: SparkSession, index: Index,
+                 buckets: Sequence[int] | str = "all"):
         from pyspark import StorageLevel
 
         self.spark = spark
         self.index = index
         self._exclude = None
         self.refresh_tombstones()
-        self.post = index.postings(spark).persist(StorageLevel.MEMORY_AND_DISK)
+        if buckets == "all":
+            self._warm_buckets: set[int] | None = None
+            self.post = index.postings(spark).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            self._warm_buckets = {int(b) for b in buckets}
+            self.post = index.postings(
+                spark, sorted(self._warm_buckets)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         self.post.count()  # materialize now
+
+    def _postings_for(self, all_terms: list[str]) -> DataFrame:
+        """Warm persisted rows for terms routing to persisted buckets,
+        unioned with a bucket-pruned cold read for the rest."""
+        warm = self.post.filter(F.col("term").isin(all_terms))
+        if self._warm_buckets is None:
+            return warm
+        routes = term_buckets(
+            self.spark, all_terms, self.index.stats["num_buckets"]
+        )
+        cold_terms = sorted(
+            t for t, b in routes.items() if b not in self._warm_buckets
+        )
+        if not cold_terms:
+            return warm
+        cold_buckets = sorted({routes[t] for t in cold_terms})
+        cold = self.index.postings(self.spark, cold_buckets).filter(
+            F.col("term").isin(cold_terms)
+        )
+        return warm.unionByName(cold)
 
     def topk(self, queries: Sequence[str], k: int = 10) -> DataFrame:
         spark, stats = self.spark, self.index.stats
@@ -1071,7 +1130,7 @@ class QueryEngine:
             return spark.createDataFrame([], TOPK_SCHEMA)
         qdf = spark.createDataFrame(pairs, "query_id long, term string")
         all_terms = sorted({t for _, t in pairs})
-        joined = self.post.filter(F.col("term").isin(all_terms)).join(
+        joined = self._postings_for(all_terms).join(
             F.broadcast(qdf), "term"
         )
         n_docs, avgdl = stats["N"], stats["avgdl"]

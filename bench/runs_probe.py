@@ -1,0 +1,148 @@
+"""Decomposition probe for the runs stage.  Modes build the stage up one
+component at a time so the deltas isolate each cost:
+
+  tok      scan + tokenize (noop sink)
+  runsx    + in-row run-length expression (no join; constant dl/doc_id)
+  map      + docmap sort-merge join (the real map side)
+  map_shj  map side with a SHUFFLE_HASH join hint (no content sort)
+  full     + runs exchange + sortWithinPartitions + partitioned write
+  full_shj full with the SHUFFLE_HASH join
+
+Each measurement runs in a fresh JVM (session restarts pollute perf
+state).  Usage:
+    python bench/runs_probe.py --docs 1500000 --cores 32 --modes tok,runsx,map
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(cores: int, n_docs: int, mode: str) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from acora_spark.functions.tokenize import tokens_expr
+    from acora_spark.index.build import _doc_term_runs, _fixed_layout_write
+    from acora_spark.session import get_spark
+
+    spark = get_spark(app_name=f"runsprobe-{mode}", cores=cores,
+                      shuffle_partitions=64)
+    corpus = spark.read.parquet(f"/dev/shm/acora_bench_corpus_{n_docs}_p128")
+    idx_dir = f"/dev/shm/runsprobe_docmap_{n_docs}"
+    if not os.path.exists(os.path.join(idx_dir, "docmap")):
+        from acora_spark.functions.tokenize import token_counts
+        from acora_spark.index.build import assign_doc_ids, release_doc_ids
+        os.makedirs(idx_dir, exist_ok=True)
+        stat_rows = token_counts(corpus).select(
+            "repo", "path", "commit", F.col("n_tokens").alias("dl")
+        )
+        stat_rows.write.mode("overwrite").parquet(idx_dir + "/docstats")
+        dm = assign_doc_ids(spark.read.parquet(idx_dir + "/docstats"),
+                            ["repo", "path", "commit"])
+        dm.write.mode("overwrite").parquet(idx_dir + "/docmap")
+        release_doc_ids(dm)
+    docmap = spark.read.parquet(idx_dir + "/docmap")
+    if mode.endswith("_shj"):
+        docmap = docmap.hint("shuffle_hash")
+
+    num_buckets, fpb = 16, 12
+    key_cols = ["repo", "path", "commit"]
+
+    if mode == "tok":
+        df = corpus.select(
+            F.size(tokens_expr(F.col("content"))).alias("n")
+        )
+    elif mode == "runsx":
+        # run-length over a fake single-doc frame: same expression work,
+        # no join (constant doc_id/dl)
+        fake = corpus.select(
+            F.lit(0).alias("doc_id"), F.lit(1).alias("dl"), "content",
+            *key_cols, F.lit("x").alias("lang"),
+        )
+        fake_map = spark.createDataFrame(
+            [], "repo string, path string, commit string, doc_id long, dl long"
+        )
+        # _doc_term_runs joins; emulate its select directly instead
+        from acora_spark.functions.tokenize import tokens_expr as te
+        runs_expr = """
+        transform(array(array_sort(_tk)),
+          ts -> transform(
+            array(filter(if(size(ts) = 0, array(), sequence(0, size(ts) - 1)),
+                         i -> CASE WHEN i = 0 THEN true
+                              ELSE ts[i] != ts[i-1] END)),
+            st -> transform(st, (s, j) -> struct(
+              ts[s] AS term,
+              CAST(coalesce(try_element_at(st, j + 2), size(ts)) - s AS INT) AS tf))
+          )[0]
+        )[0]
+        """
+        df = (
+            fake.select("doc_id", "dl", te(F.col("content")).alias("_tk"))
+            .select("doc_id", "dl", F.explode(F.expr(runs_expr)).alias("r"))
+            .select("doc_id", F.col("r.term").alias("term"),
+                    F.col("r.tf").alias("tf"), F.col("dl").cast("int").alias("dl"))
+        )
+    else:
+        df = _doc_term_runs(corpus, docmap, key_cols, False).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+
+    out = f"/dev/shm/runsprobe_out_{mode}"
+    shutil.rmtree(out, ignore_errors=True)
+    df.limit(5000).write.mode("overwrite").format("noop").save()  # warm codegen
+    t0 = time.time()
+    if mode.startswith("full"):
+        with _fixed_layout_write(spark):
+            df.repartition(
+                4 * num_buckets * fpb,
+                "bucket",
+                F.pmod(F.xxhash64(F.lit("slice"), F.col("term")), F.lit(fpb)),
+            ).sortWithinPartitions(
+                "bucket", F.xxhash64("term"), "term", "doc_id"
+            ).write.mode("overwrite").partitionBy("bucket").parquet(out)
+    else:
+        df.write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    print("CHILD_RESULT " + json.dumps(
+        {"mode": mode, "cores": cores, "sec": round(dt, 2)}
+    ))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_500_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--modes", default="tok,runsx,map,map_shj,full,full_shj")
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--mode", default=None)
+    args = ap.parse_args()
+    if args.child:
+        child(args.cores, args.docs, args.mode)
+        return
+    for mode in args.modes.split(","):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--cores", str(args.cores), "--docs", str(args.docs),
+             "--mode", mode],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                print(line)
+                break
+        else:
+            sys.stderr.write(out.stdout[-1500:] + out.stderr[-3000:])
+
+
+if __name__ == "__main__":
+    main()

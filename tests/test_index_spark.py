@@ -457,6 +457,59 @@ def test_boolean_query_semantics(built, spark):
         boolean_query_batch(spark, idx, [{"must_not": ["data"]}])
 
 
+def test_boolean_query_ranged_grid_invisible(built, spark):
+    """Forcing a multi-range grid (num_ranges=16) with a hot must term
+    must return exactly the default-grid result: ranges partition the
+    doc space, so the set algebra is range-local."""
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    idx, _, _ = built
+    queries = [
+        {"must": ["the", "data"], "must_not": ["window"]},
+        {"should": ["spark", "merge"], "must_not": ["the"]},
+    ]
+    base = {
+        (r.query_id, r.doc_id)
+        for r in boolean_query_batch(spark, idx, queries).collect()
+    }
+    grid = {
+        (r.query_id, r.doc_id)
+        for r in boolean_query_batch(
+            spark, idx, queries, num_ranges=16
+        ).collect()
+    }
+    assert base == grid and len(base) > 0
+
+
+def test_query_engine_partial_persistence(built, spark):
+    """An engine persisting only SOME buckets must answer queries whose
+    terms route to cold buckets identically to the full-table engine
+    (cold terms fall back to the pruned parquet read per batch)."""
+    from acora_spark.index.bm25 import (
+        QueryEngine,
+        bm25_topk_batch,
+        query_terms,
+        term_buckets,
+    )
+
+    idx, _, _ = built
+    queries = ["the fast query", "data merge spark", "window agg"]
+    all_terms = sorted({t for q in queries for t in query_terms(q)})
+    routes = term_buckets(spark, all_terms, idx.stats["num_buckets"])
+    used = sorted(set(routes.values()))
+    assert len(used) >= 2, "need terms spread over >=2 buckets"
+    # persist only ONE of the used buckets -> the rest go cold
+    engine = QueryEngine(spark, idx, buckets=[used[0]])
+    try:
+        got = engine.topk(queries, k=5).collect()
+        want = bm25_topk_batch(spark, idx, queries, k=5).collect()
+        key = lambda r: (r.query_id, r.rank, r.doc_id, round(r.score, 12))  # noqa: E731
+        assert sorted(map(key, got)) == sorted(map(key, want))
+        assert len(got) > 0
+    finally:
+        engine.close()
+
+
 def test_runs_layout_term_clustered_sorted(built, spark):
     """The zero-shuffle encoder's input invariant, checked ON DISK: within
     every runs parquet file, each term's rows are CONTIGUOUS and doc_id
