@@ -89,7 +89,7 @@ def _values(words: list[str]) -> str:
 # from older code are never reused (v5: width-based dyadic sharding
 # [shard = doc_id >> w], hot_terms.json stores log2 widths, stats carries
 # max_dl + min_avgdl_encode)
-INDEX_FORMAT_VERSION = 8
+INDEX_FORMAT_VERSION = 9
 
 
 def _index_for(spark: SparkSession, sf_dir: str):

@@ -1,0 +1,159 @@
+"""Filesystem helpers for the index CONTROL PLANE (manifest, stats,
+hot-term map, bucket listing, staged-commit markers).
+
+The data plane (parquet reads/writes, encode tasks) already resolves
+``scheme://`` paths through Hadoop / pyarrow; these helpers give the
+driver-side metadata I/O the same reach, so an index can be BUILT,
+MERGED, COMPACTED and DELETED-FROM where it lives (s3://, hdfs://,
+gs://) — not only queried there.
+
+Everything routes through ``pyarrow.fs`` (no JVM dependency, so the
+cluster-free ``bm25_topk_local`` path can use the same helpers);
+scheme-less paths short-circuit to plain ``os``/``open`` calls.
+
+Atomicity of :func:`write_text_atomic`:
+
+* local — write a temp file + ``os.replace`` (POSIX-atomic swap);
+* remote object stores — one ``open_output_stream`` write+close, which
+  is a single atomic PUT on S3/GCS (readers see the old object or the
+  new one, never a torn write).  HDFS rename-based stores get the
+  same single-stream write; HDFS makes the file visible at close.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = [
+    "is_remote",
+    "pa_fs",
+    "exists",
+    "read_text",
+    "write_text_atomic",
+    "read_json",
+    "write_json_atomic",
+    "listdir",
+    "delete_dir",
+    "makedirs",
+    "join_path",
+]
+
+
+def is_remote(path: str) -> bool:
+    return "://" in path
+
+
+def join_path(base: str, child: str) -> str:
+    """Path join that preserves URI schemes (s3://..., hdfs://...)."""
+    if is_remote(base):
+        return base.rstrip("/") + "/" + child
+    return os.path.join(base, child)
+
+
+def pa_fs(path: str):
+    """(filesystem, fs-local path) for any supported scheme.
+
+    ``file://`` URIs resolve to the local filesystem — handy as the
+    remote-path test double."""
+    from pyarrow import fs as pafs
+
+    if not is_remote(path):
+        return pafs.LocalFileSystem(), path
+    return pafs.FileSystem.from_uri(path)
+
+
+def exists(path: str) -> bool:
+    if not is_remote(path):
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+
+    fsys, p = pa_fs(path)
+    return fsys.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def read_text(path: str) -> str | None:
+    """File contents, or None when the file does not exist."""
+    if not is_remote(path):
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read()
+    from pyarrow import fs as pafs
+
+    fsys, p = pa_fs(path)
+    if fsys.get_file_info(p).type == pafs.FileType.NotFound:
+        return None
+    with fsys.open_input_stream(p) as f:
+        return f.read().decode("utf-8")
+
+
+def write_text_atomic(path: str, data: str) -> None:
+    if not is_remote(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return
+    fsys, p = pa_fs(path)
+    parent = p.rsplit("/", 1)[0]
+    try:
+        fsys.create_dir(parent, recursive=True)
+    except Exception:
+        pass  # object stores have no real directories
+    with fsys.open_output_stream(p) as f:
+        f.write(data.encode("utf-8"))
+
+
+def read_json(path: str) -> dict | None:
+    raw = read_text(path)
+    return None if raw is None else json.loads(raw)
+
+
+def write_json_atomic(path: str, obj: dict, **dump_kw) -> None:
+    write_text_atomic(path, json.dumps(obj, **dump_kw))
+
+
+def listdir(path: str) -> list[str]:
+    """Immediate child BASE NAMES of a directory (files and dirs),
+    sorted; empty list when the directory does not exist."""
+    if not is_remote(path):
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.listdir(path))
+    from pyarrow import fs as pafs
+
+    fsys, p = pa_fs(path)
+    try:
+        infos = fsys.get_file_info(
+            pafs.FileSelector(p, recursive=False, allow_not_found=True)
+        )
+    except FileNotFoundError:
+        return []
+    return sorted(i.base_name for i in infos)
+
+
+def delete_dir(path: str) -> None:
+    """Recursive delete, ignoring a missing target."""
+    if not is_remote(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    fsys, p = pa_fs(path)
+    try:
+        fsys.delete_dir(p)
+    except FileNotFoundError:
+        pass
+
+
+def makedirs(path: str) -> None:
+    if not is_remote(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    fsys, p = pa_fs(path)
+    try:
+        fsys.create_dir(p, recursive=True)
+    except Exception:
+        pass  # object stores: directories are implicit

@@ -992,12 +992,12 @@ def bm25_topk_local(
     Spark job floor (~1-2 s) to milliseconds; use it for interactive /
     sidecar serving while the cluster path handles query BATCHES.
 
-    LOCAL index paths only (a remote path raises rather than silently
-    returning empty results — sync or mount the index for sidecar
-    serving); returns a pandas DataFrame (query_id, rank, doc_id,
-    score)."""
+    Index paths resolve through ``pyarrow.fs`` (local, file://, s3://,
+    hdfs://, gs://) — the sidecar can serve straight off object storage;
+    returns a pandas DataFrame (query_id, rank, doc_id, score)."""
     import pyarrow.parquet as pq
 
+    from acora_spark import fsutil
     from acora_spark.functions.xxh64 import term_bucket
 
     empty = pd.DataFrame(
@@ -1010,20 +1010,13 @@ def bm25_topk_local(
     )
     if not queries:
         return empty
-    if "://" in index.index_dir:
-        # os.path checks below are local-only; failing loud beats the
-        # silent-empty-results failure mode Index.postings documents
-        raise NotImplementedError(
-            "bm25_topk_local reads the index through the local "
-            "filesystem; for a remote index use bm25_topk_batch, or "
-            "mount/sync the index directory locally"
-        )
     stats = index.stats
     out_frames = []
     tomb_path = _join_path(index.index_dir, "tombstones")
     exclude = None
-    if os.path.isdir(tomb_path):
-        t = pq.read_table(tomb_path, columns=["doc_id"])
+    if fsutil.exists(tomb_path):
+        fsys, tp = fsutil.pa_fs(tomb_path)
+        t = pq.read_table(tp, columns=["doc_id"], filesystem=fsys)
         if t.num_rows:
             exclude = np.unique(
                 np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
@@ -1031,21 +1024,26 @@ def bm25_topk_local(
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b, positional = stats["k1"], stats["b"], bool(stats.get("with_positions"))
     id_space, bscale = _id_space(stats), _bound_scale(stats)
-    base = _join_path(index.index_dir, "postings")
+    bases = [
+        _join_path(index.index_dir, d) for d in index.postings_dir_names()
+    ]
     for qi, q in enumerate(queries):
         terms = query_terms(q)
         frames = []
         for bkt in sorted({term_bucket(t, stats["num_buckets"]) for t in terms}):
-            d = _join_path(base, f"bucket={bkt}")
-            if not os.path.isdir(d):
-                continue
-            t = pq.read_table(
-                d,
-                columns=["term", "shard", "df", "postings", "blocks"],
-                filters=[("term", "in", terms)],
-            )
-            if t.num_rows:
-                frames.append(t.to_pandas())
+            for base in bases:
+                d = _join_path(base, f"bucket={bkt}")
+                if not fsutil.exists(d):
+                    continue
+                fsys, dp = fsutil.pa_fs(d)
+                t = pq.read_table(
+                    dp,
+                    columns=["term", "shard", "df", "postings", "blocks"],
+                    filters=[("term", "in", terms)],
+                    filesystem=fsys,
+                )
+                if t.num_rows:
+                    frames.append(t.to_pandas())
         if not frames:
             out_frames.append(empty)
             continue

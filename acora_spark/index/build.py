@@ -40,7 +40,6 @@ prune to one directory per term.
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import time
@@ -52,6 +51,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from acora_spark import fsutil
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -192,24 +193,39 @@ def release_doc_ids(df: DataFrame) -> None:
 
 
 def _manifest_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "_manifest.json")
+    return _join_path(index_dir, "_manifest.json")
 
 
 def _load_manifest(index_dir: str) -> dict:
-    p = _manifest_path(index_dir)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return {"steps": {}}
+    m = fsutil.read_json(_manifest_path(index_dir))
+    return m if m is not None else {"steps": {}}
 
 
 def _mark_done(index_dir: str, step: str, **info) -> None:
     m = _load_manifest(index_dir)
     m["steps"][step] = {"status": "done", "ts": time.time(), **info}
-    tmp = _manifest_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1, sort_keys=True)
-    os.replace(tmp, _manifest_path(index_dir))
+    fsutil.write_json_atomic(
+        _manifest_path(index_dir), m, indent=1, sort_keys=True
+    )
+
+
+def _read_stats(index_dir: str) -> dict:
+    stats = fsutil.read_json(_join_path(index_dir, "stats.json"))
+    if stats is None:
+        raise FileNotFoundError(
+            f"no stats.json at {index_dir} — not an index directory"
+        )
+    return stats
+
+
+def _commit_stats(index_dir: str, stats: dict) -> None:
+    """THE durability point of every index mutation.  ``stats.json``
+    carries the corpus statistics AND the lists of committed data
+    directories (``postings_dirs`` / ``docmap_dirs`` / ``docstats_dirs``)
+    — readers resolve every data path through it, so staged directories
+    a crashed build/merge/compact left behind are invisible until the
+    one atomic write here publishes them."""
+    fsutil.write_json_atomic(_join_path(index_dir, "stats.json"), stats)
 
 
 @contextmanager
@@ -620,23 +636,22 @@ def build_index(
     why that buys cross-cluster-size bit-identity).  Scale the total write
     fan-out via ``num_buckets``."""
     spark = corpus.sparkSession
-    os.makedirs(index_dir, exist_ok=True)
+    fsutil.makedirs(index_dir)
     manifest = _load_manifest(index_dir) if resume else {"steps": {}}
     steps = manifest["steps"]
 
-    docmap_path = os.path.join(index_dir, "docmap")
-    runs_path = os.path.join(index_dir, "runs")
-    postings_path = os.path.join(index_dir, "postings")
-    stats_path = os.path.join(index_dir, "stats.json")
+    docmap_path = _join_path(index_dir, "docmap")
+    runs_path = _join_path(index_dir, "runs")
+    postings_path = _join_path(index_dir, "postings")
+    stats_path = _join_path(index_dir, "stats.json")
 
     params = {
         "num_buckets": num_buckets,
         "docs_per_salt": docs_per_salt,
         "with_positions": with_positions,
     }
-    if resume and steps and os.path.exists(stats_path):
-        with open(stats_path) as f:
-            prev = json.load(f)
+    if resume and steps and fsutil.exists(stats_path):
+        prev = _read_stats(index_dir)
         mismatched = {
             k: (prev.get(k), params[k])
             for k in _BUILD_PARAMS
@@ -657,7 +672,7 @@ def build_index(
     # small stat rows only.  Content never moves in the whole build — the
     # tf aggregation below is keyed by (repo, path, commit) and joins the
     # docmap afterwards.
-    docstats_path = os.path.join(index_dir, "docstats")
+    docstats_path = _join_path(index_dir, "docstats")
     if steps.get("docstats", {}).get("status") != "done":
         t0 = time.time()
         from pyspark.sql import Observation
@@ -701,18 +716,22 @@ def build_index(
             ),
             "k1": K1,
             "b": B,
+            # committed data directories — every reader resolves through
+            # these lists; merge appends staged generation dirs to them
+            # atomically, compaction swaps them for a fresh version
+            "postings_dirs": ["postings"],
+            "docmap_dirs": ["docmap"],
+            "docstats_dirs": ["docstats"],
             **params,
         }
-        with open(stats_path, "w") as f:
-            json.dump(stats, f)
+        _commit_stats(index_dir, stats)
         _mark_done(
             index_dir, "docstats", rows=stats["N"], secs=round(time.time() - t0, 3)
         )
 
     if steps.get("docmap", {}).get("status") != "done":
         t0 = time.time()
-        with open(stats_path) as f:
-            n_rows = json.load(f)["N"]
+        n_rows = _read_stats(index_dir)["N"]
         # size the range shuffle by DATA, not by core count: the stat rows
         # are tiny (~150 B), so at small N a core-proportional partition
         # count is pure scheduling overhead that SCALES THE WRONG WAY with
@@ -726,8 +745,7 @@ def build_index(
         release_doc_ids(docmap)  # ids are on disk now; drop the cached layout
         _mark_done(index_dir, "docmap", secs=round(time.time() - t0, 3))
 
-    with open(stats_path) as f:
-        stats = json.load(f)
+    stats = _read_stats(index_dir)
     n_docs, avgdl = stats["N"], stats["avgdl"]
 
     # ---- step 2: SPIMI runs --------------------------------------------
@@ -820,8 +838,9 @@ def build_index(
         # term spreads roughly uniformly over doc ids).
         hot_map = {h["term"]: _shard_width(h["cnt"], n_docs, docs_per_salt)
                    for h in row["hot"]}
-        with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
-            json.dump(hot_map, f)
+        fsutil.write_json_atomic(
+            _join_path(index_dir, "hot_terms.json"), hot_map
+        )
         _mark_done(
             index_dir,
             "term_stats",
@@ -831,8 +850,7 @@ def build_index(
             secs=round(time.time() - t0, 3),
         )
 
-    with open(os.path.join(index_dir, "hot_terms.json")) as f:
-        hot_map = json.load(f)
+    hot_map = fsutil.read_json(_join_path(index_dir, "hot_terms.json"))
 
     # ---- step 4: per-bucket encode (shards persisted, never merged) -----
     manifest = _load_manifest(index_dir)
@@ -859,7 +877,7 @@ def build_index(
         files = []
         for b in group:
             files.extend(
-                _list_files(spark, os.path.join(runs_path, f"bucket={b}"))
+                _list_files(spark, _join_path(runs_path, f"bucket={b}"))
             )
         if not files:
             for b in group:
@@ -874,8 +892,112 @@ def build_index(
     return load_index(spark, index_dir)
 
 
+def _concat_segments_fn() -> callable:
+    """``mapInPandas`` fn coalescing same-(term, shard) SEGMENT rows by
+    pure blob CONCATENATION — no decode, no re-encode.  Valid because
+    every :func:`encode_postings` block begins with an ABSOLUTE doc id
+    (``gaps[0] = d[0]`` per block), so appending a later segment's blob
+    and shifting its block byte offsets by the preceding blobs' length
+    yields one well-formed posting row; ``df`` adds.  Input rows must be
+    clustered by (term, shard) and ordered doc-ascending (segments cover
+    disjoint doc ranges, so ordering by the first block's last_doc orders
+    whole rows).  A group spanning an Arrow batch boundary is carried to
+    the next batch.
+
+    This makes the final postings rows INDEPENDENT of how the encode
+    stage's reader happened to split the runs files — one row per
+    (term, shard) per build, whatever the chunking — which is what lets
+    the per-bucket xor64 lineage checksums stay a pure function of the
+    corpus even if task boundaries ever change."""
+
+    def concat_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy()
+        change = (
+            np.flatnonzero((terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]))
+            + 1
+        )
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        out = {"term": [], "shard": [], "df": [], "postings": [], "blocks": []}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s == 1:
+                out["term"].append(terms[s])
+                out["shard"].append(int(shards[s]))
+                out["df"].append(int(pdf["df"].iloc[s]))
+                out["postings"].append(bytes(pdf["postings"].iloc[s]))
+                out["blocks"].append(
+                    [dict(x) for x in pdf["blocks"].iloc[s]]
+                )
+                continue
+            blobs = [bytes(x) for x in pdf["postings"].iloc[s:e]]
+            offs = np.concatenate(
+                ([0], np.cumsum([len(b) for b in blobs[:-1]]))
+            ).astype(np.int64)
+            blocks: list[dict] = []
+            for i, bl in enumerate(pdf["blocks"].iloc[s:e]):
+                shift = int(offs[i])
+                blocks.extend(
+                    {**dict(x), "offset": int(dict(x)["offset"]) + shift}
+                    for x in bl
+                )
+            out["term"].append(terms[s])
+            out["shard"].append(int(shards[s]))
+            out["df"].append(int(pdf["df"].iloc[s:e].sum()))
+            out["postings"].append(b"".join(blobs))
+            out["blocks"].append(blocks)
+        return pd.DataFrame(out)
+
+    def fn(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[["term", "shard", "df", "postings", "blocks"]]
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            tail = (terms == terms[-1]) & (shards == shards[-1])
+            n_tail = int(np.cumprod(tail[::-1]).sum())
+            head, pending = pdf.iloc[: len(pdf) - n_tail], pdf.iloc[len(pdf) - n_tail :]
+            if len(head):
+                yield concat_block(head)
+        if pending is not None and len(pending):
+            yield concat_block(pending)
+
+    return fn
+
+
+def _cluster_and_coalesce(parts: DataFrame, num_buckets: int, n_parts: int,
+                          wpb: int) -> DataFrame:
+    """Cluster encoded rows by (bucket, slice-of-key), order same-key
+    segment rows doc-ascending, and coalesce them by blob concatenation.
+    Returns POSTINGS_SCHEMA columns plus ``bucket``."""
+    arranged = (
+        parts.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+        )
+        .withColumn("ord", F.element_at("blocks", 1).getField("last_doc"))
+        .repartition(
+            n_parts,
+            "bucket",
+            F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
+        )
+        .sortWithinPartitions(
+            F.xxhash64("term", "shard"), "term", "shard", "ord"
+        )
+    )
+    merged = arranged.mapInPandas(_concat_segments_fn(), POSTINGS_SCHEMA)
+    return merged.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+
+
 def _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0):
-    """Cluster encoded rows by (bucket, slice), ride per-bucket row/xor64
+    """Cluster encoded rows by (bucket, slice), coalesce same-(term,
+    shard) segment rows by blob concatenation, ride per-bucket row/xor64
     lineage metrics on the write, and dynamic-overwrite the group's bucket
     directories (idempotent under retry).
 
@@ -886,21 +1008,16 @@ def _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0):
     through the encode+write tail whenever group size < cores.
 
     The xor64 checksum is a bit_xor of per-row hashes covering the encoded
-    blob bytes: order- and file-layout-independent, so with the fixed runs
-    layout (constant files-per-bucket, pinned reader splits) the checksum
-    is a pure function of the corpus — the lineage record the north rule
-    asks for, and the determinism evidence the tests assert."""
-    postings_path = os.path.join(index_dir, "postings")
+    blob bytes: order- and file-layout-independent, and — with the
+    segment coalescing guaranteeing ONE row per (term, shard) regardless
+    of reader splits — a pure function of the corpus: the lineage record
+    the north rule asks for, and the determinism evidence the tests
+    assert."""
+    postings_path = _join_path(index_dir, "postings")
     wpb = max(
         1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
     )
-    out = parts.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-    ).repartition(
-        len(group) * wpb,
-        "bucket",
-        F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
-    )
+    out = _cluster_and_coalesce(parts, num_buckets, len(group) * wpb, wpb)
     # per-bucket row metrics ride the write via observe() — no read-back
     # counting job
     from pyspark.sql import Observation
@@ -947,7 +1064,10 @@ def _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0):
 
 
 def _merge_stream(
-    avgdl: float, with_positions: bool, exclude: np.ndarray | None = None
+    avgdl: float,
+    with_positions: bool,
+    exclude: np.ndarray | None = None,
+    reshard: dict[str, int] | None = None,
 ) -> callable:
     """mapInPandas fn coalescing same-(term, shard) rows: input rows are
     clustered by (term, shard) and sorted doc-ascending (segment rows
@@ -959,12 +1079,21 @@ def _merge_stream(
 
     ``exclude`` (sorted tombstoned doc ids) drops those documents' entries
     during the re-encode — compaction physically applies deletions; a
-    group left empty emits no row (its term/shard key disappears)."""
+    group left empty emits no row (its term/shard key disappears).
+
+    ``reshard`` maps a term to a NEW (strictly smaller) shard width: the
+    group's docs are re-keyed ``shard = doc_id >> w_new`` and emitted as
+    one row per new shard — the cold->hot re-shard applied at compaction.
+    Refinement-only is what keeps this group-local and skew-free: under a
+    smaller width, each OLD dyadic shard maps onto a DISJOINT set of new
+    shards, so two tasks holding different old shards of the same term
+    can never emit the same new key."""
     from acora_spark.functions.postings_codec import (
         decode_postings,
         decode_postings_positional,
         encode_postings,
     )
+    reshard = reshard or {}
 
     def merge_block(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {"term": [], "shard": [], "df": [], "postings": [], "blocks": []}
@@ -1003,18 +1132,31 @@ def _merge_stream(
                     docs, tfs, dls = docs[live], tfs[live], dls[live]
             if not len(docs):
                 continue
-            blob, blocks = encode_postings(
-                docs,
-                tfs,
-                dls,
-                avgdl,
-                positions=pos_p if with_positions else None,
-            )
-            out["term"].append(terms[s])
-            out["shard"].append(int(shards[s]))
-            out["df"].append(int(len(docs)))
-            out["postings"].append(blob)
-            out["blocks"].append(blocks)
+            w_new = reshard.get(terms[s])
+            if w_new is None:
+                shard_ids = [int(shards[s])]
+                seg_bounds = [0, len(docs)]
+            else:
+                new_shards = docs >> np.int64(w_new)
+                cuts = np.concatenate(
+                    ([0], np.flatnonzero(new_shards[1:] != new_shards[:-1]) + 1)
+                )
+                shard_ids = [int(x) for x in new_shards[cuts]]
+                seg_bounds = [int(x) for x in cuts] + [len(docs)]
+            for k, sid in enumerate(shard_ids):
+                a, z = seg_bounds[k], seg_bounds[k + 1]
+                blob, blocks = encode_postings(
+                    docs[a:z],
+                    tfs[a:z],
+                    dls[a:z],
+                    avgdl,
+                    positions=pos_p[a:z] if with_positions else None,
+                )
+                out["term"].append(terms[s])
+                out["shard"].append(sid)
+                out["df"].append(int(z - a))
+                out["postings"].append(blob)
+                out["blocks"].append(blocks)
         return pd.DataFrame(out)
 
     def fn(batches):
@@ -1066,10 +1208,10 @@ def merge_index(
       executors treat each row as an independent cursor over disjoint
       doc ranges, so results stay exact.  Run :func:`compact_index`
       periodically to coalesce generations.
-    * ``mode="rewrite"`` — compact-on-merge: affected buckets are read,
-      colliding rows coalesced, and the buckets dynamic-overwritten
-      (one row per (term, shard) restored immediately, at full
-      read+rewrite cost for those buckets).
+    * ``mode="rewrite"`` — compact-on-merge: the delta commits atomically
+      as in append mode, then :func:`compact_index` immediately coalesces
+      every (term, shard) back to one row (full compaction cost, paid
+      inline; append + periodic compaction is the scale path).
 
     How it stays cheap (and correct) at scale:
 
@@ -1090,14 +1232,22 @@ def merge_index(
       a term NEW to the index with a hot-sized delta df gets a fresh
       width in ``hot_terms.json``.
 
-    Not crash-atomic in v1: stats/docmap commit before the postings
-    write; a merge interrupted mid-write leaves some new docs
-    unsearchable until the merge is re-run on a fresh delta or the
-    index rebuilt."""
+    CRASH-ATOMIC: the delta's postings, docmap, and docstats are staged
+    as per-merge GENERATION directories (``postings_g<id_base>`` etc.)
+    that no reader resolves, then published by ONE atomic ``stats.json``
+    write listing them as committed (:func:`_commit_stats`) — the
+    LSM/Lucene ``segments_N`` pattern.  A merge killed at ANY earlier
+    point leaves the index byte-for-byte equivalent to its pre-merge
+    state (staged dirs are invisible garbage), and re-running the same
+    delta overwrites them and commits; killed after the commit, only the
+    informational manifest fold can be stale (``verify_index`` flags
+    it).  Committed-docmap membership therefore doubles as the
+    merge-completion marker the streaming ingest sink's replay-skip
+    logic relies on."""
+    if mode not in ("append", "rewrite"):
+        raise ValueError("mode must be 'append' or 'rewrite'")
     spark = delta_corpus.sparkSession
-    stats_path = os.path.join(index_dir, "stats.json")
-    with open(stats_path) as f:
-        stats = json.load(f)
+    stats = _read_stats(index_dir)
     num_buckets = stats["num_buckets"]
     docs_per_salt = stats["docs_per_salt"]
     with_positions = bool(stats.get("with_positions"))
@@ -1107,16 +1257,19 @@ def merge_index(
     # ids on N would collide with survivors
     id_base = int(stats.get("id_space", n_old))
     key_cols = ["repo", "path", "commit"]
-    docmap_path = os.path.join(index_dir, "docmap")
-    docstats_path = os.path.join(index_dir, "docstats")
-    postings_path = os.path.join(index_dir, "postings")
-    tmp = os.path.join(index_dir, "_merge_tmp")
+    gen = f"g{id_base}"
+    gen_postings, gen_docmap, gen_docstats = (
+        f"postings_{gen}", f"docmap_{gen}", f"docstats_{gen}"
+    )
+    tmp = _join_path(index_dir, "_merge_tmp")
+    idx0 = load_index(spark, index_dir)
 
     from pyspark.sql import Observation
 
     from acora_spark.functions.tokenize import token_counts
 
-    # ---- delta doc stats + ids (narrow pass; content never shuffles) ----
+    # ---- delta doc stats + ids, STAGED (narrow pass; content never
+    # shuffles; nothing below is reader-visible until the commit) --------
     obs = Observation("delta_stats")
     delta_stats = token_counts(delta_corpus).select(
         *key_cols,
@@ -1129,29 +1282,33 @@ def merge_index(
         F.sum("dl").alias("total_dl"),
         F.max("dl").alias("max_dl"),
     )
-    delta_stats.write.mode("overwrite").parquet(os.path.join(tmp, "docstats"))
+    delta_stats.write.mode("overwrite").parquet(
+        _join_path(index_dir, gen_docstats)
+    )
     got = obs.get
     m_docs = int(got["n"])
     if m_docs == 0:
-        return load_index(spark, index_dir)
-    staged_stats = spark.read.parquet(os.path.join(tmp, "docstats"))
+        fsutil.delete_dir(_join_path(index_dir, gen_docstats))
+        return idx0
+    staged_stats = spark.read.parquet(_join_path(index_dir, gen_docstats))
     n_dup = (
         staged_stats.join(
-            spark.read.parquet(docmap_path).select(*key_cols), key_cols
+            idx0.docmap(spark).select(*key_cols), key_cols
         ).count()
     )
     if n_dup:
+        fsutil.delete_dir(_join_path(index_dir, gen_docstats))
         raise ValueError(
             f"merge_index delta contains {n_dup} documents already in the "
             "index (same (repo, path, commit)); deltas must be new docs only"
         )
     dmap0 = assign_doc_ids(staged_stats, key_cols)
     dmap = dmap0.withColumn("doc_id", F.col("doc_id") + F.lit(id_base))
-    dmap.write.mode("append").parquet(docmap_path)
+    dmap.write.mode("overwrite").parquet(_join_path(index_dir, gen_docmap))
     release_doc_ids(dmap0)  # the persist handle lives on the ORIGINAL df
-    staged_stats.write.mode("append").parquet(docstats_path)
 
-    # ---- stats update (exact integer arithmetic) ------------------------
+    # ---- stats update (exact integer arithmetic) — IN MEMORY ONLY; the
+    # atomic _commit_stats at the end is the durability point ------------
     n_new = n_old + m_docs
     total_dl_new = total_dl_old + int(got["total_dl"] or 0)
     avgdl_new = total_dl_new / n_new
@@ -1164,12 +1321,13 @@ def merge_index(
         min_avgdl_encode=min(
             float(stats.get("min_avgdl_encode") or avgdl_new), avgdl_new
         ),
+        postings_dirs=[*idx0.postings_dir_names(), gen_postings],
+        docmap_dirs=[*idx0.docmap_dir_names(), gen_docmap],
+        docstats_dirs=[*idx0.docstats_dir_names(), gen_docstats],
     )
-    with open(stats_path, "w") as f:
-        json.dump(stats, f)
 
     # ---- delta runs, staged partitioned by bucket -----------------------
-    id_df = spark.read.parquet(docmap_path).filter(F.col("doc_id") >= id_base)
+    id_df = spark.read.parquet(_join_path(index_dir, gen_docmap))
     runs = _doc_term_runs(delta_corpus, id_df, key_cols, with_positions)
     runs = runs.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
@@ -1191,13 +1349,12 @@ def merge_index(
         ).sortWithinPartitions(
             "bucket", F.xxhash64("term"), "term", "doc_id"
         ).write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(tmp, "runs")
+            _join_path(tmp, "runs")
         )
-    delta_runs = spark.read.parquet(os.path.join(tmp, "runs"))
+    delta_runs = spark.read.parquet(_join_path(tmp, "runs"))
 
     # ---- widths for terms NEW to the index that arrive hot --------------
-    with open(os.path.join(index_dir, "hot_terms.json")) as f:
-        hot_map = json.load(f)
+    hot_map = fsutil.read_json(_join_path(index_dir, "hot_terms.json"))
     cand = {
         r["term"]: int(r["cnt"])
         for r in delta_runs.groupBy("term")
@@ -1207,7 +1364,6 @@ def merge_index(
         if r["term"] not in hot_map
     }
     if cand:
-        idx0 = load_index(spark, index_dir)
         cand_buckets = sorted(
             {
                 int(r["b"])
@@ -1233,9 +1389,13 @@ def merge_index(
         for t, cnt in cand.items():
             if t not in existing_terms:  # existing-cold terms keep w=62
                 hot_map[t] = _shard_width(cnt, n_new, docs_per_salt)
-        with open(os.path.join(index_dir, "hot_terms.json"), "w") as f:
-            json.dump(hot_map, f)
-    # ---- postings update -------------------------------------------------
+        # widths only route FUTURE encodes — safe to persist pre-commit
+        # (a crash leaves widths for terms that never committed, which
+        # merely pre-shards them when they eventually arrive)
+        fsutil.write_json_atomic(
+            _join_path(index_dir, "hot_terms.json"), hot_map
+        )
+    # ---- postings generation, STAGED ------------------------------------
     affected = sorted(
         r["bucket"]
         for r in delta_runs.select("bucket").distinct().collect()
@@ -1243,123 +1403,113 @@ def merge_index(
     # zero-shuffle delta encode: the staged delta runs are term-clustered
     # and (term, doc_id)-sorted; each task reads its file directly with
     # pyarrow (same path as the main build's encode), shard assignment
-    # happens in-encoder
+    # happens in-encoder.  The delta's encoded rows land as a NEW
+    # generation directory; existing bytes are never read or rewritten,
+    # so merge cost is proportional to the DELTA alone (LSM append).  A
+    # (term, shard) key may then have one row per merge generation — the
+    # query executors treat every row as an independent cursor over
+    # disjoint docs (exactness unaffected); run compact_index
+    # periodically to coalesce generations.
     new_rows = _encode_runs_files(
         spark,
-        _list_files(spark, os.path.join(tmp, "runs")),
+        _list_files(spark, _join_path(tmp, "runs")),
         avgdl_new,
         with_positions,
         hot_map,
     )
-    if mode == "append":
-        # LSM-style segment append: the delta's encoded rows land as NEW
-        # parquet files in their bucket directories; existing bytes are
-        # never read or rewritten, so merge cost is proportional to the
-        # DELTA alone.  A (term, shard) key may then have one row per
-        # merge generation — the query executors treat every row as an
-        # independent cursor over disjoint docs (exactness unaffected);
-        # run compact_index periodically to coalesce generations.
-        wpb = max(
-            1,
-            math.ceil(
-                spark.sparkContext.defaultParallelism / max(1, len(affected))
-            ),
-        )
-        out = new_rows.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-        ).repartition(
-            len(affected) * wpb,
-            "bucket",
-            F.pmod(F.xxhash64("term", "shard"), F.lit(wpb)),
-        )
-        # manifest lineage stays audit-true across append generations:
-        # ride the delta's per-bucket row count + xor64 on the write and
-        # FOLD it into the existing entries — xor is its own combiner
-        # (new_xor = old_xor ^ delta_xor), rows add.  verify_index then
-        # checks the post-merge state with no extra read.
-        from pyspark.sql import Observation
+    wpb = max(
+        1,
+        math.ceil(
+            spark.sparkContext.defaultParallelism / max(1, len(affected))
+        ),
+    )
+    out = _cluster_and_coalesce(
+        new_rows, num_buckets, max(1, len(affected)) * wpb, wpb
+    )
+    # manifest lineage stays audit-true across append generations: ride
+    # the delta's per-bucket row count + xor64 on the write and FOLD it
+    # into the existing entries — xor is its own combiner (new_xor =
+    # old_xor ^ delta_xor), rows add.  verify_index then checks the
+    # post-merge state with no extra read.
+    from pyspark.sql import Observation
 
-        obs = Observation("merge_append")
-        row_hash = F.xxhash64("term", "shard", "df", "postings")
-        out = out.observe(
-            obs,
-            *[
-                F.sum(
-                    F.when(F.col("bucket") == b, 1).otherwise(0)
-                ).alias(f"b{b}")
-                for b in affected
-            ],
-            *[
-                F.bit_xor(F.when(F.col("bucket") == b, row_hash)).alias(
-                    f"x{b}"
-                )
-                for b in affected
-            ],
-        )
-        out.write.mode("append").partitionBy("bucket").parquet(postings_path)
-        counts = obs.get
-        manifest_now = _load_manifest(index_dir)
-        for b in affected:
-            prev = manifest_now["steps"].get(f"bucket:{b}", {})
-            xor = counts.get(f"x{b}")
-            _mark_done(
-                index_dir,
-                f"bucket:{b}",
-                rows=int(prev.get("rows", 0)) + int(counts.get(f"b{b}") or 0),
-                xor64=int(prev.get("xor64", 0))
-                ^ (int(xor) if xor is not None else 0),
+    obs = Observation("merge_append")
+    row_hash = F.xxhash64("term", "shard", "df", "postings")
+    out = out.observe(
+        obs,
+        *[
+            F.sum(
+                F.when(F.col("bucket") == b, 1).otherwise(0)
+            ).alias(f"b{b}")
+            for b in affected
+        ],
+        *[
+            F.bit_xor(F.when(F.col("bucket") == b, row_hash)).alias(
+                f"x{b}"
             )
-    elif mode == "rewrite":
-        # compact-on-merge: coalesce existing + delta rows per (term,
-        # shard) and dynamic-overwrite the affected buckets (the
-        # round-trip cost of compaction, paid inline)
-        _coalesce_buckets(
-            spark, index_dir, affected, new_rows, avgdl_new,
-            with_positions, bucket_group_size, num_buckets,
+            for b in affected
+        ],
+    )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(
+        _join_path(index_dir, gen_postings)
+    )
+    counts = obs.get
+
+    # ---- COMMIT: one atomic stats.json write publishes the generation --
+    _commit_stats(index_dir, stats)
+
+    # post-commit bookkeeping (informational; a crash from here on leaves
+    # the data fully committed and only the audit trail stale)
+    manifest_now = _load_manifest(index_dir)
+    for b in affected:
+        prev = manifest_now["steps"].get(f"bucket:{b}", {})
+        xor = counts.get(f"x{b}")
+        _mark_done(
+            index_dir,
+            f"bucket:{b}",
+            rows=int(prev.get("rows", 0)) + int(counts.get(f"b{b}") or 0),
+            xor64=int(prev.get("xor64", 0))
+            ^ (int(xor) if xor is not None else 0),
         )
-    else:
-        raise ValueError("mode must be 'append' or 'rewrite'")
     _mark_done(
         index_dir, f"merge:{n_old}:{n_new}", docs_added=m_docs, mode=mode
     )
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsutil.delete_dir(tmp)
+    if mode == "rewrite":
+        return compact_index(
+            spark, index_dir, bucket_group_size=bucket_group_size
+        )
     return load_index(spark, index_dir)
 
 
 def _coalesce_buckets(
     spark: SparkSession,
-    index_dir: str,
+    index: "Index",
     buckets: Sequence[int],
-    extra_rows: DataFrame | None,
+    target_path: str,
     avgdl: float,
     with_positions: bool,
     bucket_group_size: int,
     num_buckets: int,
     exclude: np.ndarray | None = None,
-) -> None:
-    """Re-encode each (term, shard) of the given buckets as ONE row:
-    existing rows (+ optional extra rows) cluster by key, order by their
-    first block's last_doc (segment rows hold disjoint doc ranges, so
-    that orders whole rows doc-ascending), and stream through the merge
-    encoder.  Dynamic-overwrite per bucket group; per-bucket row/xor64
-    lineage refreshed in the manifest."""
+    reshard: dict[str, int] | None = None,
+) -> dict[int, tuple[int, int]]:
+    """Re-encode each (term, shard) of the given buckets as ONE row into
+    a FRESH ``target_path`` (never in place — the caller publishes the
+    finished directory atomically via the stats commit): existing rows
+    cluster by key, order by their first block's last_doc (segment rows
+    hold disjoint doc ranges, so that orders whole rows doc-ascending),
+    and stream through the merge encoder, which applies tombstones and
+    re-shards hot-grown terms on the way.  Returns per-bucket
+    ``{bucket: (rows, xor64)}`` lineage for the caller to record."""
     from pyspark.sql import Observation
 
-    index = load_index(spark, index_dir)
-    postings_path = os.path.join(index_dir, "postings")
     post_cols = [f.name for f in POSTINGS_SCHEMA.fields]
     buckets = sorted(buckets)
+    lineage: dict[int, tuple[int, int]] = {}
     for i in range(0, len(buckets), bucket_group_size):
         group = buckets[i : i + bucket_group_size]
         rows = index.postings(spark, group).select(*post_cols)
-        if extra_rows is not None:
-            extra = extra_rows.withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
-            ).filter(F.col("bucket").isin(list(group))).select(*post_cols)
-            rows = rows.unionByName(extra)
         arranged = (
             rows.withColumn(
                 "ord", F.element_at("blocks", 1).getField("last_doc")
@@ -1370,7 +1520,8 @@ def _coalesce_buckets(
             )
         )
         merged = arranged.mapInPandas(
-            _merge_stream(avgdl, with_positions, exclude), POSTINGS_SCHEMA
+            _merge_stream(avgdl, with_positions, exclude, reshard),
+            POSTINGS_SCHEMA,
         )
         wpb = max(
             1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
@@ -1395,38 +1546,17 @@ def _coalesce_buckets(
                 for b in group
             ],
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy("bucket").parquet(postings_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # append into the fresh target: each group lands its own bucket
+        # dirs; the directory as a whole is invisible until committed
+        out.write.mode("append").partitionBy("bucket").parquet(target_path)
         counts = obs.get
         for b in group:
             xor = counts.get(f"x{b}")
-            rows_b = int(counts.get(f"b{b}") or 0)
-            if rows_b == 0:
-                # dynamic partition overwrite only replaces partitions
-                # PRESENT in the output — a bucket whose every (term,
-                # shard) group emptied out (all docs tombstoned) writes
-                # nothing, so its stale pre-compact files must be
-                # deleted explicitly or the deleted documents would
-                # resurface once the tombstone set is cleared
-                bp = _join_path(postings_path, f"bucket={b}")
-                jvm = spark.sparkContext._jvm
-                jp = jvm.org.apache.hadoop.fs.Path(bp)
-                fs = jp.getFileSystem(
-                    spark.sparkContext._jsc.hadoopConfiguration()
-                )
-                if fs.exists(jp):
-                    fs.delete(jp, True)
-            _mark_done(
-                index_dir,
-                f"bucket:{b}",
-                rows=rows_b,
-                xor64=(int(xor) if xor is not None else 0),
-                coalesced=True,
+            lineage[b] = (
+                int(counts.get(f"b{b}") or 0),
+                int(xor) if xor is not None else 0,
             )
+    return lineage
 
 
 def delete_docs(
@@ -1481,23 +1611,62 @@ def compact_index(
     widening drops back to 1.0).  Run periodically between append-mode
     merges — the LSM compaction step.
 
+    CRASH-ATOMIC, same protocol as :func:`merge_index`: the compacted
+    postings (and, when needed, docmap/docstats) are written to fresh
+    VERSIONED directories (``postings_v<k>``), and one atomic
+    ``stats.json`` write swaps the committed-directory lists over to
+    them.  A compaction killed mid-way leaves only unreferenced staging
+    dirs (reclaimed by the next compaction's version scan); readers
+    never observe a half-compacted index.
+
     Pending tombstones (:func:`delete_docs`) are APPLIED here: deleted
     documents' postings entries are dropped during the re-encode, the
     docmap is rewritten without them, the corpus stats (N, total_dl,
     avgdl — hence every idf and length norm) refresh to the surviving
-    corpus, and the tombstone set is cleared."""
-    stats_path = os.path.join(index_dir, "stats.json")
-    with open(stats_path) as f:
-        stats = json.load(f)
+    corpus, and the tombstone set is cleared.
+
+    Cold->hot RE-SHARD: shard widths are recomputed from the CURRENT
+    per-term df — a term that merges pushed past ``docs_per_salt`` while
+    it kept its single-shard cold layout is split into dyadic doc-range
+    shards during the re-encode (refinement only; see
+    :func:`_merge_stream`), so its blob stops growing without bound and
+    the ranged executors regain their per-shard parallelism."""
+    import re as _re
+
+    stats = _read_stats(index_dir)
     idx = load_index(spark, index_dir)
     tomb = idx.tombstones(spark)
-    base = os.path.join(index_dir, "postings")
-    buckets = sorted(
-        int(p.split("=")[1])
-        for p in os.listdir(base)
-        if p.startswith("bucket=")
+    num_buckets = stats["num_buckets"]
+    docs_per_salt = stats["docs_per_salt"]
+
+    # next version: scan directory names (INCLUDING orphans of crashed
+    # compactions, so staging names never collide with junk)
+    vmax = 0
+    for name in fsutil.listdir(index_dir):
+        m = _re.match(r"(?:postings|docmap|docstats)_v(\d+)$", name)
+        if m:
+            vmax = max(vmax, int(m.group(1)))
+    v = vmax + 1
+    dst_post = f"postings_v{v}"
+    dst_docmap = f"docmap_v{v}"
+    dst_docstats = f"docstats_v{v}"
+    for d in (dst_post, dst_docmap, dst_docstats):
+        fsutil.delete_dir(_join_path(index_dir, d))
+    old_dirs = set(
+        idx.postings_dir_names()
+        + idx.docmap_dir_names()
+        + idx.docstats_dir_names()
     )
-    n_del, dl_del = 0, 0
+
+    buckets = sorted(
+        {
+            int(p.split("=")[1])
+            for root in idx.postings_dir_names()
+            for p in fsutil.listdir(_join_path(index_dir, root))
+            if p.startswith("bucket=")
+        }
+    )
+    n_del = 0
     if len(tomb):
         # exact stat deltas from the (deduped) tombstone rows
         trows = (
@@ -1516,38 +1685,89 @@ def compact_index(
         stats["N"] = new_n
         stats["total_dl"] = new_total
         stats["avgdl"] = (new_total / new_n) if new_n else 0.0
-    _coalesce_buckets(
-        spark, index_dir, buckets, None, stats["avgdl"],
-        bool(stats.get("with_positions")), bucket_group_size,
-        stats["num_buckets"], exclude=tomb if len(tomb) else None,
+
+    # cold->hot re-shard widths from CURRENT df (refinement only)
+    hot_map = (
+        fsutil.read_json(_join_path(index_dir, "hot_terms.json")) or {}
     )
+    id_space = int(stats.get("id_space", stats["N"]))
+    reshard: dict[str, int] = {}
+    for r in (
+        idx.postings(spark)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df_tot"))
+        .filter(F.col("df_tot") > docs_per_salt)
+        .collect()
+    ):
+        w = _shard_width(int(r["df_tot"]), id_space, docs_per_salt)
+        if w < int(hot_map.get(r["term"], COLD_SHARD_WIDTH)):
+            reshard[r["term"]] = w
+
+    lineage = _coalesce_buckets(
+        spark, idx, buckets, _join_path(index_dir, dst_post),
+        stats["avgdl"], bool(stats.get("with_positions")),
+        bucket_group_size, num_buckets,
+        exclude=tomb if len(tomb) else None,
+        reshard=reshard or None,
+    )
+
+    # docmap / docstats: rewrite when deletions must be dropped or when
+    # generations need folding; otherwise keep the committed single dirs
+    key_cols = ["repo", "path", "commit"]
+    docmap_dirs = idx.docmap_dir_names()
+    docstats_dirs = idx.docstats_dir_names()
     if len(tomb):
-        # docmap rewrite without the deleted keys — a left-anti join
-        # against the (small, deduped) tombstone set; staged + swapped so
-        # a crash never leaves a half-written docmap in place
-        dm_path = os.path.join(index_dir, "docmap")
-        dm_new = dm_path + "_compact"
         tdf = (
             spark.read.parquet(_join_path(index_dir, "tombstones"))
             .select("doc_id")
             .dropDuplicates()
         )
-        idx.docmap(spark).join(
-            F.broadcast(tdf), "doc_id", "left_anti"
-        ).write.mode("overwrite").parquet(dm_new)
-        import shutil
-
-        shutil.rmtree(dm_path)
-        os.replace(dm_new, dm_path)
-        shutil.rmtree(
-            _join_path(index_dir, "tombstones"), ignore_errors=True
+        dm = idx.docmap(spark)
+        dead_keys = dm.join(F.broadcast(tdf), "doc_id").select(*key_cols)
+        dm.join(F.broadcast(tdf), "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(_join_path(index_dir, dst_docmap))
+        idx.docstats(spark).join(
+            F.broadcast(dead_keys), key_cols, "left_anti"
+        ).write.mode("overwrite").parquet(_join_path(index_dir, dst_docstats))
+        docmap_dirs, docstats_dirs = [dst_docmap], [dst_docstats]
+    elif len(docmap_dirs) > 1:
+        idx.docmap(spark).write.mode("overwrite").parquet(
+            _join_path(index_dir, dst_docmap)
         )
+        idx.docstats(spark).write.mode("overwrite").parquet(
+            _join_path(index_dir, dst_docstats)
+        )
+        docmap_dirs, docstats_dirs = [dst_docmap], [dst_docstats]
+
+    if reshard:
+        # widths route future encodes; persisting pre-commit is benign
+        hot_map.update(reshard)
+        fsutil.write_json_atomic(
+            _join_path(index_dir, "hot_terms.json"), hot_map
+        )
+
+    # ---- COMMIT ---------------------------------------------------------
+    stats["postings_dirs"] = [dst_post]
+    stats["docmap_dirs"] = docmap_dirs
+    stats["docstats_dirs"] = docstats_dirs
     stats["min_avgdl_encode"] = stats["avgdl"]
-    with open(stats_path, "w") as f:
-        json.dump(stats, f)
-    _mark_done(
-        index_dir, "compact:%d" % stats["N"], docs_deleted=n_del
-    )
+    _commit_stats(index_dir, stats)
+
+    # post-commit bookkeeping: lineage refresh, tombstone clear, old-dir
+    # reclamation (a crash in here leaves committed data + stale audit /
+    # unreferenced dirs only; tombstones already applied re-apply as
+    # no-ops because the deleted ids no longer appear in any posting)
+    for b, (rows_b, xor_b) in sorted(lineage.items()):
+        _mark_done(
+            index_dir, f"bucket:{b}", rows=rows_b, xor64=xor_b,
+            coalesced=True,
+        )
+    if len(tomb):
+        fsutil.delete_dir(_join_path(index_dir, "tombstones"))
+    for old in sorted(old_dirs - {dst_post, *docmap_dirs, *docstats_dirs}):
+        fsutil.delete_dir(_join_path(index_dir, old))
+    _mark_done(index_dir, "compact:%d" % stats["N"], docs_deleted=n_del)
     return load_index(spark, index_dir)
 
 
@@ -1577,36 +1797,81 @@ class Index:
     index_dir: str
     stats: dict
 
+    def postings_dir_names(self) -> list[str]:
+        """Committed postings ROOT directory names, in generation order:
+        the base build's dir (or the latest compaction's versioned dir)
+        followed by one dir per committed append-merge generation.
+        Readers resolve ONLY through this list, which is what makes
+        staged directories invisible until their commit."""
+        return list(self.stats.get("postings_dirs", ["postings"]))
+
+    def docmap_dir_names(self) -> list[str]:
+        return list(self.stats.get("docmap_dirs", ["docmap"]))
+
+    def docstats_dir_names(self) -> list[str]:
+        return list(self.stats.get("docstats_dirs", ["docstats"]))
+
     def postings(self, spark: SparkSession, buckets: Iterable[int] | None = None) -> DataFrame:
-        """Postings rows, optionally restricted to specific buckets.
+        """Postings rows across every committed generation root,
+        optionally restricted to specific buckets.
 
         Requested buckets whose directory was never written (a bucket no
-        term hashed into) are treated as EMPTY posting lists rather than a
-        read error.  Existence is checked through the Hadoop FileSystem
-        API so the same filtering works on HDFS/S3 paths — a plain local
+        term hashed into, or a generation that didn't touch it) are
+        treated as EMPTY posting lists rather than a read error.
+        Existence is checked through the Hadoop FileSystem API so the
+        same filtering works on HDFS/S3 paths — a plain local
         ``os.path.exists`` would silently drop every remote bucket and
-        turn all queries into empty results."""
-        base = _join_path(self.index_dir, "postings")
-        if buckets is None:
-            # an index whose every bucket emptied out (all docs deleted +
-            # compacted) has no parquet files to infer a schema from —
-            # that is an empty postings table, not an error
-            if not _hadoop_path_exists(spark, base) or not _list_files(
-                spark, base
-            ):
-                return spark.createDataFrame([], POSTINGS_READ_SCHEMA)
-            return spark.read.option("basePath", base).parquet(base)
-        paths = [
-            p
-            for p in (_join_path(base, f"bucket={b}") for b in buckets)
-            if _hadoop_path_exists(spark, p)
-        ]
-        if not paths:
+        turn all queries into empty results.  The number of roots is
+        bounded by the compaction cadence (each append merge adds one,
+        each compaction folds them back to one) — the LSM segment-count
+        trade."""
+        frames = []
+        if buckets is not None:
+            buckets = list(buckets)
+        for root in self.postings_dir_names():
+            base = _join_path(self.index_dir, root)
+            if buckets is None:
+                # an index whose every bucket emptied out (all docs
+                # deleted + compacted) has no parquet files to infer a
+                # schema from — an empty postings table, not an error
+                if _hadoop_path_exists(spark, base) and _list_files(
+                    spark, base
+                ):
+                    frames.append(
+                        spark.read.option("basePath", base).parquet(base)
+                    )
+                continue
+            paths = [
+                p
+                for p in (_join_path(base, f"bucket={b}") for b in buckets)
+                if _hadoop_path_exists(spark, p)
+            ]
+            if paths:
+                frames.append(
+                    spark.read.option("basePath", base).parquet(*paths)
+                )
+        if not frames:
             return spark.createDataFrame([], POSTINGS_READ_SCHEMA)
-        return spark.read.option("basePath", base).parquet(*paths)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def docmap(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        return spark.read.parquet(
+            *[
+                _join_path(self.index_dir, d)
+                for d in self.docmap_dir_names()
+            ]
+        )
+
+    def docstats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(
+            *[
+                _join_path(self.index_dir, d)
+                for d in self.docstats_dir_names()
+            ]
+        )
 
     def tombstones(self, spark: SparkSession) -> np.ndarray:
         """Sorted unique tombstoned doc ids (empty array when none).
@@ -1658,7 +1923,12 @@ def verify_index(spark: SparkSession, index: Index) -> DataFrame:
     over the postings table; the manifest side is driver-held.  After an
     LSM append (``merge_index`` mode="append") the manifest records the
     post-merge totals per affected bucket, so the audit stays valid
-    across merge generations."""
+    across merge generations.
+
+    One extra row with ``bucket = -1`` audits DOCMAP-vs-STATS
+    consistency: the committed docmap's row count must equal
+    ``stats["N"]`` (merges commit docmap + postings + stats atomically;
+    a mismatch means manual tampering or a storage fault)."""
     manifest = _load_manifest(index.index_dir)
     expected = [
         (int(k.split(":", 1)[1]), int(v.get("rows", 0)), int(v.get("xor64", 0)))
@@ -1667,6 +1937,7 @@ def verify_index(spark: SparkSession, index: Index) -> DataFrame:
     ]
     if not expected:
         raise ValueError(f"no completed buckets in manifest at {index.index_dir}")
+    expected.append((-1, int(index.stats["N"]), 0))
     exp_df = spark.createDataFrame(
         expected, "bucket int, rows_expected long, xor_expected long"
     )
@@ -1678,6 +1949,14 @@ def verify_index(spark: SparkSession, index: Index) -> DataFrame:
             F.bit_xor(
                 F.xxhash64("term", "shard", "df", "postings")
             ).alias("xor_actual"),
+        )
+    ).unionByName(
+        index.docmap(spark)
+        .agg(F.count("*").alias("rows_actual"))
+        .select(
+            F.lit(-1).alias("bucket"),
+            "rows_actual",
+            F.lit(0).cast("long").alias("xor_actual"),
         )
     )
     return (
@@ -1698,6 +1977,4 @@ def verify_index(spark: SparkSession, index: Index) -> DataFrame:
 
 
 def load_index(spark: SparkSession, index_dir: str) -> Index:
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        stats = json.load(f)
-    return Index(index_dir=index_dir, stats=stats)
+    return Index(index_dir=index_dir, stats=_read_stats(index_dir))

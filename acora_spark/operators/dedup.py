@@ -430,8 +430,9 @@ def embedding_near_dup_pairs(
     if method == "exact":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-        dim = int(dim_row[0]["d"]) if dim_row else 0
+        from acora_spark.operators.similarity import embedding_dim
+
+        dim = embedding_dim(emb, vec_col)
         planes = np.random.RandomState(seed).standard_normal((num_planes, dim))
         bands = hyperplane_bands(emb, planes, band_size, id_col, vec_col)
         cand = (

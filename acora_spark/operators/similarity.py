@@ -80,19 +80,28 @@ def _rank_topk(scored: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def embedding_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality of an embedding column.  Array length is a
+    DATA property (the schema only carries the element type), so this is
+    one bounded head-row probe; operators that already know their dim
+    pass it explicitly and skip the job."""
+    first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(first[0]["d"]) if first else 0
+
+
 def lsh_buckets(
     emb: DataFrame,
     num_planes: int = 16,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: (id, bucket) where bucket packs the sign bits
     of ``num_planes`` fixed projections.  Plane vectors derive from a
     deterministic RNG so every run/executor agrees."""
-    # determine dim from schema-level first row
-    first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = int(first[0]["d"]) if first else 0
+    if dim is None:
+        dim = embedding_dim(emb, vec_col)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((num_planes, dim)).astype(np.float64)
     spark = emb.sparkSession
@@ -125,6 +134,7 @@ def lsh_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by random-hyperplane LSH with a Hamming ball:
     candidates are vectors whose sign bucket differs from the query's in at
@@ -138,8 +148,8 @@ def lsh_topk(
     partition storage by bucket and the ball probe prunes partitions)."""
     from acora_spark.operators.dedup import hyperplane_bands
 
-    dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = int(dim_row[0]["d"]) if dim_row else 0
+    if dim is None:
+        dim = embedding_dim(emb, vec_col)
     planes = np.random.RandomState(seed).standard_normal((num_planes, dim))
     buckets = hyperplane_bands(
         emb, planes, band_size=num_planes, id_col=id_col, vec_col=vec_col

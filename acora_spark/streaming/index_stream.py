@@ -12,15 +12,21 @@ Exactly-once-ish semantics: ``foreachBatch`` may REPLAY a batch after a
 failure.  ``merge_index`` rejects documents already present by key, so a
 replayed batch is detected; ``on_duplicate="skip"`` (default) treats that
 as the already-ingested signal and moves on — at-least-once delivery +
-key-level idempotence.  Batches must carry NEW (repo, path, commit) keys;
-updates-in-place need a rebuild (see merge_index's docstring).
+key-level idempotence.  The skip decision is SOUND because merges are
+crash-atomic: ``merge_index`` stages the delta's postings/docmap/stats as
+invisible generation directories and commits them in one atomic
+``stats.json`` swap, so a key present in the committed docmap implies its
+postings generation is fully committed too (a merge that died mid-write
+left nothing visible, and the replay re-runs it from scratch).  Batches
+must carry NEW (repo, path, commit) keys; updates-in-place need a
+rebuild (see merge_index's docstring).
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
+
+from acora_spark import fsutil
 
 __all__ = ["index_ingest_stream", "index_delete_stream"]
 
@@ -49,7 +55,7 @@ def index_ingest_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if not os.path.exists(os.path.join(index_dir, "stats.json")):
+        if not fsutil.exists(fsutil.join_path(index_dir, "stats.json")):
             build_index(batch_df, index_dir, **kwargs)
             return
         try:
@@ -57,11 +63,16 @@ def index_ingest_stream(
         except ValueError as e:
             if not (on_duplicate == "skip" and "already in the index" in str(e)):
                 raise
-            # replayed batch: drop the keys a previous attempt already
+            # Replayed batch: drop the keys a previous attempt already
             # ingested and merge any unseen remainder (a fully-replayed
-            # batch becomes a no-op)
+            # batch becomes a no-op).  Committed-docmap membership is the
+            # merge-completion marker — merge commits postings + docmap +
+            # stats atomically, so a key the docmap knows is fully
+            # searchable, never a docmap-only orphan.
+            from acora_spark.index.build import load_index
+
             spark = batch_df.sparkSession
-            seen = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+            seen = load_index(spark, index_dir).docmap(spark).select(
                 "repo", "path", "commit"
             )
             rest = batch_df.join(seen, ["repo", "path", "commit"], "left_anti")

@@ -1,0 +1,207 @@
+"""Probe candidate replacements for the interpreted run-length expression
+(the dominant map-side cost of the runs stage — ~15s of 22s at local[32]).
+
+Modes:
+  arrow_rl   JVM tokenize -> mapInArrow run-length (dictionary_encode +
+             packed np.unique; no per-token Python objects), noop sink
+  occ        posexplode occurrences (no run-length at all), noop sink
+  full_arrow arrow_rl + docmap join + runs exchange + sort + write
+  full_occ   occ + join + exchange + sort + write (1.5x rows, smaller expr)
+
+Usage: python bench/runs_probe2.py --docs 1500000 --cores 32 --modes arrow_rl,occ
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _arrow_rl_fn():
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            tk = b.column("tk")
+            if isinstance(tk, pa.ChunkedArray):
+                tk = tk.combine_chunks()
+            # flatten()/list_value_length respect slice offsets; raw
+            # .values/.offsets would misalign on sliced arrays
+            import pyarrow.compute as pc
+
+            flat = tk.flatten()
+            if not len(flat):
+                continue
+            d = flat.dictionary_encode()
+            codes = np.asarray(d.indices, dtype=np.int64)
+            counts_per_doc = np.asarray(
+                pc.fill_null(pc.list_value_length(tk), 0), dtype=np.int64
+            )
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts_per_doc)
+            combo = (doc_idx << 32) | codes
+            uq, cnt = np.unique(combo, return_counts=True)
+            di = (uq >> 32).astype(np.int64)
+            ci = uq & 0xFFFFFFFF
+            doc_ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            dls = np.asarray(b.column("dl"), dtype=np.int64)
+            terms = d.dictionary.take(pa.array(ci, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[di], type=pa.int64()),
+                    terms,
+                    pa.array(cnt.astype(np.int32)),
+                    pa.array(dls[di].astype(np.int32)),
+                ],
+                names=["doc_id", "term", "tf", "dl"],
+            )
+
+    return fn
+
+
+def child(cores: int, n_docs: int, mode: str) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from acora_spark.functions.tokenize import tokens_expr
+    from acora_spark.index.build import _fixed_layout_write
+    from acora_spark.session import get_spark
+
+    spark = get_spark(app_name=f"runsprobe2-{mode}", cores=cores,
+                      shuffle_partitions=64)
+    corpus = spark.read.parquet(f"/dev/shm/acora_bench_corpus_{n_docs}_p128")
+    idx_dir = f"/dev/shm/runsprobe_docmap_{n_docs}"
+    docmap = spark.read.parquet(idx_dir + "/docmap")
+    if "smj" not in mode:
+        docmap = docmap.hint("shuffle_hash")
+    key_cols = ["repo", "path", "commit"]
+    num_buckets, fpb = 16, 12
+
+    if mode.startswith("full"):
+        docs = corpus.join(docmap.select(*key_cols, "doc_id", "dl"), key_cols)
+    else:
+        docs = corpus.withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        ).withColumn("dl", F.lit(1).cast("long"))
+
+    if "agg" in mode:
+        # explode -> exchange on (bucket, slice) -> COMPLETE in-partition
+        # hash agg (hash(bucket, slice) partitioning satisfies the
+        # clustered distribution of the groupBy keys -> no second
+        # exchange) -> sort -> write
+        docs2 = corpus.join(docmap.select(*key_cols, "doc_id", "dl"), key_cols)
+        occ = docs2.select(
+            "doc_id", F.col("dl").cast("int").alias("dl"),
+            F.explode(tokens_expr(F.col("content"))).alias("term"),
+        ).select(
+            "doc_id", "dl", "term",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("bucket"),
+            F.pmod(F.xxhash64(F.lit("slice"), F.col("term")), F.lit(fpb)).cast("int").alias("slice"),
+        )
+        out = f"/dev/shm/runsprobe2_out_{mode}"
+        shutil.rmtree(out, ignore_errors=True)
+        with _fixed_layout_write(spark):
+            runs_df = (
+                occ.repartition(4 * num_buckets * fpb, "bucket", "slice")
+                .groupBy("bucket", "slice", "term", "doc_id", "dl")
+                .agg(F.count("*").cast("int").alias("tf"))
+            )
+            plan = runs_df._jdf.queryExecution().executedPlan().toString()
+            n_exchanges = plan.count("Exchange")
+            writer = (
+                runs_df.sortWithinPartitions(
+                    "bucket", F.xxhash64("term"), "term", "doc_id"
+                )
+                .select("term", "doc_id", "tf", "dl", "bucket")
+            )
+            writer.limit(5000).write.mode("overwrite").format("noop").save()
+            t0 = time.time()
+            writer.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        dt = time.time() - t0
+        print("CHILD_RESULT " + json.dumps(
+            {"mode": mode, "cores": cores, "sec": round(dt, 2),
+             "exchanges": n_exchanges}
+        ))
+        spark.stop()
+        return
+    if "sqlrl" in mode:
+        from acora_spark.index.build import _doc_term_runs
+
+        runs = _doc_term_runs(corpus, docmap, key_cols, False)
+    elif "occ" in mode:
+        runs = docs.select(
+            "doc_id", F.col("dl").cast("int").alias("dl"),
+            F.explode(tokens_expr(F.col("content"))).alias("term"),
+        ).withColumn("tf", F.lit(1))
+    else:
+        toks = docs.select(
+            "doc_id", F.col("dl").cast("long").alias("dl"),
+            tokens_expr(F.col("content")).alias("tk"),
+        )
+        runs = toks.mapInArrow(
+            _arrow_rl_fn(), "doc_id long, term string, tf int, dl int"
+        )
+    runs = runs.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+
+    out = f"/dev/shm/runsprobe2_out_{mode}"
+    shutil.rmtree(out, ignore_errors=True)
+    runs.limit(5000).write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    if mode.startswith("full"):
+        with _fixed_layout_write(spark):
+            runs.repartition(
+                4 * num_buckets * fpb,
+                "bucket",
+                F.pmod(F.xxhash64(F.lit("slice"), F.col("term")), F.lit(fpb)),
+            ).sortWithinPartitions(
+                "bucket", F.xxhash64("term"), "term", "doc_id"
+            ).write.mode("overwrite").partitionBy("bucket").parquet(out)
+    else:
+        runs.write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    print("CHILD_RESULT " + json.dumps(
+        {"mode": mode, "cores": cores, "sec": round(dt, 2)}
+    ))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_500_000)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--modes", default="arrow_rl,occ,full_arrow,full_occ")
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--mode", default=None)
+    args = ap.parse_args()
+    if args.child:
+        child(args.cores, args.docs, args.mode)
+        return
+    for mode in args.modes.split(","):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--cores", str(args.cores), "--docs", str(args.docs),
+             "--mode", mode],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                print(line)
+                break
+        else:
+            sys.stderr.write(out.stdout[-1500:] + out.stderr[-3000:])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Round-4 lifecycle guarantees: remote-scheme control plane, crash-atomic
+merge (staged generations + single stats.json commit), atomic versioned
+compaction, and cold->hot re-sharding at compaction.
+
+``file://`` paths are the remote-path test double: every control-plane
+helper routes through pyarrow.fs exactly as it would for s3://, so a
+local file:// cycle proves the scheme-aware code paths end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.index import build as build_mod
+from acora_spark.index.build import (
+    build_index,
+    compact_index,
+    delete_docs,
+    load_index,
+    merge_index,
+    verify_index,
+)
+from acora_spark.index.bm25 import bm25_topk_batch, bm25_topk_local
+from acora_spark.sources.corpus import load_corpus
+
+QUERIES = ["the data merge", "spark fast query"]
+
+
+def _topk(spark, idx, k=10):
+    """(query, rank, PATH, score) tuples — paths, because a merged index
+    assigns delta doc ids after the base half while a from-scratch build
+    ranks globally; same documents, different ids."""
+    res = bm25_topk_batch(spark, idx, QUERIES, k=k)
+    rows = res.join(
+        idx.docmap(spark).select("doc_id", "path"), "doc_id"
+    ).collect()
+    return sorted(
+        (r.query_id, r.rank, r.path, round(r.score, 10)) for r in rows
+    )
+
+
+def _halves(corpus):
+    lo = corpus.filter(F.xxhash64("path") % 2 == 0)
+    hi = corpus.filter(F.xxhash64("path") % 2 != 0)
+    return lo, hi
+
+
+# ------------------------------------------------- remote control plane --
+
+
+@pytest.fixture(scope="module")
+def remote_cycle(spark, sf_dir, tmp_path_factory):
+    """Full lifecycle on a file:// (scheme-prefixed) index dir."""
+    base = str(tmp_path_factory.mktemp("remote_idx"))
+    index_dir = "file://" + base
+    corpus = load_corpus(spark, sf_dir)
+    lo, hi = _halves(corpus)
+    build_index(lo, index_dir, num_buckets=4, docs_per_salt=200,
+                bucket_group_size=4)
+    return index_dir, base, corpus, lo, hi
+
+
+def test_remote_build_merge_delete_compact_query(spark, sf_dir, remote_cycle):
+    index_dir, base, corpus, lo, hi = remote_cycle
+    idx = load_index(spark, index_dir)
+    assert idx.stats["N"] == lo.count()
+
+    idx = merge_index(hi, index_dir)
+    assert idx.stats["N"] == corpus.count()
+    merged = _topk(spark, idx)
+
+    # local-dir full build over the same corpus must answer identically
+    local_dir = base + "_local"
+    idx_local = build_index(corpus, local_dir, num_buckets=4,
+                            docs_per_salt=200, bucket_group_size=4)
+    assert _topk(spark, idx_local) == merged
+
+    # delete the current top doc, compact, and re-query — all on file://
+    top_path = merged[0][2]
+    keys = idx.docmap(spark).filter(F.col("path") == top_path).select(
+        "repo", "path", "commit"
+    )
+    assert delete_docs(spark, index_dir, keys) == 1
+    idx = compact_index(spark, index_dir)
+    after = _topk(spark, idx)
+    assert top_path not in {t[2] for t in after}
+    ver = verify_index(spark, idx)
+    assert all(r.ok for r in ver.collect())
+
+
+def test_remote_local_serving(spark, sf_dir, remote_cycle):
+    index_dir, _, _, _, _ = remote_cycle
+    idx = load_index(spark, index_dir)
+    loc = bm25_topk_local(idx, QUERIES, k=5)
+    dist = bm25_topk_batch(spark, idx, QUERIES, k=5).collect()
+    got = sorted(
+        (int(r.query_id), int(r.rank), int(r.doc_id), round(float(r.score), 10))
+        for r in loc.itertuples()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 10)) for r in dist
+    )
+    assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- crash-atomic merge --
+
+
+def test_merge_crash_before_commit_is_invisible(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    lo, hi = _halves(corpus)
+    idx0 = build_index(lo, index_dir, num_buckets=4, docs_per_salt=200,
+                       bucket_group_size=4)
+    before = _topk(spark, idx0)
+    stats_before = dict(idx0.stats)
+    docmap_before = idx0.docmap(spark).count()
+
+    real_commit = build_mod._commit_stats
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(build_mod, "_commit_stats", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_index(hi, index_dir)
+    monkeypatch.setattr(build_mod, "_commit_stats", real_commit)
+
+    # the interrupted merge must be INVISIBLE: same stats, same docmap,
+    # same query results, lineage audit still green
+    idx1 = load_index(spark, index_dir)
+    assert idx1.stats["N"] == stats_before["N"]
+    assert idx1.stats.get("postings_dirs", ["postings"]) == \
+        stats_before.get("postings_dirs", ["postings"])
+    assert idx1.docmap(spark).count() == docmap_before
+    assert _topk(spark, idx1) == before
+    assert all(r.ok for r in verify_index(spark, idx1).collect())
+
+    # re-running the SAME merge succeeds and equals a from-scratch build
+    idx2 = merge_index(hi, index_dir)
+    full_dir = str(tmp_path / "full")
+    idx_full = build_index(corpus, full_dir, num_buckets=4,
+                           docs_per_salt=200, bucket_group_size=4)
+    assert _topk(spark, idx2) == _topk(spark, idx_full)
+    assert all(r.ok for r in verify_index(spark, idx2).collect())
+
+
+def test_streaming_skip_path_sound_after_crashed_merge(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The ingest sink's replay 'skip' decision keys on committed-docmap
+    membership; a crashed merge must leave the docmap WITHOUT the batch
+    keys so the replay re-runs the merge in full (the round-3 bug lost
+    the batch silently when docmap committed before postings)."""
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    lo, hi = _halves(corpus)
+    build_index(lo, index_dir, num_buckets=4, docs_per_salt=200,
+                bucket_group_size=4)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before commit")
+
+    real_commit = build_mod._commit_stats
+    monkeypatch.setattr(build_mod, "_commit_stats", boom)
+    with pytest.raises(RuntimeError):
+        merge_index(hi, index_dir)
+    monkeypatch.setattr(build_mod, "_commit_stats", real_commit)
+
+    # replay: none of the delta keys may be "seen" (docmap membership),
+    # so the anti-join keeps the whole batch and the merge re-runs
+    idx = load_index(spark, index_dir)
+    seen = idx.docmap(spark).select("repo", "path", "commit")
+    rest = hi.join(seen, ["repo", "path", "commit"], "left_anti")
+    assert rest.count() == hi.count()
+    idx = merge_index(rest, index_dir)
+    assert idx.stats["N"] == corpus.count()
+
+
+# ------------------------------------------------- compaction re-shard --
+
+
+def test_compact_reshards_cold_to_hot(spark, sf_dir, tmp_path):
+    """A term whose df is pushed past docs_per_salt by merges keeps its
+    single-shard layout through append merges, but compaction recomputes
+    shard widths and splits it; ranged query results are unchanged."""
+    from acora_spark.index.bm25 import bm25_topk_batch_ranged
+
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    lo, hi = _halves(corpus)
+    from acora_spark.functions.tokenize import tokens_expr
+
+    # exact TOKEN df of 'the' in each half; pick a salt threshold between
+    # the half-corpus df (build stays cold) and full-corpus df (compact
+    # sees it hot)
+    has_the = tokens_expr(F.col("content")).alias("tk")
+    lo_the = lo.select(has_the).filter(
+        F.array_contains("tk", "the")
+    ).count()
+    all_the = corpus.select(has_the).filter(
+        F.array_contains("tk", "the")
+    ).count()
+    assert lo_the < all_the
+    dps = lo_the + max(1, (all_the - lo_the) // 2)
+    idx = build_index(lo, index_dir, num_buckets=4, docs_per_salt=dps,
+                      bucket_group_size=4)
+    assert "the" not in _hot_terms(index_dir), "must start cold"
+    idx = merge_index(hi, index_dir)
+    before = _ranged(spark, idx)
+    idx = compact_index(spark, index_dir)
+    shards = (
+        idx.postings(spark).filter(F.col("term") == "the")
+        .select("shard").distinct().count()
+    )
+    assert shards > 1, "compaction must have re-sharded the now-hot term"
+    assert _hot_terms(index_dir).get("the") is not None
+    assert _ranged(spark, idx) == before
+    assert all(r.ok for r in verify_index(spark, idx).collect())
+
+
+def _hot_terms(index_dir):
+    import json
+
+    from acora_spark import fsutil
+
+    return fsutil.read_json(fsutil.join_path(index_dir, "hot_terms.json"))
+
+
+def _ranged(spark, idx):
+    from acora_spark.index.bm25 import bm25_topk_batch_ranged
+
+    rows = bm25_topk_batch_ranged(
+        spark, idx, ["the data fast"], k=10, num_ranges=8
+    ).collect()
+    return sorted((r.rank, r.doc_id, round(r.score, 10)) for r in rows)
