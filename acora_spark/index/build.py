@@ -1227,10 +1227,14 @@ def merge_index(
       previously-encoded block bounds stay admissible via the
       ``min_avgdl_encode`` scale factor applied at query time (reset to
       exact by compaction).
-    * A term that was cold and grows hot KEEPS its single-shard layout
-      (its blob keeps growing — run a periodic rebuild to re-shard);
-      a term NEW to the index with a hot-sized delta df gets a fresh
-      width in ``hot_terms.json``.
+    * A term that was cold and grows hot keeps its single-shard layout
+      ONLY until the next :func:`compact_index`, which recomputes shard
+      widths from the current df and splits it (refinement-only dyadic
+      re-shard); a term NEW to the index with a hot-sized delta df gets
+      a fresh width in ``hot_terms.json`` immediately.
+    * Single MUTATOR at a time (build/merge/delete/compact) — the
+      commit protocol makes crashes safe, not concurrent writers;
+      readers are always safe against a concurrent mutation.
 
     CRASH-ATOMIC: the delta's postings, docmap, and docstats are staged
     as per-merge GENERATION directories (``postings_g<id_base>`` etc.)

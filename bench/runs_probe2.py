@@ -1,6 +1,14 @@
 """Probe candidate replacements for the interpreted run-length expression
 (the dominant map-side cost of the runs stage — ~15s of 22s at local[32]).
 
+MEASURED CONCLUSIONS (round 4, recorded in BENCH.md): arrow_rl cuts the
+map side 3x but the full stage is FLAT at 32 threads (Arrow round-trip
+traffic ≈ the interpreter-garbage savings at the mem-bw ceiling) and
+only improves the 8-thread time, which LOWERS the (t_lo/t_hi)/4 gate;
+full_occ loses big (sorts/writes 1.45x rows); full_agg's satisfies-trick
+plan is real (no second exchange) but the occurrence exchange dominates.
+None adopted — kept as the reproducible negative-result evidence.
+
 Modes:
   arrow_rl   JVM tokenize -> mapInArrow run-length (dictionary_encode +
              packed np.unique; no per-token Python objects), noop sink
