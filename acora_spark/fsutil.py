@@ -14,10 +14,16 @@ scheme-less paths short-circuit to plain ``os``/``open`` calls.
 Atomicity of :func:`write_text_atomic`:
 
 * local — write a temp file + ``os.replace`` (POSIX-atomic swap);
-* remote object stores — one ``open_output_stream`` write+close, which
-  is a single atomic PUT on S3/GCS (readers see the old object or the
-  new one, never a torn write).  HDFS rename-based stores get the
-  same single-stream write; HDFS makes the file visible at close.
+* object stores (s3://, gs://) — one ``open_output_stream``
+  write+close, a single atomic PUT (readers see the old object or the
+  new one, never a torn write);
+* rename-capable remote filesystems (file://, hdfs://) — temp file +
+  ``move``: writing the target in place would TRUNCATE it first, so a
+  crash mid-write (or a concurrent reader) could observe a torn
+  ``stats.json`` — the exact file the crash-atomic commit protocol
+  depends on.  Where the filesystem refuses rename-over-existing, the
+  fallback delete+move leaves a brief missing-file window, strictly
+  better than a torn one.
 """
 
 from __future__ import annotations
@@ -102,8 +108,27 @@ def write_text_atomic(path: str, data: str) -> None:
         fsys.create_dir(parent, recursive=True)
     except Exception:
         pass  # object stores have no real directories
-    with fsys.open_output_stream(p) as f:
+    scheme = path.split("://", 1)[0].lower()
+    if scheme in ("s3", "s3a", "gs", "gcs"):
+        # single PUT at close — atomic replace on object stores; a
+        # temp+copy dance would only add a non-atomic copy step
+        with fsys.open_output_stream(p) as f:
+            f.write(data.encode("utf-8"))
+        return
+    # rename-capable filesystems: never truncate the target in place
+    tmp = p + ".tmp"
+    with fsys.open_output_stream(tmp) as f:
         f.write(data.encode("utf-8"))
+    try:
+        fsys.move(tmp, p)
+    except OSError:
+        # some filesystems refuse rename-over-existing: delete + move
+        # (brief missing-file window — recoverable, unlike a torn file)
+        try:
+            fsys.delete_file(p)
+        except FileNotFoundError:
+            pass
+        fsys.move(tmp, p)
 
 
 def read_json(path: str) -> dict | None:

@@ -1140,6 +1140,23 @@ class QueryEngine:
         )
         return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 
+    @staticmethod
+    def buckets_for_query_log(
+        index: Index, queries: Sequence[str], max_buckets: int
+    ) -> list[int]:
+        """Pick the hot buckets a query LOG actually hits: route every
+        logged term driver-side (pure-Python xxhash64 — no Spark job)
+        and keep the ``max_buckets`` most-frequently-hit buckets.  Feed
+        the result to ``QueryEngine(..., buckets=...)`` — the 100-TB
+        recipe: pin what the workload touches, let the long tail pay
+        the pruned cold read."""
+        from collections import Counter
+
+        terms = [t for q in queries for t in query_terms(q)]
+        routes = term_buckets(None, terms, index.stats["num_buckets"])
+        freq = Counter(routes[t] for t in terms)
+        return sorted(b for b, _ in freq.most_common(max_buckets))
+
     def refresh_tombstones(self) -> None:
         """Re-read the tombstone set.  The engine is a POINT-IN-TIME
         searcher (Lucene-reopen semantics): deletions made after

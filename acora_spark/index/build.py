@@ -74,6 +74,7 @@ from acora_spark.functions.tokenize import token_counts
 __all__ = [
     "assign_doc_ids",
     "build_index",
+    "build_is_complete",
     "merge_index",
     "compact_index",
     "delete_docs",
@@ -206,6 +207,27 @@ def _mark_done(index_dir: str, step: str, **info) -> None:
     m["steps"][step] = {"status": "done", "ts": time.time(), **info}
     fsutil.write_json_atomic(
         _manifest_path(index_dir), m, indent=1, sort_keys=True
+    )
+
+
+def build_is_complete(index_dir: str) -> bool:
+    """True iff a :func:`build_index` run at ``index_dir`` finished every
+    step — stats present, docstats/docmap/runs/term_stats done, and one
+    ``bucket:i`` entry done per bucket.  Distinguishes a crashed initial
+    build (resume it) from a built index (merge into it): stats.json and
+    the docmap commit EARLY in a build, so their existence alone must
+    never be read as completion — the streaming ingest sink's
+    replay-skip soundness depends on this distinction."""
+    stats = fsutil.read_json(_join_path(index_dir, "stats.json"))
+    if stats is None or "num_buckets" not in stats:
+        return False
+    steps = _load_manifest(index_dir)["steps"]
+    base = ("docstats", "docmap", "runs", "term_stats")
+    if any(steps.get(s, {}).get("status") != "done" for s in base):
+        return False
+    return all(
+        steps.get(f"bucket:{b}", {}).get("status") == "done"
+        for b in range(int(stats["num_buckets"]))
     )
 
 
@@ -1643,24 +1665,31 @@ def compact_index(
     num_buckets = stats["num_buckets"]
     docs_per_salt = stats["docs_per_salt"]
 
-    # next version: scan directory names (INCLUDING orphans of crashed
-    # compactions, so staging names never collide with junk)
-    vmax = 0
-    for name in fsutil.listdir(index_dir):
-        m = _re.match(r"(?:postings|docmap|docstats)_v(\d+)$", name)
-        if m:
-            vmax = max(vmax, int(m.group(1)))
-    v = vmax + 1
-    dst_post = f"postings_v{v}"
-    dst_docmap = f"docmap_v{v}"
-    dst_docstats = f"docstats_v{v}"
-    for d in (dst_post, dst_docmap, dst_docstats):
-        fsutil.delete_dir(_join_path(index_dir, d))
-    old_dirs = set(
+    committed_now = set(
         idx.postings_dir_names()
         + idx.docmap_dir_names()
         + idx.docstats_dir_names()
     )
+    # reclaim ORPHANED staging dirs first — leftovers of crashed merges
+    # (generation dirs whose id base was never re-run) and crashed
+    # compactions (versioned dirs that never committed).  Safe under the
+    # single-mutator contract: anything matching the staging patterns
+    # and not in the committed lists is unreachable garbage, and on
+    # object storage it would otherwise accumulate cost forever.
+    vmax = 0
+    for name in fsutil.listdir(index_dir):
+        m = _re.match(r"(?:postings|docmap|docstats)_(g\d+|v(\d+))$", name)
+        if not m:
+            continue
+        if m.group(2) is not None:
+            vmax = max(vmax, int(m.group(2)))
+        if name not in committed_now:
+            fsutil.delete_dir(_join_path(index_dir, name))
+    v = vmax + 1
+    dst_post = f"postings_v{v}"
+    dst_docmap = f"docmap_v{v}"
+    dst_docstats = f"docstats_v{v}"
+    old_dirs = committed_now
 
     buckets = sorted(
         {
@@ -1672,10 +1701,15 @@ def compact_index(
     )
     n_del = 0
     if len(tomb):
-        # exact stat deltas from the (deduped) tombstone rows
+        # exact stat deltas from the (deduped) tombstone rows — but only
+        # those STILL PRESENT in the committed docmap: a previous
+        # compaction that crashed between its stats commit and its
+        # tombstone-clear leaves already-applied tombstones behind, and
+        # subtracting them again would silently corrupt N/avgdl/idf
         trows = (
             spark.read.parquet(_join_path(index_dir, "tombstones"))
             .dropDuplicates(["doc_id"])
+            .join(idx.docmap(spark).select("doc_id"), "doc_id", "semi")
             .agg(F.count("*").alias("n"), F.sum("dl").alias("dl"))
             .collect()[0]
         )
@@ -1744,19 +1778,26 @@ def compact_index(
         )
         docmap_dirs, docstats_dirs = [dst_docmap], [dst_docstats]
 
-    if reshard:
-        # widths route future encodes; persisting pre-commit is benign
-        hot_map.update(reshard)
-        fsutil.write_json_atomic(
-            _join_path(index_dir, "hot_terms.json"), hot_map
-        )
-
     # ---- COMMIT ---------------------------------------------------------
     stats["postings_dirs"] = [dst_post]
     stats["docmap_dirs"] = docmap_dirs
     stats["docstats_dirs"] = docstats_dirs
     stats["min_avgdl_encode"] = stats["avgdl"]
     _commit_stats(index_dir, stats)
+
+    if reshard:
+        # persist the new widths AFTER the commit: written before it, a
+        # crash in between would leave future merges encoding deltas at
+        # the narrow width against committed wide rows (a later compact
+        # of such mixed widths can emit duplicate (term, shard) keys —
+        # query-correct, since rows are independent cursors, but it
+        # breaks the one-row-per-key restoration).  Written after, a
+        # crash merely forgets the widths and the next compaction
+        # recomputes and re-applies them.
+        hot_map.update(reshard)
+        fsutil.write_json_atomic(
+            _join_path(index_dir, "hot_terms.json"), hot_map
+        )
 
     # post-commit bookkeeping: lineage refresh, tombstone clear, old-dir
     # reclamation (a crash in here leaves committed data + stale audit /
@@ -1778,11 +1819,9 @@ def compact_index(
 # ------------------------------------------------------------------- load --
 
 
-def _join_path(base: str, child: str) -> str:
-    """Path join that preserves URI schemes (s3://..., hdfs://...)."""
-    if "://" in base:
-        return base.rstrip("/") + "/" + child
-    return os.path.join(base, child)
+# scheme-preserving path join — single implementation in fsutil, shared
+# by the control plane and the query modules (bm25 imports this name)
+_join_path = fsutil.join_path
 
 
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:

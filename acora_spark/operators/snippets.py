@@ -54,10 +54,12 @@ def snippets(
     0-based code-point offset and ``snippet`` the window's text.
 
     The argmax runs as JVM array expressions on the per-doc sorted match
-    starts: for anchor index ``i`` the match count is
-    ``#(starts < starts[i] + window) - i``, found with a binary-search-free
-    ``filter``+``size`` over the (bounded: per-doc match count) array.
-    Documents with no matches are absent from the result.
+    starts via sort-merge RANKING: anchor events (value ``p + window``)
+    merge with the base positions into one sorted array, where an anchor
+    at merged index ``idx`` has window count ``idx - qi - i`` (``qi`` =
+    its rank among anchors, ``i`` = its first index in ``ps``) — O(m log
+    m) per document in match count m.  Documents with no matches are
+    absent from the result.
     """
     id_cols = list(id_cols)
     m = match(

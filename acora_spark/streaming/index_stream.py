@@ -53,9 +53,19 @@ def index_ingest_stream(
         raise ValueError("on_duplicate must be 'skip' or 'error'")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from acora_spark.index.build import build_is_complete
+
         if batch_df.isEmpty():
             return
-        if not fsutil.exists(fsutil.join_path(index_dir, "stats.json")):
+        if not build_is_complete(index_dir):
+            # first batch — OR the replay of a first batch whose build
+            # crashed mid-way: stats.json and the docmap commit early in
+            # a build, so "stats exists" alone would misroute the replay
+            # into merge_index, whose duplicate-key skip would then drop
+            # the batch with its postings never written.  build_index is
+            # manifest-resumable, so re-entering it continues the
+            # crashed build idempotently (foreachBatch replays the same
+            # batch data).
             build_index(batch_df, index_dir, **kwargs)
             return
         try:

@@ -498,6 +498,9 @@ def test_query_engine_partial_persistence(built, spark):
     routes = term_buckets(spark, all_terms, idx.stats["num_buckets"])
     used = sorted(set(routes.values()))
     assert len(used) >= 2, "need terms spread over >=2 buckets"
+    # the log-driven selector must pick used buckets, most-hit first
+    picked = QueryEngine.buckets_for_query_log(idx, queries, 2)
+    assert set(picked) <= set(used) and len(picked) == 2
     # persist only ONE of the used buckets -> the rest go cold
     engine = QueryEngine(spark, idx, buckets=[used[0]])
     try:

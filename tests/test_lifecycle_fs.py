@@ -225,6 +225,95 @@ def test_compact_reshards_cold_to_hot(spark, sf_dir, tmp_path):
     assert all(r.ok for r in verify_index(spark, idx).collect())
 
 
+def test_fsutil_atomic_write_file_scheme(tmp_path):
+    """file:// writes must go temp+rename, never truncate-in-place, and
+    leave no temp file behind."""
+    from acora_spark import fsutil
+
+    target = "file://" + str(tmp_path / "stats.json")
+    fsutil.write_text_atomic(target, '{"v": 1}')
+    fsutil.write_text_atomic(target, '{"v": 2}')
+    assert fsutil.read_json(target) == {"v": 2}
+    leftovers = [p for p in os.listdir(tmp_path) if p.endswith(".tmp")]
+    assert not leftovers
+
+
+def test_compact_replay_does_not_double_subtract(spark, sf_dir, tmp_path):
+    """Tombstones left behind by a compaction that crashed between its
+    stats commit and the tombstone clear must NOT be subtracted from the
+    stats again on the next compaction."""
+    import shutil as _sh
+
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, index_dir, num_buckets=4, docs_per_salt=200,
+                      bucket_group_size=4)
+    n0 = idx.stats["N"]
+    keys = idx.docmap(spark).limit(3).select("repo", "path", "commit")
+    assert delete_docs(spark, index_dir, keys) == 3
+    # preserve the tombstone dir to re-plant it (simulating the crash
+    # window after commit, before the clear)
+    saved = str(tmp_path / "tomb_copy")
+    _sh.copytree(os.path.join(index_dir, "tombstones"), saved)
+    idx = compact_index(spark, index_dir)
+    assert idx.stats["N"] == n0 - 3
+    _sh.copytree(saved, os.path.join(index_dir, "tombstones"))
+    idx = compact_index(spark, index_dir)
+    assert idx.stats["N"] == n0 - 3, "stale tombstones subtracted twice"
+    assert all(r.ok for r in verify_index(spark, idx).collect())
+
+
+def test_build_is_complete_and_crashed_build_detection(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A build killed mid-encode must report incomplete (stats.json and
+    docmap exist EARLY in a build) — the signal the streaming sink uses
+    to resume the build instead of misrouting the replay into
+    merge_index's duplicate-skip, which would drop the batch."""
+    from acora_spark.index.build import build_is_complete
+
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    assert not build_is_complete(index_dir)
+
+    real = build_mod._encode_runs_files
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash mid-build")
+
+    monkeypatch.setattr(build_mod, "_encode_runs_files", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        build_index(corpus, index_dir, num_buckets=4, docs_per_salt=200,
+                    bucket_group_size=4)
+    monkeypatch.setattr(build_mod, "_encode_runs_files", real)
+    assert os.path.exists(os.path.join(index_dir, "stats.json"))
+    assert not build_is_complete(index_dir), \
+        "half-built index must not look complete"
+    # resume completes it (the streaming sink's replay path)
+    idx = build_index(corpus, index_dir, num_buckets=4, docs_per_salt=200,
+                      bucket_group_size=4)
+    assert build_is_complete(index_dir)
+    assert len(_topk(spark, idx)) > 0
+
+
+def test_compact_reclaims_orphan_staging_dirs(spark, sf_dir, tmp_path):
+    """Leftover generation/version dirs from crashed merges/compactions
+    are deleted by the next compaction; committed dirs survive."""
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, index_dir, num_buckets=4, docs_per_salt=200,
+                      bucket_group_size=4)
+    for orphan in ("postings_g9999", "docmap_v7"):
+        os.makedirs(os.path.join(index_dir, orphan, "junk"), exist_ok=True)
+    before = _topk(spark, idx)
+    idx = compact_index(spark, index_dir)
+    names = set(os.listdir(index_dir))
+    assert "postings_g9999" not in names and "docmap_v7" not in names
+    # version counter skipped past the orphan version
+    assert "postings_v8" in names
+    assert _topk(spark, idx) == before
+
+
 def _hot_terms(index_dir):
     import json
 
