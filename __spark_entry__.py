@@ -402,6 +402,33 @@ def q_boolean_query_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("path")
 
 
+FILTERED_MUST = ["data"]
+FILTERED_NOT = ["window"]
+
+
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search: BM25 ranking over the standard query text among
+    docs containing every must term and no must_not term — boolean
+    constraints and scoring fused in one range-parallel pass."""
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    raw = bm25_filtered_topk_batch(
+        spark, idx,
+        [{"query": BM25_QUERY, "must": FILTERED_MUST,
+          "must_not": FILTERED_NOT}],
+        k=4 * BM25_K, num_ranges=8,
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 def _pos_index_for(spark: SparkSession, sf_dir: str):
     from acora_spark.index.build import build_index
 
@@ -793,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_bm25_topk_merged": q_index_bm25_topk_merged,
         "boolean_query": q_boolean_query,
         "boolean_query_ranged": q_boolean_query_ranged,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1217,6 +1245,45 @@ WITH {_CORPUS_CTE},
 {_TOKS_CTE}
 SELECT path FROM toks
 WHERE {musts_r} AND ({shoulds_r}) AND NOT list_contains(t, 'window')
+"""
+
+    # filtered search: the SAME BM25 formula/stats as _bm25_sql (global
+    # n_docs/avgdl/df — constraints restrict WHICH docs rank, never the
+    # scoring statistics), with a candidate membership filter
+    f_terms = sorted(set(BM25_QUERY.lower().split()))
+    f_must = " AND ".join(
+        f"list_contains(t, '{w}')" for w in FILTERED_MUST
+    )
+    f_not = " AND ".join(
+        f"NOT list_contains(t, '{w}')" for w in FILTERED_NOT
+    )
+    sql["bm25_filtered_topk"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(f_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+cand AS (SELECT doc_id FROM toks WHERE {f_must} AND {f_not}),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
 """
 
     # phrase_tf = number of adjacent token runs equal to the phrase

@@ -65,6 +65,7 @@ __all__ = [
     "idf",
     "bm25_topk_batch",
     "bm25_topk_batch_ranged",
+    "bm25_filtered_topk_batch",
     "boolean_query_batch",
     "bm25_topk",
     "bm25_topk_dataframe",
@@ -546,6 +547,8 @@ def _topk_from_slices(
     b: float,
     idf_map: dict[str, float],
     exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
+    deny: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact range-local top-k over decoded slices.  ``term_rows`` sorted
     by term (a term may repeat when a range straddles a storage-shard
@@ -571,6 +574,25 @@ def _topk_from_slices(
     udocs, inv = np.unique(d, return_inverse=True)
     scores = np.zeros(len(udocs), dtype=np.float64)
     np.add.at(scores, inv, c)
+    # boolean constraints of the filtered executor: ``allow`` (sorted,
+    # the must-intersection) and ``deny`` (sorted, the must_not union)
+    # restrict the scored candidates BEFORE top-k selection
+    if allow is not None:
+        pos = np.searchsorted(allow, udocs)
+        ok = (pos < len(allow)) & (
+            allow[np.minimum(pos, max(len(allow) - 1, 0))] == udocs
+        ) if len(allow) else np.zeros(len(udocs), dtype=bool)
+        udocs, scores = udocs[ok], scores[ok]
+        if not len(udocs):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    if deny is not None and len(deny) and len(udocs):
+        pos = np.searchsorted(deny, udocs)
+        bad = (pos < len(deny)) & (
+            deny[np.minimum(pos, len(deny) - 1)] == udocs
+        )
+        udocs, scores = udocs[~bad], scores[~bad]
+        if not len(udocs):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
     if exclude is not None and len(exclude):
         pos = np.searchsorted(exclude, udocs)
         dead = (pos < len(exclude)) & (
@@ -971,6 +993,151 @@ def boolean_query_batch(
     return sliced.repartition("query_id", "rng").groupBy(
         "query_id", "rng"
     ).applyInPandas(run_range, BOOLEAN_SCHEMA)
+
+
+def bm25_filtered_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[dict],
+    k: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Filtered search — boolean constraints + BM25 ranking FUSED in one
+    doc-range-parallel pass (the "query + filters" shape every search
+    engine serves): for each query ``{"query": "free text",
+    "must": [...], "must_not": [...]}`` return the BM25 top-k over the
+    free-text terms AMONG documents containing every must term and no
+    must_not term.
+
+    One slice pass ships each involved term's postings (scoring AND
+    constraint roles) to its doc ranges; each (query, range) group
+    accumulates BM25 contributions for the scoring terms, intersects /
+    subtracts the constraint doc sets range-locally, and emits its local
+    top-k; the two-level salted merge from the ranged BM25 executor
+    finishes.  Scores are bit-identical to ``bm25_topk_batch`` run on
+    the same free text (same ascending-term float64 summation) — the
+    constraints only restrict WHICH docs may rank.  Constraint-set
+    algebra is doc-local, so ranges stay independent and exact; a
+    stopword-hot must term fans out across the grid like everywhere
+    else.  ``must`` / ``must_not`` are optional; the free text must
+    contribute at least one term (docs matching only the constraints
+    score zero and are not ranked, the standard convention)."""
+    stats = index.stats
+    norm: dict[int, dict] = {}
+    for qi, q in enumerate(queries):
+        spec = {
+            "score": query_terms(q.get("query", "")),
+            "must": sorted(
+                {t for x in q.get("must", []) for t in query_terms(x)}
+            ),
+            "must_not": sorted(
+                {t for x in q.get("must_not", []) for t in query_terms(x)}
+            ),
+        }
+        if not spec["score"]:
+            raise ValueError(
+                f"query {qi}: filtered search needs at least one scoring "
+                "term in 'query'"
+            )
+        norm[qi] = spec
+    all_terms = sorted(
+        {t for s in norm.values() for r in s.values() for t in r}
+    )
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    needed = sorted(set(buckets.values()))
+    if not needed:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    post = index.postings(spark, needed).filter(F.col("term").isin(all_terms))
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    positional = bool(stats.get("with_positions"))
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf_map = {t: idf(n_docs, d) for t, d in term_df.items()}
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+
+    pairs = [
+        (qi, t)
+        for qi, spec in norm.items()
+        for t in {x for r in spec.values() for x in r}
+    ]
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
+    bc_spec = spark.sparkContext.broadcast(norm)
+    bc_idf = spark.sparkContext.broadcast(idf_map)
+    tomb = index.tombstones(spark)
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+
+    from acora_spark.functions.postings_codec import decode_slice
+
+    def run_range(key, pdf):  # (key, pdf) applyInPandas form
+        qid = int(key[0])
+        spec = bc_spec.value[qid]
+        score_terms = set(spec["score"])
+        sets: dict[str, np.ndarray] = {}
+        need_sets = set(spec["must"]) | set(spec["must_not"])
+        score_rows: list[tuple[str, bytes]] = []
+        for term, grp in pdf.sort_values("term", kind="mergesort").groupby(
+            "term", sort=False
+        ):
+            blobs = [bytes(x) for x in grp["blob"]]
+            if term in score_terms:
+                score_rows.extend((term, bl) for bl in blobs)
+            if term in need_sets:
+                parts = [decode_slice(bl)[0] for bl in blobs]
+                sets[term] = (
+                    parts[0]
+                    if len(parts) == 1
+                    else np.unique(np.concatenate(parts))
+                )
+        empty = np.empty(0, np.int64)
+        allow = None
+        for t in spec["must"]:
+            arr = sets.get(t, empty)
+            allow = arr if allow is None else np.intersect1d(
+                allow, arr, assume_unique=True
+            )
+            if not len(allow):
+                break
+        deny = None
+        if spec["must_not"]:
+            deny = np.unique(
+                np.concatenate(
+                    [sets.get(t, empty) for t in spec["must_not"]]
+                )
+            )
+        docs, scores = _topk_from_slices(
+            score_rows, k, avgdl, k1, b, bc_idf.value,
+            bc_ex.value if bc_ex is not None else None,
+            allow=allow, deny=deny,
+        )
+        return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": scores})
+
+    partial = sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, "query_id long, doc_id long, score double")
+
+    est_ranges = (_id_space(stats) >> shift) + 1
+    if est_ranges > 1024:
+        fan = 64
+        w1 = Window.partitionBy(
+            "query_id", F.pmod(F.col("doc_id"), F.lit(fan))
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        partial = (
+            partial.withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= k)
+            .drop("r1")
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 def bm25_topk_local(

@@ -481,6 +481,59 @@ def test_boolean_query_ranged_grid_invisible(built, spark):
     assert base == grid and len(base) > 0
 
 
+def test_filtered_topk_exact_vs_bruteforce(built, spark):
+    """Filtered search == rank ALL docs by BM25 (huge k), then apply the
+    boolean constraints, then cut to k — scores bit-identical, multiple
+    grid sizes indistinguishable."""
+    from acora_spark.index.bm25 import (
+        bm25_filtered_topk_batch,
+        bm25_topk_batch,
+    )
+
+    idx, _, corpus = built
+    spec = {"query": "the data fast", "must": ["table"],
+            "must_not": ["window"]}
+    import re as _re
+
+    tok = _re.compile(r"[a-z0-9_]+")
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    token_sets = {
+        docmap[(row.repo, row.path, row.commit)]: set(
+            tok.findall(row.content.lower())
+        )
+        for row in corpus.collect()
+    }
+    n = idx.stats["N"]
+    ranked_all = sorted(
+        (
+            (r.doc_id, r.score)
+            for r in bm25_topk_batch(
+                spark, idx, [spec["query"]], k=n
+            ).collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = [
+        (d, s)
+        for d, s in ranked_all
+        if "table" in token_sets[d] and "window" not in token_sets[d]
+    ][:7]
+    for num_ranges in (None, 16):
+        got = [
+            (r.doc_id, r.score)
+            for r in bm25_filtered_topk_batch(
+                spark, idx, [spec], k=7, num_ranges=num_ranges
+            ).orderBy("rank").collect()
+        ]
+        assert got == want, f"num_ranges={num_ranges}"
+    assert len(want) > 0
+    with pytest.raises(ValueError, match="scoring term"):
+        bm25_filtered_topk_batch(spark, idx, [{"must": ["data"]}])
+
+
 def test_query_engine_partial_persistence(built, spark):
     """An engine persisting only SOME buckets must answer queries whose
     terms route to cold buckets identically to the full-table engine
