@@ -118,6 +118,21 @@ def main() -> None:
         lat_r.append(time.time() - t0)
     timings["bm25_ranged_p50"] = round(statistics.median(lat_r), 3)
 
+    # filtered search (boolean constraints + BM25 in one ranged pass) —
+    # informational, outside the headline wall
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch
+
+    lat_f = []
+    for q in queries:
+        t0 = time.time()
+        bm25_filtered_topk_batch(
+            spark, idx,
+            [{"query": q, "must": ["import"], "must_not": ["vector"]}],
+            k=10,
+        ).collect()
+        lat_f.append(time.time() - t0)
+    bm25_filtered_p50 = round(statistics.median(lat_f), 3)
+
     # incremental merge throughput (informational — OUTSIDE the headline
     # wall so round-over-round totals stay comparable): merge a 10%-sized
     # disjoint-key delta into the just-built index
@@ -156,6 +171,7 @@ def main() -> None:
         "n_matches": int(n_matches),
         "build_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "bm25_local_p50": bm25_local_p50,
+        "bm25_filtered_p50": bm25_filtered_p50,
         "merge_secs": merge_secs,
         "merge_docs_per_sec": round(n_delta / merge_secs, 1),
         "scan_mb_per_sec": round(

@@ -1,5 +1,14 @@
-"""Decomposition probe for the runs stage.  Modes build the stage up one
-component at a time so the deltas isolate each cost:
+"""Decomposition probe for the runs stage.
+
+MEASURED CONCLUSIONS (round 4, recorded in BENCH.md): the exchange+sort
++write scales at ~0.78 (the mem-bw ceiling); the MAP side is the poorly
+scaling part — the interpreted run-length HOF (~15s@32 / 23s@8, eff
+0.38) and the content join (SMJ 22 vs SHJ 16.5s @32 map-side; SHJ
+rejected for 10^12-row-docmap spill-safety).  runs_probe2.py measures
+the replacement candidates, all rejected with numbers.
+
+Modes build the stage up one component at a time so the deltas isolate
+each cost:
 
   tok      scan + tokenize (noop sink)
   runsx    + in-row run-length expression (no join; constant dl/doc_id)
