@@ -1250,13 +1250,20 @@ WHERE {musts_r} AND ({shoulds_r}) AND NOT list_contains(t, 'window')
     # filtered search: the SAME BM25 formula/stats as _bm25_sql (global
     # n_docs/avgdl/df — constraints restrict WHICH docs rank, never the
     # scoring statistics), with a candidate membership filter
+    # constants pass through the SAME tokenizer the Spark side applies
+    # (query_terms), and empty constraint lists degrade to TRUE instead
+    # of rendering invalid SQL
+    from acora_spark.index.bm25 import query_terms as _qt
+
     f_terms = sorted(set(BM25_QUERY.lower().split()))
     f_must = " AND ".join(
-        f"list_contains(t, '{w}')" for w in FILTERED_MUST
-    )
+        f"list_contains(t, '{w}')"
+        for x in FILTERED_MUST for w in _qt(x)
+    ) or "TRUE"
     f_not = " AND ".join(
-        f"NOT list_contains(t, '{w}')" for w in FILTERED_NOT
-    )
+        f"NOT list_contains(t, '{w}')"
+        for x in FILTERED_NOT for w in _qt(x)
+    ) or "TRUE"
     sql["bm25_filtered_topk"] = f"""
 WITH {_CORPUS_CTE},
 {_TOKS_CTE},

@@ -677,10 +677,17 @@ def bm25_topk_batch_ranged(
         "query_id", "rng"
     ).applyInPandas(run_range, "query_id long, doc_id long, score double")
 
-    # two-level exact merge: the global top-k is a subset of every salted
-    # partial top-k union, so a fan-in stage bounds the final window's
-    # input to fan*k rows per query even when the grid has millions of
-    # ranges.  Skipped for small grids (extra shuffle isn't worth it).
+    return _salted_topk_merge(partial, stats, shift, k)
+
+
+def _salted_topk_merge(
+    partial: DataFrame, stats: dict, shift: int, k: int
+) -> DataFrame:
+    """Two-level exact top-k merge shared by the ranged executors: the
+    global top-k is a subset of every salted partial top-k union, so a
+    fan-in stage bounds the final window's input to fan*k rows per query
+    even when the grid has millions of ranges.  Skipped for small grids
+    (the extra shuffle isn't worth it)."""
     est_ranges = (_id_space(stats) >> shift) + 1
     if est_ranges > 1024:
         fan = 64
@@ -1103,6 +1110,17 @@ def bm25_filtered_topk_batch(
             )
             if not len(allow):
                 break
+        if allow is not None and not len(allow):
+            # must intersection already empty in this range: skip the
+            # scoring-term decode entirely (the common case for a
+            # selective must term — most ranges hold none of its docs)
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
         deny = None
         if spec["must_not"]:
             deny = np.unique(
@@ -1121,23 +1139,7 @@ def bm25_filtered_topk_batch(
         "query_id", "rng"
     ).applyInPandas(run_range, "query_id long, doc_id long, score double")
 
-    est_ranges = (_id_space(stats) >> shift) + 1
-    if est_ranges > 1024:
-        fan = 64
-        w1 = Window.partitionBy(
-            "query_id", F.pmod(F.col("doc_id"), F.lit(fan))
-        ).orderBy(F.desc("score"), F.asc("doc_id"))
-        partial = (
-            partial.withColumn("r1", F.row_number().over(w1))
-            .filter(F.col("r1") <= k)
-            .drop("r1")
-        )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    return _salted_topk_merge(partial, stats, shift, k)
 
 
 def bm25_topk_local(
