@@ -1812,6 +1812,13 @@ def compact_index(
         fsutil.delete_dir(_join_path(index_dir, "tombstones"))
     for old in sorted(old_dirs - {dst_post, *docmap_dirs, *docstats_dirs}):
         fsutil.delete_dir(_join_path(index_dir, old))
+    # the SPIMI runs staging table exists only so an interrupted BUILD
+    # can resume at bucket granularity; once the index reaches its first
+    # compaction it is corpus-scale dead weight (at 10^12 docs, a
+    # sizeable fraction of the corpus itself) — reclaim it, along with
+    # any merge scratch
+    fsutil.delete_dir(_join_path(index_dir, "runs"))
+    fsutil.delete_dir(_join_path(index_dir, "_merge_tmp"))
     _mark_done(index_dir, "compact:%d" % stats["N"], docs_deleted=n_del)
     return load_index(spark, index_dir)
 

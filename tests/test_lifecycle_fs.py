@@ -311,6 +311,8 @@ def test_compact_reclaims_orphan_staging_dirs(spark, sf_dir, tmp_path):
     assert "postings_g9999" not in names and "docmap_v7" not in names
     # version counter skipped past the orphan version
     assert "postings_v8" in names
+    # the build's runs staging (corpus-scale) is reclaimed at compaction
+    assert "runs" not in names
     assert _topk(spark, idx) == before
 
 
