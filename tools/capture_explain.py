@@ -117,6 +117,30 @@ def main() -> None:
         )
     )
 
+    # 4b2. filtered search: same slice-shuffle shape with constraint
+    #      terms riding the same single pass
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch
+
+    filt = bm25_filtered_topk_batch(
+        spark, idx,
+        [{"query": entry.BM25_QUERY, "must": entry.FILTERED_MUST,
+          "must_not": entry.FILTERED_NOT}],
+        k=10, num_ranges=8,
+    )
+    p4b2 = plan_of(filt, "simple")
+    assert "CartesianProduct" not in p4b2
+    sections.append(
+        (
+            "Filtered search (boolean constraints fused with ranged BM25)",
+            "Identical plan skeleton to the ranged executor: ONE slice "
+            "pass carries scoring AND constraint terms to their ranges; "
+            "the per-range task does the set algebra locally before "
+            "scoring, so constraints add zero extra jobs, joins, or "
+            "shuffles.",
+            p4b2,
+        )
+    )
+
     # 4c. zero-shuffle encode: the encode stage's Spark plan moves only
     #     FILE NAMES — each task reads its runs file directly with
     #     pyarrow, so the raw postings data shuffles exactly once per
