@@ -178,3 +178,50 @@ def test_positional_range_keys_pack_and_split():
     np.testing.assert_array_equal(keys[1], [6 << 4 | 7, 7 << 4 | 1, 7 << 4 | 2, 7 << 4 | 9])
     for ks in keys:
         assert (np.diff(ks) > 0).all()  # sorted unique within the range
+
+
+def test_segment_concat_equals_full_decode():
+    """The build's segment coalescer merges same-(term, shard) rows by
+    blob CONCATENATION + block-offset shift (no decode).  Valid because
+    every encoded block starts with an absolute doc id: the concatenated
+    blob must decode to exactly the union of the segments — identical to
+    decoding a single full encode — for both plain and positional
+    layouts and any split point."""
+    import numpy as np
+
+    from acora_spark.functions.postings_codec import (
+        decode_postings,
+        decode_postings_positional,
+        encode_postings,
+    )
+
+    rng = np.random.RandomState(11)
+    docs = np.unique(rng.randint(0, 5000, 700)).astype(np.int64)
+    tfs = rng.randint(1, 9, len(docs)).astype(np.int64)
+    dls = rng.randint(5, 400, len(docs)).astype(np.int64)
+    pos = [np.sort(rng.choice(2000, t, replace=False)).astype(np.int64)
+           for t in tfs]
+    avgdl = 120.0
+    for cut in (1, 13, len(docs) // 2, len(docs) - 1):
+        for positional in (False, True):
+            b1, k1 = encode_postings(
+                docs[:cut], tfs[:cut], dls[:cut], avgdl,
+                positions=pos[:cut] if positional else None,
+            )
+            b2, k2 = encode_postings(
+                docs[cut:], tfs[cut:], dls[cut:], avgdl,
+                positions=pos[cut:] if positional else None,
+            )
+            # the coalescer's merge: concat blobs, shift 2nd blocks
+            blob = b1 + b2
+            blocks = k1 + [
+                {**blk, "offset": blk["offset"] + len(b1)} for blk in k2
+            ]
+            if positional:
+                d, t, l, p = decode_postings_positional(blob, blocks)
+                assert [list(x) for x in p] == [list(x) for x in pos]
+            else:
+                d, t, l = decode_postings(blob, blocks)
+            assert list(d) == list(docs)
+            assert list(t) == list(tfs)
+            assert list(l) == list(dls)
