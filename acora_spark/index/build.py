@@ -203,8 +203,18 @@ def _load_manifest(index_dir: str) -> dict:
 
 
 def _mark_done(index_dir: str, step: str, **info) -> None:
+    _mark_done_many(index_dir, {step: info})
+
+
+def _mark_done_many(index_dir: str, entries: dict[str, dict]) -> None:
+    """Record several completed steps in ONE manifest read-modify-write —
+    per-bucket loops over ``_mark_done`` would otherwise rewrite the
+    whole manifest once per bucket (quadratic JSON churn locally, one
+    PUT per bucket on object stores)."""
     m = _load_manifest(index_dir)
-    m["steps"][step] = {"status": "done", "ts": time.time(), **info}
+    ts = time.time()
+    for step, info in entries.items():
+        m["steps"][step] = {"status": "done", "ts": ts, **info}
     fsutil.write_json_atomic(
         _manifest_path(index_dir), m, indent=1, sort_keys=True
     )
@@ -902,8 +912,11 @@ def build_index(
                 _list_files(spark, _join_path(runs_path, f"bucket={b}"))
             )
         if not files:
-            for b in group:
-                _mark_done(index_dir, f"bucket:{b}", rows=0, xor64=0, secs=0)
+            _mark_done_many(
+                index_dir,
+                {f"bucket:{b}": {"rows": 0, "xor64": 0, "secs": 0}
+                 for b in group},
+            )
             continue
         files.sort()
         parts = _encode_runs_files(
@@ -1071,15 +1084,21 @@ def _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     counts = obs.get
     secs = round(time.time() - t0, 3)
-    for b in group:
-        xor = counts.get(f"x{b}")
-        _mark_done(
-            index_dir,
-            f"bucket:{b}",
-            rows=int(counts.get(f"b{b}") or 0),
-            xor64=(int(xor) if xor is not None else 0),
-            secs=secs,
-        )
+    _mark_done_many(
+        index_dir,
+        {
+            f"bucket:{b}": {
+                "rows": int(counts.get(f"b{b}") or 0),
+                "xor64": (
+                    int(counts.get(f"x{b}"))
+                    if counts.get(f"x{b}") is not None
+                    else 0
+                ),
+                "secs": secs,
+            }
+            for b in group
+        },
+    )
 
 
 # ------------------------------------------------------------------ merge --
@@ -1487,19 +1506,17 @@ def merge_index(
     # post-commit bookkeeping (informational; a crash from here on leaves
     # the data fully committed and only the audit trail stale)
     manifest_now = _load_manifest(index_dir)
+    updates: dict[str, dict] = {}
     for b in affected:
         prev = manifest_now["steps"].get(f"bucket:{b}", {})
         xor = counts.get(f"x{b}")
-        _mark_done(
-            index_dir,
-            f"bucket:{b}",
-            rows=int(prev.get("rows", 0)) + int(counts.get(f"b{b}") or 0),
-            xor64=int(prev.get("xor64", 0))
+        updates[f"bucket:{b}"] = {
+            "rows": int(prev.get("rows", 0)) + int(counts.get(f"b{b}") or 0),
+            "xor64": int(prev.get("xor64", 0))
             ^ (int(xor) if xor is not None else 0),
-        )
-    _mark_done(
-        index_dir, f"merge:{n_old}:{n_new}", docs_added=m_docs, mode=mode
-    )
+        }
+    updates[f"merge:{n_old}:{n_new}"] = {"docs_added": m_docs, "mode": mode}
+    _mark_done_many(index_dir, updates)
     fsutil.delete_dir(tmp)
     if mode == "rewrite":
         return compact_index(
@@ -1803,11 +1820,13 @@ def compact_index(
     # reclamation (a crash in here leaves committed data + stale audit /
     # unreferenced dirs only; tombstones already applied re-apply as
     # no-ops because the deleted ids no longer appear in any posting)
-    for b, (rows_b, xor_b) in sorted(lineage.items()):
-        _mark_done(
-            index_dir, f"bucket:{b}", rows=rows_b, xor64=xor_b,
-            coalesced=True,
-        )
+    _mark_done_many(
+        index_dir,
+        {
+            f"bucket:{b}": {"rows": rows_b, "xor64": xor_b, "coalesced": True}
+            for b, (rows_b, xor_b) in sorted(lineage.items())
+        },
+    )
     if len(tomb):
         fsutil.delete_dir(_join_path(index_dir, "tombstones"))
     for old in sorted(old_dirs - {dst_post, *docmap_dirs, *docstats_dirs}):
