@@ -583,6 +583,19 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup pairs: k-gram md5 hashes,
+    window minima, shared-fingerprint self-join — the PASSAGE-level
+    dedup primitive (shared runs of >= k+window-1 tokens guarantee a
+    shared fingerprint)."""
+    from acora_spark.operators.dedup import winnow_near_dup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_near_dup_pairs(
+        d, content_col="text", id_col="doc_id", k=4, window=3, min_shared=2
+    )
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming near-dup pairs over base docs + planted one-token-
     appended copies (ids +10000): pigeonhole band join (4 x 16-bit bands)
@@ -829,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dupes": q_fingerprint_dupes,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
+        "winnow_pairs": q_winnow_pairs,
         "dup_groups": q_dup_groups,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash": q_simhash,
@@ -1567,6 +1581,37 @@ pairs AS (
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """
     sql["lsh_pairs"] = _lsh_pairs_sql()
+
+    # winnowing (k=4, window=3, min_shared=2): same md5 k-gram hashes,
+    # same window-min selection, same shared-count join — DuckDB list
+    # slicing t[a:b] is INCLUSIVE and range(1, n) EXCLUSIVE, hence the
+    # +2 bounds
+    sql["winnow_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 4 + 2),
+                        i -> md5(array_to_string(t[i:i+3], ' '))) AS g
+  FROM toks WHERE len(t) >= 4
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(g) <= 3 THEN [list_min(g)]
+         ELSE list_distinct(list_transform(range(1, len(g) - 3 + 2),
+                                           j -> list_min(g[j:j+2])))
+         END AS f
+  FROM grams
+),
+fp AS (SELECT doc_id, unnest(f) AS fingerprint FROM fps)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+FROM fp a JOIN fp b USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
 
     # connected components over the same candidate pairs via a recursive
     # reachability CTE: reach(id, r) closes over symmetric edges; the

@@ -33,6 +33,8 @@ __all__ = [
     "exact_duplicates",
     "fingerprint_duplicates",
     "shingles_col",
+    "winnow_fingerprints",
+    "winnow_near_dup_pairs",
     "minhash_signature",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
@@ -84,6 +86,95 @@ def shingles_col(content, n: int = 3):
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 3,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: local algorithms for document fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every token ``k``-gram, slide a
+    ``window`` over the hash sequence, and keep the DISTINCT window
+    minima.  Winnowing guarantees any shared token run of length
+    ``k + window - 1`` yields at least one shared fingerprint, at
+    ~``2/(window+1)`` selection density — the classic local/positional
+    near-dup primitive (MinHash sees global set overlap; winnowing sees
+    shared PASSAGES, e.g. license headers or copied functions).
+
+    Returns one row per (id, fingerprint).  Entirely built-in
+    expressions; the k-gram hash is ``md5`` over the joined tokens
+    (cross-engine-reproducible, same trade as the MinHash family above).
+    Every intermediate array is bound as a LAMBDA VARIABLE (the
+    single-element ``transform(array(x), v -> ...)[0]`` wrapper) —
+    referencing a projected array column inside a HOF lambda re-evaluates
+    its whole defining expression per element access (interpreted mode,
+    no CSE), which here would turn O(n·window) into O(n²·k)."""
+    expr = """
+    transform(array({toks}),
+      tk -> CASE WHEN size(tk) < {k} THEN array()
+        ELSE transform(
+          array(transform(sequence(1, size(tk) - {k} + 1),
+                          i -> md5(array_join(slice(tk, i, {k}), ' ')))),
+          g -> IF(size(g) <= {w},
+                  array(array_min(g)),
+                  array_distinct(
+                    transform(sequence(1, size(g) - {w} + 1),
+                              j -> array_min(slice(g, j, {w})))))
+        )[0] END
+    )[0]
+    """.format(
+        toks=f"regexp_extract_all(lower({content_col}), '[a-z0-9_]+', 0)",
+        k=int(k),
+        w=int(window),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.expr(expr)).alias("fingerprint"),
+    )
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 3,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints:
+    ``(id_a, id_b, shared)`` with ``id_a < id_b`` and ``shared`` =
+    number of common fingerprints, kept when ``>= min_shared``.
+
+    Scale shape mirrors the LSH candidate join: the self-join key IS the
+    fingerprint, so the shuffle moves O(total fingerprints) rows
+    (~``2n/(window+1)`` per document), never O(n^2) pairs.  ``max_df``
+    drops fingerprints shared by more than that many documents before
+    the join — the boilerplate guard (a license header common to
+    millions of files would otherwise produce a quadratic pair set for
+    one key; standard practice, cf. the suffix-array dedup literature)."""
+    fps = winnow_fingerprints(df, content_col, id_col, k, window)
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(keep, "fingerprint")
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
 
 
 def minhash_signature(

@@ -263,3 +263,44 @@ def test_simhash_near_dup_pairs_planted(spark, docs):
             if h <= 3:
                 want[(a, b)] = h
     assert got == want and len(want) > 0
+
+
+def test_winnowing_guarantee_and_boilerplate_guard(spark):
+    """The winnowing guarantee: two documents sharing a token run of
+    length >= k + window - 1 share at least one fingerprint; documents
+    with no common k-gram share none.  max_df drops fingerprints more
+    common than the threshold (the boilerplate guard)."""
+    from acora_spark.operators.dedup import winnow_near_dup_pairs
+
+    k, w = 4, 3
+    passage = "alpha beta gamma delta epsilon zeta"  # k + w - 1 = 6 tokens
+    d = spark.createDataFrame(
+        [
+            (1, "xx yy " + passage + " zz qq"),
+            (2, "aa bb cc " + passage + " dd"),
+            (3, "totally different tokens here without any overlap at all"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_near_dup_pairs(
+            d, k=k, window=w, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert all(3 not in pair for pair in got)
+
+    # boilerplate guard: a passage shared by ALL docs exceeds max_df and
+    # contributes no pairs
+    d2 = spark.createDataFrame(
+        [(i, passage + f" unique{i} filler{i} tail{i}") for i in range(4)],
+        "doc_id long, content string",
+    )
+    with_guard = winnow_near_dup_pairs(
+        d2, k=k, window=w, min_shared=1, max_df=2
+    ).count()
+    without_guard = winnow_near_dup_pairs(
+        d2, k=k, window=w, min_shared=1
+    ).count()
+    assert without_guard > 0 and with_guard == 0
