@@ -583,6 +583,31 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap (32-token windows,
+    stride 24) — the pre-training sequence prep, chunk text and counts
+    mirrored exactly."""
+    from acora_spark.operators.curate import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(
+        d, content_col="text", id_col="doc_id", chunk_tokens=32, overlap=8
+    )
+
+
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (98/1/1 by
+    md5 of the doc key) — per-split document counts."""
+    from acora_spark.operators.curate import split_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        split_corpus(d, key_cols=("doc_id",), seed="split")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint near-dup pairs: k-gram md5 hashes,
     window minima, shared-fingerprint self-join — the PASSAGE-level
@@ -843,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "winnow_pairs": q_winnow_pairs,
+        "doc_chunks": q_doc_chunks,
+        "corpus_splits": q_corpus_splits,
         "dup_groups": q_dup_groups,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash": q_simhash,
@@ -1581,6 +1608,54 @@ pairs AS (
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """
     sql["lsh_pairs"] = _lsh_pairs_sql()
+
+    # chunking (chunk_tokens=32, overlap=8 -> stride 24): DuckDB list
+    # slicing t[a:b] is INCLUSIVE; chunk structs built per doc then
+    # unnested (post-unnest WHERE across CTEs is a DuckDB quirk)
+    sql["doc_chunks"] = """
+WITH toksc AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents
+),
+kk AS (
+  SELECT doc_id, t,
+         greatest(0, CAST(ceil((len(t) - 32) / 24.0) AS INT)) AS kmax
+  FROM toksc
+),
+ch AS (
+  SELECT doc_id,
+         list_transform(range(0, kmax + 1), i -> struct_pack(
+             chunk_idx := i,
+             chunk_text := array_to_string(t[i*24+1:i*24+32], ' '),
+             n_tokens := least(32, len(t) - i*24))) AS cs
+  FROM kk
+)
+SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk_text AS chunk_text,
+       CAST(u.n_tokens AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, unnest(cs) AS u FROM ch)
+WHERE u.n_tokens > 0
+"""
+
+    # deterministic splits: bucket = first 8 md5 hex digits of
+    # 'split|<doc_id>' as an integer, mod 100; 0-97 train / 98 val /
+    # 99 test.  Hex -> int via digit decomposition (DuckDB has no
+    # strtol; same trick as the simhash mirror)
+    hex_val = " + ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    sql["corpus_splits"] = f"""
+WITH hh AS (
+  SELECT doc_id, md5('split|' || doc_id) AS h FROM documents
+),
+bk AS (SELECT doc_id, ({hex_val}) % 100 AS b FROM hh)
+SELECT CASE WHEN b < 98 THEN 'train'
+            WHEN b < 99 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM bk GROUP BY 1
+"""
 
     # winnowing (k=4, window=3, min_shared=2): same md5 k-gram hashes,
     # same window-min selection, same shared-count join — DuckDB list

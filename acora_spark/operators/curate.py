@@ -18,7 +18,90 @@ from pyspark.sql import functions as F
 from acora_spark.functions.text import lang_id, quality_score
 from acora_spark.operators.dedup import lsh_candidate_pairs
 
-__all__ = ["curate"]
+__all__ = ["curate", "chunk_documents", "split_corpus"]
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the standard
+    pre-training sequence prep: each document becomes rows
+    ``(id, chunk_idx, chunk_text, n_tokens)`` where chunk ``i`` covers
+    tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final chunk is the
+    remainder (shorter, never empty), and a document shorter than one
+    window yields exactly one chunk.  ``chunk_text`` is the
+    space-joined token window (token-level pipelines train on token
+    streams; original inter-token whitespace is not preserved).
+
+    All built-in array expressions, no shuffle — chunking is per-row.
+    The token array is bound as a lambda variable (the
+    ``transform(array(x), v -> ...)[0]`` wrapper): slicing a projected
+    array column inside a HOF lambda would re-evaluate the whole
+    tokenize per chunk (interpreted HOFs have no CSE)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    expr = """
+    transform(array(regexp_extract_all(lower({c}), '[a-z0-9_]+', 0)),
+      tk -> transform(
+        sequence(0, greatest(0,
+          CAST(ceil((size(tk) - {ct}) / CAST({st} AS DOUBLE)) AS INT))),
+        i -> named_struct(
+          'chunk_idx', i,
+          'chunk_text', array_join(slice(tk, i * {st} + 1, {ct}), ' '),
+          'n_tokens', least({ct}, size(tk) - i * {st})))
+    )[0]
+    """.format(c=content_col, ct=int(chunk_tokens), st=int(stride))
+    return (
+        docs.select(F.col(id_col), F.explode(F.expr(expr)).alias("ch"))
+        .select(
+            id_col,
+            F.col("ch.chunk_idx").alias("chunk_idx"),
+            F.col("ch.chunk_text").alias("chunk_text"),
+            F.col("ch.n_tokens").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+def split_corpus(
+    docs: DataFrame,
+    *,
+    weights: dict[str, int] | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: each document's
+    split derives from a hash of ``(seed, key)`` modulo the weight
+    total — a pure function of the document key, so the assignment is
+    identical across runs, cluster sizes, and corpus growth (new
+    documents never move old ones between splits, unlike sampled
+    splits).  Returns the input plus a ``split`` column; ``weights``
+    maps split name -> integer share (default 98/1/1).
+
+    Hash = first 8 hex digits of md5 — the same cross-engine-
+    reproducible family the dedup operators use (any SQL oracle can
+    mirror it; Spark's xxhash64 would be marginally faster but has no
+    DuckDB counterpart)."""
+    weights = weights or {"train": 98, "validation": 1, "test": 1}
+    total = sum(weights.values())
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+    key = F.concat_ws("|", F.lit(seed), *[F.col(c) for c in key_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % total
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        cond = bucket < F.lit(lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return docs.withColumn("split", expr)
 
 
 def curate(

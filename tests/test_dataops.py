@@ -304,3 +304,50 @@ def test_winnowing_guarantee_and_boilerplate_guard(spark):
         d2, k=k, window=w, min_shared=1
     ).count()
     assert without_guard > 0 and with_guard == 0
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from acora_spark.operators.curate import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(52))
+    d = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, "")],
+        "doc_id long, content string",
+    )
+    rows = chunk_documents(d, chunk_tokens=20, overlap=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 52 tokens, stride 15 -> full windows at 0/15/30 and the
+    # 7-token remainder at 45 (every token covered, no empty tail)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c1] == [20, 20, 20, 7]
+    assert c1[1].chunk_text.split(" ")[0] == "t15"  # overlap: starts at 15
+    assert c1[3].chunk_text == "t45 t46 t47 t48 t49 t50 t51"
+    # short doc -> one chunk; empty doc -> none
+    assert [r.n_tokens for r in by_doc[2]] == [3]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, chunk_tokens=8, overlap=8)
+
+
+def test_split_corpus_deterministic_and_growth_stable(spark):
+    from acora_spark.operators.curate import split_corpus
+
+    d1 = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    s1 = {r.doc_id: r.split for r in split_corpus(d1).collect()}
+    # growing the corpus never moves existing docs between splits
+    d2 = spark.createDataFrame(
+        [(i,) for i in range(600)], "doc_id long"
+    )
+    s2 = {r.doc_id: r.split for r in split_corpus(d2).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    assert set(s2.values()) == {"train", "validation", "test"}
+    counts = {}
+    for v in s2.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts["train"] > counts["validation"]
+    with pytest.raises(ValueError, match="weights"):
+        split_corpus(d1, weights={"a": 0, "b": 0})
