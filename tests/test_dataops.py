@@ -305,6 +305,14 @@ def test_winnowing_guarantee_and_boilerplate_guard(spark):
     ).count()
     assert without_guard > 0 and with_guard == 0
 
+    # the pair join is a plain fingerprint equi-join — never cartesian
+    plan = (
+        winnow_near_dup_pairs(d, k=k, window=w, min_shared=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
 
 def test_chunk_documents_windows_and_edges(spark):
     from acora_spark.operators.curate import chunk_documents
@@ -351,3 +359,42 @@ def test_split_corpus_deterministic_and_growth_stable(spark):
     assert counts["train"] > counts["validation"]
     with pytest.raises(ValueError, match="weights"):
         split_corpus(d1, weights={"a": 0, "b": 0})
+
+
+def test_chunk_documents_invariants_randomized(spark):
+    """Every chunk must equal the corresponding slice of the document's
+    token stream (full coverage, correct overlap, no phantom tokens) —
+    checked over randomized lengths around the window boundaries."""
+    import random
+
+    from acora_spark.operators.curate import chunk_documents
+
+    rng = random.Random(7)
+    ct, ov = 16, 4
+    st = ct - ov
+    docs = []
+    lengths = [0, 1, ct - 1, ct, ct + 1, 2 * ct, 5] + [
+        rng.randint(0, 90) for _ in range(60)
+    ]
+    for i, n in enumerate(lengths):
+        docs.append((i, " ".join(f"w{i}_{j}" for j in range(n))))
+    d = spark.createDataFrame(docs, "doc_id long, content string")
+    rows = chunk_documents(d, chunk_tokens=ct, overlap=ov).collect()
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_tokens
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = toks
+    for i, n in enumerate(lengths):
+        full = [f"w{i}_{j}" for j in range(n)]
+        chunks = by_doc.get(i, {})
+        if n == 0:
+            assert chunks == {}
+            continue
+        # chunk c == full[c*st : c*st+ct]; indices contiguous from 0
+        assert sorted(chunks) == list(range(len(chunks)))
+        for c, toks in chunks.items():
+            assert toks == full[c * st : c * st + ct], (i, c)
+        # coverage: last chunk reaches the final token
+        last = max(chunks)
+        assert last * st + len(chunks[last]) == n
