@@ -331,3 +331,72 @@ def _ranged(spark, idx):
         spark, idx, ["the data fast"], k=10, num_ranges=8
     ).collect()
     return sorted((r.rank, r.doc_id, round(r.score, 10)) for r in rows)
+
+
+def test_executor_matrix_agrees_on_lifecycled_index(spark, sf_dir, tmp_path):
+    """After build -> append-merge -> delete -> compact -> another merge,
+    every serving path must answer identically: single-task WAND, the
+    ranged executor (forced multi-range), the cluster-free local path,
+    warm full/partial QueryEngine, and filtered search with no
+    constraints (which must degenerate to plain BM25)."""
+    from acora_spark.index.bm25 import (
+        QueryEngine,
+        bm25_filtered_topk_batch,
+        bm25_topk_batch,
+        bm25_topk_batch_ranged,
+        bm25_topk_local,
+        query_terms,
+        term_buckets,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    lo, hi = _halves(corpus)
+    build_index(lo, index_dir, num_buckets=4, docs_per_salt=150,
+                bucket_group_size=4)
+    merge_index(hi, index_dir)
+    idx = load_index(spark, index_dir)
+    kill = idx.docmap(spark).limit(2).select("repo", "path", "commit")
+    assert delete_docs(spark, index_dir, kill) == 2
+    compact_index(spark, index_dir)
+    # a post-compaction delta with fresh keys (id_space exercised)
+    delta = hi.limit(40).withColumn(
+        "path", F.concat(F.col("path"), F.lit("_v2"))
+    )
+    idx = merge_index(delta, index_dir)
+
+    q = "the data merge fast"
+    key = lambda rows: sorted(  # noqa: E731
+        (r.rank, r.doc_id, round(r.score, 12)) for r in rows
+    )
+    base = key(bm25_topk_batch(spark, idx, [q], k=10).collect())
+    assert len(base) == 10
+
+    ranged = key(
+        bm25_topk_batch_ranged(spark, idx, [q], k=10, num_ranges=8).collect()
+    )
+    assert ranged == base
+
+    loc = bm25_topk_local(idx, [q], k=10)
+    assert key(loc.itertuples()) == base
+
+    unfiltered = key(
+        bm25_filtered_topk_batch(
+            spark, idx, [{"query": q}], k=10, num_ranges=8
+        ).collect()
+    )
+    assert unfiltered == base
+
+    engine_full = QueryEngine(spark, idx)
+    try:
+        assert key(engine_full.topk([q], k=10).collect()) == base
+    finally:
+        engine_full.close()
+    routes = term_buckets(spark, query_terms(q), idx.stats["num_buckets"])
+    some_bucket = [sorted(set(routes.values()))[0]]
+    engine_part = QueryEngine(spark, idx, buckets=some_bucket)
+    try:
+        assert key(engine_part.topk([q], k=10).collect()) == base
+    finally:
+        engine_part.close()
+    assert all(r.ok for r in verify_index(spark, idx).collect())
