@@ -1291,6 +1291,15 @@ def merge_index(
     logic relies on."""
     if mode not in ("append", "rewrite"):
         raise ValueError("mode must be 'append' or 'rewrite'")
+    if not build_is_complete(index_dir):
+        # stats.json and the docmap commit EARLY in a build, so "stats
+        # exists" must never be read as "index built" — merging into a
+        # half-built index would interleave delta generations with
+        # never-encoded buckets
+        raise ValueError(
+            f"index at {index_dir} is not a completed build — resume "
+            "build_index(resume=True) first"
+        )
     spark = delta_corpus.sparkSession
     stats = _read_stats(index_dir)
     num_buckets = stats["num_buckets"]
@@ -1676,6 +1685,14 @@ def compact_index(
     the ranged executors regain their per-shard parallelism."""
     import re as _re
 
+    if not build_is_complete(index_dir):
+        # compacting a crashed partial build would reclaim its runs
+        # staging, after which a build resume would mark the missing
+        # buckets done with zero rows — silent data loss; refuse loudly
+        raise ValueError(
+            f"index at {index_dir} is not a completed build — resume "
+            "build_index(resume=True) before compacting"
+        )
     stats = _read_stats(index_dir)
     idx = load_index(spark, index_dir)
     tomb = idx.tombstones(spark)

@@ -47,8 +47,14 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
+    from acora_spark.functions.tokenize import TOKEN_RE
+
+    # NULL content coalesces to '' BEFORE tokenizing: under ANSI mode
+    # size(NULL) is NULL, greatest(0, NULL) is 0 and least(ct, NULL)
+    # skips the NULL — which would fabricate one phantom chunk with
+    # NULL text and a full-window token count per NULL document
     expr = """
-    transform(array(regexp_extract_all(lower({c}), '[a-z0-9_]+', 0)),
+    transform(array(regexp_extract_all(lower(coalesce({c}, '')), '{re}', 0)),
       tk -> transform(
         sequence(0, greatest(0,
           CAST(ceil((size(tk) - {ct}) / CAST({st} AS DOUBLE)) AS INT))),
@@ -57,7 +63,7 @@ def chunk_documents(
           'chunk_text', array_join(slice(tk, i * {st} + 1, {ct}), ' '),
           'n_tokens', least({ct}, size(tk) - i * {st})))
     )[0]
-    """.format(c=content_col, ct=int(chunk_tokens), st=int(stride))
+    """.format(c=content_col, re=TOKEN_RE, ct=int(chunk_tokens), st=int(stride))
     return (
         docs.select(F.col(id_col), F.explode(F.expr(expr)).alias("ch"))
         .select(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from acora_spark.functions.text import fingerprint, tokens_col
+from acora_spark.functions.tokenize import TOKEN_RE
 
 __all__ = [
     "exact_duplicates",
@@ -127,7 +128,10 @@ def winnow_fingerprints(
         )[0] END
     )[0]
     """.format(
-        toks=f"regexp_extract_all(lower({content_col}), '[a-z0-9_]+', 0)",
+        toks=(
+            f"regexp_extract_all(lower(coalesce({content_col}, '')), "
+            f"'{TOKEN_RE}', 0)"
+        ),
         k=int(k),
         w=int(window),
     )
@@ -150,27 +154,37 @@ def winnow_near_dup_pairs(
     ``(id_a, id_b, shared)`` with ``id_a < id_b`` and ``shared`` =
     number of common fingerprints, kept when ``>= min_shared``.
 
-    Scale shape mirrors the LSH candidate join: the self-join key IS the
-    fingerprint, so the shuffle moves O(total fingerprints) rows
-    (~``2n/(window+1)`` per document), never O(n^2) pairs.  ``max_df``
-    drops fingerprints shared by more than that many documents before
-    the join — the boilerplate guard (a license header common to
-    millions of files would otherwise produce a quadratic pair set for
-    one key; standard practice, cf. the suffix-array dedup literature)."""
+    Scale shape: ONE map-combined groupBy(fingerprint) collects each
+    fingerprint's (sorted) doc-id list, and pairs are generated IN-ROW
+    from that list — the expensive fingerprint expression evaluates
+    exactly once (a fingerprint self-join would re-evaluate it per join
+    side), the shuffle moves O(total fingerprints) rows
+    (~``2n/(window+1)`` per document), and the pair exchange carries
+    only pairs that share at least one fingerprint.  ``max_df`` drops
+    fingerprints shared by more than that many documents — the
+    boilerplate guard (a license header common to millions of files
+    would otherwise produce a quadratic pair set for one key; standard
+    practice, cf. the suffix-array dedup literature)."""
     fps = winnow_fingerprints(df, content_col, id_col, k, window)
+    grouped = fps.groupBy("fingerprint").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
     if max_df is not None:
-        keep = (
-            fps.groupBy("fingerprint")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("fingerprint")
-        )
-        fps = fps.join(keep, "fingerprint")
-    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
-    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+        grouped = grouped.filter(F.size("ids") <= max_df)
+    # all (a < b) pairs within each fingerprint's id list — ``ids`` is an
+    # aggregation output attribute, so subscript/slice access inside the
+    # lambdas is O(1) (no projected-expression re-evaluation)
+    pairs = grouped.filter(F.size("ids") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "fingerprint")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)

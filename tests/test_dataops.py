@@ -398,3 +398,17 @@ def test_chunk_documents_invariants_randomized(spark):
         # coverage: last chunk reaches the final token
         last = max(chunks)
         assert last * st + len(chunks[last]) == n
+
+
+def test_chunk_documents_null_content_yields_no_chunks(spark):
+    # ANSI-mode trap: size(NULL) is NULL; without the coalesce guard a
+    # NULL document fabricated one phantom chunk with NULL text and a
+    # full-window n_tokens
+    from acora_spark.operators.curate import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, content string"
+    )
+    rows = chunk_documents(d, chunk_tokens=4, overlap=1).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert all(r.chunk_text is not None for r in rows)

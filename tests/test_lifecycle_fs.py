@@ -400,3 +400,26 @@ def test_executor_matrix_agrees_on_lifecycled_index(spark, sf_dir, tmp_path):
     finally:
         engine_part.close()
     assert all(r.ok for r in verify_index(spark, idx).collect())
+
+
+def test_mutations_refuse_incomplete_build(spark, sf_dir, tmp_path, monkeypatch):
+    """compact_index would reclaim a crashed build's runs staging (after
+    which a resume would mark missing buckets done with zero rows —
+    silent data loss), and merge_index would interleave generations with
+    never-encoded buckets: both must refuse an incomplete build."""
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash mid-build")
+
+    real = build_mod._encode_runs_files
+    monkeypatch.setattr(build_mod, "_encode_runs_files", boom)
+    with pytest.raises(RuntimeError):
+        build_index(corpus, index_dir, num_buckets=4, docs_per_salt=200,
+                    bucket_group_size=4)
+    monkeypatch.setattr(build_mod, "_encode_runs_files", real)
+    with pytest.raises(ValueError, match="not a completed build"):
+        compact_index(spark, index_dir)
+    with pytest.raises(ValueError, match="not a completed build"):
+        merge_index(corpus.limit(5), index_dir)
