@@ -254,3 +254,63 @@ def test_index_delete_stream(spark, sf_dir, tmp_path):
     assert [(r.doc_id, r.score) for r in after[:4]] == [
         (r.doc_id, r.score) for r in before[1:5]
     ]
+
+
+def test_index_ingest_stream_first_batch_crash_resumes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A first batch whose BUILD crashes mid-encode must be recovered on
+    checkpoint restart: the sink routes the replayed batch back into the
+    resumable build (build_is_complete gate) instead of misreading the
+    early-committed stats/docmap as a built index and silently dropping
+    the batch through merge_index's duplicate-skip."""
+    import pytest as _pytest
+
+    from acora_spark.index import build as build_mod
+    from acora_spark.index.bm25 import bm25_topk_batch
+    from acora_spark.index.build import build_is_complete, load_index
+    from acora_spark.streaming.index_stream import index_ingest_stream
+
+    corpus = load_corpus(spark, sf_dir)
+    base = corpus.limit(60)
+    src = str(tmp_path / "crash_src")
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    index_dir = str(tmp_path / "crash_idx")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    calls = {"n": 0}
+    real = build_mod._encode_runs_files
+
+    def flaky(*a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected encode crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(build_mod, "_encode_runs_files", flaky)
+    kwargs = dict(num_buckets=4, docs_per_salt=100, bucket_group_size=4)
+
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = index_ingest_stream(
+        stream, index_dir, checkpoint_dir=ckpt, build_kwargs=kwargs
+    )
+    with _pytest.raises(Exception, match="injected"):
+        q.processAllAvailable()
+    q.stop()
+    assert not build_is_complete(index_dir), \
+        "crashed build must not look complete"
+
+    # restart from the same checkpoint: batch 0 replays, the sink
+    # resumes the build, and the index comes out whole
+    stream2 = spark.readStream.schema(corpus.schema).parquet(src)
+    q2 = index_ingest_stream(
+        stream2, index_dir, checkpoint_dir=ckpt, build_kwargs=kwargs
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    idx = load_index(spark, index_dir)
+    assert build_is_complete(index_dir)
+    assert idx.stats["N"] == 60
+    assert len(bm25_topk_batch(spark, idx, ["the data"], k=5).collect()) == 5
