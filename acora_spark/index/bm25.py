@@ -579,9 +579,14 @@ def _topk_from_slices(
     # restrict the scored candidates BEFORE top-k selection
     if allow is not None:
         pos = np.searchsorted(allow, udocs)
-        ok = (pos < len(allow)) & (
-            allow[np.minimum(pos, max(len(allow) - 1, 0))] == udocs
-        ) if len(allow) else np.zeros(len(udocs), dtype=bool)
+        ok = (
+            (
+                (pos < len(allow))
+                & (allow[np.minimum(pos, max(len(allow) - 1, 0))] == udocs)
+            )
+            if len(allow)
+            else np.zeros(len(udocs), dtype=bool)
+        )
         udocs, scores = udocs[ok], scores[ok]
         if not len(udocs):
             return np.empty(0, np.int64), np.empty(0, np.float64)

@@ -260,6 +260,29 @@ def _commit_stats(index_dir: str, stats: dict) -> None:
     fsutil.write_json_atomic(_join_path(index_dir, "stats.json"), stats)
 
 
+def _hot_widths(index_dir: str, stats: dict | None = None) -> dict:
+    """Authoritative hot-term shard-width map (term -> log2 doc-id width).
+
+    Lives INSIDE ``stats.json`` (key ``hot_widths``) so widths commit in
+    the SAME atomic write as the committed-directory lists — persisted
+    separately, a crash between the stats commit and the width write
+    would leave widths stale relative to the stored layout, and a later
+    compaction reading the stale (wider) value could coarsen a re-shard
+    into duplicate (term, shard) keys.  ``hot_terms.json`` remains as an
+    informational post-commit MIRROR (debugging/tests) and as the legacy
+    fallback for indexes written before widths moved into stats."""
+    stats = stats if stats is not None else _read_stats(index_dir)
+    if "hot_widths" in stats:
+        return dict(stats["hot_widths"])
+    return fsutil.read_json(_join_path(index_dir, "hot_terms.json")) or {}
+
+
+def _mirror_hot_widths(index_dir: str, hot_map: dict) -> None:
+    """Post-commit informational copy of the width map (never read back
+    when stats.json carries ``hot_widths``)."""
+    fsutil.write_json_atomic(_join_path(index_dir, "hot_terms.json"), hot_map)
+
+
 @contextmanager
 def _pinned_confs(spark: SparkSession, pairs: dict):
     """Set session confs for the duration of the block, restoring the
@@ -870,9 +893,10 @@ def build_index(
         # term spreads roughly uniformly over doc ids).
         hot_map = {h["term"]: _shard_width(h["cnt"], n_docs, docs_per_salt)
                    for h in row["hot"]}
-        fsutil.write_json_atomic(
-            _join_path(index_dir, "hot_terms.json"), hot_map
-        )
+        cur = _read_stats(index_dir)
+        cur["hot_widths"] = hot_map
+        _commit_stats(index_dir, cur)
+        _mirror_hot_widths(index_dir, hot_map)
         _mark_done(
             index_dir,
             "term_stats",
@@ -882,7 +906,7 @@ def build_index(
             secs=round(time.time() - t0, 3),
         )
 
-    hot_map = fsutil.read_json(_join_path(index_dir, "hot_terms.json"))
+    hot_map = _hot_widths(index_dir)
 
     # ---- step 4: per-bucket encode (shards persisted, never merged) -----
     manifest = _load_manifest(index_dir)
@@ -1408,7 +1432,7 @@ def merge_index(
     delta_runs = spark.read.parquet(_join_path(tmp, "runs"))
 
     # ---- widths for terms NEW to the index that arrive hot --------------
-    hot_map = fsutil.read_json(_join_path(index_dir, "hot_terms.json"))
+    hot_map = _hot_widths(index_dir, stats)
     cand = {
         r["term"]: int(r["cnt"])
         for r in delta_runs.groupBy("term")
@@ -1443,12 +1467,10 @@ def merge_index(
         for t, cnt in cand.items():
             if t not in existing_terms:  # existing-cold terms keep w=62
                 hot_map[t] = _shard_width(cnt, n_new, docs_per_salt)
-        # widths only route FUTURE encodes — safe to persist pre-commit
-        # (a crash leaves widths for terms that never committed, which
-        # merely pre-shards them when they eventually arrive)
-        fsutil.write_json_atomic(
-            _join_path(index_dir, "hot_terms.json"), hot_map
-        )
+    # widths ride the SAME atomic stats commit as the generation dirs:
+    # the delta encode below uses them in-memory, and a crash before the
+    # commit loses widths and data together (re-run recomputes both)
+    stats["hot_widths"] = hot_map
     # ---- postings generation, STAGED ------------------------------------
     affected = sorted(
         r["bucket"]
@@ -1514,6 +1536,7 @@ def merge_index(
 
     # post-commit bookkeeping (informational; a crash from here on leaves
     # the data fully committed and only the audit trail stale)
+    _mirror_hot_widths(index_dir, hot_map)
     manifest_now = _load_manifest(index_dir)
     updates: dict[str, dict] = {}
     for b in affected:
@@ -1634,6 +1657,14 @@ def delete_docs(
     read and at compaction)."""
     from pyspark.sql import Observation
 
+    if not build_is_complete(index_dir):
+        # same refusal as merge/compact: a half-built index's docmap is an
+        # early commit a resumed build keeps mutating — tombstoning against
+        # it would append rows into a moving target
+        raise ValueError(
+            f"index at {index_dir} is not a completed build — resume "
+            "build_index(resume=True) before deleting"
+        )
     key_cols = list(key_cols)
     idx = load_index(spark, index_dir)
     # count rides the write via observe(): ONE job, and the count is of
@@ -1713,7 +1744,16 @@ def compact_index(
     vmax = 0
     for name in fsutil.listdir(index_dir):
         m = _re.match(r"(?:postings|docmap|docstats)_(g\d+|v(\d+))$", name)
-        if not m:
+        if m is None:
+            # the UNSUFFIXED base dirs (postings/docmap/docstats) become
+            # orphans too when a previous compaction crashed between its
+            # stats commit and its old-dir deletion — without this branch
+            # they would leak forever (readers never resolve them, but on
+            # object storage they cost money indefinitely)
+            if name in ("postings", "docmap", "docstats") and (
+                name not in committed_now
+            ):
+                fsutil.delete_dir(_join_path(index_dir, name))
             continue
         if m.group(2) is not None:
             vmax = max(vmax, int(m.group(2)))
@@ -1758,10 +1798,12 @@ def compact_index(
         stats["total_dl"] = new_total
         stats["avgdl"] = (new_total / new_n) if new_n else 0.0
 
-    # cold->hot re-shard widths from CURRENT df (refinement only)
-    hot_map = (
-        fsutil.read_json(_join_path(index_dir, "hot_terms.json")) or {}
-    )
+    # cold->hot re-shard widths from CURRENT df (refinement only).  The
+    # stored-width map comes from stats.json, where it was committed in
+    # the same atomic write as the data it describes — so the
+    # refinement-only check below compares against the width the stored
+    # rows were ACTUALLY encoded at, even across crashed mutations.
+    hot_map = _hot_widths(index_dir, stats)
     id_space = int(stats.get("id_space", stats["N"]))
     reshard: dict[str, int] = {}
     for r in (
@@ -1813,25 +1855,18 @@ def compact_index(
         docmap_dirs, docstats_dirs = [dst_docmap], [dst_docstats]
 
     # ---- COMMIT ---------------------------------------------------------
+    # the re-shard widths commit IN the same atomic write as the data
+    # encoded under them — no window in which stored rows and the width
+    # map can disagree (a stale-wide map would let a later compaction
+    # coarsen the grid and emit duplicate (term, shard) keys)
+    hot_map.update(reshard)
+    stats["hot_widths"] = hot_map
     stats["postings_dirs"] = [dst_post]
     stats["docmap_dirs"] = docmap_dirs
     stats["docstats_dirs"] = docstats_dirs
     stats["min_avgdl_encode"] = stats["avgdl"]
     _commit_stats(index_dir, stats)
-
-    if reshard:
-        # persist the new widths AFTER the commit: written before it, a
-        # crash in between would leave future merges encoding deltas at
-        # the narrow width against committed wide rows (a later compact
-        # of such mixed widths can emit duplicate (term, shard) keys —
-        # query-correct, since rows are independent cursors, but it
-        # breaks the one-row-per-key restoration).  Written after, a
-        # crash merely forgets the widths and the next compaction
-        # recomputes and re-applies them.
-        hot_map.update(reshard)
-        fsutil.write_json_atomic(
-            _join_path(index_dir, "hot_terms.json"), hot_map
-        )
+    _mirror_hot_widths(index_dir, hot_map)
 
     # post-commit bookkeeping: lineage refresh, tombstone clear, old-dir
     # reclamation (a crash in here leaves committed data + stale audit /

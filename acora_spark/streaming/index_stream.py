@@ -26,8 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from acora_spark import fsutil
-
 __all__ = ["index_ingest_stream", "index_delete_stream"]
 
 

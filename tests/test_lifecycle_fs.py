@@ -423,3 +423,57 @@ def test_mutations_refuse_incomplete_build(spark, sf_dir, tmp_path, monkeypatch)
         compact_index(spark, index_dir)
     with pytest.raises(ValueError, match="not a completed build"):
         merge_index(corpus.limit(5), index_dir)
+    with pytest.raises(ValueError, match="not a completed build"):
+        delete_docs(spark, index_dir, corpus.limit(1))
+
+
+def test_hot_widths_live_in_stats_commit(spark, sf_dir, tmp_path):
+    """Shard widths are authoritative in stats.json (committed atomically
+    with the data); hot_terms.json is only an informational mirror — a
+    stale or vandalized mirror must not influence any mutation."""
+    from acora_spark import fsutil
+
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, index_dir, num_buckets=4, docs_per_salt=50,
+                      bucket_group_size=4)
+    committed = build_mod._hot_widths(index_dir)
+    assert committed, "docs_per_salt=50 must make some term hot"
+    assert _hot_terms(index_dir) == committed  # mirror in sync post-commit
+
+    # simulate the crash window the old design had: mirror diverges
+    # (wider widths than the stored rows were encoded at)
+    fsutil.write_json_atomic(
+        fsutil.join_path(index_dir, "hot_terms.json"),
+        {t: 62 for t in committed},
+    )
+    assert build_mod._hot_widths(index_dir) == committed
+
+    before = _topk(spark, idx)
+    idx = compact_index(spark, index_dir)
+    # one row per (term, shard) restored — a stale-wide map would coarsen
+    # the re-shard grid and duplicate keys
+    dup = (
+        idx.postings(spark).groupBy("term", "shard")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert _topk(spark, idx) == before
+    assert _hot_terms(index_dir) == build_mod._hot_widths(index_dir)
+
+
+def test_unsuffixed_orphan_dirs_reclaimed(spark, sf_dir, tmp_path):
+    """A compaction that crashed between its stats commit and its old-dir
+    deletion leaves the plain postings/ dir behind (now unreferenced);
+    the next compaction must reclaim it along with _g/_v orphans."""
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, index_dir, num_buckets=4, docs_per_salt=200,
+                      bucket_group_size=4)
+    idx = compact_index(spark, index_dir)  # committed postings -> _v1
+    # resurrect the plain dir as crash leftovers
+    os.makedirs(os.path.join(index_dir, "postings", "junk"), exist_ok=True)
+    before = _topk(spark, idx)
+    idx = compact_index(spark, index_dir)
+    assert "postings" not in set(os.listdir(index_dir))
+    assert _topk(spark, idx) == before
