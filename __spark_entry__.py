@@ -716,6 +716,43 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_LSH_PLANES, ANN_LSH_HAMMING, ANN_LSH_SEED = 8, 1, 7
+ANN_IVF_CELLS, ANN_IVF_NPROBE, ANN_IVF_SEED = 8, 3, 11
+
+
+def _ivf_centroids():
+    import numpy as np
+
+    return np.random.RandomState(ANN_IVF_SEED).standard_normal(
+        (ANN_IVF_CELLS, 64)
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF ANN: vectors written partitioned by coarse cell
+    (hive partition pruning serves the probe), queried through
+    ``ann_query`` which reads only the nprobe nearest cells.  The coarse
+    quantizer is an injected seeded-random centroid set — data-independent
+    literals, so the DuckDB mirror reproduces the identical cell
+    assignment, probe-set selection, and exact-cosine rerank."""
+    import os
+
+    from acora_spark.operators.similarity import ann_query, build_ann_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    index_dir = os.path.join(
+        "/tmp", f"annivf_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    build_ann_index(
+        emb.filter(F.col("vec_id") != 0),
+        index_dir,
+        num_cells=ANN_IVF_CELLS,
+        centroids=_ivf_centroids(),
+    )
+    res = ann_query(
+        spark, index_dir, list(qvec), k=10, nprobe=ANN_IVF_NPROBE
+    )
+    return res.select("rank", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,6 +768,43 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=ANN_LSH_PLANES, hamming=ANN_LSH_HAMMING, seed=ANN_LSH_SEED,
     )
     return res.select("rank", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free image metadata over a synthetic media column: payloads
+    are REAL PNG/JPEG/GIF header bytes whose dimensions derive from
+    doc_id (every 17th doc gets a corrupt payload), parsed back by
+    ``parse_image_header`` — round-trips the exact header fields the
+    production curation filters read (cf. reference acora's byte-domain
+    handling, `acora/_cacora.pyx:596-610`; here the byte payloads are
+    structured media headers instead of scan targets)."""
+    import pandas as pd
+
+    from acora_spark.sources.multimodal import (
+        extract_image_metadata,
+        synthesize_image,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 17 == 0:
+                    payloads.append(b"corrupt!")
+                else:
+                    kind = ("png", "jpeg", "gif")[did % 3]
+                    payloads.append(
+                        synthesize_image(kind, did % 997 + 1, did % 499 + 1)
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return extract_image_metadata(media)
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,7 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "image_meta": q_image_meta,
         "text_features": q_text_features,
         "token_classes": q_token_classes,
         "token_count_bpe": q_token_count_bpe,
@@ -1111,9 +1187,49 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def _ann_ivf_sql() -> str:
+    """Mirror of q_ann_ivf_topk: identical centroid literals, nearest-cell
+    assignment (arg_min on euclidean distance — same ordering as the
+    squared-distance argmin the Spark side computes), nprobe probe-set,
+    exact cosine within probed cells."""
+    cents = _ivf_centroids()
+
+    def arr(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    rows = ",\n  ".join(
+        f"({i}, {arr(cents[i])}::DOUBLE[])" for i in range(len(cents))
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(cell, c) AS (VALUES
+  {rows}),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+assign AS (
+  SELECT b.vec_id, arg_min(c.cell, list_distance(b.v, c.c)) AS cell
+  FROM base b CROSS JOIN cents c WHERE b.vec_id <> 0 GROUP BY b.vec_id
+),
+probe AS (
+  SELECT c.cell FROM cents c CROSS JOIN q
+  ORDER BY list_distance(c.c, q.qv) LIMIT {ANN_IVF_NPROBE}
+),
+scored AS (
+  SELECT b.vec_id,
+         list_dot_product(b.v, q.qv)
+           / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM base b JOIN assign a USING (vec_id) CROSS JOIN q
+  WHERE a.cell IN (SELECT cell FROM probe)
+)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
+       vec_id, round(cos, 4) AS cosine
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["ann_lsh_topk"] = _ann_lsh_sql()
+    sql["ann_ivf_topk"] = _ann_ivf_sql()
 
     sql["match_count_by_term"] = f"""
 WITH {_CORPUS_CTE},
@@ -1742,4 +1858,31 @@ JOIN shm sa ON sa.doc_id = cand.id_a
 JOIN shm sb ON sb.doc_id = cand.id_b
 """
     sql["embedding_near_dups"] = _near_dup_sql()
+
+    # image_meta: payloads are REAL header bytes synthesized from doc_id
+    # arithmetic, parsed back by the codec-free header parser — the SQL
+    # mirror recomputes the planted dimensions directly, so a parser that
+    # mis-reads any fixed field hash-mismatches.  The n_bytes constants
+    # come from the synthesizer (header length is dimension-independent).
+    from acora_spark.sources.multimodal import synthesize_image as _synth
+
+    _png_len = len(_synth("png", 1, 1))
+    _jpeg_len = len(_synth("jpeg", 1, 1))
+    _gif_len = len(_synth("gif", 1, 1))
+    sql["image_meta"] = f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'jpeg'
+            ELSE 'gif' END AS format,
+       (CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE doc_id % 997 + 1 END)::INTEGER AS width,
+       (CASE WHEN doc_id % 17 = 0 THEN NULL
+             ELSE doc_id % 499 + 1 END)::INTEGER AS height,
+       (CASE WHEN doc_id % 17 = 0 THEN 8
+             WHEN doc_id % 3 = 0 THEN {_png_len}
+             WHEN doc_id % 3 = 1 THEN {_jpeg_len}
+             ELSE {_gif_len} END)::BIGINT AS n_bytes
+FROM documents
+"""
     return sql

@@ -37,10 +37,12 @@ __all__ = [
     "exists",
     "read_text",
     "write_text_atomic",
+    "create_exclusive",
     "read_json",
     "write_json_atomic",
     "listdir",
     "delete_dir",
+    "delete_file",
     "makedirs",
     "join_path",
 ]
@@ -129,6 +131,46 @@ def write_text_atomic(path: str, data: str) -> None:
         except FileNotFoundError:
             pass
         fsys.move(tmp, p)
+
+
+def create_exclusive(path: str, data: str) -> bool:
+    """Create-if-absent: True when this call created the file, False when
+    it already existed.
+
+    Local paths use ``O_CREAT|O_EXCL`` — a genuinely atomic claim.
+    Object stores get check-then-write through pyarrow (no conditional
+    PUT surface there), so two simultaneous remote claimants can both
+    "win" the create; callers needing a decision must re-read the file
+    and verify their token landed (see the mutator lease protocol in
+    ``index.build``), which shrinks the race to the write-verify gap."""
+    if not is_remote(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(data)
+        return True
+    if exists(path):
+        return False
+    write_text_atomic(path, data)
+    return True
+
+
+def delete_file(path: str) -> None:
+    """Delete one file, ignoring a missing target."""
+    if not is_remote(path):
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        return
+    fsys, p = pa_fs(path)
+    try:
+        fsys.delete_file(p)
+    except FileNotFoundError:
+        pass
 
 
 def read_json(path: str) -> dict | None:

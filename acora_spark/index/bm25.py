@@ -891,6 +891,8 @@ def boolean_query_batch(
     index: Index,
     queries: Sequence[dict],
     num_ranges: int | None = None,
+    limit: int | None = None,
+    after_doc_id: int | None = None,
 ) -> DataFrame:
     """Classic boolean retrieval over the inverted index: for each query
     ``{"must": [...], "should": [...], "must_not": [...]}`` return the
@@ -915,7 +917,17 @@ def boolean_query_batch(
     negation would mean materializing the complement of a posting list,
     which is the full doc space at 10^12 docs.  ``must_not`` terms slice
     and fan out like positive terms; their docs are subtracted
-    range-locally."""
+    range-locally.
+
+    RESULT-SIZE GUARD: a hot should-only query can match millions of
+    docs — ``limit`` caps each query's result to its ``limit`` LOWEST
+    doc ids (deterministic), and ``after_doc_id`` resumes past a
+    previous page's last id: together they form a stable keyset-paging
+    cursor.  The cap is pushed INTO the range tasks (each range's docs
+    come out sorted, and a range's k-th-lowest id can never beat another
+    range's first k, so per-range truncation to ``limit`` is lossless);
+    the final window then ranks at most ``limit x num_ranges`` rows per
+    query instead of the full result set."""
     norm: dict[int, dict[str, list[str]]] = {}
     for qi, q in enumerate(queries):
         spec = {
@@ -998,13 +1010,25 @@ def boolean_query_batch(
                 cand = np.setdiff1d(cand, sets.get(t, empty), assume_unique=True)
         if bc_ex is not None and len(cand):
             cand = np.setdiff1d(cand, bc_ex.value, assume_unique=True)
+        if after_doc_id is not None:
+            cand = cand[cand > after_doc_id]
+        if limit is not None:
+            cand = cand[:limit]  # sorted ascending: lossless pre-cap
         return pd.DataFrame(
             {"query_id": qid, "doc_id": cand.astype(np.int64)}
         )
 
-    return sliced.repartition("query_id", "rng").groupBy(
+    res = sliced.repartition("query_id", "rng").groupBy(
         "query_id", "rng"
     ).applyInPandas(run_range, BOOLEAN_SCHEMA)
+    if limit is not None:
+        w = Window.partitionBy("query_id").orderBy("doc_id")
+        res = (
+            res.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
+        )
+    return res
 
 
 def bm25_filtered_topk_batch(

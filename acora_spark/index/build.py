@@ -40,6 +40,7 @@ prune to one directory per term.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import time
@@ -239,6 +240,155 @@ def build_is_complete(index_dir: str) -> bool:
         steps.get(f"bucket:{b}", {}).get("status") == "done"
         for b in range(int(stats["num_buckets"]))
     )
+
+
+# ---------------------------------------------------------- mutator lease --
+
+#: seconds before an unrefreshed lease is considered abandoned and may be
+#: stolen.  Long-running mutations refresh mid-flight (build refreshes per
+#: bucket group), so only a hard-killed mutator ever ages this far.
+MUTATOR_LEASE_TTL = 900.0
+
+
+class MutatorLockHeld(RuntimeError):
+    """Another mutator holds the index's ``_mutator.lock`` and its lease
+    has not expired."""
+
+
+def _lock_path(index_dir: str) -> str:
+    return _join_path(index_dir, "_mutator.lock")
+
+
+def break_mutator_lock(index_dir: str) -> None:
+    """Operator escape hatch: forcibly remove the mutator lease (e.g.
+    after hard-killing a mutator when waiting out the TTL is not an
+    option).  Only safe when NO mutator is actually running."""
+    fsutil.delete_file(_lock_path(index_dir))
+
+
+class _Lease:
+    """One mutator's hold on an index directory.
+
+    The crash-atomic commit protocol makes crashes safe but says nothing
+    about CONCURRENT writers: two schedulers running merge and compact
+    together could interleave staged directories and commits.  The lease
+    closes that gap with the standard TTL-lock recipe: an atomic
+    create of ``_mutator.lock`` claims the index, a claim older than its
+    TTL is abandoned and stealable, and every acquire/steal is verified
+    by re-reading the file (object stores lack create-if-absent, so the
+    re-read shrinks their check-then-write race to the write-verify
+    gap — best-effort fencing, exact on local/HDFS paths).  Readers
+    never take the lock; they are isolated by the commit protocol."""
+
+    def __init__(self, index_dir: str, op: str, ttl: float) -> None:
+        import socket
+        import uuid
+
+        self.index_dir = index_dir
+        self.op = op
+        self.ttl = float(ttl)
+        self.holder = (
+            f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+        )
+        self.depth = 1
+
+    def _payload(self) -> str:
+        return json.dumps(
+            {
+                "holder": self.holder,
+                "op": self.op,
+                "acquired_at": time.time(),
+                "ttl": self.ttl,
+            }
+        )
+
+    def acquire(self) -> None:
+        path = _lock_path(self.index_dir)
+        if not fsutil.create_exclusive(path, self._payload()):
+            cur = fsutil.read_json(path)
+            # a vanished/corrupt lock counts as abandoned
+            age = (
+                time.time() - float(cur.get("acquired_at", 0))
+                if cur
+                else float("inf")
+            )
+            ttl = float(cur.get("ttl", self.ttl)) if cur else 0.0
+            if cur and age <= ttl:
+                raise MutatorLockHeld(
+                    f"index at {self.index_dir} is locked by mutator "
+                    f"{cur.get('holder')!r} (op={cur.get('op')!r}, "
+                    f"age={age:.0f}s, ttl={ttl:.0f}s); retry after the "
+                    "lease expires, or break_mutator_lock() if the "
+                    "holder is known dead"
+                )
+            # stale: steal by overwrite, then verify below
+            fsutil.write_text_atomic(path, self._payload())
+        got = fsutil.read_json(path)
+        if not got or got.get("holder") != self.holder:
+            raise MutatorLockHeld(
+                f"lost the lease race for {self.index_dir} to "
+                f"{(got or {}).get('holder')!r}"
+            )
+
+    def refresh(self) -> None:
+        """Re-stamp ``acquired_at`` so a long mutation outlives its TTL.
+        Raises when the lease was stolen (this mutator must stop before
+        touching the index again)."""
+        path = _lock_path(self.index_dir)
+        cur = fsutil.read_json(path)
+        if not cur or cur.get("holder") != self.holder:
+            raise MutatorLockHeld(
+                f"mutator lease on {self.index_dir} was stolen by "
+                f"{(cur or {}).get('holder')!r} — aborting"
+            )
+        fsutil.write_text_atomic(path, self._payload())
+
+    def release(self) -> None:
+        cur = fsutil.read_json(_lock_path(self.index_dir))
+        if cur and cur.get("holder") == self.holder:
+            fsutil.delete_file(_lock_path(self.index_dir))
+
+
+#: leases held by THIS process, for reentrancy: merge(mode="rewrite")
+#: calls compact_index under its own lease, and the nested acquire must
+#: join it instead of deadlocking on itself
+_ACTIVE_LEASES: dict[str, _Lease] = {}
+
+
+@contextmanager
+def _mutator_lease(index_dir: str, op: str, ttl: float | None = None):
+    """Hold the single-mutator lease around a mutation.  Reentrant within
+    the process (nested mutations share the outer lease); released on
+    both success and exception — an in-process failure leaves the index
+    in a crash-equivalent (idempotently re-runnable) state, so freeing
+    the lock immediately is safe.  Only a hard-killed process leaves the
+    lock behind, where the TTL makes it stealable."""
+    cur = _ACTIVE_LEASES.get(index_dir)
+    if cur is not None:
+        cur.depth += 1
+        try:
+            yield cur
+        finally:
+            cur.depth -= 1
+        return
+    lease = _Lease(index_dir, op, MUTATOR_LEASE_TTL if ttl is None else ttl)
+    lease.acquire()
+    _ACTIVE_LEASES[index_dir] = lease
+    try:
+        yield lease
+    finally:
+        _ACTIVE_LEASES.pop(index_dir, None)
+        lease.release()
+
+
+def _refresh_lease(index_dir: str) -> None:
+    """Refresh the process's active lease on ``index_dir`` (no-op when
+    none is held — e.g. internal helpers exercised directly in tests).
+    Called before commit points: a mutation that lost its lease to a
+    TTL steal must abort rather than publish over the thief's work."""
+    lease = _ACTIVE_LEASES.get(index_dir)
+    if lease is not None:
+        lease.refresh()
 
 
 def _read_stats(index_dir: str) -> dict:
@@ -689,9 +839,40 @@ def build_index(
     ``runs_files_per_bucket`` fixes the runs-table file layout (a
     CONSTANT, deliberately not core-derived — see the runs step below for
     why that buys cross-cluster-size bit-identity).  Scale the total write
-    fan-out via ``num_buckets``."""
-    spark = corpus.sparkSession
+    fan-out via ``num_buckets``.
+
+    Holds the index's mutator lease for the duration (see
+    :class:`_Lease`): a concurrent build/merge/delete/compact on the
+    same directory fails fast with :class:`MutatorLockHeld` instead of
+    interleaving staged writes."""
     fsutil.makedirs(index_dir)
+    with _mutator_lease(index_dir, "build") as lease:
+        return _build_index_impl(
+            corpus,
+            index_dir,
+            lease,
+            num_buckets=num_buckets,
+            docs_per_salt=docs_per_salt,
+            bucket_group_size=bucket_group_size,
+            resume=resume,
+            with_positions=with_positions,
+            runs_files_per_bucket=runs_files_per_bucket,
+        )
+
+
+def _build_index_impl(
+    corpus: DataFrame,
+    index_dir: str,
+    lease: _Lease,
+    *,
+    num_buckets: int,
+    docs_per_salt: int,
+    bucket_group_size: int,
+    resume: bool,
+    with_positions: bool,
+    runs_files_per_bucket: int,
+) -> "Index":
+    spark = corpus.sparkSession
     manifest = _load_manifest(index_dir) if resume else {"steps": {}}
     steps = manifest["steps"]
 
@@ -922,6 +1103,7 @@ def build_index(
         if manifest["steps"].get(f"bucket:{b}", {}).get("status") != "done"
     ]
     for i in range(0, len(pending), bucket_group_size):
+        lease.refresh()  # long builds must outlive the lease TTL
         t0 = time.time()
         group = pending[i : i + bucket_group_size]
         # Zero-shuffle encode: the runs files are already term-clustered
@@ -1312,9 +1494,29 @@ def merge_index(
     informational manifest fold can be stale (``verify_index`` flags
     it).  Committed-docmap membership therefore doubles as the
     merge-completion marker the streaming ingest sink's replay-skip
-    logic relies on."""
+    logic relies on.
+
+    CONCURRENCY: holds the mutator lease throughout (``mode="rewrite"``
+    runs its inline compaction under the same lease); a second mutator
+    raises :class:`MutatorLockHeld` immediately."""
     if mode not in ("append", "rewrite"):
         raise ValueError("mode must be 'append' or 'rewrite'")
+    with _mutator_lease(index_dir, "merge"):
+        return _merge_index_impl(
+            delta_corpus,
+            index_dir,
+            mode=mode,
+            bucket_group_size=bucket_group_size,
+        )
+
+
+def _merge_index_impl(
+    delta_corpus: DataFrame,
+    index_dir: str,
+    *,
+    mode: str,
+    bucket_group_size: int,
+) -> "Index":
     if not build_is_complete(index_dir):
         # stats.json and the docmap commit EARLY in a build, so "stats
         # exists" must never be read as "index built" — merging into a
@@ -1532,6 +1734,7 @@ def merge_index(
     counts = obs.get
 
     # ---- COMMIT: one atomic stats.json write publishes the generation --
+    _refresh_lease(index_dir)  # abort pre-commit if the lease was stolen
     _commit_stats(index_dir, stats)
 
     # post-commit bookkeeping (informational; a crash from here on leaves
@@ -1654,35 +1857,38 @@ def delete_docs(
     postings entries and refreshes stats — the standard soft-delete
     trade (cf. Lucene liveDocs), which keeps deletes O(|keys|).
     Repeated deletes of the same key are idempotent (tombstones dedupe on
-    read and at compaction)."""
+    read and at compaction).  Holds the mutator lease (concurrent
+    mutators raise :class:`MutatorLockHeld`)."""
     from pyspark.sql import Observation
 
-    if not build_is_complete(index_dir):
-        # same refusal as merge/compact: a half-built index's docmap is an
-        # early commit a resumed build keeps mutating — tombstoning against
-        # it would append rows into a moving target
-        raise ValueError(
-            f"index at {index_dir} is not a completed build — resume "
-            "build_index(resume=True) before deleting"
+    with _mutator_lease(index_dir, "delete"):
+        if not build_is_complete(index_dir):
+            # same refusal as merge/compact: a half-built index's docmap
+            # is an early commit a resumed build keeps mutating —
+            # tombstoning against it would append into a moving target
+            raise ValueError(
+                f"index at {index_dir} is not a completed build — resume "
+                "build_index(resume=True) before deleting"
+            )
+        key_cols = list(key_cols)
+        idx = load_index(spark, index_dir)
+        # count rides the write via observe(): ONE job, and the count is
+        # of the rows actually WRITTEN (a separate count() would
+        # re-execute the join and could diverge for a non-deterministic
+        # keys DataFrame)
+        obs = Observation("delete_docs")
+        hit = (
+            idx.docmap(spark)
+            .join(keys.select(*key_cols).distinct(), key_cols)
+            .select("doc_id", "dl")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-    key_cols = list(key_cols)
-    idx = load_index(spark, index_dir)
-    # count rides the write via observe(): ONE job, and the count is of
-    # the rows actually WRITTEN (a separate count() would re-execute the
-    # join and could diverge for a non-deterministic keys DataFrame)
-    obs = Observation("delete_docs")
-    hit = (
-        idx.docmap(spark)
-        .join(keys.select(*key_cols).distinct(), key_cols)
-        .select("doc_id", "dl")
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-    )
-    path = _join_path(index_dir, "tombstones")
-    hit.write.mode("append").parquet(path)
-    n = int(obs.get["n"] or 0)
-    m = _load_manifest(index_dir)
-    _mark_done(index_dir, f"delete:{len(m['steps'])}", docs=n)
-    return n
+        path = _join_path(index_dir, "tombstones")
+        hit.write.mode("append").parquet(path)
+        n = int(obs.get["n"] or 0)
+        m = _load_manifest(index_dir)
+        _mark_done(index_dir, f"delete:{len(m['steps'])}", docs=n)
+        return n
 
 
 def compact_index(
@@ -1713,7 +1919,24 @@ def compact_index(
     it kept its single-shard cold layout is split into dyadic doc-range
     shards during the re-encode (refinement only; see
     :func:`_merge_stream`), so its blob stops growing without bound and
-    the ranged executors regain their per-shard parallelism."""
+    the ranged executors regain their per-shard parallelism.
+
+    Holds the mutator lease — a cron'd compaction racing a streaming
+    ingest merge is the canonical concurrent-mutator hazard this
+    protects against."""
+    with _mutator_lease(index_dir, "compact") as lease:
+        return _compact_index_impl(
+            spark, index_dir, lease, bucket_group_size=bucket_group_size
+        )
+
+
+def _compact_index_impl(
+    spark: SparkSession,
+    index_dir: str,
+    lease: _Lease,
+    *,
+    bucket_group_size: int,
+) -> "Index":
     import re as _re
 
     if not build_is_complete(index_dir):
@@ -1865,6 +2088,7 @@ def compact_index(
     stats["docmap_dirs"] = docmap_dirs
     stats["docstats_dirs"] = docstats_dirs
     stats["min_avgdl_encode"] = stats["avgdl"]
+    lease.refresh()  # abort pre-commit if the lease was stolen
     _commit_stats(index_dir, stats)
     _mirror_hot_widths(index_dir, hot_map)
 

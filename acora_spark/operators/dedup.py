@@ -148,7 +148,7 @@ def winnow_near_dup_pairs(
     k: int = 4,
     window: int = 3,
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by shared winnowing fingerprints:
     ``(id_a, id_b, shared)`` with ``id_a < id_b`` and ``shared`` =
@@ -164,13 +164,26 @@ def winnow_near_dup_pairs(
     fingerprints shared by more than that many documents — the
     boilerplate guard (a license header common to millions of files
     would otherwise produce a quadratic pair set for one key; standard
-    practice, cf. the suffix-array dedup literature)."""
+    practice, cf. the suffix-array dedup literature).  It defaults ON
+    (1000): unbounded hot keys are the one way this operator can blow
+    up at corpus scale, so opting OUT (``max_df=None``) is the explicit
+    act.  The drop is not silent — the returned DataFrame carries an
+    attached ``Observation`` (``df._winnow_drop_obs``) whose
+    ``dropped_fingerprints`` metric reports, after any action, how many
+    fingerprint keys the cap removed."""
+    from pyspark.sql import Observation
+
     fps = winnow_fingerprints(df, content_col, id_col, k, window)
     grouped = fps.groupBy("fingerprint").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
+    drop_obs = None
     if max_df is not None:
-        grouped = grouped.filter(F.size("ids") <= max_df)
+        drop_obs = Observation("winnow_drops")
+        grouped = grouped.observe(
+            drop_obs,
+            F.count_if(F.size("ids") > max_df).alias("dropped_fingerprints"),
+        ).filter(F.size("ids") <= max_df)
     # all (a < b) pairs within each fingerprint's id list — ``ids`` is an
     # aggregation output attribute, so subscript/slice access inside the
     # lambdas is O(1) (no projected-expression re-evaluation)
@@ -183,12 +196,14 @@ def winnow_near_dup_pairs(
             )
         ).alias("p")
     )
-    return (
+    out = (
         pairs.select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+    out._winnow_drop_obs = drop_obs
+    return out
 
 
 def minhash_signature(
@@ -223,12 +238,25 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b, with the matching band).
 
     Docs agreeing on ALL hashes of any band land in the same bucket; the
     self-join is per-band on the bucket key, so shuffle volume is
-    O(n * bands), not O(n^2)."""
+    O(n * bands), not O(n^2) — UNLESS one bucket is hot: a boilerplate
+    band value shared by millions of docs would hand the self-join a
+    quadratic pair set for that single key.  ``max_bucket_size``
+    (default 500) drops such buckets before the join; docs that fall in
+    an over-full bucket can still pair through their other bands, which
+    is the standard LSH posture (a bucket that big is boilerplate, not
+    near-duplication signal).  Pass ``None`` to opt out explicitly.  The
+    drop is not silent — the returned DataFrame carries an attached
+    ``Observation`` (``df._lsh_drop_obs``) whose ``dropped_buckets``
+    metric reports, after any action, how many (band, bucket) keys the
+    cap removed."""
+    from pyspark.sql import Observation
+
     sig = minhash_signature(df, content_col, id_col, num_hashes, shingle_n)
     # docs with no shingles have NULL signatures; concat_ws would fold them
     # all into one md5('') bucket and pair every empty doc with every other
@@ -246,6 +274,25 @@ def lsh_candidate_pairs(
     exploded = bands[0]
     for b in bands[1:]:
         exploded = exploded.unionByName(b)
+    drop_obs = None
+    if max_bucket_size is not None:
+        # bucket sizes via ONE aggregation on the same (band, bucket) key
+        # the self-join below shuffles on — the exchange is shared, so the
+        # cap costs no extra wide stage at scale
+        drop_obs = Observation("lsh_drops")
+        keep = (
+            exploded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bs"))
+            .observe(
+                drop_obs,
+                F.count_if(F.col("_bs") > max_bucket_size).alias(
+                    "dropped_buckets"
+                ),
+            )
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
+        exploded = exploded.join(keep, ["band", "bucket"])
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -257,6 +304,7 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    pairs._lsh_drop_obs = drop_obs
     return pairs
 
 

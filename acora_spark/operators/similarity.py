@@ -214,16 +214,26 @@ def build_ann_index(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> None:
     """Persist an IVF index: vectors written PARTITIONED BY coarse cell.
 
     At query time only the probed cells' directories are read (hive
     partition pruning) — at 100 TB the probe touches ``nprobe/num_cells``
-    of the data.  Centroids are stored alongside for the query router."""
+    of the data.  Centroids are stored alongside for the query router.
+
+    ``centroids`` injects a pre-trained coarse quantizer (shape
+    ``(num_cells, dim)``) instead of training one — the production
+    pattern for rebuilding an index under a frozen router, and what
+    makes the operator SQL-mirrorable (literal centroids)."""
     import json
     import os
 
-    cents = _train_centroids(emb, num_cells, seed, vec_col, id_col)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _train_centroids(emb, num_cells, seed, vec_col, id_col)
+    )
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(cents)
 
@@ -285,15 +295,21 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign vectors to the nearest of
     ``num_cells`` centroids (deterministic hash-sampled seeds, one Lloyd
-    refinement), then search only the ``nprobe`` cells nearest the query.
+    refinement — or an injected pre-trained quantizer via ``centroids``),
+    then search only the ``nprobe`` cells nearest the query.
 
     At scale the cell id is the storage partition key, so the probe reads
     ``nprobe/num_cells`` of the data (partition pruning); here the cell
     filter plays that role."""
-    cents = _train_centroids(emb, num_cells, seed, vec_col, id_col)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _train_centroids(emb, num_cells, seed, vec_col, id_col)
+    )
     if not len(cents):
         return brute_force_topk(emb, query_vec, k, id_col, vec_col)
     spark = emb.sparkSession

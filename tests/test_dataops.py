@@ -209,6 +209,45 @@ def test_multimodal_feature_plumbing(spark):
         extract_image_features(df, fake_decode=False).collect()
 
 
+def test_image_header_metadata(spark):
+    """Codec-free image metadata: PNG IHDR / JPEG SOF / GIF descriptor
+    dimensions parse exactly from header bytes; corrupt, truncated, and
+    foreign payloads yield NULLs (filter, don't throw)."""
+    from acora_spark.sources.multimodal import (
+        extract_image_metadata,
+        parse_image_header,
+        synthesize_image,
+    )
+
+    # driver-side roundtrip across formats and dimension extremes
+    for kind in ("png", "jpeg", "gif"):
+        for w, h in [(1, 1), (640, 480), (65535, 2)]:
+            assert parse_image_header(synthesize_image(kind, w, h)) == (
+                kind, w, h,
+            )
+
+    rows = [
+        (0, synthesize_image("png", 640, 480)),
+        (1, synthesize_image("jpeg", 1920, 1080)),
+        (2, synthesize_image("gif", 13, 7)),
+        (3, b"RIFF....WEBPVP8 not parsed"),
+        (4, synthesize_image("png", 9, 9)[:12]),  # truncated mid-IHDR
+        (5, synthesize_image("jpeg", 9, 9)[:3]),  # truncated mid-marker
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.format, r.width, r.height, r.n_bytes)
+        for r in extract_image_metadata(df).collect()
+    }
+    assert got[0] == ("png", 640, 480, len(rows[0][1]))
+    assert got[1] == ("jpeg", 1920, 1080, len(rows[1][1]))
+    assert got[2] == ("gif", 13, 7, len(rows[2][1]))
+    for bad in (3, 4, 5):
+        assert got[bad][:3] == (None, None, None)
+    assert got[6] == (None, None, None, 0)
+
+
 def test_connected_components_exact_closure(spark):
     """Pointer-jumping CC: exact transitive closure for cliques, chains
     (long diameter — the LSH bucket-chain shape), and forests; group id =
@@ -312,6 +351,42 @@ def test_winnowing_guarantee_and_boilerplate_guard(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_key_caps_bound_pair_generators(spark):
+    """A fingerprint/bucket shared by more docs than the cap emits ZERO
+    pairs from that key (the quadratic-blowup guard is ON by default),
+    while genuinely near-duplicate docs still pair through their own
+    keys — and the drop is observable, not silent: the attached
+    Observation reports how many keys the cap removed."""
+    from acora_spark.operators.dedup import winnow_near_dup_pairs
+
+    # 40 docs sharing one boilerplate passage (the million-doc license
+    # header in miniature) + one genuine near-dup pair with its own text
+    passage = "license header apache version two the usual boilerplate text"
+    rows = [(i, passage) for i in range(40)]
+    rows += [
+        (100, "genuinely unique alpha beta gamma delta epsilon zeta body"),
+        (101, "genuinely unique alpha beta gamma delta epsilon zeta tail"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, content string")
+
+    res = winnow_near_dup_pairs(d, k=4, window=3, min_shared=1, max_df=10)
+    pairs = {(r.id_a, r.id_b) for r in res.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 40 and b < 40 for a, b in pairs), \
+        "capped fingerprint must contribute no pairs"
+    assert res._winnow_drop_obs.get["dropped_fingerprints"] > 0
+
+    cand = lsh_candidate_pairs(
+        d, content_col="content", num_hashes=8, band_size=1,
+        max_bucket_size=10,
+    )
+    cpairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (100, 101) in cpairs
+    assert not any(a < 40 and b < 40 for a, b in cpairs), \
+        "capped bucket must contribute no pairs"
+    assert cand._lsh_drop_obs.get["dropped_buckets"] > 0
 
 
 def test_chunk_documents_windows_and_edges(spark):

@@ -481,6 +481,39 @@ def test_boolean_query_ranged_grid_invisible(built, spark):
     assert base == grid and len(base) > 0
 
 
+def test_boolean_query_limit_paging(built, spark):
+    """limit/after_doc_id form a deterministic keyset cursor: pages of
+    size k, lowest doc ids first, concatenating to the exact full result
+    — across grid sizes (the per-range pre-cap must be lossless)."""
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    idx, _, _ = built
+    queries = [{"should": ["the", "data"]}]  # hot: large result set
+    full = sorted(
+        r.doc_id
+        for r in boolean_query_batch(spark, idx, queries).collect()
+    )
+    assert len(full) > 10
+    for num_ranges in (None, 8):
+        paged, cursor, k = [], None, 7
+        while True:
+            page = sorted(
+                r.doc_id
+                for r in boolean_query_batch(
+                    spark, idx, queries, num_ranges=num_ranges,
+                    limit=k, after_doc_id=cursor,
+                ).collect()
+            )
+            assert len(page) <= k
+            if not page:
+                break
+            paged.extend(page)
+            cursor = page[-1]
+            if len(page) < k:
+                break
+        assert paged == full, f"num_ranges={num_ranges}"
+
+
 def test_filtered_topk_exact_vs_bruteforce(built, spark):
     """Filtered search == rank ALL docs by BM25 (huge k), then apply the
     boolean constraints, then cut to k — scores bit-identical, multiple

@@ -462,6 +462,61 @@ def test_hot_widths_live_in_stats_commit(spark, sf_dir, tmp_path):
     assert _hot_terms(index_dir) == build_mod._hot_widths(index_dir)
 
 
+def test_mutator_lease_blocks_concurrent_and_steals_stale(
+    spark, sf_dir, tmp_path
+):
+    """Two mutators on one index must not interleave: the second fails
+    loudly while the first's lease is live; a lease whose holder died
+    (no refresh within TTL) is stolen and the mutation proceeds."""
+    import json
+    import time
+
+    from acora_spark import fsutil
+
+    index_dir = str(tmp_path / "idx")
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, index_dir, num_buckets=4, docs_per_salt=200,
+                      bucket_group_size=4)
+    lock = os.path.join(index_dir, "_mutator.lock")
+    assert not os.path.exists(lock), "clean mutation must release its lease"
+
+    def plant(age):
+        fsutil.write_text_atomic(lock, json.dumps({
+            "holder": "otherhost:1:deadbeef", "op": "merge",
+            "acquired_at": time.time() - age, "ttl": 900,
+        }))
+
+    plant(age=0)  # live foreign mutator
+    with pytest.raises(build_mod.MutatorLockHeld, match="locked by mutator"):
+        compact_index(spark, index_dir)
+    with pytest.raises(build_mod.MutatorLockHeld):
+        delete_docs(spark, index_dir, corpus.limit(1))
+    with pytest.raises(build_mod.MutatorLockHeld):
+        build_index(corpus, index_dir, num_buckets=4, docs_per_salt=200)
+
+    plant(age=3600)  # holder dead past TTL: stealable
+    before = _topk(spark, idx)
+    idx = compact_index(spark, index_dir)
+    assert _topk(spark, idx) == before
+    assert not os.path.exists(lock)
+
+    # reentrant within the process: merge(mode="rewrite")'s inline
+    # compaction joins the outer lease instead of deadlocking
+    with build_mod._mutator_lease(index_dir, "outer") as l1:
+        with build_mod._mutator_lease(index_dir, "inner") as l2:
+            assert l2 is l1
+        assert os.path.exists(lock), "outer lease still held"
+    assert not os.path.exists(lock)
+
+    # a stolen lease must abort the loser at its next refresh
+    lease = build_mod._Lease(index_dir, "victim", ttl=900)
+    lease.acquire()
+    plant(age=0)  # thief overwrites
+    with pytest.raises(build_mod.MutatorLockHeld, match="stolen"):
+        lease.refresh()
+    os.remove(lock)
+
+
 def test_unsuffixed_orphan_dirs_reclaimed(spark, sf_dir, tmp_path):
     """A compaction that crashed between its stats commit and its old-dir
     deletion leaves the plain postings/ dir behind (now unreferenced);
