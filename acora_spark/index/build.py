@@ -728,6 +728,18 @@ def _encode_stream(
 # i.e. a single shard covering the whole doc-id space
 COLD_SHARD_WIDTH = 62
 
+# ---- size gate for the docmap join strategy (see _doc_term_runs) ----
+# conservative per-row estimate of the docmap build side in a hash map:
+# three key strings (~repo/path/commit), two longs, hash-table overhead
+DOCMAP_ROW_BYTES = 256
+# per-task memory budget the hashed build side must provably fit before
+# the join is allowed off the spill-safe sort-merge plan
+SHJ_BUILD_BUDGET_BYTES = 64 << 20
+# below this estimated total size the hint is withheld entirely: a join
+# STRATEGY hint overrides Catalyst's broadcast selection, and a docmap
+# this small is better broadcast (no shuffle at all) than shuffle-hashed
+SHJ_MIN_TOTAL_BYTES = 32 << 20
+
 
 def _shard_width(df: int, n_docs: int, docs_per_salt: int) -> int:
     """log2 of the doc-id width of one shard of a hot term: the dyadic
@@ -738,35 +750,108 @@ def _shard_width(df: int, n_docs: int, docs_per_salt: int) -> int:
     return min(COLD_SHARD_WIDTH, max(0, w))
 
 
+# run-length via ONE codegen regex pass over the sorted-joined token
+# string: each match is a maximal run "<term>( <term>)*" — the capture's
+# backreference plus a token-boundary lookahead stops a run from eating a
+# longer token that merely shares a prefix (sorted order puts "ab" right
+# before "abc").  tf recovers arithmetically: a tf-long run of an
+# L-char term is exactly tf*(L+1)-1 chars.
+_RUNS_REGEX = r"([a-z0-9_]+)((?: \1(?= |$))*)"
+
+
 def _doc_term_runs(
     corpus: DataFrame,
     docmap: DataFrame,
     key_cols: Sequence[str],
     with_positions: bool,
+    *,
+    docmap_rows: int | None = None,
+    rl_impl: str = "regex",
 ) -> DataFrame:
     """(doc_id, term, tf:int, dl:int[, positions]) — one row per distinct
     (document, term), computed WITHOUT an aggregation shuffle.
 
-    The token array is sorted per row and run-length encoded with built-in
-    array expressions: run starts are the indices where the sorted value
-    changes; ``tf`` = distance to the next start.  With positions, tokens
-    are lifted to (token, index) structs first — ``array_sort`` orders by
-    token then index, so each run's positions come out ascending (the
-    positional-postings invariant).
+    The token array is sorted per row and run-length encoded IN the row:
+    a document's tokens never leave it, so the classic explode ->
+    groupBy(doc_id, term) aggregation exchange disappears.  Two
+    implementations of the run-length itself:
 
-    EVALUATION-ORDER TRAP: Catalyst collapses stacked projections, and
-    higher-order functions are interpreted (no codegen subexpression
-    elimination) — an array referenced inside a lambda via a column name
-    re-evaluates its WHOLE defining expression on every element access,
-    turning the run-length pass quadratic per document (measured: 2.4 ms
-    -> 2.4 s per 750-byte doc batch).  Binding each intermediate array as
-    a LAMBDA VARIABLE via single-element ``transform(array(x), v -> ...)``
-    wrappers materializes it once per row and keeps every access O(1).
-    CASE guards keep ANSI-mode subscripts in bounds; ``try_element_at``
-    returns NULL past the end (folded to ``size``)."""
+    * ``rl_impl="regex"`` (default, positions-free path) — sort, join
+      with spaces, and extract maximal equal-token runs with ONE
+      ``regexp_extract_all`` pass (:data:`_RUNS_REGEX`); term and tf
+      then come from plain string expressions.  Everything stays inside
+      whole-stage codegen — this replaced the interpreted higher-order
+      chain below after measuring ~1.7x on the map side (the worst-
+      scaling component of the whole build, BENCH.md round 4/5).  The
+      JVM regex loop is iterative (measured safe on a 2,000,000-token
+      single-term run), and token chars ``[a-z0-9_]`` can never contain
+      regex metacharacters or the space delimiter.
+    * ``rl_impl="hof"`` — the array-expression form, kept as the
+      differential oracle for the regex path and as the only form that
+      can carry POSITIONS (the regex consumes the sorted order; token
+      indices are already gone).  ``with_positions=True`` always uses it.
+
+    EVALUATION-ORDER TRAP (hof path): Catalyst collapses stacked
+    projections, and higher-order functions are interpreted (no codegen
+    subexpression elimination) — an array referenced inside a lambda via
+    a column name re-evaluates its WHOLE defining expression on every
+    element access, turning the run-length pass quadratic per document
+    (measured: 2.4 ms -> 2.4 s per 750-byte doc batch).  Binding each
+    intermediate array as a LAMBDA VARIABLE via single-element
+    ``transform(array(x), v -> ...)`` wrappers materializes it once per
+    row and keeps every access O(1).  CASE guards keep ANSI-mode
+    subscripts in bounds; ``try_element_at`` returns NULL past the end
+    (folded to ``size``).
+
+    JOIN STRATEGY: the docmap side is tiny per row (keys + doc_id + dl)
+    but at 10^12 docs it cannot be assumed to fit per-task memory, so
+    sort-merge is the guaranteed-spill-safe default.  When
+    ``docmap_rows`` is given and the estimated per-partition build side
+    fits :data:`SHJ_BUILD_BUDGET_BYTES` (and the total is past the
+    broadcastable range), the join is hinted to SHUFFLED-HASH — it
+    skips sorting the fat content rows.  The gate exists because round
+    4 measured that sort at -5.5 s @ local[32]; RE-MEASURED after the
+    regex run-length landed, the win is gone (t32 neutral, t8 5-10%
+    slower, BENCH.md round 5), so the builders do NOT pass
+    ``docmap_rows`` — the mechanism stays available and size-safe for
+    workloads where the content sort dominates again (e.g. much fatter
+    documents)."""
     id_map = docmap.select(*key_cols, "doc_id", "dl")
+    if docmap_rows is not None:
+        spark = corpus.sparkSession
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        total = docmap_rows * DOCMAP_ROW_BYTES
+        if (
+            total > SHJ_MIN_TOTAL_BYTES  # broadcastable: let Catalyst
+            and total / max(parts, 1) <= SHJ_BUILD_BUDGET_BYTES
+        ):
+            id_map = id_map.hint("shuffle_hash")
     docs = corpus.join(id_map, list(key_cols))
     from acora_spark.functions.tokenize import tokens_expr
+
+    if not with_positions and rl_impl == "regex":
+        runs = docs.select(
+            "doc_id",
+            F.col("dl").cast("int").alias("dl"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.array_join(
+                        F.array_sort(tokens_expr(F.col("content"))), " "
+                    ),
+                    F.lit(_RUNS_REGEX),
+                    0,
+                )
+            ).alias("run"),
+        )
+        return runs.select(
+            "doc_id",
+            F.substring_index("run", " ", 1).alias("term"),
+            F.expr(
+                "CAST((length(run) + 1)"
+                " DIV (length(substring_index(run, ' ', 1)) + 1) AS INT)"
+            ).alias("tf"),
+            "dl",
+        )
 
     if with_positions:
         runs_expr = """
@@ -996,6 +1081,11 @@ def _build_index_impl(
         # — at 100 TB that exchange (one row per distinct (doc, term) with
         # the term string attached) was the single largest shuffle byte
         # stream of the build.
+        # docmap_rows deliberately NOT passed: the size-gated shuffled-hash
+        # join was re-measured after the regex run-length landed and the
+        # -5.5s @32 win it was adopted for evaporated (t32 neutral, t8
+        # 5-10% SLOWER, interleaved min-of-2 — BENCH.md round 5); the
+        # spill-safe sort-merge default stands on current evidence
         runs = _doc_term_runs(
             corpus, spark.read.parquet(docmap_path), key_cols, with_positions
         ).withColumn(

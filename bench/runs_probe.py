@@ -101,7 +101,15 @@ def child(cores: int, n_docs: int, mode: str) -> None:
                     F.col("r.tf").alias("tf"), F.col("dl").cast("int").alias("dl"))
         )
     else:
-        df = _doc_term_runs(corpus, docmap, key_cols, False).withColumn(
+        # mode suffixes: _hof = interpreted array-expression run-length
+        # (the pre-round-5 form); _gate = pass docmap_rows so the size
+        # gate applies the shuffled-hash hint; default = regex run-length
+        # with the sort-merge join
+        rl = "hof" if "_hof" in mode else "regex"
+        dmr = n_docs if "_gate" in mode else None
+        df = _doc_term_runs(
+            corpus, docmap, key_cols, False, docmap_rows=dmr, rl_impl=rl
+        ).withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         )
 

@@ -190,6 +190,31 @@ def child(cores: int, n_docs: int) -> None:
         engine.topk([q], k=10).collect()
         lat.append(time.time() - t0)
 
+    # boolean + filtered executors at the scaling size (bench.py covers
+    # them only at sf0.1): hot must terms so the range grid fans out
+    from acora_spark.index.bm25 import (
+        bm25_filtered_topk_batch,
+        boolean_query_batch,
+    )
+
+    bool_qs = [
+        {"must": ["import", "spark"], "must_not": ["w999"]},
+        {"should": ["shuffle", "template"]},
+    ]
+    filt_qs = [
+        {"query": "spark shuffle partition", "must": ["import"],
+         "must_not": ["w999"]},
+        {"query": "struct impl w123", "must": ["def"]},
+    ]
+    bool_lat, filt_lat = [], []
+    for _ in range(3):
+        t0 = time.time()
+        boolean_query_batch(spark, idx, bool_qs, limit=1000).count()
+        bool_lat.append(time.time() - t0)
+        t0 = time.time()
+        bm25_filtered_topk_batch(spark, idx, filt_qs, k=10).collect()
+        filt_lat.append(time.time() - t0)
+
     # determinism check across parallelism: top-10 doc ids of query 0,
     # via the cold (bucket-pruned) path — exercises both executors
     top = bm25_topk_batch(spark, idx, [QUERIES[0]], k=10).orderBy("rank").collect()
@@ -210,6 +235,8 @@ def child(cores: int, n_docs: int) -> None:
                 "build_sec": round(build_sec, 3),
                 "stage_secs": stage_secs,
                 "serve_p50": round(statistics.median(lat), 3),
+                "boolean_p50": round(statistics.median(bool_lat), 3),
+                "filtered_p50": round(statistics.median(filt_lat), 3),
                 "top_docs": [int(r.doc_id) for r in top],
                 "top_scores": [round(float(r.score), 10) for r in top],
                 "bucket_xors": bucket_xors,
@@ -256,7 +283,8 @@ def main() -> None:
     r_lo = dict(runs_lo[0])
     r_hi = dict(runs_hi[0])
     for key in (
-        "probe_sec", "mp_sec", "membw_sec", "scan_sec", "build_sec", "serve_p50"
+        "probe_sec", "mp_sec", "membw_sec", "scan_sec", "build_sec",
+        "serve_p50", "boolean_p50", "filtered_p50",
     ):
         r_lo[key] = min(r[key] for r in runs_lo)
         r_hi[key] = min(r[key] for r in runs_hi)
@@ -348,6 +376,11 @@ def main() -> None:
         f"| **{s_eff:.2f}** | **{s_eff / probe_eff:.2f}** |",
         f"| BM25 serve p50 (single query) | {r_lo['serve_p50']*1000:.0f} ms "
         f"| {r_hi['serve_p50']*1000:.0f} ms | — | — | (latency, not throughput) | — |",
+        f"| boolean retrieval p50 (2-query batch, limit 1000) "
+        f"| {r_lo['boolean_p50']*1000:.0f} ms "
+        f"| {r_hi['boolean_p50']*1000:.0f} ms | — | — | (latency, not throughput) | — |",
+        f"| filtered BM25 p50 (2-query batch) | {r_lo['filtered_p50']*1000:.0f} ms "
+        f"| {r_hi['filtered_p50']*1000:.0f} ms | — | — | (latency, not throughput) | — |",
         "",
         "## Index build, stage by stage",
         "",

@@ -1015,3 +1015,96 @@ def test_delete_consistency_across_all_executors(spark, sf_dir, tmp_path):
         assert got_r == expect, f"trial {trial}: ranged"
         assert got_l == expect, f"trial {trial}: local"
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_doc_term_runs_regex_equals_hof(spark):
+    """The codegen regex run-length (build hot path) must agree exactly
+    with the array-expression form on adversarial token mixes: sorted
+    prefix-sharing tokens (ab/abc), empty docs, NULL content, and a
+    multi-thousand-repetition run (JVM regex loop robustness)."""
+    import random
+
+    from acora_spark.index.build import _doc_term_runs
+
+    random.seed(42)
+    vocab = ["ab", "abc", "a", "b_1", "zz", "q9", "ab_", "x", "9", "_"]
+    rows = [
+        (i, " ".join(random.choice(vocab)
+                     for _ in range(random.randint(0, 60))))
+        for i in range(200)
+    ]
+    rows += [
+        (500, None),
+        (501, ""),
+        (502, "ab ab abc ab a abc abc"),
+        (503, " ".join(["hot"] * 5000) + " cold"),
+        (504, "UPPER Case MIXED lower"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "k long, content string"
+    ).select(
+        F.col("k").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit("c").alias("commit"),
+        "content",
+    )
+    docmap = corpus.select(
+        "repo", "path", "commit",
+        F.xxhash64("repo").alias("doc_id"),
+        F.lit(1).alias("dl"),
+    )
+    key_cols = ["repo", "path", "commit"]
+    got = {
+        (r.doc_id, r.term, r.tf)
+        for r in _doc_term_runs(
+            corpus, docmap, key_cols, False, rl_impl="regex"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.term, r.tf)
+        for r in _doc_term_runs(
+            corpus, docmap, key_cols, False, rl_impl="hof"
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_docmap_join_size_gate(spark, sf_dir):
+    """The docmap join goes SHUFFLED-HASH only when the estimated
+    per-partition build side provably fits the budget; a 10^12-row
+    docmap stays on the spill-safe sort-merge plan."""
+    from acora_spark.index.build import _doc_term_runs
+
+    corpus = load_corpus(spark, sf_dir)
+    docmap = corpus.select(
+        "repo", "path", "commit",
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.lit(5).alias("dl"),
+    )
+    key_cols = ["repo", "path", "commit"]
+
+    def plan(docmap_rows):
+        df = _doc_term_runs(
+            corpus, docmap, key_cols, False, docmap_rows=docmap_rows
+        )
+        return df._jdf.queryExecution().sparkPlan().toString()
+
+    # suppress auto-broadcast: at test scale Catalyst would broadcast the
+    # tiny docmap and mask which non-broadcast strategy the gate picked
+    # (a production docmap is never broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # mid-size: too big to broadcast, small enough to hash per task
+        assert "ShuffledHashJoin" in plan(docmap_rows=1_000_000)
+        big = plan(docmap_rows=10**12)
+        assert "SortMergeJoin" in big and "ShuffledHashJoin" not in big
+        # tiny: no hint — Catalyst remains free to broadcast (here, with
+        # broadcast suppressed, that shows as the sort-merge default)
+        tiny = plan(docmap_rows=1000)
+        assert "ShuffledHashJoin" not in tiny
+        # no row estimate given: default stays sort-merge (spill-safe)
+        none = plan(docmap_rows=None)
+        assert "SortMergeJoin" in none and "ShuffledHashJoin" not in none
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -80,6 +80,35 @@ def main() -> None:
         )
     )
 
+    # 3b. runs map side: the per-doc run-length is pure codegen (regex
+    #     pass) — no Python eval node, no HOF interpreter, and the only
+    #     wide operations are the docmap join's two exchanges
+    from acora_spark.index.build import _doc_term_runs
+    from acora_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, SF_DIR)
+    dmap = corpus.select(
+        "repo", "path", "commit",
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.lit(7).alias("dl"),
+    )
+    runs_df = _doc_term_runs(corpus, dmap, ["repo", "path", "commit"], False)
+    p3b = plan_of(runs_df, "simple")
+    assert "MapInPandas" not in p3b and "BatchEvalPython" not in p3b
+    assert "Generate" in p3b  # the explode of regex runs
+    sections.append(
+        (
+            "Runs map side: codegen regex run-length (no Python, no HOF)",
+            "The per-doc (term, tf) computation is one "
+            "regexp_extract_all + explode + string arithmetic — all "
+            "inside WholeStageCodegen (asserted: no MapInPandas / "
+            "BatchEvalPython anywhere in the stage).  A document's "
+            "tokens never leave their row, so the only exchanges are "
+            "the docmap join's.",
+            p3b,
+        )
+    )
+
     # 4. embedding near-dup default path: equi-join on (band, bucket),
     #    no cartesian / nested-loop anywhere
     nd = entry.q_embedding_near_dups(spark, SF_DIR)
