@@ -1087,10 +1087,24 @@ sig AS (
 )"""
 
 
+def _capped_bands_ctes() -> str:
+    """The bucket-size cap every LSH mirror shares: identical bound to
+    the engine default (``LSH_MAX_BUCKET``), so Spark and the oracle
+    drop exactly the same hot buckets at ANY corpus scale."""
+    from acora_spark.operators.dedup import LSH_MAX_BUCKET
+
+    return f"""bok AS (
+  SELECT band, bucket FROM bands
+  GROUP BY band, bucket HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+bands_ok AS (SELECT b.* FROM bands b JOIN bok USING (band, bucket))"""
+
+
 def _lsh_pairs_sql() -> str:
     """Mirror of q_lsh_pairs (num_hashes=4, band_size=1): each band's
     bucket is md5 of its single signature column (concat_ws of one column
-    is the column itself)."""
+    is the column itself); over-full buckets are dropped with the same
+    cap the engine applies."""
     bands = "\n  UNION ALL ".join(
         f"SELECT doc_id, {i} AS band, md5(mh_{i}) AS bucket FROM sig"
         for i in range(4)
@@ -1099,9 +1113,10 @@ def _lsh_pairs_sql() -> str:
 WITH {_MINHASH4_CTES},
 bands AS (
   {bands}
-)
+),
+{_capped_bands_ctes()}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b USING (band, bucket)
+FROM bands_ok a JOIN bands_ok b USING (band, bucket)
 WHERE a.doc_id < b.doc_id
 """
 
@@ -1227,6 +1242,8 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
 
 
 def oracle_sql() -> dict[str, str]:
+    from acora_spark.operators.dedup import WINNOW_MAX_DF as _WINNOW_MAX_DF
+
     sql: dict[str, str] = {}
     sql["ann_lsh_topk"] = _ann_lsh_sql()
     sql["ann_ivf_topk"] = _ann_ivf_sql()
@@ -1658,14 +1675,15 @@ bands AS (
   UNION ALL
   SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sig
 ),
+{CAPPED_BANDS},
 losers AS (
   SELECT DISTINCT b.doc_id
-  FROM bands a JOIN bands b USING (band, bucket)
+  FROM bands_ok a JOIN bands_ok b USING (band, bucket)
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_id, lang_pred, round(q, 6) AS quality
 FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-"""
+""".format(CAPPED_BANDS=_capped_bands_ctes())
 
     sql["token_classes"] = """
 SELECT doc_id,
@@ -1796,13 +1814,18 @@ fps AS (
          END AS f
   FROM grams
 ),
-fp AS (SELECT doc_id, unnest(f) AS fingerprint FROM fps)
+fp AS (SELECT doc_id, unnest(f) AS fingerprint FROM fps),
+fpok AS (
+  SELECT fingerprint FROM fp
+  GROUP BY fingerprint HAVING count(*) <= {MAX_DF}
+),
+fpf AS (SELECT fp.* FROM fp JOIN fpok USING (fingerprint))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
-FROM fp a JOIN fp b USING (fingerprint)
+FROM fpf a JOIN fpf b USING (fingerprint)
 WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2
-"""
+""".format(MAX_DF=_WINNOW_MAX_DF)
 
     # connected components over the same candidate pairs via a recursive
     # reachability CTE: reach(id, r) closes over symmetric edges; the
@@ -1816,9 +1839,10 @@ WITH RECURSIVE {_MINHASH4_CTES},
 bands AS (
   {cc_bands}
 ),
+{_capped_bands_ctes()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band, bucket)
+  FROM bands_ok a JOIN bands_ok b USING (band, bucket)
   WHERE a.doc_id < b.doc_id
 ),
 sym AS (
@@ -1845,9 +1869,10 @@ WITH {_MINHASH4_CTES},
 bands AS (
   {ngram_bands}
 ),
+{_capped_bands_ctes()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b USING (band, bucket)
+  FROM bands_ok a JOIN bands_ok b USING (band, bucket)
   WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,

@@ -38,6 +38,7 @@ __all__ = [
     "read_text",
     "write_text_atomic",
     "create_exclusive",
+    "move_file",
     "read_json",
     "write_json_atomic",
     "listdir",
@@ -134,28 +135,59 @@ def write_text_atomic(path: str, data: str) -> None:
 
 
 def create_exclusive(path: str, data: str) -> bool:
-    """Create-if-absent: True when this call created the file, False when
-    it already existed.
+    """Create-if-absent WITH content: True when this call created the
+    file, False when it already existed.
 
-    Local paths use ``O_CREAT|O_EXCL`` — a genuinely atomic claim.
-    Object stores get check-then-write through pyarrow (no conditional
-    PUT surface there), so two simultaneous remote claimants can both
-    "win" the create; callers needing a decision must re-read the file
-    and verify their token landed (see the mutator lease protocol in
-    ``index.build``), which shrinks the race to the write-verify gap."""
+    Local paths write the content to a temp file first and claim the
+    name with ``os.link`` — the hard link appears atomically with its
+    full content, so a reader can never observe a claimed-but-empty
+    (torn) file even if the claimant is hard-killed mid-call (an
+    ``O_EXCL`` open followed by a separate write would leave a 0-byte
+    lock on a kill between the two).  Object stores get check-then-write
+    through pyarrow (no conditional-PUT surface there), so two
+    simultaneous remote claimants can both "win"; callers needing a
+    decision must re-read the file and verify their token landed (see
+    the mutator lease protocol in ``index.build``), which shrinks the
+    race to the write-verify gap."""
     if not is_remote(path):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        import uuid
+
+        tmp = f"{path}.claim.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            f.write(data)
-        return True
+        finally:
+            os.remove(tmp)
     if exists(path):
         return False
     write_text_atomic(path, data)
     return True
+
+
+def move_file(src: str, dst: str) -> bool:
+    """Atomic rename where the filesystem supports one; True on success,
+    False when ``src`` does not exist (someone else moved it first) —
+    the take-ownership primitive of the lease-steal protocol: of N
+    concurrent renamers of one name, exactly one succeeds on any
+    rename-capable filesystem."""
+    if not is_remote(src):
+        try:
+            os.rename(src, dst)
+            return True
+        except FileNotFoundError:
+            return False
+    fsys, p_src = pa_fs(src)
+    _, p_dst = pa_fs(dst)
+    try:
+        fsys.move(p_src, p_dst)
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def delete_file(path: str) -> None:

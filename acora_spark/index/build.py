@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 import time
 from collections.abc import Iterable, Sequence
 from contextlib import contextmanager
@@ -245,8 +246,9 @@ def build_is_complete(index_dir: str) -> bool:
 # ---------------------------------------------------------- mutator lease --
 
 #: seconds before an unrefreshed lease is considered abandoned and may be
-#: stolen.  Long-running mutations refresh mid-flight (build refreshes per
-#: bucket group), so only a hard-killed mutator ever ages this far.
+#: stolen.  Every live mutation re-stamps the lease from a heartbeat
+#: thread (ttl/3 cadence) plus explicit refreshes at step boundaries and
+#: commit points, so only a hard-killed mutator ever ages this far.
 MUTATOR_LEASE_TTL = 900.0
 
 
@@ -266,19 +268,48 @@ def break_mutator_lock(index_dir: str) -> None:
     fsutil.delete_file(_lock_path(index_dir))
 
 
+def _read_lock(path: str) -> dict | None:
+    """Lock-file contents, with missing AND unparsable both mapping to
+    ``None`` (= abandoned): object-store writes are single atomic PUTs
+    and local claims hard-link complete content into place, so corrupt
+    bytes can only mean a torn legacy write or manual tampering — a
+    permanently wedged index would be strictly worse than treating it
+    as stealable garbage."""
+    try:
+        return fsutil.read_json(path)
+    except Exception:
+        return None
+
+
 class _Lease:
     """One mutator's hold on an index directory.
 
     The crash-atomic commit protocol makes crashes safe but says nothing
     about CONCURRENT writers: two schedulers running merge and compact
     together could interleave staged directories and commits.  The lease
-    closes that gap with the standard TTL-lock recipe: an atomic
-    create of ``_mutator.lock`` claims the index, a claim older than its
-    TTL is abandoned and stealable, and every acquire/steal is verified
-    by re-reading the file (object stores lack create-if-absent, so the
-    re-read shrinks their check-then-write race to the write-verify
-    gap — best-effort fencing, exact on local/HDFS paths).  Readers
-    never take the lock; they are isolated by the commit protocol."""
+    closes that gap with the standard TTL-lock recipe:
+
+    * CLAIM — atomic create-with-content of ``_mutator.lock``
+      (``os.link`` locally: the name appears with its full payload, so
+      no reader can ever observe a torn claim).
+    * STEAL — a claim older than its TTL is abandoned; the stealer
+      takes ownership by RENAMING the stale lock to a unique name (of N
+      concurrent stealers exactly one rename succeeds on any
+      rename-capable filesystem), re-checks the stolen payload really
+      is the stale claim it judged, then claims fresh.
+    * HEARTBEAT — a daemon thread re-stamps ``acquired_at`` every
+      ttl/3, so arbitrarily long mutations (a 10^12-doc build's runs
+      stage) never age past the TTL while alive; only a hard-killed
+      process leaves a stealable lock.
+    * FENCE — every refresh re-reads the file and verifies the holder;
+      commit points call :meth:`refresh` explicitly, so a mutator whose
+      lease was stolen aborts BEFORE publishing over the thief.
+
+    On object stores (no create-if-absent, no rename) the claim and
+    steal degrade to check-then-write + re-read-verify — best-effort
+    fencing with the race shrunk to the write-verify gap; exact on
+    local/HDFS paths.  Readers never take the lock; they are isolated
+    by the commit protocol."""
 
     def __init__(self, index_dir: str, op: str, ttl: float) -> None:
         import socket
@@ -291,6 +322,11 @@ class _Lease:
             f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
         )
         self.depth = 1
+        self.thread = threading.get_ident()
+        self.lost = False
+        self._mu = threading.Lock()
+        self._stop = threading.Event()
+        self._beat_thread: threading.Thread | None = None
 
     def _payload(self) -> str:
         return json.dumps(
@@ -302,28 +338,45 @@ class _Lease:
             }
         )
 
+    @staticmethod
+    def _is_stale(cur: dict | None) -> bool:
+        if cur is None:
+            return True
+        age = time.time() - float(cur.get("acquired_at", 0))
+        return age > float(cur.get("ttl", 0))
+
+    def _held_error(self, cur: dict | None) -> MutatorLockHeld:
+        cur = cur or {}
+        age = time.time() - float(cur.get("acquired_at", time.time()))
+        return MutatorLockHeld(
+            f"index at {self.index_dir} is locked by mutator "
+            f"{cur.get('holder')!r} (op={cur.get('op')!r}, "
+            f"age={age:.0f}s, ttl={cur.get('ttl')!r}); retry after the "
+            "lease expires, or break_mutator_lock() if the holder is "
+            "known dead"
+        )
+
     def acquire(self) -> None:
         path = _lock_path(self.index_dir)
         if not fsutil.create_exclusive(path, self._payload()):
-            cur = fsutil.read_json(path)
-            # a vanished/corrupt lock counts as abandoned
-            age = (
-                time.time() - float(cur.get("acquired_at", 0))
-                if cur
-                else float("inf")
-            )
-            ttl = float(cur.get("ttl", self.ttl)) if cur else 0.0
-            if cur and age <= ttl:
-                raise MutatorLockHeld(
-                    f"index at {self.index_dir} is locked by mutator "
-                    f"{cur.get('holder')!r} (op={cur.get('op')!r}, "
-                    f"age={age:.0f}s, ttl={ttl:.0f}s); retry after the "
-                    "lease expires, or break_mutator_lock() if the "
-                    "holder is known dead"
-                )
-            # stale: steal by overwrite, then verify below
-            fsutil.write_text_atomic(path, self._payload())
-        got = fsutil.read_json(path)
+            cur = _read_lock(path)
+            if not self._is_stale(cur):
+                raise self._held_error(cur)
+            # STEAL: rename-to-unique takes ownership exactly once; the
+            # re-check guards the read->rename window (the stale lock we
+            # judged could have been stolen and re-claimed in between)
+            taken = f"{path}.steal.{self.holder.rsplit(':', 1)[-1]}"
+            if fsutil.move_file(path, taken):
+                moved = _read_lock(taken)
+                fsutil.delete_file(taken)
+                if moved is not None and not self._is_stale(moved):
+                    # we yanked a LIVE lock (claimed in our window):
+                    # put-back is impossible atomically; the live holder's
+                    # next refresh() will fail loudly and abort pre-commit
+                    raise self._held_error(moved)
+            if not fsutil.create_exclusive(path, self._payload()):
+                raise self._held_error(_read_lock(path))
+        got = _read_lock(path)
         if not got or got.get("holder") != self.holder:
             raise MutatorLockHeld(
                 f"lost the lease race for {self.index_dir} to "
@@ -332,52 +385,93 @@ class _Lease:
 
     def refresh(self) -> None:
         """Re-stamp ``acquired_at`` so a long mutation outlives its TTL.
-        Raises when the lease was stolen (this mutator must stop before
-        touching the index again)."""
-        path = _lock_path(self.index_dir)
-        cur = fsutil.read_json(path)
-        if not cur or cur.get("holder") != self.holder:
-            raise MutatorLockHeld(
-                f"mutator lease on {self.index_dir} was stolen by "
-                f"{(cur or {}).get('holder')!r} — aborting"
-            )
-        fsutil.write_text_atomic(path, self._payload())
+        Raises when the lease was stolen or lost (this mutator must stop
+        before touching the index again) — the pre-commit fence."""
+        with self._mu:
+            if self.lost:
+                raise MutatorLockHeld(
+                    f"mutator lease on {self.index_dir} was lost — aborting"
+                )
+            path = _lock_path(self.index_dir)
+            cur = _read_lock(path)
+            if not cur or cur.get("holder") != self.holder:
+                self.lost = True
+                raise MutatorLockHeld(
+                    f"mutator lease on {self.index_dir} was stolen by "
+                    f"{(cur or {}).get('holder')!r} — aborting"
+                )
+            fsutil.write_text_atomic(path, self._payload())
+
+    def start_heartbeat(self) -> None:
+        def beat() -> None:
+            while not self._stop.wait(max(self.ttl / 3.0, 1.0)):
+                try:
+                    self.refresh()
+                except Exception:
+                    return  # refresh marked the lease lost; commits abort
+
+        self._beat_thread = threading.Thread(
+            target=beat, name=f"lease-heartbeat:{self.op}", daemon=True
+        )
+        self._beat_thread.start()
 
     def release(self) -> None:
-        cur = fsutil.read_json(_lock_path(self.index_dir))
-        if cur and cur.get("holder") == self.holder:
-            fsutil.delete_file(_lock_path(self.index_dir))
+        self._stop.set()
+        with self._mu:
+            path = _lock_path(self.index_dir)
+            cur = _read_lock(path)
+            if cur and cur.get("holder") == self.holder:
+                fsutil.delete_file(path)
 
 
 #: leases held by THIS process, for reentrancy: merge(mode="rewrite")
-#: calls compact_index under its own lease, and the nested acquire must
-#: join it instead of deadlocking on itself
+#: calls compact_index under its own lease ON THE SAME THREAD, and the
+#: nested acquire must join it instead of deadlocking on itself.  Keyed
+#: by directory but guarded by thread identity: a DIFFERENT thread of
+#: the same process (a streaming ingest merge vs. an operator-thread
+#: compaction) is a genuinely concurrent mutator and must fail, not join.
 _ACTIVE_LEASES: dict[str, _Lease] = {}
+_ACTIVE_LEASES_MU = threading.Lock()
 
 
 @contextmanager
 def _mutator_lease(index_dir: str, op: str, ttl: float | None = None):
-    """Hold the single-mutator lease around a mutation.  Reentrant within
-    the process (nested mutations share the outer lease); released on
-    both success and exception — an in-process failure leaves the index
-    in a crash-equivalent (idempotently re-runnable) state, so freeing
-    the lock immediately is safe.  Only a hard-killed process leaves the
-    lock behind, where the TTL makes it stealable."""
-    cur = _ACTIVE_LEASES.get(index_dir)
-    if cur is not None:
-        cur.depth += 1
+    """Hold the single-mutator lease around a mutation.  Reentrant for
+    nested mutations on the same thread; released on both success and
+    exception — an in-process failure leaves the index in a
+    crash-equivalent (idempotently re-runnable) state, so freeing the
+    lock immediately is safe.  Only a hard-killed process leaves the
+    lock behind, where the TTL makes it stealable (the heartbeat keeps
+    live mutations from ever looking stale)."""
+    me = threading.get_ident()
+    with _ACTIVE_LEASES_MU:
+        cur = _ACTIVE_LEASES.get(index_dir)
+        if cur is not None and cur.thread == me:
+            cur.depth += 1
+            nested = cur
+        else:
+            nested = None
+    if nested is not None:
         try:
-            yield cur
+            yield nested
         finally:
-            cur.depth -= 1
+            with _ACTIVE_LEASES_MU:
+                nested.depth -= 1
         return
     lease = _Lease(index_dir, op, MUTATOR_LEASE_TTL if ttl is None else ttl)
     lease.acquire()
-    _ACTIVE_LEASES[index_dir] = lease
+    with _ACTIVE_LEASES_MU:
+        # safe to overwrite: the previous holder pops its entry BEFORE
+        # releasing the file lock, so a successful acquire() implies the
+        # slot is already vacated
+        _ACTIVE_LEASES[index_dir] = lease
+    lease.start_heartbeat()
     try:
         yield lease
     finally:
-        _ACTIVE_LEASES.pop(index_dir, None)
+        with _ACTIVE_LEASES_MU:
+            if _ACTIVE_LEASES.get(index_dir) is lease:
+                _ACTIVE_LEASES.pop(index_dir, None)
         lease.release()
 
 
@@ -1045,6 +1139,7 @@ def _build_index_impl(
             "docstats_dirs": ["docstats"],
             **params,
         }
+        lease.refresh()  # fence: never publish after a lease steal
         _commit_stats(index_dir, stats)
         _mark_done(
             index_dir, "docstats", rows=stats["N"], secs=round(time.time() - t0, 3)
@@ -1166,6 +1261,7 @@ def _build_index_impl(
                    for h in row["hot"]}
         cur = _read_stats(index_dir)
         cur["hot_widths"] = hot_map
+        lease.refresh()  # fence: never publish after a lease steal
         _commit_stats(index_dir, cur)
         _mirror_hot_widths(index_dir, hot_map)
         _mark_done(

@@ -44,7 +44,15 @@ __all__ = [
     "simhash_near_dup_pairs",
     "hyperplane_bands",
     "embedding_near_dup_pairs",
+    "WINNOW_MAX_DF",
+    "LSH_MAX_BUCKET",
 ]
+
+# default hot-key caps of the pair generators (see winnow_near_dup_pairs
+# / lsh_candidate_pairs): exported so SQL oracle mirrors can apply the
+# IDENTICAL bound and stay semantically aligned at every corpus scale
+WINNOW_MAX_DF = 1000
+LSH_MAX_BUCKET = 500
 
 
 def exact_duplicates(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
@@ -148,7 +156,7 @@ def winnow_near_dup_pairs(
     k: int = 4,
     window: int = 3,
     min_shared: int = 2,
-    max_df: int | None = 1000,
+    max_df: int | None = WINNOW_MAX_DF,
 ) -> DataFrame:
     """Near-duplicate pairs by shared winnowing fingerprints:
     ``(id_a, id_b, shared)`` with ``id_a < id_b`` and ``shared`` =
@@ -238,7 +246,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
-    max_bucket_size: int | None = 500,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b, with the matching band).
 

@@ -278,11 +278,15 @@ def ann_query(
         cents = np.asarray(json.load(f)["centroids"], dtype=np.float64)
     q = np.asarray(list(query_vec), dtype=np.float64)
     qd = ((cents - q[None, :]) ** 2).sum(-1)
-    probe = np.argsort(qd)[:nprobe].tolist()
+    probe = [int(c) for c in np.argsort(qd)[:nprobe]]
     base = os.path.join(index_dir, "vectors")
-    cells = spark.read.option("basePath", base).parquet(
-        *[os.path.join(base, f"cell={c}") for c in probe]
-    )
+    # read the table root and FILTER on the partition column instead of
+    # enumerating cell directories by path: hive partition pruning gives
+    # the identical nprobe-dirs-only scan (PartitionFilters in the plan),
+    # and a probed cell that happens to own zero vectors (possible under
+    # an injected quantizer) is simply absent rather than a
+    # path-does-not-exist error
+    cells = spark.read.parquet(base).filter(F.col("cell").isin(probe))
     return brute_force_topk(cells, query_vec, k, id_col, vec_col)
 
 

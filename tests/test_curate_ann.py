@@ -63,7 +63,30 @@ def test_ann_index_partition_pruned_query(spark, sf_dir, tmp_path):
     # probing ALL cells must equal exact search
     full = ann_query(spark, index_dir, q, k=10, nprobe=8).collect()
     assert [r.vec_id for r in full] == [r.vec_id for r in exact]
-    # the pruned read really only touches the probed cell dirs
-    files = ann_query(spark, index_dir, q, k=3, nprobe=2).inputFiles()
-    cells_read = {f.split("cell=")[1].split("/")[0] for f in files}
-    assert len(cells_read) == 2
+    # the pruned read really only touches the probed cell dirs: the cell
+    # IN-filter lands in the scan's PartitionFilters (hive pruning), not
+    # as a post-scan Filter
+    plan = (
+        ann_query(spark, index_dir, q, k=3, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell" in ln and " IN " in ln for ln in pf), plan
+
+
+def test_ann_query_probed_empty_cell(spark, tmp_path):
+    """An injected (data-independent) quantizer can leave probed cells
+    with zero vectors; the query must return results, not a
+    path-does-not-exist error."""
+    import numpy as np
+
+    rows = [(i, [float(i % 5), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index_dir = str(tmp_path / "annidx")
+    # centroid 1 sits far from every vector -> its cell directory is empty
+    cents = np.array([[2.0, 1.0], [1000.0, 1000.0], [0.0, 1.0]])
+    build_ann_index(emb, index_dir, num_cells=3, centroids=cents)
+    # query near the empty centroid: the probe set includes the empty cell
+    got = ann_query(spark, index_dir, [900.0, 900.0], k=5, nprobe=2).collect()
+    assert len(got) == 5
+    assert all(r.rank == i + 1 for i, r in enumerate(got))

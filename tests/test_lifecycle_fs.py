@@ -517,6 +517,79 @@ def test_mutator_lease_blocks_concurrent_and_steals_stale(
     os.remove(lock)
 
 
+def test_mutator_lease_hardening(tmp_path):
+    """Lock-file pathologies must never wedge the index: a torn/empty
+    lock counts as abandoned; concurrent stealers resolve to exactly one
+    winner (rename take-ownership); a different THREAD of the same
+    process is a real concurrent mutator (no reentrancy leak); the
+    heartbeat keeps a live mutation from aging past its TTL."""
+    import json
+    import threading
+    import time
+
+    from acora_spark import fsutil
+
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(index_dir)
+    lock = os.path.join(index_dir, "_mutator.lock")
+
+    # 1. torn (0-byte) lock — crash between claim and payload in older
+    # designs; must be treated as abandoned, not JSONDecodeError
+    open(lock, "w").close()
+    with build_mod._mutator_lease(index_dir, "op1"):
+        assert json.load(open(lock))["op"] == "op1"
+    assert not os.path.exists(lock)
+
+    # 2. concurrent stealers of one stale lock: exactly one wins
+    fsutil.write_text_atomic(lock, json.dumps({
+        "holder": "dead:1:x", "op": "merge",
+        "acquired_at": time.time() - 10_000, "ttl": 900,
+    }))
+    barrier = threading.Barrier(4)
+    outcomes = []
+
+    def stealer():
+        lease = build_mod._Lease(index_dir, "steal", ttl=900)
+        barrier.wait()
+        try:
+            lease.acquire()
+            outcomes.append(("won", lease))
+        except build_mod.MutatorLockHeld:
+            outcomes.append(("lost", None))
+
+    threads = [threading.Thread(target=stealer) for _ in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert sum(1 for o, _ in outcomes if o == "won") == 1
+    winner = next(l for o, l in outcomes if o == "won")
+    assert json.load(open(lock))["holder"] == winner.holder
+    winner.release()
+
+    # 3. a second THREAD must not join the first thread's lease
+    with build_mod._mutator_lease(index_dir, "outer"):
+        err = []
+
+        def other_thread():
+            try:
+                with build_mod._mutator_lease(index_dir, "intruder"):
+                    err.append("joined")
+            except build_mod.MutatorLockHeld:
+                err.append("held")
+
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        assert err == ["held"]
+
+    # 4. heartbeat: a mutation longer than its TTL stays un-stealable
+    with build_mod._mutator_lease(index_dir, "slow", ttl=1.2):
+        time.sleep(2.5)  # > 2x TTL; heartbeat refreshed meanwhile
+        thief = build_mod._Lease(index_dir, "thief", ttl=1.2)
+        with pytest.raises(build_mod.MutatorLockHeld):
+            thief.acquire()
+    assert not os.path.exists(lock)
+
+
 def test_unsuffixed_orphan_dirs_reclaimed(spark, sf_dir, tmp_path):
     """A compaction that crashed between its stats commit and its old-dir
     deletion leaves the plain postings/ dir behind (now unreferenced);
