@@ -38,7 +38,7 @@ __all__ = [
     "read_text",
     "write_text_atomic",
     "create_exclusive",
-    "move_file",
+    "file_age_seconds",
     "read_json",
     "write_json_atomic",
     "listdir",
@@ -154,40 +154,55 @@ def create_exclusive(path: str, data: str) -> bool:
         import uuid
 
         tmp = f"{path}.claim.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(data)
         try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
+            with open(tmp, "w") as f:
+                f.write(data)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+            except OSError:
+                # filesystem without hard links (FUSE object-store
+                # mounts, FAT, some CIFS): fall back to an O_EXCL claim
+                # — atomic on the NAME, with a torn-content window a
+                # kill can hit; lease readers treat unparsable locks as
+                # abandoned, so the failure mode is a stealable lock,
+                # not a wedge
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    return False
+                with os.fdopen(fd, "w") as f2:
+                    f2.write(data)
+                return True
         finally:
-            os.remove(tmp)
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
     if exists(path):
         return False
     write_text_atomic(path, data)
     return True
 
 
-def move_file(src: str, dst: str) -> bool:
-    """Atomic rename where the filesystem supports one; True on success,
-    False when ``src`` does not exist (someone else moved it first) —
-    the take-ownership primitive of the lease-steal protocol: of N
-    concurrent renamers of one name, exactly one succeeds on any
-    rename-capable filesystem."""
-    if not is_remote(src):
+def file_age_seconds(path: str) -> float | None:
+    """Seconds since last modification, or None when missing/unknown."""
+    import time as _time
+
+    if not is_remote(path):
         try:
-            os.rename(src, dst)
-            return True
-        except FileNotFoundError:
-            return False
-    fsys, p_src = pa_fs(src)
-    _, p_dst = pa_fs(dst)
-    try:
-        fsys.move(p_src, p_dst)
-        return True
-    except FileNotFoundError:
-        return False
+            return _time.time() - os.path.getmtime(path)
+        except OSError:
+            return None
+    from pyarrow import fs as pafs
+
+    fsys, p = pa_fs(path)
+    info = fsys.get_file_info(p)
+    if info.type == pafs.FileType.NotFound or info.mtime is None:
+        return None
+    return _time.time() - info.mtime.timestamp()
 
 
 def delete_file(path: str) -> None:

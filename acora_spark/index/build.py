@@ -265,6 +265,7 @@ def break_mutator_lock(index_dir: str) -> None:
     """Operator escape hatch: forcibly remove the mutator lease (e.g.
     after hard-killing a mutator when waiting out the TTL is not an
     option).  Only safe when NO mutator is actually running."""
+    fsutil.delete_file(_lock_path(index_dir) + ".steal")
     fsutil.delete_file(_lock_path(index_dir))
 
 
@@ -292,11 +293,13 @@ class _Lease:
     * CLAIM — atomic create-with-content of ``_mutator.lock``
       (``os.link`` locally: the name appears with its full payload, so
       no reader can ever observe a torn claim).
-    * STEAL — a claim older than its TTL is abandoned; the stealer
-      takes ownership by RENAMING the stale lock to a unique name (of N
-      concurrent stealers exactly one rename succeeds on any
-      rename-capable filesystem), re-checks the stolen payload really
-      is the stale claim it judged, then claims fresh.
+    * STEAL — a claim older than its TTL is abandoned; stealers
+      serialize through a second O_EXCL guard file (``.steal``),
+      RE-VERIFY staleness under the guard, and only then delete and
+      re-claim — so a lock legitimately re-claimed inside a stealer's
+      window is seen live and left alone, and N concurrent stealers
+      resolve to at most one winner structurally.  A stealer that dies
+      holding the guard is itself reclaimed after the TTL.
     * HEARTBEAT — a daemon thread re-stamps ``acquired_at`` every
       ttl/3, so arbitrarily long mutations (a 10^12-doc build's runs
       stage) never age past the TTL while alive; only a hard-killed
@@ -338,6 +341,22 @@ class _Lease:
             }
         )
 
+    def _sweep_litter(self, path: str) -> None:
+        """Reclaim ``.claim.*`` temp files of hard-killed acquirers
+        (create_exclusive normally removes its own temp; only a kill
+        mid-claim leaks one).  Only litter OLDER than the TTL is
+        touched: a younger file may be a concurrent acquirer's in-flight
+        temp.  The ``.steal`` guard manages its own staleness in
+        :meth:`acquire`."""
+        parent = path.rsplit("/", 1)[0] if "/" in path else "."
+        base = path.rsplit("/", 1)[-1]
+        for name in fsutil.listdir(parent):
+            if name.startswith(base + ".claim."):
+                p = fsutil.join_path(parent, name)
+                age = fsutil.file_age_seconds(p)
+                if age is not None and age > self.ttl:
+                    fsutil.delete_file(p)
+
     @staticmethod
     def _is_stale(cur: dict | None) -> bool:
         if cur is None:
@@ -358,24 +377,53 @@ class _Lease:
 
     def acquire(self) -> None:
         path = _lock_path(self.index_dir)
-        if not fsutil.create_exclusive(path, self._payload()):
+        acquired = False
+        for _ in range(2):  # one retry after reclaiming a dead stealer
+            if fsutil.create_exclusive(path, self._payload()):
+                acquired = True
+                break
             cur = _read_lock(path)
             if not self._is_stale(cur):
                 raise self._held_error(cur)
-            # STEAL: rename-to-unique takes ownership exactly once; the
-            # re-check guards the read->rename window (the stale lock we
-            # judged could have been stolen and re-claimed in between)
-            taken = f"{path}.steal.{self.holder.rsplit(':', 1)[-1]}"
-            if fsutil.move_file(path, taken):
-                moved = _read_lock(taken)
-                fsutil.delete_file(taken)
-                if moved is not None and not self._is_stale(moved):
-                    # we yanked a LIVE lock (claimed in our window):
-                    # put-back is impossible atomically; the live holder's
-                    # next refresh() will fail loudly and abort pre-commit
-                    raise self._held_error(moved)
-            if not fsutil.create_exclusive(path, self._payload()):
-                raise self._held_error(_read_lock(path))
+            # STEAL, serialized through a second O_EXCL guard file: only
+            # the guard holder may delete+recreate the main lock, and it
+            # RE-VERIFIES staleness under the guard — so a lock some
+            # other acquirer legitimately claimed inside our
+            # read->steal window is seen live and left alone.  Every
+            # successful main-lock create is therefore either
+            # first-claim (name absent) or follows a guard-serialized
+            # verified-stale deletion: at most one live winner,
+            # structurally (a rename/overwrite steal cannot give this —
+            # both destroy a concurrent winner's claim, measured).
+            self._sweep_litter(path)
+            guard = path + ".steal"
+            if not fsutil.create_exclusive(guard, self._payload()):
+                gage = fsutil.file_age_seconds(guard)
+                if gage is not None and gage > self.ttl:
+                    # the guard's own holder died mid-steal: reclaim it
+                    # and retry the whole acquire once
+                    fsutil.delete_file(guard)
+                    continue
+                raise MutatorLockHeld(
+                    f"a lease steal on {self.index_dir} is already in "
+                    "progress; retry shortly"
+                )
+            try:
+                cur2 = _read_lock(path)
+                if cur2 is not None and not self._is_stale(cur2):
+                    raise self._held_error(cur2)
+                fsutil.delete_file(path)
+                if not fsutil.create_exclusive(path, self._payload()):
+                    # a first-claim acquirer took the briefly-free name
+                    raise self._held_error(_read_lock(path))
+                acquired = True
+                break
+            finally:
+                fsutil.delete_file(guard)
+        if not acquired:
+            raise MutatorLockHeld(
+                f"could not acquire the mutator lease on {self.index_dir}"
+            )
         got = _read_lock(path)
         if not got or got.get("holder") != self.holder:
             raise MutatorLockHeld(
@@ -404,11 +452,16 @@ class _Lease:
 
     def start_heartbeat(self) -> None:
         def beat() -> None:
-            while not self._stop.wait(max(self.ttl / 3.0, 1.0)):
+            while not self._stop.wait(max(self.ttl / 3.0, 0.05)):
                 try:
                     self.refresh()
+                except MutatorLockHeld:
+                    return  # lease lost/stolen; the commit fences abort
                 except Exception:
-                    return  # refresh marked the lease lost; commits abort
+                    # transient I/O (storage blip): KEEP BEATING — a
+                    # one-off write failure must not silently strip TTL
+                    # protection from a multi-hour live mutation
+                    continue
 
         self._beat_thread = threading.Thread(
             target=beat, name=f"lease-heartbeat:{self.op}", daemon=True

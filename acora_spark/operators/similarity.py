@@ -280,13 +280,23 @@ def ann_query(
     qd = ((cents - q[None, :]) ** 2).sum(-1)
     probe = [int(c) for c in np.argsort(qd)[:nprobe]]
     base = os.path.join(index_dir, "vectors")
-    # read the table root and FILTER on the partition column instead of
-    # enumerating cell directories by path: hive partition pruning gives
-    # the identical nprobe-dirs-only scan (PartitionFilters in the plan),
-    # and a probed cell that happens to own zero vectors (possible under
-    # an injected quantizer) is simply absent rather than a
-    # path-does-not-exist error
-    cells = spark.read.parquet(base).filter(F.col("cell").isin(probe))
+    # enumerate ONLY the probed cells' directories (O(nprobe) listings —
+    # reading the table root would LIST every cell on the driver before
+    # pruning, O(num_cells) per query), skipping probed cells that own
+    # zero vectors (possible under an injected quantizer: an outlying
+    # centroid attracts no assignments but can still be near a query);
+    # the existence probe is one stat per probed cell
+    paths = [
+        p
+        for p in (os.path.join(base, f"cell={c}") for c in probe)
+        if os.path.isdir(p)
+    ]
+    if not paths:
+        # every probed cell is empty — rare; fall back to the pruned
+        # root read so the result is a well-typed empty frame
+        cells = spark.read.parquet(base).filter(F.col("cell").isin(probe))
+    else:
+        cells = spark.read.option("basePath", base).parquet(*paths)
     return brute_force_topk(cells, query_vec, k, id_col, vec_col)
 
 

@@ -63,15 +63,11 @@ def test_ann_index_partition_pruned_query(spark, sf_dir, tmp_path):
     # probing ALL cells must equal exact search
     full = ann_query(spark, index_dir, q, k=10, nprobe=8).collect()
     assert [r.vec_id for r in full] == [r.vec_id for r in exact]
-    # the pruned read really only touches the probed cell dirs: the cell
-    # IN-filter lands in the scan's PartitionFilters (hive pruning), not
-    # as a post-scan Filter
-    plan = (
-        ann_query(spark, index_dir, q, k=3, nprobe=2)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and any("cell" in ln and " IN " in ln for ln in pf), plan
+    # the pruned read really only touches the probed cell dirs (the scan
+    # is constructed from exactly those paths — O(nprobe) listings)
+    files = ann_query(spark, index_dir, q, k=3, nprobe=2).inputFiles()
+    cells_read = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert len(cells_read) == 2
 
 
 def test_ann_query_probed_empty_cell(spark, tmp_path):

@@ -517,6 +517,58 @@ def test_mutator_lease_blocks_concurrent_and_steals_stale(
     os.remove(lock)
 
 
+def test_mutator_lease_steal_reverifies_under_guard(tmp_path, monkeypatch):
+    """A stealer must re-verify staleness UNDER the steal guard: a lock
+    legitimately re-claimed live inside the stealer's read->steal window
+    is seen live and left untouched (the failure mode of rename/
+    overwrite steals is destroying the new live claim)."""
+    import json
+    import time
+
+    from acora_spark import fsutil
+
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(index_dir)
+    lock = os.path.join(index_dir, "_mutator.lock")
+    fsutil.write_text_atomic(lock, json.dumps({
+        "holder": "dead:1:x", "op": "merge",
+        "acquired_at": time.time() - 10_000, "ttl": 900,
+    }))
+    live = {"holder": "alive:2:y", "op": "compact",
+            "acquired_at": time.time() + 60, "ttl": 900}
+
+    orig_create = fsutil.create_exclusive
+    swapped = {}
+
+    def racy_create(p, data):
+        # the instant the stealer claims the guard, another acquirer
+        # re-claims the main lock live (the read->steal window race)
+        if p.endswith(".steal") and not swapped:
+            swapped["done"] = True
+            fsutil.write_text_atomic(lock, json.dumps(live))
+        return orig_create(p, data)
+
+    monkeypatch.setattr(build_mod.fsutil, "create_exclusive", racy_create)
+    lease = build_mod._Lease(index_dir, "steal", ttl=900)
+    with pytest.raises(build_mod.MutatorLockHeld):
+        lease.acquire()
+    assert json.load(open(lock))["holder"] == "alive:2:y", \
+        "live lock must survive a lost steal race untouched"
+    assert not os.path.exists(lock + ".steal"), "guard must be released"
+
+    # a stealer that died HOLDING the guard is reclaimed after the TTL
+    fsutil.write_text_atomic(lock, json.dumps({
+        "holder": "dead:1:x", "op": "merge",
+        "acquired_at": time.time() - 10_000, "ttl": 0.5,
+    }))
+    fsutil.write_text_atomic(lock + ".steal", "{}")
+    lease2 = build_mod._Lease(index_dir, "steal2", ttl=0.5)
+    time.sleep(0.6)  # guard now older than its ttl
+    lease2.acquire()
+    assert json.load(open(lock))["holder"] == lease2.holder
+    lease2.release()
+
+
 def test_mutator_lease_hardening(tmp_path):
     """Lock-file pathologies must never wedge the index: a torn/empty
     lock counts as abandoned; concurrent stealers resolve to exactly one
@@ -582,9 +634,10 @@ def test_mutator_lease_hardening(tmp_path):
         assert err == ["held"]
 
     # 4. heartbeat: a mutation longer than its TTL stays un-stealable
-    with build_mod._mutator_lease(index_dir, "slow", ttl=1.2):
-        time.sleep(2.5)  # > 2x TTL; heartbeat refreshed meanwhile
-        thief = build_mod._Lease(index_dir, "thief", ttl=1.2)
+    # (ttl 2.4 -> beat every 0.8 s, 1.6 s of slack against CI stalls)
+    with build_mod._mutator_lease(index_dir, "slow", ttl=2.4):
+        time.sleep(5.0)  # > 2x TTL; heartbeat refreshed meanwhile
+        thief = build_mod._Lease(index_dir, "thief", ttl=2.4)
         with pytest.raises(build_mod.MutatorLockHeld):
             thief.acquire()
     assert not os.path.exists(lock)
