@@ -643,6 +643,39 @@ def test_mutator_lease_hardening(tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_mutator_lease_remote_scheme(tmp_path):
+    """The lease protocol end to end on a scheme-prefixed (file://)
+    path — exercises the pyarrow-fs branches of create_exclusive,
+    file_age_seconds, and delete_file that s3:// would take."""
+    import json
+    import time
+
+    from acora_spark import fsutil
+
+    base = str(tmp_path / "idx")
+    os.makedirs(base)
+    index_dir = "file://" + base
+    lock_local = os.path.join(base, "_mutator.lock")
+
+    with build_mod._mutator_lease(index_dir, "op") as lease:
+        assert json.load(open(lock_local))["holder"] == lease.holder
+        # live foreign acquire fails through the remote branch too
+        with pytest.raises(build_mod.MutatorLockHeld):
+            build_mod._Lease(index_dir, "x", ttl=900).acquire()
+    assert not os.path.exists(lock_local)
+
+    # stale foreign lock on the remote path is stolen
+    fsutil.write_text_atomic(index_dir + "/_mutator.lock", json.dumps({
+        "holder": "dead:1:x", "op": "merge",
+        "acquired_at": time.time() - 10_000, "ttl": 900,
+    }))
+    thief = build_mod._Lease(index_dir, "steal", ttl=900)
+    thief.acquire()
+    assert json.load(open(lock_local))["holder"] == thief.holder
+    thief.release()
+    assert not os.path.exists(lock_local)
+
+
 def test_unsuffixed_orphan_dirs_reclaimed(spark, sf_dir, tmp_path):
     """A compaction that crashed between its stats commit and its old-dir
     deletion leaves the plain postings/ dir behind (now unreferenced);
