@@ -119,48 +119,55 @@ def encode_postings(
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
     n = len(doc_ids)
-    blocks: list[dict] = []
-    parts: list[bytes] = []
-    offset = 0
+    if n == 0:
+        return b"", []
     imp = impact(tfs, dls, avgdl)
-    for s in range(0, n, BLOCK_SIZE):
-        e = min(s + BLOCK_SIZE, n)
-        d = doc_ids[s:e]
-        gaps = np.diff(d, prepend=d[0:1])  # first gap 0, fixed below
-        gaps[0] = d[0]
-        if positions is None:
-            tri = np.empty((e - s) * 3, dtype=np.int64)
-            tri[0::3] = gaps
-            tri[1::3] = tfs[s:e]
-            tri[2::3] = dls[s:e]
-            blob = varint_encode(tri)
-        else:
-            fields: list[np.ndarray] = []
-            for j in range(s, e):
-                pos = np.asarray(positions[j], dtype=np.int64)
-                pg = np.diff(pos, prepend=pos[0:1])
-                if len(pg):
-                    pg[0] = pos[0]
-                fields.append(
-                    np.concatenate(
-                        (
-                            [gaps[j - s], tfs[j], dls[j]],
-                            pg,
-                        )
-                    ).astype(np.int64)
-                )
-            blob = varint_encode(np.concatenate(fields))
-        blocks.append(
-            {
-                "last_doc": int(d[-1]),
-                "offset": offset,
-                "n_docs": int(e - s),
-                "max_impact": float(imp[s:e].max()),
-            }
+    starts = np.arange(0, n, BLOCK_SIZE)
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    # one gap stream for the whole term, reset to the ABSOLUTE doc id at
+    # every block start (the property the segment concat-coalescer and the
+    # skip pointers rely on)
+    gaps = np.diff(doc_ids, prepend=doc_ids[0:1])
+    gaps[starts] = doc_ids[starts]
+    if positions is None:
+        # ONE varint pass over all blocks: per-value varint streams
+        # concatenate, so this is byte-identical to encoding each block
+        # separately — but without the ~80 us fixed cost per call that
+        # dominated the encode stage (a df-100k term is ~800 blocks).
+        tri = np.empty(n * 3, dtype=np.int64)
+        tri[0::3] = gaps
+        tri[1::3] = tfs
+        tri[2::3] = dls
+        buf, offs = varint_encode(tri, return_offsets=True)
+        block_offs = offs[3 * starts]
+    else:
+        parts: list[np.ndarray] = []
+        sizes = np.empty(n, dtype=np.int64)
+        for j in range(n):
+            pos = np.asarray(positions[j], dtype=np.int64)
+            pg = np.diff(pos, prepend=pos[0:1])
+            if len(pg):
+                pg[0] = pos[0]
+            rec = np.concatenate(([gaps[j], tfs[j], dls[j]], pg)).astype(
+                np.int64
+            )
+            sizes[j] = len(rec)
+            parts.append(rec)
+        buf, offs = varint_encode(np.concatenate(parts), return_offsets=True)
+        rec_starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        block_offs = offs[rec_starts[starts]]
+    blocks = [
+        {
+            "last_doc": int(doc_ids[e - 1]),
+            "offset": int(off),
+            "n_docs": int(e - s),
+            "max_impact": float(m),
+        }
+        for s, e, off, m in zip(
+            starts, ends, block_offs, np.maximum.reduceat(imp, starts)
         )
-        parts.append(blob)
-        offset += len(blob)
-    return b"".join(parts), blocks
+    ]
+    return buf, blocks
 
 
 def decode_postings(

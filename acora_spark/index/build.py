@@ -740,7 +740,7 @@ def _encode_files_fn(
                         continue
                 enc = _encode_stream(avgdl, with_positions, hot_map)
                 it = pf.iter_batches(
-                    batch_size=65536, columns=cols, row_groups=rgs
+                    batch_size=262144, columns=cols, row_groups=rgs
                 )
                 yield from enc(b.to_pandas() for b in it)
 
