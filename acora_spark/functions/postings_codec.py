@@ -170,21 +170,52 @@ def encode_postings(
     return buf, blocks
 
 
+def _block_runs(sel: list[int]) -> list[tuple[int, int]]:
+    """Maximal stretches of CONSECUTIVE block indices in the given order —
+    each run decodes in one varint pass (a non-consecutive element is its
+    own run, so arbitrary selections stay correct, just unbatched)."""
+    runs = []
+    s = 0
+    for k in range(1, len(sel) + 1):
+        if k == len(sel) or sel[k] != sel[k - 1] + 1:
+            runs.append((sel[s], sel[k - 1]))
+            s = k
+    return runs
+
+
 def decode_postings(
     blob: bytes, blocks: list[dict], block_idx: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode (doc_ids, tfs, dls); optionally only selected blocks
-    (WAND skip path — untouched blocks are never even varint-scanned)."""
+    (WAND skip path — untouched blocks are never even varint-scanned).
+
+    Consecutive selected blocks decode in ONE varint pass (per-value
+    streams concatenate); doc ids then need a SEGMENTED cumsum — the gap
+    at each block start is the absolute doc id, so subtracting the
+    running total accumulated before the block restores the per-block
+    cumsum exactly (pure integer arithmetic, bit-identical to decoding
+    block by block)."""
     if not blocks:
         return (np.empty(0, np.int64),) * 3
-    sel = range(len(blocks)) if block_idx is None else [int(i) for i in block_idx]
+    sel = (
+        list(range(len(blocks)))
+        if block_idx is None
+        else [int(i) for i in block_idx]
+    )
     all_doc, all_tf, all_dl = [], [], []
-    for i in sel:
-        b0 = blocks[i]
-        end = blocks[i + 1]["offset"] if i + 1 < len(blocks) else len(blob)
-        tri = varint_decode(blob[b0["offset"] : end], count=3 * b0["n_docs"])
+    for i0, i1 in _block_runs(sel):
+        end = blocks[i1 + 1]["offset"] if i1 + 1 < len(blocks) else len(blob)
+        nd = np.array(
+            [blocks[i]["n_docs"] for i in range(i0, i1 + 1)], dtype=np.int64
+        )
+        tri = varint_decode(
+            blob[blocks[i0]["offset"] : end], count=3 * int(nd.sum())
+        )
         gaps = tri[0::3]
-        all_doc.append(np.cumsum(gaps))
+        raw = np.cumsum(gaps)
+        starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
+        docs = raw - np.repeat(raw[starts] - gaps[starts], nd)
+        all_doc.append(docs)
         all_tf.append(tri[1::3])
         all_dl.append(tri[2::3])
     return (
@@ -204,24 +235,32 @@ def decode_postings_positional(
     """
     if not blocks:
         return (np.empty(0, np.int64),) * 3 + ([],)
-    sel = range(len(blocks)) if block_idx is None else [int(i) for i in block_idx]
+    sel = (
+        list(range(len(blocks)))
+        if block_idx is None
+        else [int(i) for i in block_idx]
+    )
     all_doc, all_tf, all_dl, all_pos = [], [], [], []
-    for i in sel:
-        b0 = blocks[i]
-        end = blocks[i + 1]["offset"] if i + 1 < len(blocks) else len(blob)
-        flat = varint_decode(blob[b0["offset"] : end])
+    for i0, i1 in _block_runs(sel):
+        end = blocks[i1 + 1]["offset"] if i1 + 1 < len(blocks) else len(blob)
+        flat = varint_decode(blob[blocks[i0]["offset"] : end])
         idx = 0
-        prev_doc = 0
-        for _ in range(b0["n_docs"]):
-            gap, tf, dl = int(flat[idx]), int(flat[idx + 1]), int(flat[idx + 2])
-            idx += 3
-            prev_doc += gap
-            pos = np.cumsum(flat[idx : idx + tf])
-            idx += tf
-            all_doc.append(prev_doc)
-            all_tf.append(tf)
-            all_dl.append(dl)
-            all_pos.append(pos)
+        for i in range(i0, i1 + 1):
+            prev_doc = 0
+            for _ in range(blocks[i]["n_docs"]):
+                gap, tf, dl = (
+                    int(flat[idx]),
+                    int(flat[idx + 1]),
+                    int(flat[idx + 2]),
+                )
+                idx += 3
+                prev_doc += gap
+                pos = np.cumsum(flat[idx : idx + tf])
+                idx += tf
+                all_doc.append(prev_doc)
+                all_tf.append(tf)
+                all_dl.append(dl)
+                all_pos.append(pos)
     return (
         np.asarray(all_doc, dtype=np.int64),
         np.asarray(all_tf, dtype=np.int64),
