@@ -219,6 +219,21 @@ def child(cores: int, n_docs: int) -> None:
     # via the cold (bucket-pruned) path — exercises both executors
     top = bm25_topk_batch(spark, idx, [QUERIES[0]], k=10).orderBy("rank").collect()
     spark.stop()
+
+    # cluster-free serving at the scaling size (pyarrow + local XXH64
+    # routing, no Spark; core-count independent — recorded at both
+    # levels as a sanity cross-check).  Runs AFTER spark.stop() so it
+    # cannot perturb the protocol timings above.
+    from acora_spark.index.bm25 import bm25_topk_local
+    from acora_spark.index.build import Index as _Index, _read_stats
+
+    idx_local = _Index(index_dir, _read_stats(index_dir))
+    bm25_topk_local(idx_local, [QUERIES[0]], k=10)  # warm page cache
+    local_lat = []
+    for q in QUERIES:
+        t0 = time.time()
+        bm25_topk_local(idx_local, [q], k=10)
+        local_lat.append(time.time() - t0)
     mp_sec = min(mp_probe(cores, "compute") for _ in range(2))
     membw_sec = min(mp_probe(cores, "membw") for _ in range(2))
     print(
@@ -237,6 +252,7 @@ def child(cores: int, n_docs: int) -> None:
                 "serve_p50": round(statistics.median(lat), 3),
                 "boolean_p50": round(statistics.median(bool_lat), 3),
                 "filtered_p50": round(statistics.median(filt_lat), 3),
+                "local_p50": round(statistics.median(local_lat), 3),
                 "top_docs": [int(r.doc_id) for r in top],
                 "top_scores": [round(float(r.score), 10) for r in top],
                 "bucket_xors": bucket_xors,
@@ -284,7 +300,7 @@ def main() -> None:
     r_hi = dict(runs_hi[0])
     for key in (
         "probe_sec", "mp_sec", "membw_sec", "scan_sec", "build_sec",
-        "serve_p50", "boolean_p50", "filtered_p50",
+        "serve_p50", "boolean_p50", "filtered_p50", "local_p50",
     ):
         r_lo[key] = min(r[key] for r in runs_lo)
         r_hi[key] = min(r[key] for r in runs_hi)
@@ -381,6 +397,9 @@ def main() -> None:
         f"| {r_hi['boolean_p50']*1000:.0f} ms | — | — | (latency, not throughput) | — |",
         f"| filtered BM25 p50 (2-query batch) | {r_lo['filtered_p50']*1000:.0f} ms "
         f"| {r_hi['filtered_p50']*1000:.0f} ms | — | — | (latency, not throughput) | — |",
+        f"| cluster-free serve p50 (no Spark, pyarrow only) "
+        f"| {r_lo['local_p50']*1000:.0f} ms "
+        f"| {r_hi['local_p50']*1000:.0f} ms | — | — | (latency; core-count independent) | — |",
         "",
         "## Index build, stage by stage",
         "",
