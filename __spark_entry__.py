@@ -429,6 +429,55 @@ def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+WHERE_LANGS = ["es", "de"]
+
+
+def q_bm25_where_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search (Lucene/ES "filter context"): BM25 ranking
+    restricted to docs whose lang attribute is in an allowed set, plus a
+    must term — the attribute doc-set flows to the range tasks through a
+    cogroup on the executor grid, never through the driver."""
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    raw = bm25_filtered_topk_batch(
+        spark, idx,
+        [{"query": BM25_QUERY, "must": FILTERED_MUST,
+          "where": {"lang": WHERE_LANGS}}],
+        k=4 * BM25_K, num_ranges=8,
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
+WILDCARDS = ["s*", "*ta*"]
+
+
+def q_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard retrieval (constant-score rewrite): each glob pattern
+    expands against the index vocabulary and matches docs containing any
+    expanded term — mirrored by a LIKE predicate over unnested tokens."""
+    from acora_spark.index.bm25 import wildcard_query_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = wildcard_query_batch(spark, idx, WILDCARDS)
+    pat = spark.createDataFrame(
+        list(enumerate(WILDCARDS)), "query_id long, pattern string"
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return (
+        res.join(F.broadcast(pat), "query_id")
+        .join(docmap, "doc_id")
+        .select("pattern", "path")
+    )
+
+
 def _pos_index_for(spark: SparkSession, sf_dir: str):
     from acora_spark.index.build import build_index
 
@@ -933,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query": q_boolean_query,
         "boolean_query_ranged": q_boolean_query_ranged,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "bm25_where_topk": q_bm25_where_topk,
+        "wildcard_match": q_wildcard_match,
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1465,6 +1516,59 @@ SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
 FROM scored JOIN dl USING (doc_id)
 ORDER BY score DESC, scored.doc_id ASC
 LIMIT {BM25_K}
+"""
+
+    # metadata-filtered search: same BM25 formula and index-global stats,
+    # with the candidate set restricted by the must terms AND the lang
+    # attribute (the docs CTE carries lang; toks derives from docs)
+    langs_in = ", ".join(f"'{x}'" for x in WHERE_LANGS)
+    sql["bm25_where_topk"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(f_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT toks.doc_id FROM toks JOIN docs USING (doc_id)
+  WHERE {f_must} AND docs.lang IN ({langs_in})
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    # wildcard retrieval: LIKE over unnested tokens, one DISTINCT doc set
+    # per pattern (constant-score rewrite — membership only, no ranking)
+    def _like(p: str) -> str:
+        return p.replace("*", "%").replace("?", "_")
+
+    wc_branches = "\nUNION ALL\n".join(
+        f"SELECT '{p}' AS pattern, path FROM ("
+        f"SELECT DISTINCT path FROM tok_rows WHERE term LIKE '{_like(p)}')"
+        for p in WILDCARDS
+    )
+    sql["wildcard_match"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+tok_rows AS (SELECT doc_id, path, unnest(t) AS term FROM toks)
+{wc_branches}
 """
 
     # phrase_tf = number of adjacent token runs equal to the phrase

@@ -1031,6 +1031,110 @@ def boolean_query_batch(
     return res
 
 
+def _glob_to_like(pattern: str) -> str:
+    """Translate a glob-style term pattern (``*`` = any run, ``?`` = one
+    char) to a SQL LIKE pattern, escaping LIKE's own metacharacters."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def expand_terms(
+    spark: SparkSession,
+    index: Index,
+    pattern: str,
+    max_terms: int = 1024,
+) -> list[str]:
+    """Expand a glob-style pattern (``*`` any run, ``?`` one char) against
+    the index vocabulary — the rewrite step behind wildcard queries.
+
+    The scan reads ONE dictionary-encoded string column of the postings
+    table (column pruning; no posting blobs touched).  Bucket pruning is
+    impossible for patterns — ``bucket = hash(term)`` scatters a prefix's
+    terms over every bucket by design (that is what load-balances the
+    postings) — so leading and trailing wildcards cost the same; the
+    driver-side collect is bounded by ``max_terms + 1``.
+
+    Raises :class:`ValueError` when the expansion exceeds ``max_terms``
+    (Lucene's TooManyClauses convention: a pattern like ``*`` matching
+    the whole vocabulary should fail loudly, not silently truncate to an
+    arbitrary subset), and for patterns containing characters outside
+    the token alphabet ``[a-z0-9_]`` (nothing in the vocabulary could
+    ever match — a lookup bug, not an empty result)."""
+    if not re.fullmatch(r"[a-z0-9_*?]+", pattern.lower()):
+        raise ValueError(
+            f"pattern {pattern!r} contains characters outside the token "
+            "alphabet [a-z0-9_] (wildcards: * ?)"
+        )
+    like = _glob_to_like(pattern.lower())
+    rows = (
+        index.postings(spark)
+        .select("term")
+        .filter(F.col("term").like(like))
+        .distinct()
+        .limit(max_terms + 1)
+        .collect()
+    )
+    terms = sorted(r["term"] for r in rows)
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"pattern {pattern!r} expands to more than {max_terms} terms; "
+            "narrow the pattern or raise max_terms"
+        )
+    return terms
+
+
+def wildcard_query_batch(
+    spark: SparkSession,
+    index: Index,
+    patterns: Sequence[str],
+    max_terms: int = 1024,
+    num_ranges: int | None = None,
+    limit: int | None = None,
+    after_doc_id: int | None = None,
+) -> DataFrame:
+    """Wildcard retrieval with constant-score rewrite semantics (Lucene's
+    MultiTermQuery default): each pattern expands against the vocabulary
+    via :func:`expand_terms` and matches the docs containing AT LEAST ONE
+    expanded term, executed as one doc-range-parallel boolean batch
+    (``should`` = the expansion).  Patterns matching nothing in the
+    vocabulary yield empty result sets at their batch position;
+    ``limit`` / ``after_doc_id`` page exactly as in
+    :func:`boolean_query_batch`.  Returns (query_id, doc_id) rows with
+    query_id = the pattern's position in ``patterns``."""
+    expansions = [
+        expand_terms(spark, index, p, max_terms=max_terms) for p in patterns
+    ]
+    live = [(i, e) for i, e in enumerate(expansions) if e]
+    if not live:
+        return spark.createDataFrame([], BOOLEAN_SCHEMA)
+    res = boolean_query_batch(
+        spark,
+        index,
+        [{"should": e} for _, e in live],
+        num_ranges=num_ranges,
+        limit=limit,
+        after_doc_id=after_doc_id,
+    )
+    if len(live) == len(patterns):
+        return res
+    remap = spark.createDataFrame(
+        [(j, i) for j, (i, _) in enumerate(live)],
+        "query_id long, orig long",
+    )
+    return res.join(F.broadcast(remap), "query_id").select(
+        F.col("orig").alias("query_id"), "doc_id"
+    )
+
+
 def bm25_filtered_topk_batch(
     spark: SparkSession,
     index: Index,
@@ -1057,9 +1161,22 @@ def bm25_filtered_topk_batch(
     stopword-hot must term fans out across the grid like everywhere
     else.  ``must`` / ``must_not`` are optional; the free text must
     contribute at least one term (docs matching only the constraints
-    score zero and are not ranked, the standard convention)."""
+    score zero and are not ranked, the standard convention).
+
+    METADATA FILTERS: a query may also carry
+    ``"where": {column: [allowed values], ...}`` — attribute predicates
+    over the docmap's metadata columns (``lang``, ``repo``, ...; AND
+    across columns, IN-list within one), the Lucene/ES "filter context"
+    fused into ranking.  The attribute doc-sets are resolved by a
+    column-pruned, predicate-pushed docmap scan and flow to the range
+    tasks THROUGH THE SHUFFLE (a cogroup on the same (query, range)
+    grid) — never through the driver or a broadcast, so an unselective
+    predicate over 10^12 docs distributes instead of OOMing the driver.
+    Scoring statistics (N, avgdl, df) stay index-global, like the term
+    constraints."""
     stats = index.stats
     norm: dict[int, dict] = {}
+    wheres: dict[int, dict[str, list[str]]] = {}
     for qi, q in enumerate(queries):
         spec = {
             "score": query_terms(q.get("query", "")),
@@ -1076,6 +1193,11 @@ def bm25_filtered_topk_batch(
                 "term in 'query'"
             )
         norm[qi] = spec
+        w = q.get("where") or {}
+        if w:
+            wheres[qi] = {
+                c: sorted({str(v) for v in vals}) for c, vals in w.items()
+            }
     all_terms = sorted(
         {t for s in norm.values() for r in s.values() for t in r}
     )
@@ -1103,15 +1225,65 @@ def bm25_filtered_topk_batch(
         "query_id", "term", "postings", "blocks"
     )
     sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
+
+    # ---- attribute doc-sets for the where-filtered queries --------------
+    # Distinct predicates resolve ONCE (queries sharing a where share the
+    # scan); each produces (query_id, rng, doc_id) rows on the executor
+    # grid.  The docmap read is column-pruned to doc_id + the predicate
+    # columns with the IN-filters pushed to parquet.
+    attr = None
+    if wheres:
+        dm = index.docmap(spark)
+        bad = sorted(
+            {c for w in wheres.values() for c in w} - set(dm.columns)
+        )
+        if bad:
+            raise ValueError(
+                f"where column(s) {bad} not in docmap columns "
+                f"{sorted(dm.columns)}"
+            )
+        by_pred: dict[tuple, list[int]] = {}
+        for qi, w in wheres.items():
+            key = tuple(sorted((c, tuple(v)) for c, v in w.items()))
+            by_pred.setdefault(key, []).append(qi)
+        frames = []
+        for key, qids in by_pred.items():
+            pred = None
+            for c, vals in key:
+                p = F.col(c).isin(list(vals))
+                pred = p if pred is None else pred & p
+            ids = dm.filter(pred).select("doc_id")
+            qmap = spark.createDataFrame(
+                [(int(x),) for x in qids], "query_id long"
+            )
+            frames.append(ids.crossJoin(F.broadcast(qmap)))
+        attr = frames[0]
+        for f2 in frames[1:]:
+            attr = attr.unionByName(f2)
+        attr = attr.select(
+            "query_id",
+            F.shiftright("doc_id", shift).alias("rng"),
+            "doc_id",
+        )
+
     bc_spec = spark.sparkContext.broadcast(norm)
+    bc_where = spark.sparkContext.broadcast(set(wheres))
     bc_idf = spark.sparkContext.broadcast(idf_map)
     tomb = index.tombstones(spark)
     bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
 
     from acora_spark.functions.postings_codec import decode_slice
 
-    def run_range(key, pdf):  # (key, pdf) applyInPandas form
-        qid = int(key[0])
+    def _empty_partial() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+
+    def _range_topk(qid: int, pdf: pd.DataFrame, meta) -> pd.DataFrame:
         spec = bc_spec.value[qid]
         score_terms = set(spec["score"])
         sets: dict[str, np.ndarray] = {}
@@ -1132,6 +1304,10 @@ def bm25_filtered_topk_batch(
                 )
         empty = np.empty(0, np.int64)
         allow = None
+        if qid in bc_where.value:
+            # sorted unique attribute doc ids for THIS range (empty when
+            # no doc in the range satisfies the metadata predicate)
+            allow = meta if meta is not None else empty
         for t in spec["must"]:
             arr = sets.get(t, empty)
             allow = arr if allow is None else np.intersect1d(
@@ -1140,16 +1316,11 @@ def bm25_filtered_topk_batch(
             if not len(allow):
                 break
         if allow is not None and not len(allow):
-            # must intersection already empty in this range: skip the
+            # allowed set already empty in this range: skip the
             # scoring-term decode entirely (the common case for a
-            # selective must term — most ranges hold none of its docs)
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype=np.int64),
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "score": pd.Series([], dtype=np.float64),
-                }
-            )
+            # selective must term or metadata predicate — most ranges
+            # hold none of its docs)
+            return _empty_partial()
         deny = None
         if spec["must_not"]:
             deny = np.unique(
@@ -1164,9 +1335,35 @@ def bm25_filtered_topk_batch(
         )
         return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": scores})
 
-    partial = sliced.repartition("query_id", "rng").groupBy(
-        "query_id", "rng"
-    ).applyInPandas(run_range, "query_id long, doc_id long, score double")
+    _partial_schema = "query_id long, doc_id long, score double"
+
+    if attr is not None:
+        # cogroup the postings slices with the attribute doc-sets on the
+        # SAME (query, range) grid: each range task receives its slices
+        # AND its allowed ids together — groups that exist on only one
+        # side (predicate docs but no query-term postings, or vice versa
+        # for a where-query) correctly resolve to empty results
+        def run_range_cg(key, left, right):
+            meta = (
+                np.sort(right["doc_id"].to_numpy(np.int64))
+                if len(right)
+                else np.empty(0, np.int64)
+            )
+            return _range_topk(int(key[0]), left, meta)
+
+        partial = (
+            sliced.groupBy("query_id", "rng")
+            .cogroup(attr.groupBy("query_id", "rng"))
+            .applyInPandas(run_range_cg, _partial_schema)
+        )
+    else:
+
+        def run_range(key, pdf):  # (key, pdf) applyInPandas form
+            return _range_topk(int(key[0]), pdf, None)
+
+        partial = sliced.repartition("query_id", "rng").groupBy(
+            "query_id", "rng"
+        ).applyInPandas(run_range, _partial_schema)
 
     return _salted_topk_merge(partial, stats, shift, k)
 

@@ -1,0 +1,232 @@
+"""Metadata-filtered search (``where`` predicates fused into ranked
+retrieval) and wildcard term expansion over the index vocabulary.
+
+Both are standard search-engine surfaces the reference's keyword matcher
+has no counterpart for (pipeline requirements): ``where`` is Lucene/ES
+"query + filter context" (attribute predicates restrict WHICH docs rank,
+never the scoring statistics), wildcards are Lucene MultiTermQuery
+constant-score rewrite semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from acora_spark.index.build import build_index
+from acora_spark.sources.corpus import load_corpus
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("widx"))
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(
+        corpus, index_dir, num_buckets=8, docs_per_salt=100, bucket_group_size=4
+    )
+    return idx, corpus
+
+
+def _doc_views(idx, corpus, spark):
+    """doc_id -> (token set, lang) ground truth, brute-forced driver-side."""
+    tok = re.compile(r"[a-z0-9_]+")
+    docmap = {
+        (r.repo, r.path, r.commit): (r.doc_id, r.lang)
+        for r in idx.docmap(spark).collect()
+    }
+    toks, langs = {}, {}
+    for row in corpus.collect():
+        doc_id, lang = docmap[(row.repo, row.path, row.commit)]
+        toks[doc_id] = set(tok.findall(row.content.lower()))
+        langs[doc_id] = lang
+    return toks, langs
+
+
+def test_where_topk_vs_bruteforce(built, spark):
+    """where + must + must_not == rank ALL docs, then apply every
+    constraint, then cut to k — scores bit-identical at any grid size."""
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch, bm25_topk_batch
+
+    idx, corpus = built
+    toks, langs = _doc_views(idx, corpus, spark)
+    spec = {
+        "query": "the data fast",
+        "must": ["table"],
+        "must_not": ["window"],
+        "where": {"lang": ["es", "de"]},
+    }
+    n = idx.stats["N"]
+    ranked_all = sorted(
+        (
+            (r.doc_id, r.score)
+            for r in bm25_topk_batch(spark, idx, [spec["query"]], k=n).collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = [
+        (d, s)
+        for d, s in ranked_all
+        if "table" in toks[d]
+        and "window" not in toks[d]
+        and langs[d] in ("es", "de")
+    ][:7]
+    assert len(want) > 0
+    for num_ranges in (None, 16):
+        got = [
+            (r.doc_id, r.score)
+            for r in bm25_filtered_topk_batch(
+                spark, idx, [spec], k=7, num_ranges=num_ranges
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == want, f"num_ranges={num_ranges}"
+
+
+def test_where_only_no_term_constraints(built, spark):
+    """A pure metadata filter (no must/must_not) restricts ranking to the
+    attribute set alone."""
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch, bm25_topk_batch
+
+    idx, corpus = built
+    _, langs = _doc_views(idx, corpus, spark)
+    n = idx.stats["N"]
+    ranked_all = sorted(
+        (
+            (r.doc_id, r.score)
+            for r in bm25_topk_batch(spark, idx, ["spark shuffle"], k=n).collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = [(d, s) for d, s in ranked_all if langs[d] == "fr"][:5]
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_filtered_topk_batch(
+            spark,
+            idx,
+            [{"query": "spark shuffle", "where": {"lang": ["fr"]}}],
+            k=5,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) > 0
+
+
+def test_where_empty_attribute_set_and_mixed_batch(built, spark):
+    """A where value matching NO docs yields an empty result for that
+    query; other queries in the same batch are unaffected (including
+    queries with no where at all)."""
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch
+
+    idx, _ = built
+    res = bm25_filtered_topk_batch(
+        spark,
+        idx,
+        [
+            {"query": "data table", "where": {"lang": ["xx_nonexistent"]}},
+            {"query": "data table", "must": ["join"]},
+            {"query": "data table", "where": {"lang": ["en"]}},
+        ],
+        k=5,
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert 0 not in by_q
+    assert len(by_q.get(1, [])) == 5
+    assert len(by_q.get(2, [])) == 5
+    # the no-where query must answer exactly as a solo filtered call
+    solo = bm25_filtered_topk_batch(
+        spark, idx, [{"query": "data table", "must": ["join"]}], k=5
+    ).collect()
+    assert {(r.doc_id, r.score) for r in by_q[1]} == {
+        (r.doc_id, r.score) for r in solo
+    }
+
+
+def test_where_unknown_column_raises(built, spark):
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch
+
+    idx, _ = built
+    with pytest.raises(ValueError, match="where column"):
+        bm25_filtered_topk_batch(
+            spark,
+            idx,
+            [{"query": "data", "where": {"no_such_col": ["x"]}}],
+            k=3,
+        )
+
+
+def test_expand_terms_patterns(built, spark):
+    """Glob expansion against the vocabulary: prefix, infix (leading
+    wildcard), single-char, no-match, and the clause-count guard."""
+    from acora_spark.index.bm25 import expand_terms
+
+    idx, corpus = built
+    toks, _ = _doc_views(idx, corpus, spark)
+    vocab = sorted(set().union(*toks.values()))
+    assert expand_terms(spark, idx, "*ta*") == sorted(
+        t for t in vocab if re.fullmatch(r".*ta.*", t)
+    )
+    assert expand_terms(spark, idx, "s*") == sorted(
+        t for t in vocab if t.startswith("s")
+    )
+    assert expand_terms(spark, idx, "?able") == sorted(
+        t for t in vocab if re.fullmatch(r".able", t)
+    )
+    assert expand_terms(spark, idx, "zz*qq") == []
+    n_s = len([t for t in vocab if t.startswith("s")])
+    assert n_s > 2
+    with pytest.raises(ValueError, match="expands to"):
+        expand_terms(spark, idx, "s*", max_terms=n_s - 1)
+    with pytest.raises(ValueError, match="token alphabet"):
+        expand_terms(spark, idx, "bad pattern!")
+
+
+def test_wildcard_query_vs_bruteforce(built, spark):
+    """Constant-score wildcard retrieval == docs containing ANY vocab term
+    matching the pattern; no-match patterns give empty sets without
+    disturbing batch ids."""
+    from acora_spark.index.bm25 import wildcard_query_batch
+
+    idx, corpus = built
+    toks, _ = _doc_views(idx, corpus, spark)
+    patterns = ["s*", "zzz*", "*ta*"]
+    res = wildcard_query_batch(spark, idx, patterns).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.query_id, set()).add(r.doc_id)
+    regexes = [re.compile(r"s.*"), re.compile(r"zzz.*"), re.compile(r".*ta.*")]
+    for qi, rx in enumerate(regexes):
+        want = {
+            d for d, ts in toks.items() if any(rx.fullmatch(t) for t in ts)
+        }
+        assert got.get(qi, set()) == want, f"pattern {patterns[qi]}"
+    assert 1 not in got
+
+
+def test_wildcard_limit_paging(built, spark):
+    """limit/after_doc_id keyset paging passes through to the boolean
+    executor: pages concatenate to the exact full result."""
+    from acora_spark.index.bm25 import wildcard_query_batch
+
+    idx, _ = built
+    full = sorted(
+        r.doc_id for r in wildcard_query_batch(spark, idx, ["s*"]).collect()
+    )
+    assert len(full) > 6
+    page1 = sorted(
+        r.doc_id
+        for r in wildcard_query_batch(spark, idx, ["s*"], limit=5).collect()
+    )
+    assert page1 == full[:5]
+    page2 = sorted(
+        r.doc_id
+        for r in wildcard_query_batch(
+            spark, idx, ["s*"], limit=5, after_doc_id=page1[-1]
+        ).collect()
+    )
+    assert page2 == full[5:10]
