@@ -89,10 +89,14 @@ def _id_space(stats: dict) -> int:
     return int(stats.get("id_space", stats["N"]))
 
 
-def _is_dead(exclude: np.ndarray, d: int) -> bool:
-    """Membership test against the sorted tombstone array — O(log n)."""
-    i = int(np.searchsorted(exclude, d))
-    return i < len(exclude) and int(exclude[i]) == d
+def _in_sorted(arr: np.ndarray, d: int) -> bool:
+    """Membership test against a sorted id array — O(log n).  Used for
+    both tombstone exclusion and where-filter allow sets."""
+    i = int(np.searchsorted(arr, d))
+    return i < len(arr) and int(arr[i]) == d
+
+
+_is_dead = _in_sorted  # historical name for the tombstone test
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -189,6 +193,7 @@ def wand_topk(
     positional: bool = False,
     bound_scale: float = 1.0,
     exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over (idf, blob, blocks) per query term.
 
@@ -202,7 +207,9 @@ def wand_topk(
     out of the heap: they are skipped at full-evaluation time, BEFORE
     they can occupy a top-k slot, so the result is the exact top-k of
     the live documents.  Block upper bounds may still include dead docs
-    — bounds only get looser, never inadmissible.
+    — bounds only get looser, never inadmissible.  ``allow`` (sorted) is
+    the symmetric where-filter set: docs NOT in it are skipped the same
+    way, so the result is the exact top-k of the allowed documents.
     """
     if k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -269,8 +276,10 @@ def wand_topk(
             for c in contrib:  # cursors list is term-ascending
                 score += c.score()
             item = (score, -pivot_doc)
-            if exclude is not None and _is_dead(exclude, pivot_doc):
-                pass  # soft-deleted: fully advanced past, never ranked
+            if (exclude is not None and _in_sorted(exclude, pivot_doc)) or (
+                allow is not None and not _in_sorted(allow, pivot_doc)
+            ):
+                pass  # soft-deleted / not allowed: advanced past, never ranked
             elif len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
@@ -308,6 +317,7 @@ def taat_topk(
     n_docs: int,
     positional: bool = False,
     exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized term-at-a-time scorer: decode each term's postings fully
     and accumulate into a dense score array indexed by doc_id.
@@ -331,6 +341,12 @@ def taat_topk(
     if exclude is not None and len(exclude):
         dead = exclude[(exclude >= 0) & (exclude < n_docs)]
         touched[dead] = False
+    if allow is not None:
+        # where-filter: only docs in the (sorted) allow set may rank
+        ok = np.zeros(n_docs, dtype=bool)
+        valid = allow[(allow >= 0) & (allow < n_docs)]
+        ok[valid] = True
+        touched &= ok
     cand = np.nonzero(touched)[0]
     if not len(cand):
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -357,12 +373,13 @@ TAAT_MAX_DOCS = 8_000_000
 
 
 def _execute_topk(term_postings, k, avgdl, k1, b, n_docs, executor="auto",
-                  positional=False, bound_scale=1.0, exclude=None):
+                  positional=False, bound_scale=1.0, exclude=None,
+                  allow=None):
     if executor == "wand" or (executor == "auto" and n_docs > TAAT_MAX_DOCS):
         return wand_topk(term_postings, k, avgdl, k1, b, positional,
-                         bound_scale, exclude)
+                         bound_scale, exclude, allow)
     return taat_topk(term_postings, k, avgdl, k1, b, n_docs, positional,
-                     exclude)
+                     exclude, allow)
 
 
 def term_buckets(spark: SparkSession, terms: Sequence[str], num_buckets: int) -> dict[str, int]:
@@ -1372,6 +1389,7 @@ def bm25_topk_local(
     index: Index,
     queries: Sequence[str],
     k: int = 10,
+    where: dict | None = None,
 ) -> pd.DataFrame:
     """Cluster-free serving: answer BM25 queries straight off the index
     files with pyarrow + numpy — NO SparkSession, NO job per query.
@@ -1389,7 +1407,16 @@ def bm25_topk_local(
 
     Index paths resolve through ``pyarrow.fs`` (local, file://, s3://,
     hdfs://, gs://) — the sidecar can serve straight off object storage;
-    returns a pandas DataFrame (query_id, rank, doc_id, score)."""
+    returns a pandas DataFrame (query_id, rank, doc_id, score).
+
+    ``where`` applies the same metadata filter context as the
+    distributed :func:`bm25_filtered_topk_batch` (``{column: [allowed
+    values]}`` over docmap metadata columns, AND across columns) to
+    EVERY query in the call: the predicate pushes down to the pyarrow
+    docmap read, and the resulting allow set is enforced inside the
+    WAND/TAAT executors exactly like tombstones — skipped before a doc
+    can occupy a top-k slot, so results are the exact top-k of the
+    allowed documents."""
     import pyarrow.parquet as pq
 
     from acora_spark import fsutil
@@ -1416,6 +1443,28 @@ def bm25_topk_local(
             exclude = np.unique(
                 np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
             )
+    allow = None
+    if where:
+        filters = [
+            (c, "in", sorted({str(v) for v in vals}))
+            for c, vals in sorted(where.items())
+        ]
+        parts = []
+        for d in index.docmap_dir_names():
+            p = _join_path(index.index_dir, d)
+            if not fsutil.exists(p):
+                continue
+            fsys, pp = fsutil.pa_fs(p)
+            t = pq.read_table(
+                pp, columns=["doc_id"], filters=filters, filesystem=fsys
+            )
+            if t.num_rows:
+                parts.append(t["doc_id"].to_numpy().astype(np.int64))
+        allow = (
+            np.sort(np.concatenate(parts))
+            if parts
+            else np.empty(0, np.int64)
+        )
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b, positional = stats["k1"], stats["b"], bool(stats.get("with_positions"))
     id_space, bscale = _id_space(stats), _bound_scale(stats)
@@ -1446,7 +1495,7 @@ def bm25_topk_local(
         tp = _shard_postings(pdf, n_docs)
         docs, scores = _execute_topk(
             tp, k, avgdl, k1, b, id_space, positional=positional,
-            bound_scale=bscale, exclude=exclude,
+            bound_scale=bscale, exclude=exclude, allow=allow,
         )
         out_frames.append(
             pd.DataFrame(

@@ -88,6 +88,62 @@ def test_wand_k_larger_than_results():
     assert len(got) == 3
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 600),
+                st.integers(1, 8),
+                st.integers(10, 300),
+            ),
+            min_size=1,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(1, 15),
+    allow_mod=st.integers(2, 5),
+)
+def test_allow_set_matches_brute_force(data, k, allow_mod):
+    """The where-filter allow set: both executors must return the exact
+    top-k of the ALLOWED docs (not a post-filter of the global top-k)."""
+    n_docs = 601
+    dl_of = {}
+    term_data = []
+    for rows in data:
+        by_doc = {}
+        for d, tf, dl in rows:
+            dl_of.setdefault(d, dl)
+            by_doc[d] = by_doc.get(d, 0) + tf
+        docs = np.array(sorted(by_doc), dtype=np.int64)
+        tfs = np.array([by_doc[d] for d in docs], dtype=np.int64)
+        dls = np.array([dl_of[d] for d in docs], dtype=np.int64)
+        term_data.append((docs, tfs, dls))
+    avgdl = float(np.mean(list(dl_of.values())))
+    allowed = sorted(d for d in dl_of if d % allow_mod == 0)
+    allow = np.array(allowed, dtype=np.int64)
+    expect = [
+        (d, s)
+        for d, s in brute_force(term_data, n_docs, avgdl, n_docs)
+        if d in set(allowed)
+    ][:k]
+    tp = []
+    for doc_ids, tfs, dls in term_data:
+        blob, blocks = encode_postings(doc_ids, tfs, dls, avgdl)
+        tp.append((idf(n_docs, len(doc_ids)), blob, blocks))
+    for name, got in (
+        ("wand", wand_topk(tp, k, avgdl, K1, B, allow=allow)),
+        ("taat", taat_topk(tp, k, avgdl, K1, B, n_docs, allow=allow)),
+    ):
+        docs, scores = got
+        assert docs.tolist() == [d for d, _ in expect], name
+        np.testing.assert_allclose(
+            scores, [s for _, s in expect], rtol=0, atol=1e-12
+        )
+
+
 def test_wand_tie_break_doc_asc():
     # identical tf/dl -> identical scores; ranking must be doc_id ascending
     docs = np.arange(100, dtype=np.int64)

@@ -147,6 +147,30 @@ def test_where_empty_attribute_set_and_mixed_batch(built, spark):
     }
 
 
+def test_where_local_matches_distributed(built, spark):
+    """The cluster-free serving path applies the same filter context and
+    must agree with the distributed where executor bit-exactly."""
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch, bm25_topk_local
+
+    idx, _ = built
+    q, w = "data table join", {"lang": ["zh", "fr"]}
+    dist = (
+        bm25_filtered_topk_batch(
+            spark, idx, [{"query": q, "where": w}], k=6
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    loc = bm25_topk_local(idx, [q], k=6, where=w)
+    assert [(r.doc_id, r.score) for r in dist] == list(
+        zip(loc["doc_id"].tolist(), loc["score"].tolist())
+    )
+    assert len(dist) > 0
+    # empty attribute set -> empty result, not an error
+    none = bm25_topk_local(idx, [q], k=6, where={"lang": ["xx"]})
+    assert len(none) == 0
+
+
 def test_where_unknown_column_raises(built, spark):
     from acora_spark.index.bm25 import bm25_filtered_topk_batch
 
