@@ -478,6 +478,56 @@ def q_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_WORDS = ["tabl", "sow"]
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant retrieval: each word expands to its Levenshtein<=1
+    vocabulary neighborhood (constant-score rewrite) — mirrored by a
+    levenshtein() predicate over unnested tokens."""
+    from acora_spark.index.bm25 import fuzzy_query_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = fuzzy_query_batch(spark, idx, FUZZY_WORDS, max_edits=1)
+    wmap = spark.createDataFrame(
+        list(enumerate(FUZZY_WORDS)), "query_id long, word string"
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return (
+        res.join(F.broadcast(wmap), "query_id")
+        .join(docmap, "doc_id")
+        .select("word", "path")
+    )
+
+
+MLT_TOP_TERMS = 10
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document retrieval (Lucene MoreLikeThis): tf x idf term
+    selection from the min-path source doc, BM25 over the derived query,
+    source excluded — the SQL mirror recomputes the term selection
+    independently (weights rounded to 6 dp on both sides so the term
+    SETS agree, then scores rounded to 4 dp so the ranking agrees)."""
+    from acora_spark.index.bm25 import more_like_this
+
+    idx = _index_for(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    row = corpus.orderBy("path").limit(1).collect()[0]
+    raw = more_like_this(
+        spark, idx, corpus, (row.repo, row.path, row.commit),
+        top_terms=MLT_TOP_TERMS, k=4 * BM25_K,
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 def _pos_index_for(spark: SparkSession, sf_dir: str):
     from acora_spark.index.build import build_index
 
@@ -984,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_where_topk": q_bm25_where_topk,
         "wildcard_match": q_wildcard_match,
+        "fuzzy_match": q_fuzzy_match,
+        "more_like_this": q_more_like_this,
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1569,6 +1621,69 @@ WITH {_CORPUS_CTE},
 {_TOKS_CTE},
 tok_rows AS (SELECT doc_id, path, unnest(t) AS term FROM toks)
 {wc_branches}
+"""
+
+    # fuzzy retrieval: levenshtein() is classic edit distance in BOTH
+    # engines (Spark F.levenshtein / DuckDB levenshtein)
+    fz_branches = "\nUNION ALL\n".join(
+        f"SELECT '{w}' AS word, path FROM ("
+        f"SELECT DISTINCT path FROM tok_rows "
+        f"WHERE levenshtein(term, '{w}') <= 1)"
+        for w in FUZZY_WORDS
+    )
+    sql["fuzzy_match"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+tok_rows AS (SELECT doc_id, path, unnest(t) AS term FROM toks)
+{fz_branches}
+"""
+
+    # more-like-this: the oracle recomputes the tf x idf term selection
+    # independently (weights rounded to 6 dp = the Spark side's
+    # weight_round, tie-broken by term asc), then scores the derived
+    # query with the standard BM25 template, excluding the source doc.
+    # df for the WEIGHTS comes from the full corpus — identical to the
+    # index postings' per-term doc counts the Spark side reads.
+    sql["more_like_this"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+src AS (SELECT doc_id, t FROM toks ORDER BY path LIMIT 1),
+src_tf AS (
+  SELECT term, count(*)::DOUBLE AS tf
+  FROM (SELECT unnest(t) AS term FROM src) GROUP BY term
+),
+gdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok_rows GROUP BY term
+),
+wts AS (
+  SELECT s.term,
+         round(ln(1 + (st.n_docs - g.df + 0.5) / (g.df + 0.5)) * s.tf, 6) AS w
+  FROM src_tf s JOIN gdf g USING (term) CROSS JOIN stats st
+),
+qsel AS (SELECT term FROM wts ORDER BY w DESC, term ASC LIMIT {MLT_TOP_TERMS}),
+tfq AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qsel)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT tfq.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tfq.tf / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tfq JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  WHERE tfq.doc_id <> (SELECT doc_id FROM src)
+  GROUP BY tfq.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
 """
 
     # phrase_tf = number of adjacent token runs equal to the phrase

@@ -1109,6 +1109,83 @@ def expand_terms(
     return terms
 
 
+def fuzzy_terms(
+    spark: SparkSession,
+    index: Index,
+    word: str,
+    max_edits: int = 1,
+    prefix_len: int = 0,
+    max_terms: int = 1024,
+) -> list[str]:
+    """Vocabulary terms within Levenshtein distance ``max_edits`` of
+    ``word`` — the expansion behind fuzzy (typo-tolerant) queries, Lucene
+    FuzzyQuery semantics.  ``prefix_len`` requires the first n characters
+    to match exactly (Lucene's prefixLength — typos rarely hit the word
+    start, and the prefix predicate lets parquet dictionary/stats skip
+    non-matching row groups before the distance computation).  The scan
+    is the same one-string-column vocabulary pass as
+    :func:`expand_terms`, with the distance computed JVM-side
+    (``F.levenshtein``); same ``max_terms`` overflow guard."""
+    w = word.lower()
+    if not re.fullmatch(r"[a-z0-9_]+", w):
+        raise ValueError(
+            f"fuzzy word {word!r} contains characters outside the token "
+            "alphabet [a-z0-9_]"
+        )
+    cond = F.levenshtein(F.col("term"), F.lit(w)) <= max_edits
+    if prefix_len > 0:
+        cond = F.col("term").startswith(w[:prefix_len]) & cond
+    rows = (
+        index.postings(spark)
+        .select("term")
+        .filter(cond)
+        .distinct()
+        .limit(max_terms + 1)
+        .collect()
+    )
+    terms = sorted(r["term"] for r in rows)
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"fuzzy word {word!r} expands to more than {max_terms} terms; "
+            "lower max_edits, raise prefix_len, or raise max_terms"
+        )
+    return terms
+
+
+def _expansion_query_batch(
+    spark: SparkSession,
+    index: Index,
+    expansions: Sequence[list[str]],
+    num_ranges: int | None,
+    limit: int | None,
+    after_doc_id: int | None,
+) -> DataFrame:
+    """Constant-score rewrite shared by wildcard and fuzzy retrieval:
+    run the non-empty expansions as one range-parallel boolean batch
+    (``should`` = the expansion) and remap result ids back to the
+    caller's positions; empty expansions yield empty result sets."""
+    live = [(i, e) for i, e in enumerate(expansions) if e]
+    if not live:
+        return spark.createDataFrame([], BOOLEAN_SCHEMA)
+    res = boolean_query_batch(
+        spark,
+        index,
+        [{"should": e} for _, e in live],
+        num_ranges=num_ranges,
+        limit=limit,
+        after_doc_id=after_doc_id,
+    )
+    if len(live) == len(expansions):
+        return res
+    remap = spark.createDataFrame(
+        [(j, i) for j, (i, _) in enumerate(live)],
+        "query_id long, orig long",
+    )
+    return res.join(F.broadcast(remap), "query_id").select(
+        F.col("orig").alias("query_id"), "doc_id"
+    )
+
+
 def wildcard_query_batch(
     spark: SparkSession,
     index: Index,
@@ -1130,25 +1207,117 @@ def wildcard_query_batch(
     expansions = [
         expand_terms(spark, index, p, max_terms=max_terms) for p in patterns
     ]
-    live = [(i, e) for i, e in enumerate(expansions) if e]
-    if not live:
-        return spark.createDataFrame([], BOOLEAN_SCHEMA)
-    res = boolean_query_batch(
-        spark,
-        index,
-        [{"should": e} for _, e in live],
-        num_ranges=num_ranges,
-        limit=limit,
-        after_doc_id=after_doc_id,
+    return _expansion_query_batch(
+        spark, index, expansions, num_ranges, limit, after_doc_id
     )
-    if len(live) == len(patterns):
-        return res
-    remap = spark.createDataFrame(
-        [(j, i) for j, (i, _) in enumerate(live)],
-        "query_id long, orig long",
+
+
+def fuzzy_query_batch(
+    spark: SparkSession,
+    index: Index,
+    words: Sequence[str],
+    max_edits: int = 1,
+    prefix_len: int = 0,
+    max_terms: int = 1024,
+    num_ranges: int | None = None,
+    limit: int | None = None,
+    after_doc_id: int | None = None,
+) -> DataFrame:
+    """Typo-tolerant retrieval (Lucene FuzzyQuery, constant-score
+    rewrite): each word expands to its Levenshtein-``max_edits``
+    vocabulary neighborhood via :func:`fuzzy_terms` and matches docs
+    containing any neighbor.  Returns (query_id, doc_id) rows with
+    query_id = the word's position in ``words``."""
+    expansions = [
+        fuzzy_terms(
+            spark, index, w,
+            max_edits=max_edits, prefix_len=prefix_len, max_terms=max_terms,
+        )
+        for w in words
+    ]
+    return _expansion_query_batch(
+        spark, index, expansions, num_ranges, limit, after_doc_id
     )
-    return res.join(F.broadcast(remap), "query_id").select(
-        F.col("orig").alias("query_id"), "doc_id"
+
+
+def more_like_this(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    key: dict | Sequence,
+    *,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    top_terms: int = 10,
+    k: int = 10,
+    weight_round: int | None = 6,
+) -> DataFrame:
+    """Similar-document retrieval (the Lucene MoreLikeThis shape): pick
+    the source document's ``top_terms`` most characteristic terms by
+    tf x idf and BM25-rank the corpus over that derived query, excluding
+    the source document itself.
+
+    The source content is one key lookup on the corpus; its term
+    frequencies are counted driver-side (one document); the df side of
+    the weights comes from the INDEX (bucket-pruned postings read for
+    just the document's distinct terms — the same lookup a query pays).
+    Term selection orders by (weight desc, term asc) with weights
+    rounded to ``weight_round`` decimals so an independent scorer (the
+    SQL oracle) reproduces the exact term set — the last-ulp trap that
+    rounding scores before ranking already handles for BM25 results.
+    Returns TOPK_SCHEMA rows (query_id = 0) re-ranked after the source
+    doc is dropped."""
+    kd = (
+        dict(key)
+        if isinstance(key, dict)
+        else dict(zip(list(key_cols), list(key)))
+    )
+    pred = None
+    for c in key_cols:
+        p = F.col(c) == F.lit(kd[c])
+        pred = p if pred is None else pred & p
+    rows = corpus.filter(pred).select("content").limit(2).collect()
+    if not rows:
+        raise ValueError(f"more_like_this: no corpus row with key {kd}")
+    content = rows[0]["content"] or ""
+    from collections import Counter
+
+    tf = Counter(re.findall(r"[a-z0-9_]+", content.lower()))
+    if not tf:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    stats = index.stats
+    cand = sorted(tf)
+    buckets = term_buckets(spark, cand, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(cand)
+    )
+    term_df = _query_term_df(post)
+    n_docs = stats["N"]
+    weights = []
+    for t, d in term_df.items():
+        w = idf(n_docs, d) * tf[t]
+        if weight_round is not None:
+            w = round(w, weight_round)
+        weights.append((w, t))
+    weights.sort(key=lambda x: (-x[0], x[1]))
+    sel = [t for _, t in weights[:top_terms]]
+    if not sel:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    src = index.docmap(spark).filter(pred).select("doc_id").limit(1).collect()
+    if not src:
+        raise ValueError(
+            f"more_like_this: key {kd} not in the index docmap — the "
+            "index does not cover the source document"
+        )
+    src_id = int(src[0]["doc_id"])
+    res = bm25_topk_batch(spark, index, [" ".join(sel)], k=k + 1)
+    kept = res.filter(F.col("doc_id") != src_id)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 
