@@ -170,6 +170,34 @@ def main() -> None:
         )
     )
 
+    # 4b3. metadata filter context: the attribute doc-set comes from a
+    #      column-pruned predicate-pushed docmap scan and COGROUPS onto
+    #      the (query, range) grid — no driver collection, no broadcast
+    wfilt = bm25_filtered_topk_batch(
+        spark, idx,
+        [{"query": entry.BM25_QUERY, "must": entry.FILTERED_MUST,
+          "where": {"lang": entry.WHERE_LANGS}}],
+        k=10, num_ranges=8,
+    )
+    p4b3 = plan_of(wfilt, "formatted")
+    assert "CartesianProduct" not in p4b3
+    assert "FlatMapCoGroupsInPandas" in p4b3
+    assert "In(lang" in p4b3, "lang IN-filter must reach the docmap scan"
+    sections.append(
+        (
+            "Metadata filter context (where predicates cogrouped onto the grid)",
+            "The docmap scan reads ONLY doc_id + the predicate column "
+            "(ReadSchema) with the IN-list pushed to parquet "
+            "(PushedFilters); the resulting attribute ids exchange by "
+            "(query_id, rng) — the SAME key as the postings slices — into "
+            "one FlatMapCoGroupsInPandas, so the allow set reaches each "
+            "range task through the shuffle, never the driver.  Asserted "
+            "here: cogroup present, lang filter pushed, no cartesian "
+            "product.",
+            p4b3,
+        )
+    )
+
     # 4c. zero-shuffle encode: the encode stage's Spark plan moves only
     #     FILE NAMES — each task reads its runs file directly with
     #     pyarrow, so the raw postings data shuffles exactly once per
