@@ -124,24 +124,34 @@ def test_allow_set_matches_brute_force(data, k, allow_mod):
     avgdl = float(np.mean(list(dl_of.values())))
     allowed = sorted(d for d in dl_of if d % allow_mod == 0)
     allow = np.array(allowed, dtype=np.int64)
-    expect = [
-        (d, s)
-        for d, s in brute_force(term_data, n_docs, avgdl, n_docs)
-        if d in set(allowed)
-    ][:k]
+    # overlay a tombstone set: allow and exclude must COMPOSE (a doc must
+    # be in the allow set AND not tombstoned to rank)
+    excluded = sorted(d for d in dl_of if d % 7 == 0)
+    exclude = np.array(excluded, dtype=np.int64)
     tp = []
     for doc_ids, tfs, dls in term_data:
         blob, blocks = encode_postings(doc_ids, tfs, dls, avgdl)
         tp.append((idf(n_docs, len(doc_ids)), blob, blocks))
-    for name, got in (
-        ("wand", wand_topk(tp, k, avgdl, K1, B, allow=allow)),
-        ("taat", taat_topk(tp, k, avgdl, K1, B, n_docs, allow=allow)),
-    ):
-        docs, scores = got
-        assert docs.tolist() == [d for d, _ in expect], name
-        np.testing.assert_allclose(
-            scores, [s for _, s in expect], rtol=0, atol=1e-12
-        )
+    for ex, exset in ((None, set()), (exclude, set(excluded))):
+        expect = [
+            (d, s)
+            for d, s in brute_force(term_data, n_docs, avgdl, n_docs)
+            if d in set(allowed) and d not in exset
+        ][:k]
+        for name, got in (
+            ("wand", wand_topk(tp, k, avgdl, K1, B, exclude=ex, allow=allow)),
+            (
+                "taat",
+                taat_topk(
+                    tp, k, avgdl, K1, B, n_docs, exclude=ex, allow=allow
+                ),
+            ),
+        ):
+            docs, scores = got
+            assert docs.tolist() == [d for d, _ in expect], (name, ex is None)
+            np.testing.assert_allclose(
+                scores, [s for _, s in expect], rtol=0, atol=1e-12
+            )
 
 
 def test_wand_tie_break_doc_asc():

@@ -320,6 +320,78 @@ def test_more_like_this_vs_manual(built, spark):
         more_like_this(spark, idx, corpus, ("no", "such", "doc"))
 
 
+def test_where_and_wildcard_respect_tombstones(built, spark, tmp_path):
+    """Soft deletions compose with the new executors: tombstoned docs
+    vanish from wildcard result sets AND from where-filtered rankings
+    (distributed and cluster-free), while scores of survivors are
+    unchanged (soft delete keeps full-corpus statistics)."""
+    import shutil
+
+    from acora_spark.index.bm25 import (
+        bm25_filtered_topk_batch,
+        bm25_topk_batch,
+        bm25_topk_local,
+        wildcard_query_batch,
+    )
+    from acora_spark.index.build import delete_docs, load_index
+
+    idx, corpus = built
+    toks, langs = _doc_views(idx, corpus, spark)
+    q, aset = "data table", {"en", "zh"}
+    n = idx.stats["N"]
+    ranked = sorted(
+        (
+            (r.doc_id, round(r.score, 9))
+            for r in bm25_topk_batch(spark, idx, [q], k=n).collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    # tombstone the top-2 allowed docs (must actually shift the ranking)
+    dead = [d for d, _ in ranked if langs[d] in aset][:2]
+    assert len(dead) == 2
+    dm = {
+        r.doc_id: (r.repo, r.path, r.commit)
+        for r in idx.docmap(spark).collect()
+    }
+    d = str(tmp_path / "delidx")
+    shutil.copytree(idx.index_dir, d)
+    keys = spark.createDataFrame(
+        [dm[x] for x in dead], "repo string, path string, commit string"
+    )
+    assert delete_docs(spark, d, keys) == 2
+    didx = load_index(spark, d)
+    deadset = set(dead)
+    expect = [
+        (dd, s)
+        for dd, s in ranked
+        if langs[dd] in aset and dd not in deadset
+    ][:6]
+    spec = [{"query": q, "where": {"lang": sorted(aset)}}]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25_filtered_topk_batch(spark, didx, spec, k=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+    loc = bm25_topk_local(didx, [q], k=6, where={"lang": sorted(aset)})
+    assert [
+        (int(a), round(float(s), 9))
+        for a, s in zip(loc["doc_id"], loc["score"])
+    ] == expect
+    # wildcard result sets drop the tombstoned docs too
+    want_wc = {
+        dd
+        for dd, ts in toks.items()
+        if any(t.startswith("s") for t in ts) and dd not in deadset
+    }
+    got_wc = {
+        r.doc_id for r in wildcard_query_batch(spark, didx, ["s*"]).collect()
+    }
+    assert got_wc == want_wc
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_wildcard_limit_paging(built, spark):
     """limit/after_doc_id keyset paging passes through to the boolean
     executor: pages concatenate to the exact full result."""
