@@ -500,6 +500,42 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUGGEST_PREFIX = "s"
+SUGGEST_WORD = "tabel"
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete + did-you-mean from the index vocabulary: prefix
+    suggestions ranked by df, corrections ranked by (distance, df) —
+    mirrored by token aggregation with the same orderings."""
+    from acora_spark.index.bm25 import suggest_correction, suggest_terms
+
+    idx = _index_for(spark, sf_dir)
+    sug = suggest_terms(spark, idx, SUGGEST_PREFIX, top_n=5)
+    cor = suggest_correction(spark, idx, SUGGEST_WORD, max_edits=2, top_n=5)
+    rows = [("prefix", i + 1, t, d) for i, (t, d) in enumerate(sug)] + [
+        ("correct", i + 1, t, d) for i, (t, _, d) in enumerate(cor)
+    ]
+    return spark.createDataFrame(
+        rows, "kind string, pos long, term string, df long"
+    )
+
+
+FACET_MUST = ["data"]
+FACET_NOT = ["window"]
+
+
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted navigation: per-lang result counts over a boolean result
+    set (boolean retrieval -> docmap join -> map-combined counts)."""
+    from acora_spark.index.bm25 import search_facets
+
+    idx = _index_for(spark, sf_dir)
+    return search_facets(
+        spark, idx, {"must": FACET_MUST, "must_not": FACET_NOT}, ["lang"]
+    )
+
+
 MLT_TOP_TERMS = 10
 
 
@@ -1036,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_match": q_wildcard_match,
         "fuzzy_match": q_fuzzy_match,
         "more_like_this": q_more_like_this,
+        "term_suggest": q_term_suggest,
+        "search_facets": q_search_facets,
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1684,6 +1722,49 @@ SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
 FROM scored JOIN dl USING (doc_id)
 ORDER BY score DESC, scored.doc_id ASC
 LIMIT {BM25_K}
+"""
+
+    # autocomplete + did-you-mean over the vocabulary, df = distinct-doc
+    # counts (exactly the index's per-term df)
+    sql["term_suggest"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM tok_rows GROUP BY term
+),
+pre AS (
+  SELECT 'prefix' AS kind,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS pos, term, df
+  FROM tdf WHERE term LIKE '{SUGGEST_PREFIX}%'
+  ORDER BY df DESC, term ASC LIMIT 5
+),
+cor AS (
+  SELECT 'correct' AS kind,
+         row_number() OVER (
+           ORDER BY levenshtein(term, '{SUGGEST_WORD}') ASC, df DESC, term ASC
+         ) AS pos, term, df
+  FROM tdf WHERE levenshtein(term, '{SUGGEST_WORD}') <= 2
+  ORDER BY levenshtein(term, '{SUGGEST_WORD}') ASC, df DESC, term ASC LIMIT 5
+)
+SELECT * FROM pre UNION ALL SELECT * FROM cor
+"""
+
+    # faceted navigation: boolean membership -> per-lang counts
+    fc_must = " AND ".join(
+        f"list_contains(t, '{w}')" for w in FACET_MUST
+    )
+    fc_not = " AND ".join(
+        f"NOT list_contains(t, '{w}')" for w in FACET_NOT
+    )
+    sql["search_facets"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n_docs
+FROM toks JOIN docs USING (doc_id)
+WHERE {fc_must} AND {fc_not}
+GROUP BY lang
 """
 
     # phrase_tf = number of adjacent token runs equal to the phrase

@@ -1240,6 +1240,105 @@ def fuzzy_query_batch(
     )
 
 
+def suggest_terms(
+    spark: SparkSession,
+    index: Index,
+    prefix: str,
+    top_n: int = 10,
+) -> list[tuple[str, int]]:
+    """Search-as-you-type: vocabulary terms starting with ``prefix``,
+    ranked by document frequency (df desc, term asc) — one aggregation
+    over the pruned (term, df) columns of the postings table; per-term
+    df sums the term's shard/generation rows (exact doc counts).  Soft-
+    deleted docs stay counted until compaction, like every df-derived
+    statistic."""
+    p = prefix.lower()
+    if not re.fullmatch(r"[a-z0-9_]+", p):
+        raise ValueError(
+            f"prefix {prefix!r} contains characters outside the token "
+            "alphabet [a-z0-9_]"
+        )
+    rows = (
+        index.postings(spark)
+        .filter(F.col("term").startswith(p))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_n)
+        .collect()
+    )
+    return [(r["term"], int(r["df"])) for r in rows]
+
+
+def suggest_correction(
+    spark: SparkSession,
+    index: Index,
+    word: str,
+    max_edits: int = 2,
+    top_n: int = 5,
+) -> list[tuple[str, int, int]]:
+    """Did-you-mean: the vocabulary terms nearest to ``word``, ranked by
+    (edit distance asc, df desc, term asc) — a misspelling corrects to
+    the closest COMMON term.  Returns (term, distance, df) tuples."""
+    w = word.lower()
+    if not re.fullmatch(r"[a-z0-9_]+", w):
+        raise ValueError(
+            f"word {word!r} contains characters outside the token "
+            "alphabet [a-z0-9_]"
+        )
+    dist = F.levenshtein(F.col("term"), F.lit(w))
+    rows = (
+        index.postings(spark)
+        .filter(dist <= max_edits)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(w)))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(top_n)
+        .collect()
+    )
+    return [(r["term"], int(r["dist"]), int(r["df"])) for r in rows]
+
+
+def search_facets(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    facet_cols: Sequence[str],
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Faceted navigation: attribute-value counts over a boolean result
+    set — "search for X, show result counts per lang / per repo".
+
+    The boolean executor produces the matching doc ids range-parallel;
+    ONE doc_id equi-join with the (column-pruned) docmap attaches the
+    facet columns; each facet aggregates map-combined.  Returns
+    ``(facet, value, n_docs)`` rows.  At 10^12 docs every stage is a
+    standard distributed shape: no driver materialization, no broadcast
+    of the result set."""
+    dm = index.docmap(spark)
+    bad = sorted(set(facet_cols) - set(dm.columns))
+    if bad:
+        raise ValueError(
+            f"facet column(s) {bad} not in docmap columns "
+            f"{sorted(dm.columns)}"
+        )
+    res = boolean_query_batch(
+        spark, index, [query], num_ranges=num_ranges
+    ).select("doc_id")
+    joined = res.join(dm.select("doc_id", *facet_cols), "doc_id")
+    out = None
+    for c in facet_cols:
+        f = joined.groupBy(
+            F.lit(c).alias("facet"),
+            # facets may mix types (lang string, dl long) — one string
+            # value column keeps the per-facet frames union-compatible
+            F.col(c).cast("string").alias("value"),
+        ).agg(F.count("*").alias("n_docs"))
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
 def more_like_this(
     spark: SparkSession,
     index: Index,

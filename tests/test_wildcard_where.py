@@ -392,6 +392,61 @@ def test_where_and_wildcard_respect_tombstones(built, spark, tmp_path):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_suggest_terms_and_correction(built, spark):
+    """Autocomplete == prefix vocab ranked by df; did-you-mean == nearest
+    vocab ranked by (distance, df) — both against brute-forced truth."""
+    from acora_spark.index.bm25 import suggest_correction, suggest_terms
+
+    idx, corpus = built
+    toks, _ = _doc_views(idx, corpus, spark)
+    df = {}
+    for ts in toks.values():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+    want = sorted(
+        ((t, d) for t, d in df.items() if t.startswith("s")),
+        key=lambda x: (-x[1], x[0]),
+    )[:4]
+    assert suggest_terms(spark, idx, "s", top_n=4) == want
+    assert suggest_terms(spark, idx, "zzz") == []
+    with pytest.raises(ValueError, match="token alphabet"):
+        suggest_terms(spark, idx, "s pace")
+    want_c = sorted(
+        (
+            (t, _lev(t, "tabel"), d)
+            for t, d in df.items()
+            if _lev(t, "tabel") <= 2
+        ),
+        key=lambda x: (x[1], -x[2], x[0]),
+    )[:5]
+    assert suggest_correction(spark, idx, "tabel", max_edits=2) == want_c
+    assert len(want_c) > 0
+
+
+def test_search_facets_vs_bruteforce(built, spark):
+    """Facet counts over a boolean result == group the brute-forced
+    matching doc set by its attributes."""
+    from acora_spark.index.bm25 import search_facets
+
+    idx, corpus = built
+    toks, langs = _doc_views(idx, corpus, spark)
+    spec = {"must": ["data"], "must_not": ["window"]}
+    match = {
+        d for d, ts in toks.items() if "data" in ts and "window" not in ts
+    }
+    assert len(match) > 0
+    want = {}
+    for d in match:
+        want[("lang", langs[d])] = want.get(("lang", langs[d]), 0) + 1
+    got = {
+        (r.facet, r.value): r.n_docs
+        for r in search_facets(spark, idx, spec, ["lang"]).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="facet column"):
+        search_facets(spark, idx, spec, ["nope"])
+
+
 def test_wildcard_limit_paging(built, spark):
     """limit/after_doc_id keyset paging passes through to the boolean
     executor: pages concatenate to the exact full result."""
