@@ -69,8 +69,19 @@ __all__ = [
     "boolean_query_batch",
     "bm25_topk",
     "bm25_topk_dataframe",
+    "bm25_topk_local",
     "reference_topk",
     "wand_topk",
+    "taat_topk",
+    "expand_terms",
+    "wildcard_query_batch",
+    "fuzzy_terms",
+    "fuzzy_query_batch",
+    "more_like_this",
+    "suggest_terms",
+    "suggest_correction",
+    "search_facets",
+    "QueryEngine",
 ]
 
 _TOKEN_RE = re.compile(r"[a-z0-9_]+")
@@ -1064,6 +1075,115 @@ def _glob_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Classic Levenshtein distance — the same definition Spark's
+    ``F.levenshtein`` computes; used to attribute batch-scanned terms to
+    their fuzzy words driver-side."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _expand_batch(
+    spark: SparkSession,
+    index: Index,
+    conds,
+    matchers,
+    labels: Sequence[str],
+    max_terms: int,
+) -> list[list[str]]:
+    """ONE vocabulary scan for a whole batch of expansions: the OR of the
+    per-item JVM predicates filters the dictionary-encoded term column
+    (column pruning; no posting blobs touched), and the matched terms
+    are attributed to items driver-side by exactly-equivalent Python
+    matchers — N patterns cost one job, not N.
+
+    Bucket pruning is impossible for patterns — ``bucket = hash(term)``
+    scatters a prefix's terms over every bucket by design (that is what
+    load-balances the postings) — so leading and trailing wildcards
+    cost the same.
+
+    The collect is bounded: if every item stays within ``max_terms``,
+    the distinct union holds at most ``len(items) * max_terms`` terms,
+    so the scan limits at one more than that and a full read proves (by
+    pigeonhole) that some item overflowed — Lucene's TooManyClauses
+    convention, never a silent truncation."""
+    if not conds:
+        return []
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    bound = len(conds) * max_terms + 1
+    rows = (
+        index.postings(spark)
+        .select("term")
+        .filter(cond)
+        .distinct()
+        .limit(bound)
+        .collect()
+    )
+    terms = sorted(r["term"] for r in rows)
+    if len(terms) >= bound:
+        raise ValueError(
+            f"at least one of {list(labels)} expands to more than "
+            f"{max_terms} terms; narrow the patterns or raise max_terms"
+        )
+    out = [sorted(t for t in terms if m(t)) for m in matchers]
+    for label, e in zip(labels, out):
+        if len(e) > max_terms:
+            raise ValueError(
+                f"{label} expands to more than {max_terms} terms; narrow "
+                "the pattern or raise max_terms"
+            )
+    return out
+
+
+def _wildcard_spec(pattern: str):
+    """(JVM condition, equivalent Python matcher) for one glob pattern.
+    The validated alphabet has no LIKE/regex metacharacters, so the two
+    translations match the same term set exactly."""
+    if not re.fullmatch(r"[a-z0-9_*?]+", pattern.lower()):
+        raise ValueError(
+            f"pattern {pattern!r} contains characters outside the token "
+            "alphabet [a-z0-9_] (wildcards: * ?)"
+        )
+    p = pattern.lower()
+    cond = F.col("term").like(_glob_to_like(p))
+    rx = re.compile(
+        "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in p
+        )
+    )
+    return cond, lambda t, rx=rx: rx.fullmatch(t) is not None
+
+
+def _fuzzy_spec(word: str, max_edits: int, prefix_len: int):
+    """(JVM condition, equivalent Python matcher) for one fuzzy word —
+    ``F.levenshtein`` and :func:`_levenshtein` compute the same classic
+    edit distance."""
+    w = word.lower()
+    if not re.fullmatch(r"[a-z0-9_]+", w):
+        raise ValueError(
+            f"fuzzy word {word!r} contains characters outside the token "
+            "alphabet [a-z0-9_]"
+        )
+    cond = F.levenshtein(F.col("term"), F.lit(w)) <= max_edits
+    pre = w[:prefix_len] if prefix_len > 0 else ""
+    if pre:
+        cond = F.col("term").startswith(pre) & cond
+    return cond, (
+        lambda t, w=w, pre=pre, me=max_edits: t.startswith(pre)
+        and _levenshtein(t, w) <= me
+    )
+
+
 def expand_terms(
     spark: SparkSession,
     index: Index,
@@ -1072,41 +1192,13 @@ def expand_terms(
 ) -> list[str]:
     """Expand a glob-style pattern (``*`` any run, ``?`` one char) against
     the index vocabulary — the rewrite step behind wildcard queries.
-
-    The scan reads ONE dictionary-encoded string column of the postings
-    table (column pruning; no posting blobs touched).  Bucket pruning is
-    impossible for patterns — ``bucket = hash(term)`` scatters a prefix's
-    terms over every bucket by design (that is what load-balances the
-    postings) — so leading and trailing wildcards cost the same; the
-    driver-side collect is bounded by ``max_terms + 1``.
-
-    Raises :class:`ValueError` when the expansion exceeds ``max_terms``
-    (Lucene's TooManyClauses convention: a pattern like ``*`` matching
-    the whole vocabulary should fail loudly, not silently truncate to an
-    arbitrary subset), and for patterns containing characters outside
-    the token alphabet ``[a-z0-9_]`` (nothing in the vocabulary could
-    ever match — a lookup bug, not an empty result)."""
-    if not re.fullmatch(r"[a-z0-9_*?]+", pattern.lower()):
-        raise ValueError(
-            f"pattern {pattern!r} contains characters outside the token "
-            "alphabet [a-z0-9_] (wildcards: * ?)"
-        )
-    like = _glob_to_like(pattern.lower())
-    rows = (
-        index.postings(spark)
-        .select("term")
-        .filter(F.col("term").like(like))
-        .distinct()
-        .limit(max_terms + 1)
-        .collect()
-    )
-    terms = sorted(r["term"] for r in rows)
-    if len(terms) > max_terms:
-        raise ValueError(
-            f"pattern {pattern!r} expands to more than {max_terms} terms; "
-            "narrow the pattern or raise max_terms"
-        )
-    return terms
+    One pruned term-column scan; raises on expansions past ``max_terms``
+    and on patterns outside the token alphabet (see
+    :func:`_expand_batch`)."""
+    cond, m = _wildcard_spec(pattern)
+    return _expand_batch(
+        spark, index, [cond], [m], [f"pattern {pattern!r}"], max_terms
+    )[0]
 
 
 def fuzzy_terms(
@@ -1122,34 +1214,12 @@ def fuzzy_terms(
     FuzzyQuery semantics.  ``prefix_len`` requires the first n characters
     to match exactly (Lucene's prefixLength — typos rarely hit the word
     start, and the prefix predicate lets parquet dictionary/stats skip
-    non-matching row groups before the distance computation).  The scan
-    is the same one-string-column vocabulary pass as
-    :func:`expand_terms`, with the distance computed JVM-side
-    (``F.levenshtein``); same ``max_terms`` overflow guard."""
-    w = word.lower()
-    if not re.fullmatch(r"[a-z0-9_]+", w):
-        raise ValueError(
-            f"fuzzy word {word!r} contains characters outside the token "
-            "alphabet [a-z0-9_]"
-        )
-    cond = F.levenshtein(F.col("term"), F.lit(w)) <= max_edits
-    if prefix_len > 0:
-        cond = F.col("term").startswith(w[:prefix_len]) & cond
-    rows = (
-        index.postings(spark)
-        .select("term")
-        .filter(cond)
-        .distinct()
-        .limit(max_terms + 1)
-        .collect()
-    )
-    terms = sorted(r["term"] for r in rows)
-    if len(terms) > max_terms:
-        raise ValueError(
-            f"fuzzy word {word!r} expands to more than {max_terms} terms; "
-            "lower max_edits, raise prefix_len, or raise max_terms"
-        )
-    return terms
+    non-matching row groups before the distance computation).  Same scan
+    shape and ``max_terms`` guard as :func:`expand_terms`."""
+    cond, m = _fuzzy_spec(word, max_edits, prefix_len)
+    return _expand_batch(
+        spark, index, [cond], [m], [f"fuzzy word {word!r}"], max_terms
+    )[0]
 
 
 def _expansion_query_batch(
@@ -1203,10 +1273,17 @@ def wildcard_query_batch(
     vocabulary yield empty result sets at their batch position;
     ``limit`` / ``after_doc_id`` page exactly as in
     :func:`boolean_query_batch`.  Returns (query_id, doc_id) rows with
-    query_id = the pattern's position in ``patterns``."""
-    expansions = [
-        expand_terms(spark, index, p, max_terms=max_terms) for p in patterns
-    ]
+    query_id = the pattern's position in ``patterns``.  The whole batch
+    expands in ONE vocabulary scan."""
+    specs = [_wildcard_spec(p) for p in patterns]
+    expansions = _expand_batch(
+        spark,
+        index,
+        [c for c, _ in specs],
+        [m for _, m in specs],
+        [f"pattern {p!r}" for p in patterns],
+        max_terms,
+    )
     return _expansion_query_batch(
         spark, index, expansions, num_ranges, limit, after_doc_id
     )
@@ -1227,14 +1304,17 @@ def fuzzy_query_batch(
     rewrite): each word expands to its Levenshtein-``max_edits``
     vocabulary neighborhood via :func:`fuzzy_terms` and matches docs
     containing any neighbor.  Returns (query_id, doc_id) rows with
-    query_id = the word's position in ``words``."""
-    expansions = [
-        fuzzy_terms(
-            spark, index, w,
-            max_edits=max_edits, prefix_len=prefix_len, max_terms=max_terms,
-        )
-        for w in words
-    ]
+    query_id = the word's position in ``words``.  The whole batch
+    expands in ONE vocabulary scan."""
+    specs = [_fuzzy_spec(w, max_edits, prefix_len) for w in words]
+    expansions = _expand_batch(
+        spark,
+        index,
+        [c for c, _ in specs],
+        [m for _, m in specs],
+        [f"fuzzy word {w!r}" for w in words],
+        max_terms,
+    )
     return _expansion_query_batch(
         spark, index, expansions, num_ranges, limit, after_doc_id
     )
@@ -1316,6 +1396,8 @@ def search_facets(
     ``(facet, value, n_docs)`` rows.  At 10^12 docs every stage is a
     standard distributed shape: no driver materialization, no broadcast
     of the result set."""
+    if not facet_cols:
+        raise ValueError("search_facets: facet_cols must be non-empty")
     dm = index.docmap(spark)
     bad = sorted(set(facet_cols) - set(dm.columns))
     if bad:
@@ -1377,10 +1459,15 @@ def more_like_this(
     rows = corpus.filter(pred).select("content").limit(2).collect()
     if not rows:
         raise ValueError(f"more_like_this: no corpus row with key {kd}")
+    if len(rows) > 1:
+        raise ValueError(
+            f"more_like_this: key {kd} matches more than one corpus row "
+            "— pass key_cols that uniquely identify the source document"
+        )
     content = rows[0]["content"] or ""
     from collections import Counter
 
-    tf = Counter(re.findall(r"[a-z0-9_]+", content.lower()))
+    tf = Counter(_TOKEN_RE.findall(content.lower()))
     if not tf:
         return spark.createDataFrame([], TOPK_SCHEMA)
     stats = index.stats
@@ -1480,9 +1567,10 @@ def bm25_filtered_topk_batch(
         norm[qi] = spec
         w = q.get("where") or {}
         if w:
-            wheres[qi] = {
-                c: sorted({str(v) for v in vals}) for c, vals in w.items()
-            }
+            # values keep their native type (a long column filters with
+            # long values) so the distributed and cluster-free paths
+            # behave identically; sorting is for spec-dedup determinism
+            wheres[qi] = {c: sorted(set(vals)) for c, vals in w.items()}
     all_terms = sorted(
         {t for s in norm.values() for r in s.values() for t in r}
     )
@@ -1713,8 +1801,9 @@ def bm25_topk_local(
             )
     allow = None
     if where:
+        # native-typed values, same as the distributed where path
         filters = [
-            (c, "in", sorted({str(v) for v in vals}))
+            (c, "in", sorted(set(vals)))
             for c, vals in sorted(where.items())
         ]
         parts = []
@@ -1733,6 +1822,10 @@ def bm25_topk_local(
             if parts
             else np.empty(0, np.int64)
         )
+        if not len(allow):
+            # nothing satisfies the predicate: every query answers empty
+            # — skip the postings reads and scoring entirely
+            return empty
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b, positional = stats["k1"], stats["b"], bool(stats.get("with_positions"))
     id_space, bscale = _id_space(stats), _bound_scale(stats)
