@@ -650,6 +650,26 @@ def q_phrase_match_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_TERMS = ["table", "hash"]
+NEAR_WINDOW = 3
+
+
+def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search over the positional index: docs where one
+    occurrence of every term fits a window of span <= NEAR_WINDOW
+    (unordered), with the minimal span — mirrored by a position-list
+    join taking the min pairwise distance."""
+    from acora_spark.index.bm25 import near_match_batch
+
+    idx = _pos_index_for(spark, sf_dir)
+    res = near_match_batch(
+        spark, idx, [{"terms": NEAR_TERMS, "window": NEAR_WINDOW}],
+        num_ranges=4,
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("path", "span")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification over the MinHash-LSH candidate
     pairs (the dedup pipeline's verify stage) — candidates only, never
@@ -1076,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
+        "near_match": q_near_match,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -1787,6 +1808,25 @@ SELECT path, phrase_tf::BIGINT AS phrase_tf FROM counted WHERE phrase_tf > 0
 
     sql["phrase_match"] = _phrase_sql(PHRASE)
     sql["phrase_match_ranged"] = _phrase_sql(PHRASE_RANGED)
+
+    # proximity: min pairwise position distance between the two terms
+    # (for two terms, the minimal unordered window span)
+    sql["near_match"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+posr AS (
+  SELECT doc_id, path, unnest(t) AS term,
+         unnest(range(len(t))) AS p
+  FROM toks
+),
+a AS (SELECT doc_id, path, p FROM posr WHERE term = '{NEAR_TERMS[0]}'),
+b AS (SELECT doc_id, p FROM posr WHERE term = '{NEAR_TERMS[1]}'),
+spans AS (
+  SELECT a.doc_id, a.path AS path, min(abs(a.p - b.p))::BIGINT AS span
+  FROM a JOIN b USING (doc_id) GROUP BY a.doc_id, a.path
+)
+SELECT path, span FROM spans WHERE span <= {NEAR_WINDOW}
+"""
 
     sql["content_integrity"] = f"""
 WITH {_CORPUS_CTE}

@@ -73,6 +73,8 @@ __all__ = [
     "reference_topk",
     "wand_topk",
     "taat_topk",
+    "phrase_match_batch",
+    "near_match_batch",
     "expand_terms",
     "wildcard_query_batch",
     "fuzzy_terms",
@@ -780,12 +782,98 @@ def _phrase_tf_from_keys(
     return docs[starts], counts
 
 
+def _near_spans_from_keys(
+    key_arrays: dict[str, np.ndarray],
+    terms: Sequence[str],
+    pos_bits: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized minimal-window cover over PACKED position keys: for
+    every document holding ALL ``terms``, the smallest span
+    ``max(chosen positions) - min(chosen positions)`` over one chosen
+    occurrence per term.
+
+    Classic sliding-window reasoning, vectorized: a minimal window ends
+    at some occurrence; for every merged occurrence (as the window END),
+    the best window takes each term's LATEST occurrence at or before it
+    — a per-term forward-fill (``np.maximum.accumulate``) followed by an
+    elementwise min across terms.  Packed keys need no per-doc fill
+    reset: a window end is kept only when the min of the latest
+    occurrences lies in the SAME document (doc halves equal) — and then
+    every term's latest occurrence does too, since those keys lie
+    between the min and the end.  (A doc-half DELTA alone would not do:
+    ``doc+1 << B | 0`` minus ``doc << B | max_pos`` is a tiny span
+    across a doc boundary.)"""
+    arrays = [key_arrays[t] for t in terms]
+    if len(arrays) == 1:
+        docs = np.unique(arrays[0] >> pos_bits)
+        return docs, np.zeros(len(docs), np.int64)
+    E = np.concatenate(arrays)
+    T = np.concatenate(
+        [np.full(len(a), i, dtype=np.int64) for i, a in enumerate(arrays)]
+    )
+    order = np.argsort(E, kind="stable")
+    E, T = E[order], T[order]
+    NEG = np.int64(np.iinfo(np.int64).min)
+    m = None
+    for i in range(len(arrays)):
+        ff = np.maximum.accumulate(np.where(T == i, E, NEG))
+        m = ff if m is None else np.minimum(m, ff)
+    # keep ends whose full cover lies within ONE document: every term
+    # seen so far AND the earliest cover key in the end's own doc
+    valid = (m != NEG) & ((m >> pos_bits) == (E >> pos_bits))
+    span = np.empty(len(E), dtype=np.int64)
+    span[valid] = E[valid] - m[valid]  # NEG never subtracted (no overflow)
+    d = (E >> pos_bits)[valid]
+    s = span[valid]
+    if not len(d):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ud, inv = np.unique(d, return_inverse=True)
+    best = np.full(len(ud), np.int64(1) << 62, dtype=np.int64)
+    np.minimum.at(best, inv, s)
+    return ud, best
+
+
 def _phrase_pos_bits(stats: dict, max_phrase_len: int) -> int:
     """Bits reserved for the position half of a packed (doc, pos) key —
     sized so position + phrase offset can never collide with the doc half.
     ``max_dl`` is recorded by the build; fall back generously."""
     max_dl = int(stats.get("max_dl") or 1_048_576)
     return max(1, (max_dl + max_phrase_len + 1).bit_length())
+
+
+def _make_positional_slicer(shift: int, pos_bits: int):
+    """Stage-1 mapInPandas fn shared by the positional executors (phrase,
+    NEAR): decode each (query, term, shard) positional row once and emit
+    per-range PACKED ``doc << pos_bits | position`` key arrays — every
+    key ships to exactly one range group."""
+    from acora_spark.functions.postings_codec import (
+        decode_postings_positional,
+        positional_range_keys,
+    )
+
+    def slicer(batches):
+        for pdf in batches:
+            out = {"query_id": [], "rng": [], "term": [], "keys": []}
+            for qid, term, blob, blocks in zip(
+                pdf["query_id"], pdf["term"], pdf["postings"], pdf["blocks"]
+            ):
+                docs, tfs, _dls, pos = decode_postings_positional(
+                    bytes(blob), [dict(x) for x in blocks]
+                )
+                rngs, key_slices = positional_range_keys(
+                    docs, tfs, pos, shift, pos_bits
+                )
+                # positional_range_keys packs range-LOCAL doc ids; rebase
+                # to GLOBAL (fits int64 by the caller's overflow guard)
+                # so the kernels need no per-range bookkeeping
+                for r, ks in zip(rngs, key_slices):
+                    out["query_id"].append(int(qid))
+                    out["rng"].append(int(r))
+                    out["term"].append(term)
+                    out["keys"].append(ks + (int(r) << (shift + pos_bits)))
+            yield pd.DataFrame(out)
+
+    return slicer
 
 
 def phrase_match_batch(
@@ -849,35 +937,9 @@ def phrase_match_batch(
         "query_id", "term", "postings", "blocks"
     )
 
-    from acora_spark.functions.postings_codec import (
-        decode_postings_positional,
-        positional_range_keys,
-    )
-
-    def slicer(batches):
-        for pdf in batches:
-            out = {"query_id": [], "rng": [], "term": [], "keys": []}
-            for qid, term, blob, blocks in zip(
-                pdf["query_id"], pdf["term"], pdf["postings"], pdf["blocks"]
-            ):
-                docs, tfs, _dls, pos = decode_postings_positional(
-                    bytes(blob), [dict(x) for x in blocks]
-                )
-                rngs, key_slices = positional_range_keys(
-                    docs, tfs, pos, shift, pos_bits
-                )
-                # positional_range_keys packs range-LOCAL doc ids; rebase
-                # to GLOBAL (fits int64 by the guard above) so the
-                # intersection kernel needs no per-range bookkeeping
-                for r, ks in zip(rngs, key_slices):
-                    out["query_id"].append(int(qid))
-                    out["rng"].append(int(r))
-                    out["term"].append(term)
-                    out["keys"].append(ks + (int(r) << (shift + pos_bits)))
-            yield pd.DataFrame(out)
-
     sliced = joined.mapInPandas(
-        slicer, "query_id long, rng long, term string, keys array<long>"
+        _make_positional_slicer(shift, pos_bits),
+        "query_id long, rng long, term string, keys array<long>",
     )
     bc_tokens = spark.sparkContext.broadcast(token_lists)
     tomb = index.tombstones(spark)
@@ -904,6 +966,124 @@ def phrase_match_batch(
     return sliced.repartition("query_id", "rng").groupBy(
         "query_id", "rng"
     ).applyInPandas(run_range, PHRASE_SCHEMA)
+
+
+NEAR_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("span", LongType(), False),
+    ]
+)
+
+
+def near_match_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[dict],
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Proximity search over a POSITIONAL index (the "A within n words of
+    B" operator — Lucene SpanNearQuery with inOrder=false, Westlaw /n):
+    for each query ``{"terms": [...], "window": n}``, the documents
+    where ONE occurrence of EVERY term fits in a token window of span
+    <= n (span = max chosen position - min chosen position; order-free),
+    returned with the minimal such span.
+
+    Same doc-range-parallel grid as the phrase executor: positional
+    postings slice once into packed (doc, position) key arrays; each
+    (query, range) group runs a VECTORIZED minimal-window cover (one
+    forward-fill per term + an elementwise min — no per-candidate-doc
+    Python loop); ranges hold disjoint docs, so the union is the exact
+    result.  Duplicate terms in a query are deduplicated (one occurrence
+    satisfies both mentions — the standard unordered-NEAR convention)."""
+    stats = index.stats
+    if not stats.get("with_positions"):
+        raise ValueError(
+            "proximity queries require an index built with_positions=True"
+        )
+    specs: dict[int, tuple[list[str], int]] = {}
+    for qi, q in enumerate(queries):
+        terms = sorted(
+            {t for x in q.get("terms", []) for t in query_terms(x)}
+        )
+        window = int(q.get("window", 0))
+        if not terms:
+            continue
+        if window < 0:
+            raise ValueError(f"query {qi}: window must be >= 0")
+        specs[qi] = (terms, window)
+    if not specs:
+        return spark.createDataFrame([], NEAR_SCHEMA)
+    all_terms = sorted({t for ts, _ in specs.values() for t in ts})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(all_terms)
+    )
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], NEAR_SCHEMA)
+    pos_bits = _phrase_pos_bits(stats, 1)
+    max_window = max(w for _, w in specs.values())
+    if max_window >= (1 << (pos_bits - 1)):
+        raise ValueError(
+            f"window {max_window} is not meaningful: no document holds "
+            f"more than {stats.get('max_dl')} tokens"
+        )
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+    if max(1, _id_space(stats) - 1).bit_length() + pos_bits > 62:
+        raise ValueError(
+            "packed position keys would overflow int64: "
+            f"N={stats['N']}, pos_bits={pos_bits}"
+        )
+    qdf = spark.createDataFrame(
+        [(qi, t) for qi, (ts, _) in specs.items() for t in ts],
+        "query_id long, term string",
+    )
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    sliced = joined.mapInPandas(
+        _make_positional_slicer(shift, pos_bits),
+        "query_id long, rng long, term string, keys array<long>",
+    )
+    bc_specs = spark.sparkContext.broadcast(specs)
+    tomb = index.tombstones(spark)
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+
+    def run_range(key, pdf):
+        qid = int(key[0])
+        terms, window = bc_specs.value[qid]
+        key_arrays: dict[str, np.ndarray] = {}
+        for term, grp in pdf.groupby("term", sort=False):
+            arrs = [np.asarray(a, dtype=np.int64) for a in grp["keys"]]
+            a = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+            key_arrays[term] = a
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "span": pd.Series([], dtype=np.int64),
+            }
+        )
+        if any(t not in key_arrays for t in terms):
+            return empty
+        docs, spans = _near_spans_from_keys(key_arrays, terms, pos_bits)
+        keep = spans <= window
+        docs, spans = docs[keep], spans[keep]
+        if bc_ex is not None and len(docs):
+            pos = np.searchsorted(bc_ex.value, docs)
+            dead = (pos < len(bc_ex.value)) & (
+                bc_ex.value[np.minimum(pos, len(bc_ex.value) - 1)] == docs
+            )
+            docs, spans = docs[~dead], spans[~dead]
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": docs, "span": spans}
+        )
+
+    return sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, NEAR_SCHEMA)
 
 
 BOOLEAN_SCHEMA = StructType(

@@ -1,0 +1,177 @@
+"""Proximity (NEAR) search: the vectorized minimal-window-cover kernel
+against an exhaustive brute force, and the range-parallel executor end to
+end on a positional index."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from acora_spark.index.bm25 import _near_spans_from_keys
+
+POS_BITS = 8
+
+
+def _brute_spans(doc_positions: dict[int, list[list[int]]]) -> dict[int, int]:
+    """Per doc: min over one-position-per-term choices of (max - min);
+    docs missing any term are absent.  Exhaustive product — the
+    independent oracle."""
+    out = {}
+    for doc, plists in doc_positions.items():
+        if any(not p for p in plists):
+            continue
+        best = min(
+            max(ch) - min(ch) for ch in itertools.product(*plists)
+        )
+        out[doc] = best
+    return out
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.lists(  # docs
+        st.lists(  # per term: positions in the doc
+            st.lists(st.integers(0, 60), min_size=0, max_size=4),
+            min_size=2,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_near_kernel_matches_bruteforce(data):
+    n_terms = max(len(d) for d in data)
+    # normalize: same term count per doc (missing -> empty)
+    doc_positions = {
+        doc: [sorted(set(d[t])) if t < len(d) else [] for t in range(n_terms)]
+        for doc, d in enumerate(data)
+    }
+    terms = [f"t{i}" for i in range(n_terms)]
+    key_arrays = {}
+    for ti, t in enumerate(terms):
+        keys = [
+            (doc << POS_BITS) | p
+            for doc, plists in doc_positions.items()
+            for p in plists[ti]
+        ]
+        key_arrays[t] = np.array(sorted(keys), dtype=np.int64)
+    if any(not len(a) for a in key_arrays.values()):
+        # executor returns empty when a term is absent from the range;
+        # kernel contract assumes all terms present
+        return
+    want = _brute_spans(doc_positions)
+    docs, spans = _near_spans_from_keys(key_arrays, terms, POS_BITS)
+    got = dict(zip(docs.tolist(), spans.tolist()))
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def pos_built(spark, sf_dir, tmp_path_factory):
+    from acora_spark.index.build import build_index
+    from acora_spark.sources.corpus import load_corpus
+
+    index_dir = str(tmp_path_factory.mktemp("nearidx"))
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(
+        corpus, index_dir, num_buckets=8, docs_per_salt=100,
+        bucket_group_size=4, with_positions=True,
+    )
+    return idx, corpus
+
+
+def _doc_tokens(idx, corpus, spark):
+    import re
+
+    tok = re.compile(r"[a-z0-9_]+")
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    return {
+        docmap[(row.repo, row.path, row.commit)]: tok.findall(
+            row.content.lower()
+        )
+        for row in corpus.collect()
+    }
+
+
+def test_near_executor_vs_bruteforce(pos_built, spark):
+    from acora_spark.index.bm25 import near_match_batch
+
+    idx, corpus = pos_built
+    toks = _doc_tokens(idx, corpus, spark)
+    queries = [
+        {"terms": ["table", "hash"], "window": 3},
+        {"terms": ["data", "spark", "join"], "window": 12},
+        {"terms": ["table"], "window": 0},
+        {"terms": ["table", "zzznever"], "window": 50},
+    ]
+    res = near_match_batch(spark, idx, queries, num_ranges=4).collect()
+    got: dict[int, dict[int, int]] = {}
+    for r in res:
+        got.setdefault(r.query_id, {})[r.doc_id] = r.span
+    for qi, q in enumerate(queries):
+        terms = sorted(q["terms"])
+        want = {}
+        for d, ts in toks.items():
+            plists = [
+                [i for i, x in enumerate(ts) if x == t] for t in terms
+            ]
+            if any(not p for p in plists):
+                continue
+            best = min(
+                max(ch) - min(ch) for ch in itertools.product(*plists)
+            )
+            if best <= q["window"]:
+                want[d] = best
+        assert got.get(qi, {}) == want, f"query {qi}"
+    assert len(got.get(0, {})) > 0
+    assert 3 not in got  # missing term -> empty, not an error
+
+
+def test_near_requires_positions_and_validates(pos_built, spark, sf_dir, tmp_path):
+    from acora_spark.index.bm25 import near_match_batch
+    from acora_spark.index.build import build_index
+    from acora_spark.sources.corpus import load_corpus
+
+    idx, _ = pos_built
+    flat = build_index(
+        load_corpus(spark, sf_dir).limit(20), str(tmp_path / "flat"),
+        num_buckets=4, docs_per_salt=100,
+    )
+    with pytest.raises(ValueError, match="with_positions"):
+        near_match_batch(spark, flat, [{"terms": ["data"], "window": 1}])
+    with pytest.raises(ValueError, match="window"):
+        near_match_batch(spark, idx, [{"terms": ["data"], "window": -1}])
+    # a window wider than any document is a caller bug, not a slow scan
+    with pytest.raises(ValueError, match="not meaningful"):
+        near_match_batch(
+            spark, idx, [{"terms": ["data"], "window": 1 << 40}]
+        )
+
+
+def test_near_phrase_consistency(pos_built, spark):
+    """Adjacent-pair sanity: every doc matching the exact phrase 'table
+    hash' must match NEAR(table, hash, window=1) — and the NEAR span
+    there is exactly 1 unless the two terms also occur closer... which
+    adjacency already makes impossible (span 1 is the minimum for
+    distinct terms)."""
+    from acora_spark.index.bm25 import near_match_batch, phrase_match_batch
+
+    idx, _ = pos_built
+    ph = {
+        r.doc_id
+        for r in phrase_match_batch(spark, idx, ["table hash"]).collect()
+    }
+    near = {
+        r.doc_id: r.span
+        for r in near_match_batch(
+            spark, idx, [{"terms": ["table", "hash"], "window": 1}]
+        ).collect()
+    }
+    assert ph <= set(near)
+    assert all(s == 1 for d, s in near.items() if d in ph)
