@@ -650,6 +650,23 @@ def q_phrase_match_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PERC_QUERIES = [
+    {"must": ["data", "table"], "must_not": ["window"]},
+    {"should": ["spark", "merge"]},
+]
+
+
+def q_percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (standing queries matched against raw documents — the
+    reverse of search): every doc x registered-query boolean match, no
+    index involved; mirrored by per-query token-membership predicates."""
+    from acora_spark.operators.percolate import percolate
+
+    return percolate(PERC_QUERIES, _corpus(spark, sf_dir)).select(
+        "query_id", "path"
+    )
+
+
 NEAR_TERMS = ["table", "hash"]
 NEAR_WINDOW = 3
 
@@ -1097,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "phrase_match_ranged": q_phrase_match_ranged,
         "near_match": q_near_match,
+        "percolate_match": q_percolate_match,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -1808,6 +1826,19 @@ SELECT path, phrase_tf::BIGINT AS phrase_tf FROM counted WHERE phrase_tf > 0
 
     sql["phrase_match"] = _phrase_sql(PHRASE)
     sql["phrase_match_ranged"] = _phrase_sql(PHRASE_RANGED)
+
+    # percolation: per registered query, the docs whose token sets
+    # satisfy its boolean predicate (query_id = registration order)
+    sql["percolate_match"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT 0::BIGINT AS query_id, path FROM toks
+WHERE list_contains(t, 'data') AND list_contains(t, 'table')
+  AND NOT list_contains(t, 'window')
+UNION ALL
+SELECT 1::BIGINT AS query_id, path FROM toks
+WHERE list_contains(t, 'spark') OR list_contains(t, 'merge')
+"""
 
     # proximity: min pairwise position distance between the two terms
     # (for two terms, the minimal unordered window span)

@@ -1,0 +1,176 @@
+"""Percolation: standing queries matched against incoming documents —
+the reverse of search (Elasticsearch percolate / Lucene Monitor).
+
+A pipeline registers boolean queries ONCE (alerts, routing rules, topic
+taps on a crawl); every new document batch is then matched against ALL
+of them in one pass.  This is the streaming complement of
+``boolean_query_batch``: same query dicts, same semantics, but evaluated
+against raw documents instead of the inverted index — no index required
+for the incoming data, so it runs inside a stream's foreachBatch at
+ingest time.
+
+Execution is entirely JVM-side and broadcast-shaped, the correct plan at
+any scale (documents are the big streaming side; the registered queries
+are the small side):
+
+1. tokenize each doc and ``array_intersect`` with the literal set of all
+   registered terms (whole-stage codegen; a doc emits only rows for
+   terms some query cares about — usually a handful),
+2. broadcast-join the (query, term, role) table,
+3. one map-combined aggregation per (doc, query) counts matched musts /
+   shoulds / must_nots, and the boolean verdict is a filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acora_spark.functions.tokenize import tokens_expr
+
+__all__ = ["percolate", "percolate_stream"]
+
+
+def _normalize(queries: Sequence[dict]) -> dict[int, dict[str, list[str]]]:
+    from acora_spark.index.bm25 import query_terms
+
+    norm: dict[int, dict[str, list[str]]] = {}
+    for qi, q in enumerate(queries):
+        spec = {
+            role: sorted({t for x in q.get(role, []) for t in query_terms(x)})
+            for role in ("must", "should", "must_not")
+        }
+        if not spec["must"] and not spec["should"]:
+            raise ValueError(
+                f"query {qi}: percolation queries need at least one "
+                "must/should term (pure negation would match the whole "
+                "stream)"
+            )
+        norm[qi] = spec
+    return norm
+
+
+def percolate(
+    queries: Sequence[dict],
+    docs: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    content_col: str = "content",
+) -> DataFrame:
+    """Match every document against every registered boolean query
+    (``{"must": [...], "should": [...], "must_not": [...]}`` — the
+    :func:`~acora_spark.index.bm25.boolean_query_batch` dicts).  Returns
+    ``(query_id, *key_cols)`` rows: one per (query, matching doc).
+
+    Results agree exactly with running ``boolean_query_batch`` against
+    an index built over the same documents (differentially tested)."""
+    spark = docs.sparkSession
+    norm = _normalize(queries)
+    key_cols = list(key_cols)
+    rows = [
+        (qi, t, role)
+        for qi, spec in norm.items()
+        for role, terms in spec.items()
+        for t in terms
+    ]
+    all_terms = sorted({t for _, t, _ in rows})
+    qdf = spark.createDataFrame(
+        rows, "query_id long, term string, role string"
+    )
+    needs = spark.createDataFrame(
+        [
+            (qi, len(spec["must"]), int(bool(spec["should"])))
+            for qi, spec in norm.items()
+        ],
+        "query_id long, need_must long, has_should int",
+    )
+    # NULL content = empty doc (ANSI NULL would otherwise poison the
+    # token expressions); array_distinct: boolean semantics are
+    # set-membership, one row per (doc, involved term)
+    toks = docs.select(
+        *key_cols,
+        F.array_distinct(
+            tokens_expr(F.coalesce(F.col(content_col), F.lit("")))
+        ).alias("terms"),
+    )
+    hit = toks.select(
+        *key_cols,
+        F.explode(
+            F.array_intersect(
+                "terms", F.array(*[F.lit(t) for t in all_terms])
+            )
+        ).alias("term"),
+    )
+    agg = (
+        hit.join(F.broadcast(qdf), "term")
+        .groupBy(*key_cols, "query_id")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("role") == "must", F.col("term"))
+            ).alias("n_must"),
+            F.max((F.col("role") == "should").cast("int")).alias(
+                "any_should"
+            ),
+            F.max((F.col("role") == "must_not").cast("int")).alias(
+                "any_not"
+            ),
+        )
+    )
+    return (
+        agg.join(F.broadcast(needs), "query_id")
+        .filter(
+            (F.col("n_must") == F.col("need_must"))
+            & ((F.col("has_should") == 0) | (F.col("any_should") == 1))
+            & (F.col("any_not") == 0)
+        )
+        .select("query_id", *key_cols)
+    )
+
+
+def percolate_stream(
+    queries: Sequence[dict],
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    content_col: str = "content",
+):
+    """Run the percolator as a Structured Streaming sink: each micro-batch
+    of documents is matched against the registered queries and the
+    ``(query_id, *key_cols)`` matches append to ``out_path`` partitioned
+    by ``batch_id``.
+
+    REPLAY-SAFE: a re-delivered batch (restart between sink write and
+    checkpoint commit) dynamically overwrites ITS OWN ``batch_id``
+    partition with identical content instead of appending duplicates —
+    percolation is deterministic per batch, so the overwrite is
+    idempotent.  Returns the StreamingQuery; callers control the trigger
+    via ``stream_docs`` and awaitTermination."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        res = percolate(
+            queries, batch_df, key_cols=key_cols, content_col=content_col
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        with_conf = spark.conf
+        prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            res.write.mode("overwrite").partitionBy("batch_id").parquet(
+                out_path
+            )
+        finally:
+            if prev is None:
+                with_conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                with_conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -26,6 +26,37 @@ def staged(spark, sf_dir, tmp_path):
     return src, corpus
 
 
+def test_percolate_stream_equals_batch(spark, staged, tmp_path):
+    """The percolation sink over a file stream produces exactly the batch
+    percolator's matches, stamped with batch ids."""
+    from acora_spark.operators.percolate import percolate, percolate_stream
+
+    src, corpus = staged
+    queries = [
+        {"must": ["data", "table"], "must_not": ["window"]},
+        {"should": ["spark", "merge"]},
+    ]
+    out = str(tmp_path / "perc_out")
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = percolate_stream(
+        queries, stream, out, str(tmp_path / "perc_ckpt")
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r.query_id, r.repo, r.path, r.commit)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.query_id, r.repo, r.path, r.commit)
+        for r in percolate(queries, corpus).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
 def test_match_stream_equals_batch(spark, staged, tmp_path):
     src, corpus = staged
     schema = corpus.schema

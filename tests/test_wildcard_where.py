@@ -447,6 +447,37 @@ def test_search_facets_vs_bruteforce(built, spark):
         search_facets(spark, idx, spec, ["nope"])
 
 
+def test_percolate_matches_boolean_executor(built, spark):
+    """Percolation (standing queries against raw docs) must agree exactly
+    with boolean retrieval over an index built on the same docs — the
+    two directions of the same semantics."""
+    from acora_spark.index.bm25 import boolean_query_batch
+    from acora_spark.operators.percolate import percolate
+
+    idx, corpus = built
+    queries = [
+        {"must": ["data", "table"], "must_not": ["window"]},
+        {"should": ["spark", "merge"]},
+        {"must": ["the"], "should": ["scan", "slow"], "must_not": ["join"]},
+    ]
+    dm = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    got: dict[int, set] = {}
+    for r in percolate(queries, corpus).collect():
+        got.setdefault(r.query_id, set()).add(
+            dm[(r.repo, r.path, r.commit)]
+        )
+    want: dict[int, set] = {}
+    for r in boolean_query_batch(spark, idx, queries).collect():
+        want.setdefault(r.query_id, set()).add(r.doc_id)
+    assert got == want
+    assert len(want) == 3 and all(len(v) > 0 for v in want.values())
+    with pytest.raises(ValueError, match="must/should"):
+        percolate([{"must_not": ["data"]}], corpus)
+
+
 def test_wildcard_limit_paging(built, spark):
     """limit/after_doc_id keyset paging passes through to the boolean
     executor: pages concatenate to the exact full result."""
