@@ -94,14 +94,28 @@ def percolate(
             tokens_expr(F.coalesce(F.col(content_col), F.lit("")))
         ).alias("terms"),
     )
-    hit = toks.select(
-        *key_cols,
-        F.explode(
-            F.array_intersect(
-                "terms", F.array(*[F.lit(t) for t in all_terms])
-            )
-        ).alias("term"),
-    )
+    if len(all_terms) <= 2000:
+        # small registries: the involved-term set inlines as a literal
+        # array and the intersection stays inside whole-stage codegen
+        hit = toks.select(
+            *key_cols,
+            F.explode(
+                F.array_intersect(
+                    "terms", F.array(*[F.lit(t) for t in all_terms])
+                )
+            ).alias("term"),
+        )
+    else:
+        # large registries (Lucene-Monitor scale): a literal array would
+        # bloat codegen — explode the doc's distinct tokens and
+        # broadcast-join the term set instead (same rows, same plan
+        # shape above the join)
+        terms_df = spark.createDataFrame(
+            [(t,) for t in all_terms], "term string"
+        )
+        hit = toks.select(
+            *key_cols, F.explode("terms").alias("term")
+        ).join(F.broadcast(terms_df), "term")
     agg = (
         hit.join(F.broadcast(qdf), "term")
         .groupBy(*key_cols, "query_id")

@@ -133,6 +133,19 @@ def main() -> None:
         lat_f.append(time.time() - t0)
     bm25_filtered_p50 = round(statistics.median(lat_f), 3)
 
+    # metadata filter context (where predicate resolved by a pushed
+    # docmap scan and cogrouped onto the range grid) — informational
+    lat_w = []
+    for q in queries:
+        t0 = time.time()
+        bm25_filtered_topk_batch(
+            spark, idx,
+            [{"query": q, "where": {"lang": ["py", "go"]}}],
+            k=10,
+        ).collect()
+        lat_w.append(time.time() - t0)
+    bm25_where_p50 = round(statistics.median(lat_w), 3)
+
     # incremental merge throughput (informational — OUTSIDE the headline
     # wall so round-over-round totals stay comparable): merge a 10%-sized
     # disjoint-key delta into the just-built index
@@ -172,6 +185,7 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "bm25_local_p50": bm25_local_p50,
         "bm25_filtered_p50": bm25_filtered_p50,
+        "bm25_where_p50": bm25_where_p50,
         "merge_secs": merge_secs,
         "merge_docs_per_sec": round(n_delta / merge_secs, 1),
         "scan_mb_per_sec": round(
