@@ -67,6 +67,7 @@ __all__ = [
     "bm25_topk_batch_ranged",
     "bm25_filtered_topk_batch",
     "boolean_query_batch",
+    "normalize_boolean_queries",
     "bm25_topk",
     "bm25_topk_dataframe",
     "bm25_topk_local",
@@ -1008,10 +1009,15 @@ def near_match_batch(
             {t for x in q.get("terms", []) for t in query_terms(x)}
         )
         window = int(q.get("window", 0))
-        if not terms:
-            continue
         if window < 0:
             raise ValueError(f"query {qi}: window must be >= 0")
+        if not terms:
+            # consistent with boolean_query_batch: a term-less query is a
+            # caller bug (e.g. a typoed key), not an empty result
+            raise ValueError(
+                f"query {qi}: proximity queries need at least one term "
+                "under 'terms'"
+            )
         specs[qi] = (terms, window)
     if not specs:
         return spark.createDataFrame([], NEAR_SCHEMA)
@@ -1024,11 +1030,17 @@ def near_match_batch(
     if not term_df:
         return spark.createDataFrame([], NEAR_SCHEMA)
     pos_bits = _phrase_pos_bits(stats, 1)
+    # the kernel is window-independent (cross-doc covers are masked by
+    # doc half), so this guard is pure caller sanity: a window wider
+    # than the longest document degenerates to boolean AND — almost
+    # always a units bug, so fail loud instead of scanning
     max_window = max(w for _, w in specs.values())
-    if max_window >= (1 << (pos_bits - 1)):
+    max_dl = int(stats.get("max_dl") or (1 << pos_bits))
+    if max_window > max_dl:
         raise ValueError(
             f"window {max_window} is not meaningful: no document holds "
-            f"more than {stats.get('max_dl')} tokens"
+            f"more than {max_dl} tokens, so it would degenerate to a "
+            "boolean AND — use boolean_query_batch for that"
         )
     shift = _range_shift(stats, max(term_df.values()), num_ranges)
     if max(1, _id_space(stats) - 1).bit_length() + pos_bits > 62:
@@ -1094,6 +1106,30 @@ BOOLEAN_SCHEMA = StructType(
 )
 
 
+def normalize_boolean_queries(
+    queries: Sequence[dict],
+) -> dict[int, dict[str, list[str]]]:
+    """Shared normalization for boolean query dicts (must / should /
+    must_not -> sorted distinct terms) — used by the index-side boolean
+    executor AND the percolator, so the two directions of the same
+    semantics can never drift apart.  Raises for queries with no
+    positive (must/should) term: pure negation would mean materializing
+    a posting-list complement (the whole doc space / stream)."""
+    norm: dict[int, dict[str, list[str]]] = {}
+    for qi, q in enumerate(queries):
+        spec = {
+            role: sorted({t for x in q.get(role, []) for t in query_terms(x)})
+            for role in ("must", "should", "must_not")
+        }
+        if not spec["must"] and not spec["should"]:
+            raise ValueError(
+                f"query {qi}: boolean queries need at least one "
+                "must/should term"
+            )
+        norm[qi] = spec
+    return norm
+
+
 def boolean_query_batch(
     spark: SparkSession,
     index: Index,
@@ -1136,17 +1172,7 @@ def boolean_query_batch(
     range's first k, so per-range truncation to ``limit`` is lossless);
     the final window then ranks at most ``limit x num_ranges`` rows per
     query instead of the full result set."""
-    norm: dict[int, dict[str, list[str]]] = {}
-    for qi, q in enumerate(queries):
-        spec = {
-            role: sorted({t for x in q.get(role, []) for t in query_terms(x)})
-            for role in ("must", "should", "must_not")
-        }
-        if not spec["must"] and not spec["should"]:
-            raise ValueError(
-                f"query {qi}: boolean queries need at least one must/should term"
-            )
-        norm[qi] = spec
+    norm = normalize_boolean_queries(queries)
     stats = index.stats
     all_terms = sorted(
         {t for s in norm.values() for r in s.values() for t in r}

@@ -33,25 +33,6 @@ from acora_spark.functions.tokenize import tokens_expr
 __all__ = ["percolate", "percolate_stream"]
 
 
-def _normalize(queries: Sequence[dict]) -> dict[int, dict[str, list[str]]]:
-    from acora_spark.index.bm25 import query_terms
-
-    norm: dict[int, dict[str, list[str]]] = {}
-    for qi, q in enumerate(queries):
-        spec = {
-            role: sorted({t for x in q.get(role, []) for t in query_terms(x)})
-            for role in ("must", "should", "must_not")
-        }
-        if not spec["must"] and not spec["should"]:
-            raise ValueError(
-                f"query {qi}: percolation queries need at least one "
-                "must/should term (pure negation would match the whole "
-                "stream)"
-            )
-        norm[qi] = spec
-    return norm
-
-
 def percolate(
     queries: Sequence[dict],
     docs: DataFrame,
@@ -64,9 +45,12 @@ def percolate(
     ``(query_id, *key_cols)`` rows: one per (query, matching doc).
 
     Results agree exactly with running ``boolean_query_batch`` against
-    an index built over the same documents (differentially tested)."""
+    an index built over the same documents (differentially tested —
+    both sides share ONE query normalizer, so they cannot drift)."""
+    from acora_spark.index.bm25 import normalize_boolean_queries
+
     spark = docs.sparkSession
-    norm = _normalize(queries)
+    norm = normalize_boolean_queries(queries)
     key_cols = list(key_cols)
     rows = [
         (qi, t, role)
@@ -149,42 +133,41 @@ def percolate_stream(
     checkpoint: str,
     key_cols: Sequence[str] = ("repo", "path", "commit"),
     content_col: str = "content",
+    trigger: dict | None = None,
 ):
     """Run the percolator as a Structured Streaming sink: each micro-batch
     of documents is matched against the registered queries and the
-    ``(query_id, *key_cols)`` matches append to ``out_path`` partitioned
+    ``(query_id, *key_cols)`` matches land under ``out_path`` partitioned
     by ``batch_id``.
+
+    ``trigger`` passes through to ``writeStream.trigger`` — default
+    ``{"availableNow": True}`` (drain what exists, then stop: the batch
+    backfill shape); a standing alerting sink passes e.g.
+    ``{"processingTime": "30 seconds"}`` and the query runs until
+    stopped.
 
     REPLAY-SAFE: a re-delivered batch (restart between sink write and
     checkpoint commit) dynamically overwrites ITS OWN ``batch_id``
     partition with identical content instead of appending duplicates —
     percolation is deterministic per batch, so the overwrite is
-    idempotent.  Returns the StreamingQuery; callers control the trigger
-    via ``stream_docs`` and awaitTermination."""
+    idempotent.  The overwrite mode is a PER-WRITE option, never a
+    session conf mutation (concurrent writers in the same session keep
+    their own semantics).  Returns the started StreamingQuery."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         res = percolate(
             queries, batch_df, key_cols=key_cols, content_col=content_col
         ).withColumn("batch_id", F.lit(int(batch_id)))
-        with_conf = spark.conf
-        prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            res.write.mode("overwrite").partitionBy("batch_id").parquet(
-                out_path
-            )
-        finally:
-            if prev is None:
-                with_conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                with_conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
+        (
+            res.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )

@@ -123,6 +123,19 @@ def test_merge_positional_phrases(spark, sf_dir, tmp_path):
         for r in phrase_match_batch(spark, scratch, phrases).collect()
     )
     assert got == want and len(got) > 0
+    # proximity rides the same positional postings: merged == scratch
+    from acora_spark.index.bm25 import near_match_batch
+
+    nq = [{"terms": ["table", "hash"], "window": 4}]
+    got_n = sorted(
+        (r.doc_id, r.span)
+        for r in near_match_batch(spark, merged, nq).collect()
+    )
+    want_n = sorted(
+        (r.doc_id, r.span)
+        for r in near_match_batch(spark, scratch, nq).collect()
+    )
+    assert got_n == want_n and len(got_n) > 0
 
 
 def test_merge_rejects_duplicate_docs(spark, sf_dir, tmp_path):

@@ -152,6 +152,9 @@ def test_near_requires_positions_and_validates(pos_built, spark, sf_dir, tmp_pat
         near_match_batch(
             spark, idx, [{"terms": ["data"], "window": 1 << 40}]
         )
+    # a term-less query (e.g. a typoed key) is an error, not empty output
+    with pytest.raises(ValueError, match="at least one term"):
+        near_match_batch(spark, idx, [{"term": ["data"], "window": 3}])
 
 
 def test_near_phrase_consistency(pos_built, spark):
