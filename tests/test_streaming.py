@@ -57,6 +57,53 @@ def test_percolate_stream_equals_batch(spark, staged, tmp_path):
     assert len(want) > 0
 
 
+def test_percolate_stream_replay_idempotent(spark, staged, tmp_path):
+    """Crash between the sink write and the checkpoint commit: the
+    restarted query re-delivers the last batch, whose dynamic partition
+    overwrite must rewrite identical content — no duplicate matches."""
+    import glob
+    import os
+
+    from acora_spark.operators.percolate import percolate_stream
+
+    src, corpus = staged
+    queries = [{"must": ["data"], "must_not": ["window"]}]
+    out = str(tmp_path / "po")
+    ckpt = str(tmp_path / "pc")
+
+    def run() -> set:
+        stream = spark.readStream.schema(corpus.schema).parquet(src)
+        q = percolate_stream(queries, stream, out, ckpt)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        return {
+            (r.query_id, r.repo, r.path, r.commit)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = run()
+    assert len(first) > 0
+    # simulate the crash: drop the last commit marker (the batch's sink
+    # write survives; its checkpoint commit does not)
+    commits = sorted(
+        c
+        for c in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not c.endswith((".crc", ".tmp")) and
+        os.path.basename(c).isdigit()
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]),
+        "." + os.path.basename(commits[-1]) + ".crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    second = run()
+    assert second == first
+
+
 def test_match_stream_equals_batch(spark, staged, tmp_path):
     src, corpus = staged
     schema = corpus.schema
