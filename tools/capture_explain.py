@@ -198,6 +198,27 @@ def main() -> None:
         )
     )
 
+    # 4b4. percolation: standing queries against raw docs — broadcast
+    #      query join, no index, no cartesian product
+    from acora_spark.operators.percolate import percolate
+
+    perc = percolate(entry.PERC_QUERIES, entry._corpus(spark, SF_DIR))
+    p4b4 = plan_of(perc, "simple")
+    assert "CartesianProduct" not in p4b4
+    assert "BroadcastHashJoin" in p4b4 or "BroadcastNestedLoop" not in p4b4
+    sections.append(
+        (
+            "Percolation (standing queries, broadcast-shaped)",
+            "Documents stream through one token-intersect projection; the "
+            "registered (query, term, role) table and the per-query "
+            "requirements are BROADCAST sides of hash joins; one "
+            "map-combined aggregation per (doc, query) decides the "
+            "boolean verdict.  No shuffle of the document side beyond "
+            "the verdict aggregation, no cartesian product.",
+            p4b4,
+        )
+    )
+
     # 4c. zero-shuffle encode: the encode stage's Spark plan moves only
     #     FILE NAMES — each task reads its runs file directly with
     #     pyarrow, so the raw postings data shuffles exactly once per
