@@ -650,6 +650,36 @@ def q_phrase_match_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked deep pagination: page 2 of the flagship query via a
+    search_after (score, doc_id) cursor — the executor filters at the
+    cursor instead of materializing 2k rows; mirrored by ranks 21..40 of
+    the full rounded ranking (boundary scores at ranks 20/21 and 40/41
+    are distinct at this sf, so raw-cursor and rounded-rank pagination
+    agree — verified when this entry was authored)."""
+    from acora_spark.index.bm25 import bm25_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    p1 = (
+        bm25_topk_batch(spark, idx, [BM25_QUERY], k=BM25_K)
+        .orderBy("rank")
+        .collect()
+    )
+    cursor = (p1[-1].score, p1[-1].doc_id)
+    raw2 = bm25_topk_batch(
+        spark, idx, [BM25_QUERY], k=2 * BM25_K, afters=[cursor]
+    )
+    rounded = raw2.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= BM25_K)
+        .withColumn("rank", F.col("pr") + F.lit(BM25_K))
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 PERC_QUERIES = [
     {"must": ["data", "table"], "must_not": ["window"]},
     {"should": ["spark", "merge"]},
@@ -1115,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match_ranged": q_phrase_match_ranged,
         "near_match": q_near_match,
         "percolate_match": q_percolate_match,
+        "bm25_search_after": q_bm25_search_after,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -1826,6 +1857,16 @@ SELECT path, phrase_tf::BIGINT AS phrase_tf FROM counted WHERE phrase_tf > 0
 
     sql["phrase_match"] = _phrase_sql(PHRASE)
     sql["phrase_match_ranged"] = _phrase_sql(PHRASE_RANGED)
+
+    # ranked deep pagination: page 2 == ranks 21..40 of the full rounded
+    # ranking (boundary scores distinct at this sf — see the query's
+    # docstring)
+    page_base = _bm25_sql().replace(
+        f"LIMIT {BM25_K}", f"LIMIT {2 * BM25_K}"
+    )
+    sql["bm25_search_after"] = (
+        f"SELECT * FROM ({page_base}) p WHERE rank > {BM25_K}"
+    )
 
     # percolation: per registered query, the docs whose token sets
     # satisfy its boolean predicate (query_id = registration order)

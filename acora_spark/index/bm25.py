@@ -208,6 +208,7 @@ def wand_topk(
     bound_scale: float = 1.0,
     exclude: np.ndarray | None = None,
     allow: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND over (idf, blob, blocks) per query term.
 
@@ -224,6 +225,15 @@ def wand_topk(
     — bounds only get looser, never inadmissible.  ``allow`` (sorted) is
     the symmetric where-filter set: docs NOT in it are skipped the same
     way, so the result is the exact top-k of the allowed documents.
+
+    ``after`` = a ``(score, doc_id)`` cursor for ranked deep pagination
+    (search_after): only docs STRICTLY after the cursor in
+    (score desc, doc_id asc) order may rank, decided at full-evaluation
+    time once the doc's exact score is known.  Skipped docs score at or
+    above the cursor, so the pruning threshold (from kept docs only)
+    stays admissible.  Cursor scores are the engine's own float64
+    outputs — deterministic across calls, so pages concatenate
+    bit-exactly.
     """
     if k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -294,6 +304,11 @@ def wand_topk(
                 allow is not None and not _in_sorted(allow, pivot_doc)
             ):
                 pass  # soft-deleted / not allowed: advanced past, never ranked
+            elif after is not None and not (
+                score < after[0]
+                or (score == after[0] and pivot_doc > after[1])
+            ):
+                pass  # at or before the page cursor: served on an earlier page
             elif len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
@@ -332,6 +347,7 @@ def taat_topk(
     positional: bool = False,
     exclude: np.ndarray | None = None,
     allow: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized term-at-a-time scorer: decode each term's postings fully
     and accumulate into a dense score array indexed by doc_id.
@@ -362,6 +378,14 @@ def taat_topk(
         ok[valid] = True
         touched &= ok
     cand = np.nonzero(touched)[0]
+    if after is not None and len(cand):
+        # search_after cursor: keep docs strictly after (score desc,
+        # doc asc) — exact float comparison against the engine's own
+        # previous output
+        cs0 = scores[cand]
+        cand = cand[
+            (cs0 < after[0]) | ((cs0 == after[0]) & (cand > after[1]))
+        ]
     if not len(cand):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     kk = min(k, len(cand))
@@ -388,12 +412,12 @@ TAAT_MAX_DOCS = 8_000_000
 
 def _execute_topk(term_postings, k, avgdl, k1, b, n_docs, executor="auto",
                   positional=False, bound_scale=1.0, exclude=None,
-                  allow=None):
+                  allow=None, after=None):
     if executor == "wand" or (executor == "auto" and n_docs > TAAT_MAX_DOCS):
         return wand_topk(term_postings, k, avgdl, k1, b, positional,
-                         bound_scale, exclude, allow)
+                         bound_scale, exclude, allow, after)
     return taat_topk(term_postings, k, avgdl, k1, b, n_docs, positional,
-                     exclude, allow)
+                     exclude, allow, after)
 
 
 def term_buckets(spark: SparkSession, terms: Sequence[str], num_buckets: int) -> dict[str, int]:
@@ -439,21 +463,26 @@ def _shard_postings(pdf: pd.DataFrame, n_docs: int) -> list[tuple[float, bytes, 
 
 
 def _make_topk_runner(n_docs, avgdl, k1, b, k, positional, bound_scale=1.0,
-                      exclude=None, id_space=None):
+                      exclude=None, id_space=None, afters=None):
     """The per-query applyInPandas executor shared by the cold
     (bucket-pruned) and warm (persisted-postings) paths.  ``n_docs`` is
     the LIVE count (idf); ``id_space`` bounds the dense TAAT array (they
     differ after a deletion compaction leaves id holes).  ``exclude``
     may be a Spark Broadcast (shipped once per executor, the right shape
-    for large tombstone sets) or a plain array (driver-side callers)."""
+    for large tombstone sets) or a plain array (driver-side callers).
+    ``afters`` maps query_id -> (score, doc_id) search_after cursor."""
     id_space = n_docs if id_space is None else id_space
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         ex = exclude.value if hasattr(exclude, "value") else exclude
+        qid = int(pdf["query_id"].iloc[0])
+        af_map = (
+            afters.value if hasattr(afters, "value") else afters
+        ) or {}
         tp = _shard_postings(pdf, n_docs)
         docs, scores = _execute_topk(
             tp, k, avgdl, k1, b, id_space, positional=positional,
-            bound_scale=bound_scale, exclude=ex,
+            bound_scale=bound_scale, exclude=ex, after=af_map.get(qid),
         )
         return pd.DataFrame(
             {
@@ -472,10 +501,23 @@ def bm25_topk_batch(
     index: Index,
     queries: Sequence[str],
     k: int = 10,
+    afters: Sequence[tuple[float, int] | None] | None = None,
 ) -> DataFrame:
     """Distributed batch query executor: one WAND run per query, parallel
     across queries; postings read is bucket-pruned + term-filtered
-    (predicate pushdown to parquet)."""
+    (predicate pushdown to parquet).
+
+    ``afters`` (aligned with ``queries``; None entries = first page) are
+    per-query ``(score, doc_id)`` search_after cursors for ranked DEEP
+    pagination: page n+1 = the top-k strictly after page n's last
+    ``(score, doc_id)`` — the executor never materializes ``n*k`` rows,
+    unlike an offset.  Cursors are the engine's own raw float64 scores;
+    pages concatenate bit-exactly (pytest-asserted), the ES
+    search_after contract."""
+    if afters is not None and len(afters) != len(queries):
+        raise ValueError(
+            f"afters has {len(afters)} entries for {len(queries)} queries"
+        )
     stats = index.stats
     all_terms = sorted({t for q in queries for t in query_terms(q)})
     buckets = term_buckets(spark, all_terms, stats["num_buckets"])
@@ -493,10 +535,16 @@ def bm25_topk_batch(
     k1, b = stats["k1"], stats["b"]
     positional = bool(stats.get("with_positions"))
     tomb = index.tombstones(spark)
+    af_map = {
+        qi: (float(a[0]), int(a[1]))
+        for qi, a in enumerate(afters or [])
+        if a is not None
+    }
     run_query = _make_topk_runner(
         n_docs, avgdl, k1, b, k, positional, _bound_scale(stats),
         exclude=spark.sparkContext.broadcast(tomb) if len(tomb) else None,
         id_space=_id_space(stats),
+        afters=spark.sparkContext.broadcast(af_map) if af_map else None,
     )
     return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 
@@ -580,6 +628,7 @@ def _topk_from_slices(
     exclude: np.ndarray | None = None,
     allow: np.ndarray | None = None,
     deny: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact range-local top-k over decoded slices.  ``term_rows`` sorted
     by term (a term may repeat when a range straddles a storage-shard
@@ -638,6 +687,14 @@ def _topk_from_slices(
             udocs, scores = udocs[~dead], scores[~dead]
             if not len(udocs):
                 return np.empty(0, np.int64), np.empty(0, np.float64)
+    if after is not None and len(udocs):
+        # search_after page cursor: strictly after (score desc, doc asc)
+        keep = (scores < after[0]) | (
+            (scores == after[0]) & (udocs > after[1])
+        )
+        udocs, scores = udocs[keep], scores[keep]
+        if not len(udocs):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
     kk = min(k, len(udocs))
     if len(udocs) > kk:
         part = np.argpartition(-scores, kk - 1)
@@ -654,6 +711,7 @@ def bm25_topk_batch_ranged(
     queries: Sequence[str],
     k: int = 10,
     num_ranges: int | None = None,
+    afters: Sequence[tuple[float, int] | None] | None = None,
 ) -> DataFrame:
     """Doc-range-parallel top-k: ONE query fans out across executors.
 
@@ -673,7 +731,14 @@ def bm25_topk_batch_ranged(
 
     Bit-identical to the single-task executors: same ascending-term
     float64 summation per doc; any global top-k doc is necessarily in its
-    own range's top-k."""
+    own range's top-k.  ``afters`` = per-query (score, doc_id)
+    search_after cursors (see :func:`bm25_topk_batch`) — the cursor
+    filter applies range-locally before each partial top-k, so deep
+    pages never materialize earlier pages anywhere."""
+    if afters is not None and len(afters) != len(queries):
+        raise ValueError(
+            f"afters has {len(afters)} entries for {len(queries)} queries"
+        )
     stats = index.stats
     all_terms = sorted({t for q in queries for t in query_terms(q)})
     buckets = term_buckets(spark, all_terms, stats["num_buckets"])
@@ -699,6 +764,12 @@ def bm25_topk_batch_ranged(
     bc_idf = spark.sparkContext.broadcast(idf_map)
     tomb = index.tombstones(spark)
     bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+    af_map = {
+        qi: (float(a[0]), int(a[1]))
+        for qi, a in enumerate(afters or [])
+        if a is not None
+    }
+    bc_af = spark.sparkContext.broadcast(af_map) if af_map else None
 
     def run_range(key, pdf):  # (key, pdf) applyInPandas form
         qid = int(key[0])
@@ -706,6 +777,7 @@ def bm25_topk_batch_ranged(
         docs, scores = _topk_from_slices(
             list(zip(pdf["term"], pdf["blob"])), k, avgdl, k1, b,
             bc_idf.value, bc_ex.value if bc_ex is not None else None,
+            after=bc_af.value.get(qid) if bc_af is not None else None,
         )
         return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": scores})
 
@@ -1952,6 +2024,7 @@ def bm25_topk_local(
     queries: Sequence[str],
     k: int = 10,
     where: dict | None = None,
+    afters: Sequence[tuple[float, int] | None] | None = None,
 ) -> pd.DataFrame:
     """Cluster-free serving: answer BM25 queries straight off the index
     files with pyarrow + numpy — NO SparkSession, NO job per query.
@@ -1978,7 +2051,13 @@ def bm25_topk_local(
     docmap read, and the resulting allow set is enforced inside the
     WAND/TAAT executors exactly like tombstones — skipped before a doc
     can occupy a top-k slot, so results are the exact top-k of the
-    allowed documents."""
+    allowed documents.  ``afters`` = per-query (score, doc_id)
+    search_after cursors (see :func:`bm25_topk_batch`) — the
+    interactive pagination shape this sidecar path exists for."""
+    if afters is not None and len(afters) != len(queries):
+        raise ValueError(
+            f"afters has {len(afters)} entries for {len(queries)} queries"
+        )
     import pyarrow.parquet as pq
 
     from acora_spark import fsutil
@@ -2060,9 +2139,11 @@ def bm25_topk_local(
             continue
         pdf = pd.concat(frames, ignore_index=True)
         tp = _shard_postings(pdf, n_docs)
+        af = afters[qi] if afters is not None else None
         docs, scores = _execute_topk(
             tp, k, avgdl, k1, b, id_space, positional=positional,
             bound_scale=bscale, exclude=exclude, allow=allow,
+            after=(float(af[0]), int(af[1])) if af is not None else None,
         )
         out_frames.append(
             pd.DataFrame(

@@ -154,6 +154,34 @@ def test_allow_set_matches_brute_force(data, k, allow_mod):
             )
 
 
+def test_search_after_pages_kernels():
+    """Both kernels: pages under (score, doc) cursors concatenate to the
+    one-shot ranking, including across tied-score runs (the doc-asc
+    tie-break is what makes the cursor total)."""
+    docs = np.arange(100, dtype=np.int64)
+    tfs = (docs % 7) + 1  # many exact score ties
+    dls = np.full(100, 50, dtype=np.int64)
+    n_docs, avgdl = 101, 50.0
+    blob, blocks = encode_postings(docs, tfs, dls, avgdl)
+    tp = [(idf(n_docs, len(docs)), blob, blocks)]
+    full_d, full_s = taat_topk(tp, 100, avgdl, K1, B, n_docs)
+    for kernel in ("wand", "taat"):
+        got_d, got_s = [], []
+        cursor = None
+        for _ in range(10):
+            if kernel == "wand":
+                d, s = wand_topk(tp, 10, avgdl, K1, B, after=cursor)
+            else:
+                d, s = taat_topk(tp, 10, avgdl, K1, B, n_docs, after=cursor)
+            if not len(d):
+                break
+            got_d.extend(d.tolist())
+            got_s.extend(s.tolist())
+            cursor = (float(s[-1]), int(d[-1]))
+        assert got_d == full_d.tolist(), kernel
+        np.testing.assert_array_equal(got_s, full_s, err_msg=kernel)
+
+
 def test_wand_tie_break_doc_asc():
     # identical tf/dl -> identical scores; ranking must be doc_id ascending
     docs = np.arange(100, dtype=np.int64)

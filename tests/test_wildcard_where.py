@@ -478,6 +478,60 @@ def test_percolate_matches_boolean_executor(built, spark):
         percolate([{"must_not": ["data"]}], corpus)
 
 
+def test_search_after_pages_concat_exactly(built, spark):
+    """Ranked deep pagination: three search_after pages concatenate to
+    the one-shot top-3k BIT-EXACTLY on the batch executor, the ranged
+    executor, and the cluster-free path; a misaligned afters list
+    raises."""
+    from acora_spark.index.bm25 import (
+        bm25_topk_batch,
+        bm25_topk_batch_ranged,
+        bm25_topk_local,
+    )
+
+    idx, _ = built
+    q, k = "data table spark", 7
+    full = bm25_topk_batch(spark, idx, [q], k=3 * k).orderBy("rank").collect()
+    full_pairs = [(r.doc_id, r.score) for r in full]
+    assert len(full_pairs) == 3 * k
+
+    def run_pages(fn, **kwargs):
+        pages, cursor = [], None
+        for _ in range(3):
+            res = (
+                fn(
+                    spark, idx, [q], k=k,
+                    afters=[cursor] if cursor is not None else None,
+                    **kwargs,
+                )
+                .orderBy("rank")
+                .collect()
+            )
+            pages.extend((r.doc_id, r.score) for r in res)
+            if not res:
+                break
+            cursor = (res[-1].score, res[-1].doc_id)
+        return pages
+
+    assert run_pages(bm25_topk_batch) == full_pairs
+    assert run_pages(bm25_topk_batch_ranged, num_ranges=8) == full_pairs
+
+    pages, cursor = [], None
+    for _ in range(3):
+        loc = bm25_topk_local(
+            idx, [q], k=k, afters=[cursor] if cursor is not None else None
+        ).sort_values("rank")
+        page = list(zip(loc["doc_id"].tolist(), loc["score"].tolist()))
+        pages.extend(page)
+        if not page:
+            break
+        cursor = (page[-1][1], page[-1][0])
+    assert pages == full_pairs
+
+    with pytest.raises(ValueError, match="afters"):
+        bm25_topk_batch(spark, idx, [q, q], k=3, afters=[None])
+
+
 def test_wildcard_limit_paging(built, spark):
     """limit/after_doc_id keyset paging passes through to the boolean
     executor: pages concatenate to the exact full result."""
