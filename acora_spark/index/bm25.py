@@ -2213,7 +2213,16 @@ class QueryEngine:
         )
         return warm.unionByName(cold)
 
-    def topk(self, queries: Sequence[str], k: int = 10) -> DataFrame:
+    def topk(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        afters: Sequence[tuple[float, int] | None] | None = None,
+    ) -> DataFrame:
+        if afters is not None and len(afters) != len(queries):
+            raise ValueError(
+                f"afters has {len(afters)} entries for {len(queries)} queries"
+            )
         spark, stats = self.spark, self.index.stats
         pairs = [(qi, t) for qi, q in enumerate(queries) for t in query_terms(q)]
         if not pairs:
@@ -2226,9 +2235,15 @@ class QueryEngine:
         n_docs, avgdl = stats["N"], stats["avgdl"]
         k1, b = stats["k1"], stats["b"]
         positional = bool(stats.get("with_positions"))
+        af_map = {
+            qi: (float(a[0]), int(a[1]))
+            for qi, a in enumerate(afters or [])
+            if a is not None
+        }
         run_query = _make_topk_runner(
             n_docs, avgdl, k1, b, k, positional, _bound_scale(stats),
             exclude=self._exclude, id_space=_id_space(stats),
+            afters=af_map or None,
         )
         return joined.groupBy("query_id").applyInPandas(run_query, TOPK_SCHEMA)
 

@@ -531,6 +531,22 @@ def test_search_after_pages_concat_exactly(built, spark):
     with pytest.raises(ValueError, match="afters"):
         bm25_topk_batch(spark, idx, [q, q], k=3, afters=[None])
 
+    # the warm QueryEngine paginates identically
+    from acora_spark.index.bm25 import QueryEngine
+
+    eng = QueryEngine(spark, idx)
+    try:
+        p1 = eng.topk([q], k=k).orderBy("rank").collect()
+        p2 = eng.topk(
+            [q], k=k, afters=[(p1[-1].score, p1[-1].doc_id)]
+        ).orderBy("rank").collect()
+        got = [(r.doc_id, r.score) for r in p1] + [
+            (r.doc_id, r.score) for r in p2
+        ]
+        assert got == full_pairs[: 2 * k]
+    finally:
+        eng.close()
+
 
 def test_wildcard_limit_paging(built, spark):
     """limit/after_doc_id keyset paging passes through to the boolean
