@@ -680,6 +680,83 @@ def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed search (ES collapse): the flagship query's results
+    deduplicated to the best-scoring document PER REPO, top-k repos by
+    their best doc — mirrored by a rounded best-per-repo window over the
+    full-corpus BM25 ranking."""
+    from acora_spark.index.bm25 import bm25_collapse_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_collapse_topk_batch(
+        spark, idx, [BM25_QUERY], field="repo", k=BM25_K, score_round=4
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("rank", "repo", "path", "score")
+
+
+SYN_GROUPS = [["data", "stream"], ["merge", "join"]]
+SYN_QUERY = "data merge shuffle"
+
+
+def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym groups (Lucene SynonymQuery): 'data' expands to
+    {data, stream} and 'merge' to {join, merge}; each group scores as one
+    pseudo-term with tf = sum of member tfs and df = max of member dfs —
+    mirrored by the same group algebra in SQL."""
+    from acora_spark.index.bm25 import bm25_synonym_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    raw = bm25_synonym_topk_batch(
+        spark, idx, [SYN_QUERY], SYN_GROUPS, k=4 * BM25_K
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
+MSM_SHOULD = ["data", "merge", "stream", "window"]
+MSM_N = 3
+
+
+def q_boolean_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match boolean retrieval (ES bool parameter): docs
+    containing at least 3 of 4 should terms, lowest 2000 doc ids —
+    mirrored by a membership-count SQL predicate with the same keyset
+    cap."""
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = boolean_query_batch(
+        spark, idx,
+        [{"should": MSM_SHOULD, "minimum_should_match": MSM_N}],
+        limit=2000,
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("path")
+
+
+REGEX_PATTERN = "st[a-z]*m|mer[gd]e"
+
+
+def q_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex retrieval (Lucene RegexpQuery, constant-score rewrite): the
+    pattern expands against the index vocabulary in one pruned term scan,
+    then runs as a range-parallel boolean should — mirrored by a
+    whole-token regex membership filter."""
+    from acora_spark.index.bm25 import regex_query_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = regex_query_batch(spark, idx, [REGEX_PATTERN]).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("path")
+
+
 PERC_QUERIES = [
     {"must": ["data", "table"], "must_not": ["window"]},
     {"should": ["spark", "merge"]},
@@ -1146,6 +1223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_match": q_near_match,
         "percolate_match": q_percolate_match,
         "bm25_search_after": q_bm25_search_after,
+        "bm25_collapse": q_bm25_collapse,
+        "bm25_synonyms": q_bm25_synonyms,
+        "boolean_msm": q_boolean_msm,
+        "regex_match": q_regex_match,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -1867,6 +1948,112 @@ SELECT path, phrase_tf::BIGINT AS phrase_tf FROM counted WHERE phrase_tf > 0
     sql["bm25_search_after"] = (
         f"SELECT * FROM ({page_base}) p WHERE rank > {BM25_K}"
     )
+
+    # field collapsing: best rounded-score doc per repo over the full
+    # BM25 ranking, repos ranked by their winner
+    collapse_terms = sorted(set(BM25_QUERY.lower().split()))
+    sql["bm25_collapse"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(collapse_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),
+best AS (
+  SELECT d.repo, d.path, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.repo ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN docs d USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+       repo, path, score
+FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    # synonym groups: group tf = sum of member tfs per doc, group df =
+    # max member df (the Lucene SynonymQuery docFreq blending the Spark
+    # executor implements)
+    syn_members = ", ".join(
+        f"('{sorted(g)[0]}', '{m}')" for g in SYN_GROUPS for m in sorted(g)
+    )
+    syn_single = [
+        t for t in sorted(set(SYN_QUERY.lower().split()))
+        if not any(t in g for g in SYN_GROUPS)
+    ]
+    syn_members += ", " + ", ".join(f"('{t}', '{t}')" for t in syn_single)
+    sql["bm25_synonyms"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+members(grp, term) AS (VALUES {syn_members}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM members)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+gdf AS (
+  SELECT m.grp, max(d.df) AS df
+  FROM members m JOIN dfreq d USING (term) GROUP BY m.grp
+),
+gtf AS (
+  SELECT tf.doc_id, m.grp, sum(tf.tf) AS tf
+  FROM tf JOIN members m USING (term) GROUP BY tf.doc_id, m.grp
+),
+scored AS (
+  SELECT g.doc_id,
+         round(sum( ln(1 + (s.n_docs - gd.df + 0.5) / (gd.df + 0.5))
+              * g.tf / (g.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM gtf g JOIN dl USING (doc_id) CROSS JOIN stats s JOIN gdf gd USING (grp)
+  GROUP BY g.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC)::INT AS rank,
+       dl.path AS path, score
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    # minimum_should_match: membership-count predicate + the same
+    # lowest-doc-id keyset cap the executor's limit applies
+    msm_sum = " + ".join(
+        f"CAST(list_contains(t, '{w}') AS INT)" for w in MSM_SHOULD
+    )
+    sql["boolean_msm"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT path FROM toks
+WHERE ({msm_sum}) >= {MSM_N}
+ORDER BY doc_id
+LIMIT 2000
+"""
+
+    # regex retrieval: whole-token regex membership (RE2's semantics on
+    # this pattern subset match Java/Python exactly)
+    sql["regex_match"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT path FROM toks
+WHERE len(list_filter(t, x -> regexp_full_match(x, '{REGEX_PATTERN}'))) > 0
+"""
 
     # percolation: per registered query, the docs whose token sets
     # satisfy its boolean predicate (query_id = registration order)

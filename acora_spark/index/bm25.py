@@ -618,6 +618,23 @@ def _make_slicer(shift: int, positional: bool):
     return fn
 
 
+def _accumulate_contribs(
+    docs_parts: list[np.ndarray], contrib_parts: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-doc float64 contributions given in ascending-term (or
+    ascending-group) part order via ``np.add.at`` over compacted doc
+    indices — element-sequential adds into a zeroed array, the IDENTICAL
+    float64 add sequence the single-task dense TAAT executor performs, so
+    scores are bit-identical.  (``np.add.reduceat`` is NOT usable here:
+    its segment reduction associates differently and drifts by an ulp.)"""
+    d = np.concatenate(docs_parts)  # part order = term-asc per doc
+    c = np.concatenate(contrib_parts)
+    udocs, inv = np.unique(d, return_inverse=True)
+    scores = np.zeros(len(udocs), dtype=np.float64)
+    np.add.at(scores, inv, c)
+    return udocs, scores
+
+
 def _topk_from_slices(
     term_rows: Sequence[tuple[str, bytes]],
     k: int,
@@ -632,12 +649,8 @@ def _topk_from_slices(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact range-local top-k over decoded slices.  ``term_rows`` sorted
     by term (a term may repeat when a range straddles a storage-shard
-    boundary; its rows cover disjoint docs).  Per-doc contributions sum in
-    ascending-term order via ``np.add.at`` over compacted doc indices —
-    element-sequential adds into a zeroed array, the IDENTICAL float64 add
-    sequence the single-task dense TAAT executor performs, so scores are
-    bit-identical.  (``np.add.reduceat`` is NOT usable here: its segment
-    reduction associates differently and drifts by an ulp.)"""
+    boundary; its rows cover disjoint docs).  Accumulation order and
+    float64 bit-identity: see :func:`_accumulate_contribs`."""
     from acora_spark.functions.postings_codec import decode_slice
 
     docs_parts, contrib_parts = [], []
@@ -649,11 +662,24 @@ def _topk_from_slices(
         contrib_parts.append(idf_map[term] * impact(tfs, dls, avgdl, k1, b))
     if not docs_parts or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    d = np.concatenate(docs_parts)  # term-block order = term-asc per doc
-    c = np.concatenate(contrib_parts)
-    udocs, inv = np.unique(d, return_inverse=True)
-    scores = np.zeros(len(udocs), dtype=np.float64)
-    np.add.at(scores, inv, c)
+    udocs, scores = _accumulate_contribs(docs_parts, contrib_parts)
+    return _select_topk(
+        udocs, scores, k, exclude=exclude, allow=allow, deny=deny, after=after
+    )
+
+
+def _select_topk(
+    udocs: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
+    deny: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Constraint filters + exact (score desc, doc asc) top-k over an
+    accumulated (udocs, scores) pair — the shared tail of every
+    range-local scoring kernel."""
     # boolean constraints of the filtered executor: ``allow`` (sorted,
     # the must-intersection) and ``deny`` (sorted, the must_not union)
     # restrict the scored candidates BEFORE top-k selection
@@ -813,6 +839,264 @@ def _salted_topk_merge(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def bm25_collapse_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[str],
+    field: str = "repo",
+    k: int = 10,
+    num_ranges: int | None = None,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Field-collapsed top-k (the ES ``collapse`` / Lucene grouping
+    shape): rank documents by BM25, then return the top-``k`` GROUPS per
+    query, each represented by its best-scoring document, collapsed on a
+    docmap attribute (``repo`` dedups results to one hit per repository —
+    the standard code-search presentation).
+
+    Exactness requires scoring the FULL candidate set (a group's best
+    doc can rank arbitrarily deep in the plain top-k), so unlike the
+    top-k executors no per-range truncation is possible before the group
+    field is known.  Plan shape:
+
+    1. the ranged slice grid scores every candidate doc exactly as
+       :func:`bm25_topk_batch_ranged` does (same ascending-term float64
+       sums — scores are bit-identical to every other executor), but
+       emits ALL scored docs per (query, range) — cost is proportional
+       to the candidate set, the same bytes the boolean executor ships;
+    2. one join against the docmap attaches ``field`` (docmap rows are
+       doc_id-ordered parquet; Catalyst sort-merge-joins on doc_id);
+    3. a map-side-combinable ``max(struct(score, -doc_id))`` per
+       (query, field) picks each group's best doc under the canonical
+       (score desc, doc_id asc) order, and a final per-query window
+       ranks the group winners.
+
+    ``score_round`` (optional) rounds scores BEFORE the group-best
+    selection — the oracle-comparison hook (float jitter between
+    independent scorers must not flip near-tied winners).  Returns
+    (query_id, rank, <field>, doc_id, score)."""
+    stats = index.stats
+    all_terms = sorted({t for q in queries for t in query_terms(q)})
+    pairs = [(qi, t) for qi, q in enumerate(queries) for t in query_terms(q)]
+    out_schema = (
+        f"query_id long, rank int, {field} string, doc_id long, score double"
+    )
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    needed = sorted(set(buckets.values()))
+    if not needed or not pairs:
+        return spark.createDataFrame([], out_schema)
+    post = index.postings(spark, needed).filter(F.col("term").isin(all_terms))
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    positional = bool(stats.get("with_positions"))
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], out_schema)
+    idf_map = {t: idf(n_docs, d) for t, d in term_df.items()}
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
+    bc_idf = spark.sparkContext.broadcast(idf_map)
+    tomb = index.tombstones(spark)
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+
+    from acora_spark.functions.postings_codec import decode_slice
+
+    def run_range(key, pdf):  # (key, pdf) applyInPandas form
+        qid = int(key[0])
+        pdf = pdf.sort_values("term", kind="mergesort")
+        docs_parts, contrib_parts = [], []
+        for term, blob in zip(pdf["term"], pdf["blob"]):
+            docs, tfs, dls = decode_slice(bytes(blob))
+            if not len(docs):
+                continue
+            docs_parts.append(docs)
+            contrib_parts.append(
+                bc_idf.value[term] * impact(tfs, dls, avgdl, k1, b)
+            )
+        if not docs_parts:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        udocs, scores = _accumulate_contribs(docs_parts, contrib_parts)
+        if bc_ex is not None and len(udocs):
+            pos = np.searchsorted(bc_ex.value, udocs)
+            dead = (pos < len(bc_ex.value)) & (
+                bc_ex.value[np.minimum(pos, len(bc_ex.value) - 1)] == udocs
+            )
+            udocs, scores = udocs[~dead], scores[~dead]
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": udocs.astype(np.int64), "score": scores}
+        )
+
+    scored = sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, "query_id long, doc_id long, score double")
+    if score_round is not None:
+        scored = scored.withColumn("score", F.round("score", score_round))
+    dm = index.docmap(spark).select("doc_id", field)
+    best = (
+        scored.join(dm, "doc_id")
+        .groupBy("query_id", field)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("score"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "query_id",
+            field,
+            (-F.col("m.negid")).alias("doc_id"),
+            F.col("m.score").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", field, "doc_id", "score")
+    )
+
+
+def bm25_synonym_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[str],
+    synonyms: Sequence[Sequence[str]],
+    k: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """BM25 top-k with query-time synonym groups, Lucene SynonymQuery
+    semantics: every query term belonging to a synonym group is scored as
+    ONE pseudo-term whose within-doc frequency is the SUM of the member
+    term frequencies and whose document frequency is the MAX of the
+    member dfs (Lucene's SynonymQuery docFreq blending — exact union-df
+    would need a distinct count over the member postings union; max-df is
+    the published convention and needs only the stats the postings rows
+    already carry).  Terms outside every group score as themselves.
+
+    ``synonyms`` is a set of DISJOINT groups (e.g. ``[["def", "func",
+    "fn"], ["table", "index"]]``); a group's representative is its
+    lexicographically smallest member, and per-doc contributions sum in
+    ascending-representative order (fixed float64 order — bit-identical
+    across parallelism, same discipline as every other executor).
+    Matching is OR across members: a doc containing any member matches
+    the group.
+
+    Plan shape = :func:`bm25_topk_batch_ranged` (slice grid, range-local
+    exact top-k, salted merge); the only kernel difference is the
+    integer-exact per-doc tf summation across a group's member slices
+    before the impact nonlinearity."""
+    # group normalization: member -> representative
+    rep_of: dict[str, str] = {}
+    members_of: dict[str, list[str]] = {}
+    for g in synonyms:
+        ms = sorted({t for x in g for t in query_terms(x)})
+        if not ms:
+            continue
+        rep = ms[0]
+        for m in ms:
+            if m in rep_of:
+                raise ValueError(
+                    f"synonym groups must be disjoint; {m!r} appears twice"
+                )
+            rep_of[m] = rep
+        members_of[rep] = ms
+    stats = index.stats
+    q_reps = [
+        sorted({rep_of.get(t, t) for t in query_terms(q)}) for q in queries
+    ]
+    pairs = [
+        (qi, m)
+        for qi, reps in enumerate(q_reps)
+        for r in reps
+        for m in members_of.get(r, [r])
+    ]
+    all_terms = sorted({t for _, t in pairs})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    needed = sorted(set(buckets.values()))
+    if not needed or not pairs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    post = index.postings(spark, needed).filter(F.col("term").isin(all_terms))
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    positional = bool(stats.get("with_positions"))
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    # group df = max member df over the members present in the vocabulary
+    rep_terms = sorted(
+        {rep_of.get(t, t) for t in term_df}
+        | {r for r, ms in members_of.items() if any(m in term_df for m in ms)}
+    )
+    idf_map = {
+        r: idf(
+            n_docs,
+            max(term_df[m] for m in members_of.get(r, [r]) if m in term_df),
+        )
+        for r in rep_terms
+        if any(m in term_df for m in members_of.get(r, [r]))
+    }
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
+    bc_idf = spark.sparkContext.broadcast(idf_map)
+    bc_rep = spark.sparkContext.broadcast(rep_of)
+    tomb = index.tombstones(spark)
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+
+    from acora_spark.functions.postings_codec import decode_slice
+
+    def run_range(key, pdf):  # (key, pdf) applyInPandas form
+        qid = int(key[0])
+        rep_map = bc_rep.value
+        by_rep: dict[str, list] = {}
+        for term, blob in zip(pdf["term"], pdf["blob"]):
+            by_rep.setdefault(rep_map.get(term, term), []).append(blob)
+        docs_parts, contrib_parts = [], []
+        for rep in sorted(by_rep):  # ascending-representative sum order
+            arrs = [decode_slice(bytes(b)) for b in by_rep[rep]]
+            arrs = [a for a in arrs if len(a[0])]
+            if not arrs:
+                continue
+            d = np.concatenate([a[0] for a in arrs])
+            t = np.concatenate([a[1] for a in arrs])
+            l = np.concatenate([a[2] for a in arrs])
+            udocs, inv = np.unique(d, return_inverse=True)
+            gtf = np.zeros(len(udocs), dtype=np.int64)
+            np.add.at(gtf, inv, t)  # integer-exact member tf sum
+            dl_u = np.zeros(len(udocs), dtype=np.int64)
+            dl_u[inv] = l  # every member row of a doc carries the same dl
+            docs_parts.append(udocs)
+            contrib_parts.append(
+                bc_idf.value[rep] * impact(gtf, dl_u, avgdl, k1, b)
+            )
+        if not docs_parts:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        udocs, scores = _accumulate_contribs(docs_parts, contrib_parts)
+        docs, sc = _select_topk(
+            udocs, scores, k,
+            exclude=bc_ex.value if bc_ex is not None else None,
+        )
+        return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": sc})
+
+    partial = sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, "query_id long, doc_id long, score double")
+    return _salted_topk_merge(partial, stats, shift, k)
 
 
 PHRASE_SCHEMA = StructType(
@@ -1243,8 +1527,26 @@ def boolean_query_batch(
     come out sorted, and a range's k-th-lowest id can never beat another
     range's first k, so per-range truncation to ``limit`` is lossless);
     the final window then ranks at most ``limit x num_ranges`` rows per
-    query instead of the full result set."""
+    query instead of the full result set.
+
+    ``minimum_should_match`` (optional per-query key, default 1 — the ES
+    bool-query parameter): a doc must contain at least that many DISTINCT
+    ``should`` terms.  Range-local like everything else: membership
+    counting is doc-local (each term's range slice holds the doc at most
+    once), so ``np.unique(..., return_counts=True)`` over the
+    concatenated should sets counts distinct matching terms exactly.
+    Ignored when the query has no should terms (ES semantics); a value
+    above ``len(should)`` simply matches nothing."""
     norm = normalize_boolean_queries(queries)
+    msms = {}
+    for qi, q in enumerate(queries):
+        m = int(q.get("minimum_should_match", 1))
+        if m < 1:
+            raise ValueError(
+                f"query {qi}: minimum_should_match must be >= 1, got {m}"
+            )
+        if m > 1:
+            msms[qi] = m
     stats = index.stats
     all_terms = sorted(
         {t for s in norm.values() for r in s.values() for t in r}
@@ -1277,6 +1579,7 @@ def boolean_query_batch(
     # are a bounded constant factor of the compressed postings)
     sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
     bc_spec = spark.sparkContext.broadcast(norm)
+    bc_msm = spark.sparkContext.broadcast(msms) if msms else None
     tomb = index.tombstones(spark)
     bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
 
@@ -1303,9 +1606,15 @@ def boolean_query_batch(
             if not len(cand):
                 break
         if spec["should"] and (cand is None or len(cand)):
-            union = np.unique(
-                np.concatenate([sets.get(t, empty) for t in spec["should"]])
+            allsh = np.concatenate(
+                [sets.get(t, empty) for t in spec["should"]]
             )
+            msm = bc_msm.value.get(qid, 1) if bc_msm is not None else 1
+            if msm > 1:
+                u, cnt = np.unique(allsh, return_counts=True)
+                union = u[cnt >= msm]
+            else:
+                union = np.unique(allsh)
             cand = union if cand is None else np.intersect1d(
                 cand, union, assume_unique=True
             )
@@ -1440,6 +1749,77 @@ def _wildcard_spec(pattern: str):
         )
     )
     return cond, lambda t, rx=rx: rx.fullmatch(t) is not None
+
+
+def _regex_spec(pattern: str):
+    """(JVM condition, equivalent Python matcher) for one term regex —
+    Lucene RegexpQuery shape: the pattern must match the ENTIRE term.
+
+    Equivalence between the two engines that evaluate it (Spark's
+    ``rlike`` = Java ``j.u.regex`` on executors, ``re`` driver-side for
+    attribution) is guaranteed by restricting the pattern to the shared
+    subset: literals over the token alphabet, character classes
+    ``[...]`` (with ranges and ``^`` negation), alternation ``|``,
+    grouping ``(...)``, quantifiers ``* + ? {m} {m,n}`` and the
+    any-token-char dot.  Backslash escapes and anchors are rejected —
+    terms are ``[a-z0-9_]+`` so the subset loses no expressive power,
+    and both engines agree on it exactly."""
+    p = pattern.lower()
+    if not re.fullmatch(r"[a-z0-9_\[\]\(\)\|\*\+\?\.\^\-\{\},]+", p):
+        raise ValueError(
+            f"term regex {pattern!r} uses characters outside the supported "
+            "subset [a-z0-9_] []()|*+?.^-{},"
+        )
+    try:
+        rx = re.compile(p)
+    except re.error as e:
+        raise ValueError(f"invalid term regex {pattern!r}: {e}") from e
+    cond = F.col("term").rlike(f"^(?:{p})$")
+    return cond, lambda t, rx=rx: rx.fullmatch(t) is not None
+
+
+def regex_terms(
+    spark: SparkSession,
+    index: Index,
+    pattern: str,
+    max_terms: int = 1024,
+) -> list[str]:
+    """Expand a term regex against the index vocabulary (Lucene
+    RegexpQuery's rewrite step) — whole-term match, one pruned
+    term-column scan, same ``max_terms`` guard as :func:`expand_terms`."""
+    cond, m = _regex_spec(pattern)
+    return _expand_batch(
+        spark, index, [cond], [m], [f"regex {pattern!r}"], max_terms
+    )[0]
+
+
+def regex_query_batch(
+    spark: SparkSession,
+    index: Index,
+    patterns: Sequence[str],
+    max_terms: int = 1024,
+    num_ranges: int | None = None,
+    limit: int | None = None,
+    after_doc_id: int | None = None,
+) -> DataFrame:
+    """Regex retrieval with constant-score rewrite semantics (Lucene
+    RegexpQuery): each pattern expands against the vocabulary via
+    :func:`regex_terms` and matches the docs containing AT LEAST ONE
+    expanded term, executed as one doc-range-parallel boolean batch.
+    Returns (query_id, doc_id) rows; the whole batch expands in ONE
+    vocabulary scan."""
+    specs = [_regex_spec(p) for p in patterns]
+    expansions = _expand_batch(
+        spark,
+        index,
+        [c for c, _ in specs],
+        [m for _, m in specs],
+        [f"regex {p!r}" for p in patterns],
+        max_terms,
+    )
+    return _expansion_query_batch(
+        spark, index, expansions, num_ranges, limit, after_doc_id
+    )
 
 
 def _fuzzy_spec(word: str, max_edits: int, prefix_len: int):

@@ -1,0 +1,299 @@
+"""Field collapsing, query-time synonym groups, minimum_should_match,
+and regex retrieval — standard search-engine surfaces (ES collapse,
+Lucene SynonymQuery / RegexpQuery, the ES bool-query msm parameter) the
+reference's keyword matcher has no counterpart for (pipeline
+requirements).  Every executor is checked against a driver-side brute
+force over the same corpus.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from acora_spark.index.build import build_index
+from acora_spark.sources.corpus import load_corpus
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("csidx"))
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(
+        corpus, index_dir, num_buckets=8, docs_per_salt=100,
+        bucket_group_size=4,
+    )
+    return idx, corpus
+
+
+@pytest.fixture(scope="module")
+def ground(built, spark):
+    """doc_id -> (token counts, repo, path, dl) brute-forced driver-side,
+    plus corpus stats."""
+    idx, corpus = built
+    tok = re.compile(r"[a-z0-9_]+")
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    counts, meta = {}, {}
+    for row in corpus.collect():
+        doc_id = docmap[(row.repo, row.path, row.commit)]
+        toks = tok.findall(row.content.lower())
+        c: dict[str, int] = {}
+        for t in toks:
+            c[t] = c.get(t, 0) + 1
+        counts[doc_id] = c
+        meta[doc_id] = (row.repo, row.path, len(toks))
+    n_docs = len(counts)
+    avgdl = sum(m[2] for m in meta.values()) / n_docs
+    return counts, meta, n_docs, avgdl
+
+
+def _idf(n_docs, df):
+    return math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _brute_scores(counts, meta, n_docs, avgdl, terms):
+    """Exact per-doc BM25 over distinct ``terms`` (ascending-term sum)."""
+    dfs = {
+        t: sum(1 for c in counts.values() if t in c) for t in set(terms)
+    }
+    scores: dict[int, float] = {}
+    for t in sorted(set(terms)):
+        if dfs[t] == 0:
+            continue
+        ti = _idf(n_docs, dfs[t])
+        for d, c in counts.items():
+            tf = c.get(t, 0)
+            if tf:
+                dl = meta[d][2]
+                contrib = ti * tf / (tf + K1 * (1 - B + B * dl / avgdl))
+                scores[d] = scores.get(d, 0.0) + contrib
+    return scores
+
+
+def test_collapse_matches_brute_force(built, ground, spark):
+    from acora_spark.index.bm25 import bm25_collapse_topk_batch, query_terms
+
+    idx, _ = built
+    counts, meta, n_docs, avgdl = ground
+    q = "data merge stream"
+    scores = _brute_scores(counts, meta, n_docs, avgdl, query_terms(q))
+    best: dict[str, tuple[float, int]] = {}
+    for d, s in scores.items():
+        repo = meta[d][0]
+        if repo not in best or (-s, d) < (-best[repo][0], best[repo][1]):
+            best[repo] = (s, d)
+    expected = sorted(
+        ((s, d, repo) for repo, (s, d) in best.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+
+    got = (
+        bm25_collapse_topk_batch(spark, idx, [q], field="repo", k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(got) == min(5, len(expected))
+    for row, (s, d, repo) in zip(got, expected[:5]):
+        assert row.doc_id == d
+        assert row.repo == repo
+        assert abs(row.score - s) < 1e-9
+
+
+def test_collapse_on_unique_field_equals_plain_topk(built, spark):
+    """Collapsing on a per-doc-unique field (path) must reproduce the
+    plain ranking exactly — every group is a single doc."""
+    from acora_spark.index.bm25 import (
+        bm25_collapse_topk_batch,
+        bm25_topk_batch,
+    )
+
+    idx, _ = built
+    q = "data merge stream"
+    plain = (
+        bm25_topk_batch(spark, idx, [q], k=10).orderBy("rank").collect()
+    )
+    coll = (
+        bm25_collapse_topk_batch(spark, idx, [q], field="path", k=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in coll] == [r.doc_id for r in plain]
+    assert [r.score for r in coll] == [r.score for r in plain]
+
+
+def test_synonyms_singleton_groups_equal_plain(built, spark):
+    """Singleton synonym groups are the identity: scores must be
+    BIT-identical to the plain executor."""
+    from acora_spark.index.bm25 import (
+        bm25_synonym_topk_batch,
+        bm25_topk_batch,
+    )
+
+    idx, _ = built
+    q = "data merge stream"
+    plain = bm25_topk_batch(spark, idx, [q], k=10).orderBy("rank").collect()
+    syn = (
+        bm25_synonym_topk_batch(
+            spark, idx, [q], [["data"], ["merge"], ["stream"]], k=10
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in syn] == [r.doc_id for r in plain]
+    assert [r.score for r in syn] == [r.score for r in plain]
+
+
+def test_synonyms_match_brute_force(built, ground, spark):
+    from acora_spark.index.bm25 import bm25_synonym_topk_batch
+
+    idx, _ = built
+    counts, meta, n_docs, avgdl = ground
+    groups = [["data", "stream"], ["merge", "join"]]
+    q = "data merge table"
+
+    # brute force with SynonymQuery semantics
+    rep_of = {}
+    for g in groups:
+        for m in g:
+            rep_of[m] = min(g)
+    reps = sorted({rep_of.get(t, t) for t in q.split()})
+    members = {r: [m for m in rep_of if rep_of[m] == r] or [r] for r in reps}
+    scores: dict[int, float] = {}
+    for r in reps:
+        ms = members[r]
+        dfs = [
+            sum(1 for c in counts.values() if m in c) for m in ms
+        ]
+        df = max([d for d in dfs if d], default=0)
+        if df == 0:
+            continue
+        gi = _idf(n_docs, df)
+        for d, c in counts.items():
+            gtf = sum(c.get(m, 0) for m in ms)
+            if gtf:
+                dl = meta[d][2]
+                contrib = gi * gtf / (gtf + K1 * (1 - B + B * dl / avgdl))
+                scores[d] = scores.get(d, 0.0) + contrib
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+
+    got = (
+        bm25_synonym_topk_batch(spark, idx, [q], groups, k=8)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [d for d, _ in expected]
+    for row, (_, s) in zip(got, expected):
+        assert abs(row.score - s) < 1e-9
+
+
+def test_synonyms_overlapping_groups_raise(built, spark):
+    from acora_spark.index.bm25 import bm25_synonym_topk_batch
+
+    idx, _ = built
+    with pytest.raises(ValueError, match="disjoint"):
+        bm25_synonym_topk_batch(
+            spark, idx, ["data"], [["data", "stream"], ["stream", "merge"]]
+        )
+
+
+def test_minimum_should_match(built, ground, spark):
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    idx, _ = built
+    counts, _, _, _ = ground
+    should = ["data", "merge", "stream", "window"]
+    for msm in (1, 2, 3, 4):
+        got = sorted(
+            r.doc_id
+            for r in boolean_query_batch(
+                spark, idx,
+                [{"should": should, "minimum_should_match": msm}],
+            ).collect()
+        )
+        want = sorted(
+            d
+            for d, c in counts.items()
+            if sum(1 for t in should if t in c) >= msm
+        )
+        assert got == want, f"msm={msm}"
+    # above the clause count: nothing can match
+    assert (
+        boolean_query_batch(
+            spark, idx,
+            [{"should": should, "minimum_should_match": 9}],
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        boolean_query_batch(
+            spark, idx, [{"should": should, "minimum_should_match": 0}]
+        )
+
+
+def test_msm_combines_with_must_and_limit(built, ground, spark):
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    idx, _ = built
+    counts, _, _, _ = ground
+    spec = {
+        "must": ["the"],
+        "should": ["data", "merge", "stream"],
+        "minimum_should_match": 2,
+    }
+    want = sorted(
+        d
+        for d, c in counts.items()
+        if "the" in c
+        and sum(1 for t in spec["should"] if t in c) >= 2
+    )
+    got = sorted(
+        r.doc_id
+        for r in boolean_query_batch(spark, idx, [spec]).collect()
+    )
+    assert got == want
+    paged = sorted(
+        r.doc_id
+        for r in boolean_query_batch(spark, idx, [spec], limit=7).collect()
+    )
+    assert paged == want[:7]
+
+
+def test_regex_terms_and_query(built, ground, spark):
+    from acora_spark.index.bm25 import regex_query_batch, regex_terms
+
+    idx, _ = built
+    counts, _, _, _ = ground
+    vocab = set()
+    for c in counts.values():
+        vocab.update(c)
+    pattern = "st[a-z]*m|mer[gd]e"
+    rx = re.compile(pattern)
+    want_terms = sorted(t for t in vocab if rx.fullmatch(t))
+    assert regex_terms(spark, idx, pattern) == want_terms
+
+    got = sorted(
+        r.doc_id for r in regex_query_batch(spark, idx, [pattern]).collect()
+    )
+    want = sorted(
+        d
+        for d, c in counts.items()
+        if any(rx.fullmatch(t) for t in c)
+    )
+    assert got == want
+
+
+def test_regex_rejects_unsupported_patterns(built, spark):
+    from acora_spark.index.bm25 import regex_terms
+
+    idx, _ = built
+    with pytest.raises(ValueError, match="subset"):
+        regex_terms(spark, idx, r"a\d+")  # backslash escapes rejected
+    with pytest.raises(ValueError, match="invalid term regex"):
+        regex_terms(spark, idx, "a[b")  # unbalanced class
