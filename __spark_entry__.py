@@ -757,6 +757,55 @@ def q_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("path")
 
 
+MF_QUERY = "data zh"
+MF_PATH_WEIGHT = 2.0
+
+
+def _path_index_for(spark: SparkSession, sf_dir: str):
+    """A second FIELD index over the same corpus keys: the tokenized
+    ``path`` column indexed through the ordinary build pipeline.  Dense
+    doc ids are the global rank of (repo, path, commit), so this index
+    shares the doc-id space with the content index by construction —
+    which is what makes cross-field score sums well-defined."""
+    from acora_spark.index.build import build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = os.path.join(
+        "/tmp", f"acora_spark_pathidx_v{INDEX_FORMAT_VERSION}_{tag}"
+    )
+    field_corpus = _corpus(spark, sf_dir).withColumn(
+        "content", F.col("path")
+    )
+    return build_index(
+        field_corpus, index_dir, num_buckets=8, docs_per_salt=2000
+    )
+
+
+def q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field search (ES multi_match most_fields): content and
+    tokenized-path fields scored with their own collection statistics,
+    summed with field weights — mirrored by two independent BM25
+    computations joined per doc in SQL."""
+    from acora_spark.index.bm25 import bm25_multifield_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    pidx = _path_index_for(spark, sf_dir)
+    raw = bm25_multifield_topk_batch(
+        spark,
+        {"content": (idx, 1.0), "path": (pidx, MF_PATH_WEIGHT)},
+        [MF_QUERY],
+        k=4 * BM25_K,
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 PERC_QUERIES = [
     {"must": ["data", "table"], "must_not": ["window"]},
     {"should": ["spark", "merge"]},
@@ -1227,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": q_bm25_synonyms,
         "boolean_msm": q_boolean_msm,
         "regex_match": q_regex_match,
+        "bm25_multifield": q_bm25_multifield,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -2053,6 +2103,63 @@ WITH {_CORPUS_CTE},
 {_TOKS_CTE}
 SELECT path FROM toks
 WHERE len(list_filter(t, x -> regexp_full_match(x, '{REGEX_PATTERN}'))) > 0
+"""
+
+    # multi-field most_fields: two independent per-field BM25 scores
+    # (each with its own dl/avgdl/df statistics), weight-summed per doc
+    mf_terms = sorted(set(MF_QUERY.lower().split()))
+    sql["bm25_multifield"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+ptoks AS (
+  SELECT doc_id, path,
+         list_filter(string_split_regex(lower(path), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM docs
+),
+qterms(term) AS (VALUES {_values(mf_terms)}),
+dlc AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+statsc AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dlc),
+trc AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tfc AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM trc WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tfc GROUP BY term),
+sc AS (
+  SELECT tfc.doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tfc.tf / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dlc.dl / s.avgdl)) ) AS score
+  FROM tfc JOIN dlc USING (doc_id) CROSS JOIN statsc s JOIN dfc d USING (term)
+  GROUP BY tfc.doc_id
+),
+dlp AS (SELECT doc_id, path, len(t) AS dl FROM ptoks),
+statsp AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dlp),
+trp AS (SELECT doc_id, unnest(t) AS term FROM ptoks),
+tfp AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM trp WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfp AS (SELECT term, count(*)::DOUBLE AS df FROM tfp GROUP BY term),
+sp AS (
+  SELECT tfp.doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tfp.tf / (tfp.tf + 1.2 * (1 - 0.75 + 0.75 * dlp.dl / s.avgdl)) ) AS score
+  FROM tfp JOIN dlp USING (doc_id) CROSS JOIN statsp s JOIN dfp d USING (term)
+  GROUP BY tfp.doc_id
+),
+total AS (
+  SELECT coalesce(sc.doc_id, sp.doc_id) AS doc_id,
+         round(coalesce(sc.score, 0) + {MF_PATH_WEIGHT} * coalesce(sp.score, 0), 4) AS score
+  FROM sc FULL OUTER JOIN sp ON sc.doc_id = sp.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, total.doc_id ASC)::INT AS rank,
+       dlc.path AS path, score
+FROM total JOIN dlc ON total.doc_id = dlc.doc_id
+ORDER BY score DESC, total.doc_id ASC
+LIMIT {BM25_K}
 """
 
     # percolation: per registered query, the docs whose token sets

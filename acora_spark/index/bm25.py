@@ -921,7 +921,13 @@ def bm25_collapse_topk_batch(
                 bc_idf.value[term] * impact(tfs, dls, avgdl, k1, b)
             )
         if not docs_parts:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
         udocs, scores = _accumulate_contribs(docs_parts, contrib_parts)
         if bc_ex is not None and len(udocs):
             pos = np.searchsorted(bc_ex.value, udocs)
@@ -1085,7 +1091,13 @@ def bm25_synonym_topk_batch(
                 bc_idf.value[rep] * impact(gtf, dl_u, avgdl, k1, b)
             )
         if not docs_parts:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
         udocs, scores = _accumulate_contribs(docs_parts, contrib_parts)
         docs, sc = _select_topk(
             udocs, scores, k,
@@ -1097,6 +1109,150 @@ def bm25_synonym_topk_batch(
         "query_id", "rng"
     ).applyInPandas(run_range, "query_id long, doc_id long, score double")
     return _salted_topk_merge(partial, stats, shift, k)
+
+
+def bm25_multifield_topk_batch(
+    spark: SparkSession,
+    fields: dict[str, tuple[Index, float]],
+    queries: Sequence[str],
+    k: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Multi-field ranked retrieval (the ES ``multi_match``
+    "most_fields" shape): ``score(q, d) = sum_f w_f * BM25_f(q, d)``,
+    each field scored with ITS OWN collection statistics (df, avgdl)
+    against its own inverted index.
+
+    ``fields`` maps a field name to ``(Index, weight)``.  Field indexes
+    are ordinary indexes built over the SAME corpus keys — because dense
+    doc ids are the global rank of ``(repo, path, commit)``, two indexes
+    built from the same corpus (e.g. one over ``content``, one over the
+    tokenized ``path``) share the doc-id space BY CONSTRUCTION, and a
+    cross-field sum per doc id is well-defined.  Enforced cheaply: every
+    field must report the same N.
+
+    Execution: each field's pruned postings are sliced onto the SAME
+    doc-range grid by its own slicer (fields may disagree on
+    positional layout), with the term tagged ``field\\x00term``; one
+    (query, range) kernel then sums contributions in ascending
+    (field, term) tag order — a fixed float64 order, so results are
+    reproducible at any parallelism.  A doc tombstoned in ANY field
+    index is excluded.  Returns TOPK_SCHEMA rows."""
+    if not fields:
+        raise ValueError("fields must name at least one (Index, weight)")
+    for f in fields:
+        if "\x00" in f:
+            raise ValueError("field names must not contain NUL")
+    ns = {f: ix.stats["N"] for f, (ix, _) in fields.items()}
+    if len(set(ns.values())) != 1:
+        raise ValueError(
+            f"field indexes disagree on N {ns} — they must be built "
+            "from the same corpus keys to share the doc-id space"
+        )
+    all_terms = sorted({t for q in queries for t in query_terms(q)})
+    pairs = [(qi, t) for qi, q in enumerate(queries) for t in query_terms(q)]
+    if not all_terms or not pairs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+
+    # reference stats for the shared grid/merge: any field (same id space)
+    ref_stats = next(iter(fields.values()))[0].stats
+    # pass 1 (driver): per-field pruned postings + query-term dfs -> the
+    # per-tag scoring metadata and the grid shift (one tiny agg per field)
+    meta: dict[str, tuple[float, float, float, float]] = {}
+    posts: dict[str, DataFrame] = {}
+    max_df = 0
+    tombs = []
+    for fname in sorted(fields):
+        ix, weight = fields[fname]
+        stats = ix.stats
+        buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+        needed = sorted(set(buckets.values()))
+        if not needed:
+            continue
+        post = ix.postings(spark, needed).filter(
+            F.col("term").isin(all_terms)
+        )
+        term_df = _query_term_df(post)
+        if not term_df:
+            continue
+        posts[fname] = post
+        max_df = max(max_df, max(term_df.values()))
+        for t, d in term_df.items():
+            meta[f"{fname}\x00{t}"] = (
+                float(weight) * idf(stats["N"], d),
+                stats["avgdl"],
+                stats["k1"],
+                stats["b"],
+            )
+        t_f = ix.tombstones(spark)
+        if len(t_f):
+            tombs.append(t_f)
+    if not posts:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    shift = _range_shift(ref_stats, max_df, num_ranges)
+    # pass 2: slice each field's postings onto the shared grid with its
+    # own slicer (positional layouts may differ per field)
+    sliced_frames = []
+    for fname, post in posts.items():
+        joined = post.join(F.broadcast(qdf), "term").select(
+            "query_id",
+            F.concat(F.lit(f"{fname}\x00"), F.col("term")).alias("term"),
+            "postings",
+            "blocks",
+        )
+        sliced_frames.append(
+            joined.mapInPandas(
+                _make_slicer(
+                    shift, bool(fields[fname][0].stats.get("with_positions"))
+                ),
+                _SLICE_SCHEMA,
+            )
+        )
+    sliced = sliced_frames[0]
+    for fr in sliced_frames[1:]:
+        sliced = sliced.unionByName(fr)
+    bc_meta = spark.sparkContext.broadcast(meta)
+    ex = np.unique(np.concatenate(tombs)) if tombs else None
+    bc_ex = spark.sparkContext.broadcast(ex) if ex is not None else None
+
+    from acora_spark.functions.postings_codec import decode_slice
+
+    def run_range(key, pdf):  # (key, pdf) applyInPandas form
+        qid = int(key[0])
+        pdf = pdf.sort_values("term", kind="mergesort")
+        docs_parts, contrib_parts = [], []
+        for tag, blob in zip(pdf["term"], pdf["blob"]):
+            m = bc_meta.value.get(tag)
+            if m is None:
+                continue
+            w_idf, avgdl_f, k1_f, b_f = m
+            docs, tfs, dls = decode_slice(bytes(blob))
+            if not len(docs):
+                continue
+            docs_parts.append(docs)
+            contrib_parts.append(
+                w_idf * impact(tfs, dls, avgdl_f, k1_f, b_f)
+            )
+        if not docs_parts:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        udocs, scores = _accumulate_contribs(docs_parts, contrib_parts)
+        docs, sc = _select_topk(
+            udocs, scores, k,
+            exclude=bc_ex.value if bc_ex is not None else None,
+        )
+        return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": sc})
+
+    partial = sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, "query_id long, doc_id long, score double")
+    return _salted_topk_merge(partial, ref_stats, shift, k)
 
 
 PHRASE_SCHEMA = StructType(

@@ -46,11 +46,23 @@ def percolate(
 
     Results agree exactly with running ``boolean_query_batch`` against
     an index built over the same documents (differentially tested —
-    both sides share ONE query normalizer, so they cannot drift)."""
+    both sides share ONE query normalizer, so they cannot drift).
+    ``minimum_should_match`` (optional per-query key, default 1) carries
+    the same ES semantics as in the boolean executor: a doc must contain
+    at least that many DISTINCT should terms (ignored when the query has
+    no should terms)."""
     from acora_spark.index.bm25 import normalize_boolean_queries
 
     spark = docs.sparkSession
     norm = normalize_boolean_queries(queries)
+    msms = {}
+    for qi, q in enumerate(queries):
+        m = int(q.get("minimum_should_match", 1))
+        if m < 1:
+            raise ValueError(
+                f"query {qi}: minimum_should_match must be >= 1, got {m}"
+            )
+        msms[qi] = m
     key_cols = list(key_cols)
     rows = [
         (qi, t, role)
@@ -64,10 +76,14 @@ def percolate(
     )
     needs = spark.createDataFrame(
         [
-            (qi, len(spec["must"]), int(bool(spec["should"])))
+            (
+                qi,
+                len(spec["must"]),
+                msms[qi] if spec["should"] else 0,
+            )
             for qi, spec in norm.items()
         ],
-        "query_id long, need_must long, has_should int",
+        "query_id long, need_must long, need_should long",
     )
     # NULL content = empty doc (ANSI NULL would otherwise poison the
     # token expressions); array_distinct: boolean semantics are
@@ -107,9 +123,9 @@ def percolate(
             F.count_distinct(
                 F.when(F.col("role") == "must", F.col("term"))
             ).alias("n_must"),
-            F.max((F.col("role") == "should").cast("int")).alias(
-                "any_should"
-            ),
+            F.count_distinct(
+                F.when(F.col("role") == "should", F.col("term"))
+            ).alias("n_should"),
             F.max((F.col("role") == "must_not").cast("int")).alias(
                 "any_not"
             ),
@@ -119,7 +135,7 @@ def percolate(
         agg.join(F.broadcast(needs), "query_id")
         .filter(
             (F.col("n_must") == F.col("need_must"))
-            & ((F.col("has_should") == 0) | (F.col("any_should") == 1))
+            & (F.col("n_should") >= F.col("need_should"))
             & (F.col("any_not") == 0)
         )
         .select("query_id", *key_cols)

@@ -297,3 +297,107 @@ def test_regex_rejects_unsupported_patterns(built, spark):
         regex_terms(spark, idx, r"a\d+")  # backslash escapes rejected
     with pytest.raises(ValueError, match="invalid term regex"):
         regex_terms(spark, idx, "a[b")  # unbalanced class
+
+
+@pytest.fixture(scope="module")
+def path_built(built, spark, sf_dir, tmp_path_factory):
+    """A second field index over the same corpus keys: tokenized path."""
+    from pyspark.sql import functions as F
+
+    _, corpus = built
+    index_dir = str(tmp_path_factory.mktemp("pidx"))
+    pidx = build_index(
+        corpus.withColumn("content", F.col("path")),
+        index_dir, num_buckets=8, docs_per_salt=100, bucket_group_size=4,
+    )
+    return pidx
+
+
+def test_multifield_single_field_equals_plain(built, spark):
+    """{content: 1.0} alone must reproduce the plain executor
+    bit-exactly — the weighted sum degenerates to plain BM25."""
+    from acora_spark.index.bm25 import (
+        bm25_multifield_topk_batch,
+        bm25_topk_batch,
+    )
+
+    idx, _ = built
+    q = "data merge stream"
+    plain = bm25_topk_batch(spark, idx, [q], k=10).orderBy("rank").collect()
+    mf = (
+        bm25_multifield_topk_batch(
+            spark, {"content": (idx, 1.0)}, [q], k=10
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in mf] == [r.doc_id for r in plain]
+    assert [r.score for r in mf] == [r.score for r in plain]
+
+
+def test_multifield_matches_brute_force(built, path_built, ground, spark):
+    from acora_spark.index.bm25 import bm25_multifield_topk_batch, query_terms
+
+    idx, corpus = built
+    pidx = path_built
+    counts, meta, n_docs, avgdl = ground
+    # path-field ground truth
+    tok = re.compile(r"[a-z0-9_]+")
+    pcounts = {}
+    for d, (repo, path, _dl) in meta.items():
+        c: dict[str, int] = {}
+        for t in tok.findall(path.lower()):
+            c[t] = c.get(t, 0) + 1
+        pcounts[d] = c
+    pavgdl = sum(sum(c.values()) for c in pcounts.values()) / n_docs
+
+    q = "data zh txt"
+    w_path = 2.5
+    scores: dict[int, float] = {}
+    for field, fc, favg, w in (
+        ("content", counts, avgdl, 1.0),
+        ("path", pcounts, pavgdl, w_path),
+    ):
+        for t in sorted(set(query_terms(q))):
+            df = sum(1 for c in fc.values() if t in c)
+            if not df:
+                continue
+            ti = _idf(n_docs, df)
+            for d, c in fc.items():
+                tf = c.get(t, 0)
+                if tf:
+                    dl = sum(c.values()) if field == "path" else meta[d][2]
+                    contrib = (
+                        w * ti * tf / (tf + K1 * (1 - B + B * dl / favg))
+                    )
+                    scores[d] = scores.get(d, 0.0) + contrib
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = (
+        bm25_multifield_topk_batch(
+            spark,
+            {"content": (idx, 1.0), "path": (pidx, w_path)},
+            [q],
+            k=10,
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [d for d, _ in expected]
+    for row, (_, s) in zip(got, expected):
+        assert abs(row.score - s) < 1e-9
+
+
+def test_multifield_mismatched_corpus_raises(built, spark, tmp_path):
+    from acora_spark.index.bm25 import bm25_multifield_topk_batch
+
+    idx, corpus = built
+    small_dir = str(tmp_path / "halfidx")
+    half = build_index(
+        corpus.limit(50), small_dir, num_buckets=4, docs_per_salt=100,
+        bucket_group_size=4,
+    )
+    with pytest.raises(ValueError, match="disagree on N"):
+        bm25_multifield_topk_batch(
+            spark, {"content": (idx, 1.0), "path": (half, 1.0)}, ["data"]
+        )

@@ -459,6 +459,9 @@ def test_percolate_matches_boolean_executor(built, spark):
         {"must": ["data", "table"], "must_not": ["window"]},
         {"should": ["spark", "merge"]},
         {"must": ["the"], "should": ["scan", "slow"], "must_not": ["join"]},
+        # minimum_should_match flows through BOTH directions identically
+        {"should": ["data", "merge", "stream", "window"],
+         "minimum_should_match": 3},
     ]
     dm = {
         (r.repo, r.path, r.commit): r.doc_id
@@ -473,7 +476,7 @@ def test_percolate_matches_boolean_executor(built, spark):
     for r in boolean_query_batch(spark, idx, queries).collect():
         want.setdefault(r.query_id, set()).add(r.doc_id)
     assert got == want
-    assert len(want) == 3 and all(len(v) > 0 for v in want.values())
+    assert len(want) == 4 and all(len(v) > 0 for v in want.values())
     with pytest.raises(ValueError, match="must/should"):
         percolate([{"must_not": ["data"]}], corpus)
 

@@ -219,6 +219,56 @@ def main() -> None:
         )
     )
 
+    # 4b5. field collapsing: full-candidate ranged scoring, docmap join,
+    #      map-combined best-per-group — no cartesian, no driver loop
+    from acora_spark.index.bm25 import bm25_collapse_topk_batch
+
+    coll = bm25_collapse_topk_batch(
+        spark, idx, [entry.BM25_QUERY], field="repo", k=10, num_ranges=8
+    )
+    p4b5 = plan_of(coll, "simple")
+    assert "CartesianProduct" not in p4b5
+    assert "partial_max" in p4b5 or "HashAggregate" in p4b5
+    sections.append(
+        (
+            "Field collapsing (best doc per repo)",
+            "The ranged kernel emits every candidate's exact score; one "
+            "join attaches the collapse field from the docmap, and the "
+            "best-per-(query, field) pick is a hash aggregation of "
+            "max(struct(score, -doc_id)) — partial (map-side) before the "
+            "exchange, so the shuffle carries one row per (query, field) "
+            "per map task, not the candidate set.",
+            p4b5,
+        )
+    )
+
+    # 4b6. multi-field most_fields: per-field pruned postings slice onto
+    #      ONE shared range grid; union of slice rows, single kernel
+    mfid = entry._path_index_for(spark, SF_DIR)
+    from acora_spark.index.bm25 import bm25_multifield_topk_batch
+
+    mf = bm25_multifield_topk_batch(
+        spark,
+        {"content": (idx, 1.0), "path": (mfid, entry.MF_PATH_WEIGHT)},
+        [entry.MF_QUERY],
+        k=10,
+        num_ranges=8,
+    )
+    p4b6 = plan_of(mf, "simple")
+    assert "CartesianProduct" not in p4b6
+    assert p4b6.count("MapInPandas") >= 2  # one slicer per field
+    sections.append(
+        (
+            "Multi-field search (per-field indexes, one range grid)",
+            "Each field's bucket-pruned postings go through its own "
+            "slicer (fields may differ in positional layout); the slice "
+            "unions exchange ONCE by (query_id, rng) into a single "
+            "scoring kernel — adding a field adds a pruned scan and a "
+            "slicer, never another shuffle of existing fields.",
+            p4b6,
+        )
+    )
+
     # 4c. zero-shuffle encode: the encode stage's Spark plan moves only
     #     FILE NAMES — each task reads its runs file directly with
     #     pyarrow, so the raw postings data shuffles exactly once per
