@@ -2628,11 +2628,32 @@ def bm25_topk_local(
             for c, vals in sorted(where.items())
         ]
         parts = []
+        mid_bases = stats.get("docmap_mid_bases", {})
         for d in index.docmap_dir_names():
             p = _join_path(index.index_dir, d)
             if not fsutil.exists(p):
                 continue
             fsys, pp = fsutil.pa_fs(p)
+            if d in mid_bases:
+                # base-build dir: _mid-stamped rows; derive the dense id
+                # (bases[_mid >> 33] + low bits) — same arithmetic as the
+                # Spark-side derive_doc_ids, numpy edition
+                from acora_spark.index.build import (
+                    DOCMAP_MID_BITS,
+                    DOCMAP_MID_MASK,
+                )
+
+                t = pq.read_table(
+                    pp, columns=["_mid"], filters=filters, filesystem=fsys
+                )
+                if t.num_rows:
+                    mid = t["_mid"].to_numpy().astype(np.int64)
+                    basearr = np.asarray(mid_bases[d], dtype=np.int64)
+                    parts.append(
+                        basearr[mid >> DOCMAP_MID_BITS]
+                        + (mid & DOCMAP_MID_MASK)
+                    )
+                continue
             t = pq.read_table(
                 pp, columns=["doc_id"], filters=filters, filesystem=fsys
             )

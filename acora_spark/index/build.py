@@ -192,6 +192,84 @@ def release_doc_ids(df: DataFrame) -> None:
         cached.unpersist()
 
 
+# ---- derived doc ids: the base build's docmap carries _mid, not doc_id --
+#
+# The base build writes its docmap in ONE job (range-repartition by key +
+# sort within partitions + stamp ``monotonically_increasing_id``) and
+# derives the dense doc_id AT READ TIME: ``_mid = (pid << 33) + i`` by the
+# documented monotonically_increasing_id layout, the per-partition rank
+# prefix sums come free from the parquet FOOTERS (metadata-only reads),
+# and ``doc_id = bases[_mid >> 33] + (_mid & MASK)`` is a constant-folded
+# JVM projection.  vs the previous assign_doc_ids + rewrite flow this
+# removes a full persist of the per-doc table AND its second full write —
+# at 10^10 docs that is ~1.5 TB of executor storage plus ~1.5 TB of
+# object-store writes per build, for two extra footer round trips.
+# Ids are bit-identical: both formulations compute the global key rank.
+#
+# Merge generations and compaction rewrites still store a physical doc_id
+# column (post-compaction ids are non-dense, so no arithmetic derivation
+# exists); readers branch per directory on ``stats["docmap_mid_bases"]``.
+
+DOCMAP_MID_BITS = 33
+DOCMAP_MID_MASK = (1 << DOCMAP_MID_BITS) - 1
+# above this many write partitions, derive via a broadcast join instead of
+# an array literal (codegen trees with tens of thousands of literal nodes
+# compile slowly; a 10^10-doc build has ~5000 partitions)
+_MID_BASES_LITERAL_MAX = 256
+
+
+def _docmap_mid_bases(path: str) -> list[int]:
+    """Per-write-partition doc_id bases from the parquet footers of a
+    ``_mid``-stamped docmap directory: bases[p] = total rows in write
+    partitions < p.  Metadata-only reads (one footer per file) through
+    pyarrow.fs, so the same call works on object stores.  A write task
+    that spilled multiple files (maxRecordsPerFile) sums per partition;
+    an EMPTY range partition writes no file and keeps the running base
+    (no row references it)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    fsys, pp = fsutil.pa_fs(path)
+    for name in fsutil.listdir(path):
+        if not name.startswith("part-"):
+            continue
+        pid = int(name.split("-")[1])
+        with fsys.open_input_file(f"{pp.rstrip('/')}/{name}") as f:
+            counts[pid] = counts.get(pid, 0) + pq.ParquetFile(
+                f
+            ).metadata.num_rows
+    bases, running = [], 0
+    for p in range(max(counts) + 1 if counts else 0):
+        bases.append(running)
+        running += counts.get(p, 0)
+    return bases
+
+
+def derive_doc_ids(df: DataFrame, bases: Sequence[int]) -> DataFrame:
+    """Materialize ``doc_id`` on a ``_mid``-stamped docmap frame (see
+    module comment above).  Pure JVM projection; column pruning still
+    reaches the scan (selecting doc_id reads only ``_mid``)."""
+    pid = F.shiftright(F.col("_mid"), DOCMAP_MID_BITS).cast("int")
+    off = F.col("_mid").bitwiseAND(F.lit(DOCMAP_MID_MASK))
+    rest = [c for c in df.columns if c != "_mid"]
+    if len(bases) <= _MID_BASES_LITERAL_MAX:
+        # `or [0]`: an empty-corpus docmap has no rows, but the projection
+        # still needs a well-typed (non-empty) array literal to resolve
+        arr = F.array(*[F.lit(int(b)).cast("long") for b in (bases or [0])])
+        return df.select(
+            (F.element_at(arr, pid + F.lit(1)) + off).alias("doc_id"), *rest
+        )
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(p, int(b)) for p, b in enumerate(bases)], "_pid int, _base long"
+    )
+    return (
+        df.withColumn("_pid", pid)
+        .join(F.broadcast(bdf), "_pid")
+        .select((F.col("_base") + off).alias("doc_id"), *rest)
+    )
+
+
 # ------------------------------------------------------------------ build --
 
 
@@ -1221,11 +1299,24 @@ def _build_index_impl(
         # added parallelism (measured: docmap slower at local[32] than
         # local[8]).  ~2M rows (~300 MB) per partition, floor 8.
         parts = max(8, n_rows // 2_000_000)
-        docmap = assign_doc_ids(
-            spark.read.parquet(docstats_path), key_cols, num_partitions=parts
+        # ONE job: range-partition + sort by key, stamp _mid, write.  The
+        # dense doc_id (global key rank, identical to what assign_doc_ids
+        # computes) materializes at READ time from _mid plus the footer
+        # prefix sums committed below — no persist of the per-doc table,
+        # no second full write (see the derived-doc-ids module comment).
+        (
+            spark.read.parquet(docstats_path)
+            .repartitionByRange(parts, *key_cols)
+            .sortWithinPartitions(*key_cols)
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .write.mode("overwrite")
+            .parquet(docmap_path)
         )
-        docmap.write.mode("overwrite").parquet(docmap_path)
-        release_doc_ids(docmap)  # ids are on disk now; drop the cached layout
+        bases = _docmap_mid_bases(docmap_path)
+        cur = _read_stats(index_dir)
+        cur.setdefault("docmap_mid_bases", {})["docmap"] = bases
+        lease.refresh()  # fence: never publish after a lease steal
+        _commit_stats(index_dir, cur)
         _mark_done(index_dir, "docmap", secs=round(time.time() - t0, 3))
 
     stats = _read_stats(index_dir)
@@ -1248,8 +1339,13 @@ def _build_index_impl(
         # -5.5s @32 win it was adopted for evaporated (t32 neutral, t8
         # 5-10% SLOWER, interleaved min-of-2 — BENCH.md round 5); the
         # spill-safe sort-merge default stands on current evidence
+        dm = spark.read.parquet(docmap_path)
+        if "_mid" in dm.columns:  # legacy resumes carry a physical doc_id
+            dm = derive_doc_ids(
+                dm, _read_stats(index_dir)["docmap_mid_bases"]["docmap"]
+            )
         runs = _doc_term_runs(
-            corpus, spark.read.parquet(docmap_path), key_cols, with_positions
+            corpus, dm, key_cols, with_positions
         ).withColumn(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
@@ -2340,6 +2436,15 @@ def _compact_index_impl(
     stats["postings_dirs"] = [dst_post]
     stats["docmap_dirs"] = docmap_dirs
     stats["docstats_dirs"] = docstats_dirs
+    # drop _mid base maps for docmap dirs leaving the committed list (a
+    # compaction rewrite stores doc_id physically; stale entries are
+    # harmless — readers key by dir name — but don't let them accrete)
+    if "docmap_mid_bases" in stats:
+        stats["docmap_mid_bases"] = {
+            d: b
+            for d, b in stats["docmap_mid_bases"].items()
+            if d in docmap_dirs
+        }
     stats["min_avgdl_encode"] = stats["avgdl"]
     lease.refresh()  # abort pre-commit if the lease was stolen
     _commit_stats(index_dir, stats)
@@ -2456,12 +2561,21 @@ class Index:
         return out
 
     def docmap(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(
-            *[
-                _join_path(self.index_dir, d)
-                for d in self.docmap_dir_names()
-            ]
-        )
+        """Docmap rows across every committed generation dir, with
+        ``doc_id`` materialized: the base build dir stores ``_mid`` and
+        derives the id arithmetically (see the derived-doc-ids comment);
+        merge generations and compaction rewrites store it physically."""
+        mid_bases = self.stats.get("docmap_mid_bases", {})
+        frames = []
+        for d in self.docmap_dir_names():
+            df = spark.read.parquet(_join_path(self.index_dir, d))
+            if d in mid_bases and "_mid" in df.columns:
+                df = derive_doc_ids(df, mid_bases[d])
+            frames.append(df)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def docstats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(

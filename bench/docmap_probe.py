@@ -1,0 +1,156 @@
+"""Decompose the docmap stage's cost (the worst-scaling build stage:
+raw 0.28 at 1.5M docs because its ~3.5 s barely moves from 8 to 32
+cores).  Times each sub-job of assign_doc_ids + the docmap write over
+the staged 1.5M-row docstats parquet, at one parallelism level per
+child process.
+
+Usage: python bench/docmap_probe.py [--cores 32] [--docs 1500000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(cores: int, src: str) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from acora_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dmprobe-{cores}", cores=cores,
+                      shuffle_partitions=64)
+    key_cols = ["repo", "path", "commit"]
+    out = {}
+
+    # warmup: tiny end-to-end of the same shapes (JIT)
+    warm = spark.read.parquet(src).limit(3000)
+    warm.repartitionByRange(4, *key_cols).sortWithinPartitions(
+        *key_cols).withColumn("_mid", F.monotonically_increasing_id()
+    ).groupBy(F.spark_partition_id()).count().collect()
+
+    n_rows = spark.read.parquet(src).count()
+    parts = max(8, n_rows // 2_000_000)
+
+    for rep in range(2):
+        # --- current implementation, sub-timed -------------------------
+        t0 = time.time()
+        arranged = spark.read.parquet(src).repartitionByRange(
+            parts, *key_cols).sortWithinPartitions(*key_cols)
+        with_mid = (
+            arranged.withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        rows = (
+            with_mid.groupBy("_pid")
+            .agg(F.count("*").alias("cnt"), F.min("_mid").alias("mn"))
+            .collect()
+        )
+        t1 = time.time()
+        out[f"counts_job_{rep}"] = round(t1 - t0, 3)
+        base, offs = 0, []
+        for r in sorted(rows, key=lambda r: r["_pid"]):
+            offs.append((int(r["_pid"]), base, int(r["mn"])))
+            base += int(r["cnt"])
+        off = spark.createDataFrame(offs, "_pid int, _base long, _mn long")
+        cols = [F.col(c) for c in spark.read.parquet(src).columns]
+        dst = f"/dev/shm/probe_dm_out_{cores}"
+        shutil.rmtree(dst, ignore_errors=True)
+        t2 = time.time()
+        (
+            with_mid.join(F.broadcast(off), "_pid")
+            .select((F.col("_mid") - F.col("_mn") + F.col("_base"))
+                    .alias("doc_id"), *cols)
+            .write.mode("overwrite").parquet(dst)
+        )
+        t3 = time.time()
+        out[f"write_job_{rep}"] = round(t3 - t2, 3)
+        out[f"total_{rep}"] = round(t3 - t0 + (t2 - t1), 3)
+        with_mid.unpersist()
+
+        # --- variant: no persist, temp-write + footer offsets ----------
+        # job 1: range+sort+stamp _mid, write temp (one pass, sampler
+        # included).  _mid = (pid << 33) + i, so partition and offset
+        # recover by pure arithmetic.  Driver: per-file row counts from
+        # parquet footers (metadata only; file part-%05d <=> write
+        # partition).  Job 2: narrow re-read + broadcast (pid -> base)
+        # join, doc_id = base + (_mid & MASK), final write.
+        t0 = time.time()
+        tmp = f"/dev/shm/probe_dm_tmp_{cores}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(src).repartitionByRange(parts, *key_cols)
+            .sortWithinPartitions(*key_cols)
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .write.mode("overwrite").parquet(tmp)
+        )
+        t1 = time.time()
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            f for f in os.listdir(tmp) if f.startswith("part-")
+        )
+        base, fo = 0, []
+        for f in files:
+            pid = int(f.split("-")[1])
+            fo.append((pid, base))
+            base += pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+        t2 = time.time()
+        fdf = spark.createDataFrame(fo, "_pid long, _base long")
+        dst2 = f"/dev/shm/probe_dm_out2_{cores}"
+        shutil.rmtree(dst2, ignore_errors=True)
+        (
+            spark.read.parquet(tmp)
+            .withColumn("_pid", F.shiftright("_mid", 33))
+            .join(F.broadcast(fdf), "_pid")
+            .select(
+                (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+                 + F.col("_base")).alias("doc_id"),
+                *cols,
+            )
+            .write.mode("overwrite").parquet(dst2)
+        )
+        t3 = time.time()
+        out[f"v2_sortwrite_{rep}"] = round(t1 - t0, 3)
+        out[f"v2_footer_{rep}"] = round(t2 - t1, 3)
+        out[f"v2_stamp_{rep}"] = round(t3 - t2, 3)
+        out[f"v2_total_{rep}"] = round(t3 - t0, 3)
+
+    print("RESULT " + json.dumps({"cores": cores, "parts": parts,
+                                  "n_rows": n_rows, **out}))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--src", default="/dev/shm/acora_scaling_idx_32/docstats")
+    args = ap.parse_args()
+    if args.child is not None:
+        child(args.child, args.src)
+        return
+    for cores in (32, 8, 32, 8):
+        p = subprocess.run(
+            [sys.executable, __file__, "--child", str(cores),
+             "--src", args.src],
+            capture_output=True, text=True,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("RESULT "):
+                print(line)
+        if p.returncode != 0:
+            print(p.stderr[-3000:])
+
+
+if __name__ == "__main__":
+    main()

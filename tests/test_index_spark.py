@@ -66,6 +66,58 @@ def test_doc_ids_dense_and_stable(spark, sf_dir):
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
 
 
+def test_docmap_derived_ids_match_assign(built, spark):
+    """The base build's docmap stores ``_mid`` and derives doc_id at read
+    time (footer prefix sums + bit arithmetic) — it must reproduce
+    ``assign_doc_ids`` (global key rank) bit-exactly, and the pyarrow
+    where-path derivation must agree with the Spark-side one."""
+    import pyarrow.parquet as pq
+
+    from acora_spark.index.build import (
+        DOCMAP_MID_BITS,
+        DOCMAP_MID_MASK,
+        derive_doc_ids,
+        release_doc_ids,
+    )
+
+    idx, index_dir, corpus = built
+    keys = ("repo", "path", "commit")
+    # physical layout: _mid on disk, no doc_id column
+    raw = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    assert "_mid" in raw.columns and "doc_id" not in raw.columns
+    bases = idx.stats["docmap_mid_bases"]["docmap"]
+    got = {
+        tuple(r[k] for k in keys): r["doc_id"]
+        for r in idx.docmap(spark).collect()
+    }
+    ref_df = assign_doc_ids(corpus)
+    want = {
+        tuple(r[k] for k in keys): r["doc_id"]
+        for r in ref_df.select(*keys, "doc_id").collect()
+    }
+    release_doc_ids(ref_df)
+    assert got == want
+    # numpy edition (the cluster-free where path) agrees
+    t = pq.read_table(os.path.join(index_dir, "docmap"), columns=["_mid"])
+    mid = t["_mid"].to_numpy().astype(np.int64)
+    basearr = np.asarray(bases, dtype=np.int64)
+    derived = np.sort(basearr[mid >> DOCMAP_MID_BITS] + (mid & DOCMAP_MID_MASK))
+    assert derived.tolist() == sorted(want.values())
+    # broadcast-join derivation path (big-bases branch) agrees too
+    import acora_spark.index.build as _b
+
+    old = _b._MID_BASES_LITERAL_MAX
+    _b._MID_BASES_LITERAL_MAX = 0
+    try:
+        via_join = {
+            tuple(r[k] for k in keys): r["doc_id"]
+            for r in derive_doc_ids(raw, bases).collect()
+        }
+    finally:
+        _b._MID_BASES_LITERAL_MAX = old
+    assert via_join == want
+
+
 def test_index_build_artifacts(built, spark):
     idx, index_dir, _ = built
     assert idx.stats["N"] > 0 and idx.stats["avgdl"] > 0
