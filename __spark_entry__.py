@@ -757,6 +757,61 @@ def q_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("path")
 
 
+def _alias_indexes_for(spark: SparkSession, sf_dir: str):
+    """TWO partition indexes over a key-ordered split of the corpus (first
+    half of the global key rank into partition A) — the time-partitioned
+    alias deployment shape.  The key-ordered split makes the alias's
+    rebased doc ids coincide with the full index's ids, so tie-breaks
+    match the full-corpus oracle exactly."""
+    from acora_spark.index.build import (
+        assign_doc_ids,
+        build_index,
+        release_doc_ids,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    corpus = _corpus(spark, sf_dir)
+    ids = assign_doc_ids(corpus)
+    n = corpus.count()
+    out = []
+    for part, pred in (
+        ("a", F.col("doc_id") < n // 2),
+        ("b", F.col("doc_id") >= n // 2),
+    ):
+        index_dir = os.path.join(
+            "/tmp", f"acora_spark_alias{part}_v{INDEX_FORMAT_VERSION}_{tag}"
+        )
+        out.append(
+            build_index(
+                ids.filter(pred).drop("doc_id"),
+                index_dir,
+                num_buckets=8,
+                docs_per_salt=2000,
+            )
+        )
+    release_doc_ids(ids)
+    return out
+
+
+def q_bm25_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias search over two partition indexes with global
+    (dfs_query_then_fetch) statistics — must answer IDENTICALLY to the
+    full-corpus BM25 oracle, the end-to-end proof that partitioned
+    serving loses nothing."""
+    from acora_spark.index.bm25 import alias_docmap, bm25_alias_topk_batch
+
+    idxs = _alias_indexes_for(spark, sf_dir)
+    raw = bm25_alias_topk_batch(spark, idxs, [BM25_QUERY], k=4 * BM25_K)
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    dm = alias_docmap(spark, idxs).select("doc_id", "path")
+    return topk.join(dm, "doc_id").select("rank", "path", "score")
+
+
 MF_QUERY = "data zh"
 MF_PATH_WEIGHT = 2.0
 
@@ -1277,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_msm": q_boolean_msm,
         "regex_match": q_regex_match,
         "bm25_multifield": q_bm25_multifield,
+        "bm25_alias": q_bm25_alias,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -1734,6 +1790,9 @@ LIMIT 20
     # the merged (build-half + merge-half) index must answer IDENTICALLY
     # to the full-corpus oracle — the strongest end-to-end merge check
     sql["index_bm25_topk_merged"] = _bm25_sql()
+    # the alias over two key-ordered partition indexes answers with
+    # GLOBAL statistics — identical to the full-corpus oracle
+    sql["bm25_alias"] = _bm25_sql()
 
     # boolean retrieval: token-membership predicates over the same
     # tokenization

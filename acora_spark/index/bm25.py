@@ -590,12 +590,15 @@ def _query_term_df(post: DataFrame) -> dict[str, int]:
 _SLICE_SCHEMA = "query_id long, rng long, term string, blob binary"
 
 
-def _make_slicer(shift: int, positional: bool):
+def _make_slicer(shift: int, positional: bool, offset: int = 0):
     """Stage-1 mapInPandas fn: decode each (query, term, shard) postings
     row ONCE and re-varint it into per-doc-range slices.  Every posting
     byte is shipped to exactly one range group — no blob replication, no
     dependence on how the storage shards align with the query grid (the
-    slicer cuts by doc VALUE)."""
+    slicer cuts by doc VALUE).  ``offset`` rebases local doc ids into a
+    global id space (alias search over partitioned indexes) BEFORE
+    slicing, so the range grid and the re-encoded slices both carry
+    global ids."""
     from acora_spark.functions.postings_codec import slice_postings_by_range
 
     def fn(batches):
@@ -607,6 +610,8 @@ def _make_slicer(shift: int, positional: bool):
                 docs, tfs, dls = _decode(
                     bytes(blob), [dict(x) for x in blocks], positional
                 )
+                if offset:
+                    docs = docs + np.int64(offset)
                 rngs, blobs = slice_postings_by_range(docs, tfs, dls, shift)
                 n = len(rngs)
                 out["query_id"].extend([int(qid)] * n)
@@ -839,6 +844,153 @@ def _salted_topk_merge(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def alias_offsets(indexes: Sequence[Index]) -> list[int]:
+    """Global doc-id base per partition index: index ``i``'s local ids
+    occupy ``[base_i, base_i + id_space_i)`` — disjoint by construction
+    (``id_space``, not N: deleted docs keep their slots)."""
+    bases, run = [], 0
+    for ix in indexes:
+        bases.append(run)
+        run += _id_space(ix.stats)
+    return bases
+
+
+def alias_docmap(spark: SparkSession, indexes: Sequence[Index]) -> DataFrame:
+    """The alias's unioned docmap with doc ids rebased into the global
+    alias id space — join :func:`bm25_alias_topk_batch` results against
+    this to resolve keys/metadata."""
+    frames = []
+    for ix, base in zip(indexes, alias_offsets(indexes)):
+        dm = ix.docmap(spark)
+        if base:
+            dm = dm.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        frames.append(dm)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def bm25_alias_topk_batch(
+    spark: SparkSession,
+    indexes: Sequence[Index],
+    queries: Sequence[str],
+    k: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Ranked retrieval over an ALIAS of partition indexes — the standard
+    100-TB deployment shape (one index per day/source/shard family,
+    queried as one logical index; cf. ES index aliases + Lucene
+    MultiReader) — with GLOBAL collection statistics, the
+    ``dfs_query_then_fetch`` semantics: ``N = sum N_i``,
+    ``df(t) = sum df_i(t)``, ``avgdl = sum total_dl_i / sum N_i`` (exact
+    integer arithmetic, so it equals what one index built over the union
+    corpus computes).
+
+    Scores are BIT-IDENTICAL to :func:`bm25_topk_batch` over that union
+    index: a doc's contributions all come from its own partition's
+    postings and sum in the same ascending-term float64 order on the
+    same global statistics.  Returned doc ids are rebased into the alias
+    id space (:func:`alias_offsets`); resolve them through
+    :func:`alias_docmap`.
+
+    Execution: per index, a bucket-pruned, term-filtered postings read
+    feeds its own slicer (per-index positional layout and id offset)
+    onto ONE shared doc-range grid over the global id space; the slice
+    union exchanges ONCE by (query_id, rng) into the standard ranged
+    scoring kernel, then the salted top-k merge.  Adding a partition
+    index adds a pruned scan and a slicer — never another shuffle of the
+    other partitions' bytes.  Per-index tombstones rebase with the same
+    offsets.  All indexes must share k1/b (scoring constants)."""
+    if not indexes:
+        raise ValueError("alias must name at least one index")
+    kbs = {(ix.stats["k1"], ix.stats["b"]) for ix in indexes}
+    if len(kbs) != 1:
+        raise ValueError(
+            f"alias indexes disagree on scoring constants (k1, b): {kbs}"
+        )
+    k1, b = next(iter(kbs))
+    all_terms = sorted({t for q in queries for t in query_terms(q)})
+    pairs = [(qi, t) for qi, q in enumerate(queries) for t in query_terms(q)]
+    if not all_terms or not pairs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+
+    offsets = alias_offsets(indexes)
+    n_g = sum(int(ix.stats["N"]) for ix in indexes)
+    total_dl_g = sum(int(ix.stats.get("total_dl") or 0) for ix in indexes)
+    gstats = {
+        "N": n_g,
+        "id_space": offsets[-1] + _id_space(indexes[-1].stats),
+        "avgdl": (total_dl_g / n_g) if n_g else 0.0,
+        "docs_per_salt": min(
+            int(ix.stats.get("docs_per_salt", 50_000)) for ix in indexes
+        ),
+        "k1": k1,
+        "b": b,
+    }
+    avgdl = gstats["avgdl"]
+
+    posts: list[tuple[DataFrame, bool, int]] = []
+    tombs = []
+    for ix, base in zip(indexes, offsets):
+        buckets = term_buckets(spark, all_terms, ix.stats["num_buckets"])
+        needed = sorted(set(buckets.values()))
+        if not needed:
+            continue
+        post = ix.postings(spark, needed).filter(
+            F.col("term").isin(all_terms)
+        )
+        posts.append(
+            (post, bool(ix.stats.get("with_positions")), base)
+        )
+        t = ix.tombstones(spark)
+        if len(t):
+            tombs.append(t + np.int64(base))
+    if not posts:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    # ONE df job across the whole alias: global df(t) = sum over partitions
+    union_post = posts[0][0].select("term", "df")
+    for p, _, _ in posts[1:]:
+        union_post = union_post.unionByName(p.select("term", "df"))
+    term_df = _query_term_df(union_post)
+    if not term_df:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf_map = {t: idf(n_g, d) for t, d in term_df.items()}
+    shift = _range_shift(gstats, max(term_df.values()), num_ranges)
+
+    sliced_frames = []
+    for post, positional, base in posts:
+        joined = post.join(F.broadcast(qdf), "term").select(
+            "query_id", "term", "postings", "blocks"
+        )
+        sliced_frames.append(
+            joined.mapInPandas(
+                _make_slicer(shift, positional, offset=base), _SLICE_SCHEMA
+            )
+        )
+    sliced = sliced_frames[0]
+    for fr in sliced_frames[1:]:
+        sliced = sliced.unionByName(fr)
+    bc_idf = spark.sparkContext.broadcast(idf_map)
+    ex = np.unique(np.concatenate(tombs)) if tombs else None
+    bc_ex = spark.sparkContext.broadcast(ex) if ex is not None else None
+
+    def run_range(key, pdf):  # (key, pdf) applyInPandas form
+        qid = int(key[0])
+        pdf = pdf.sort_values("term", kind="mergesort")
+        docs, scores = _topk_from_slices(
+            list(zip(pdf["term"], pdf["blob"])), k, avgdl, k1, b,
+            bc_idf.value, bc_ex.value if bc_ex is not None else None,
+        )
+        return pd.DataFrame({"query_id": qid, "doc_id": docs, "score": scores})
+
+    partial = sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, "query_id long, doc_id long, score double")
+    return _salted_topk_merge(partial, gstats, shift, k)
 
 
 def bm25_collapse_topk_batch(

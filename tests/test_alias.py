@@ -1,0 +1,140 @@
+"""Alias (multi-index) search: global-stats BM25 over partition indexes
+must reproduce a single index built over the union corpus bit-exactly.
+
+The partition split is by KEY ORDER (first half of the global key rank
+into index A), so the alias's rebased doc ids coincide with the union
+index's ids and the comparison covers ids, scores, AND tie-breaks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.index.bm25 import (
+    alias_docmap,
+    bm25_alias_topk_batch,
+    bm25_topk_batch,
+    bm25_topk_batch_ranged,
+)
+from acora_spark.index.build import assign_doc_ids, build_index, release_doc_ids
+from acora_spark.sources.corpus import load_corpus
+
+QUERIES = ["data merge stream", "spark the", "zh data"]
+
+
+@pytest.fixture(scope="module")
+def alias_built(spark, sf_dir, tmp_path_factory):
+    corpus = load_corpus(spark, sf_dir)
+    ids = assign_doc_ids(corpus)
+    n = corpus.count()
+    half_a = ids.filter(F.col("doc_id") < n // 2).drop("doc_id")
+    half_b = ids.filter(F.col("doc_id") >= n // 2).drop("doc_id")
+    kw = dict(num_buckets=8, docs_per_salt=100, bucket_group_size=4)
+    idx_a = build_index(half_a, str(tmp_path_factory.mktemp("pa")), **kw)
+    idx_b = build_index(half_b, str(tmp_path_factory.mktemp("pb")), **kw)
+    full = build_index(corpus, str(tmp_path_factory.mktemp("pf")), **kw)
+    release_doc_ids(ids)
+    return idx_a, idx_b, full, corpus
+
+
+def test_alias_matches_union_index_bit_exact(alias_built, spark):
+    idx_a, idx_b, full, _ = alias_built
+    got = (
+        bm25_alias_topk_batch(spark, [idx_a, idx_b], QUERIES, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    want = (
+        bm25_topk_batch(spark, full, QUERIES, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.rank, r.doc_id) for r in got] == [
+        (r.query_id, r.rank, r.doc_id) for r in want
+    ]
+    # float64 bit identity: same ascending-term summation on identical
+    # global statistics
+    assert [r.score for r in got] == [r.score for r in want]
+
+
+def test_alias_single_index_degenerates_to_ranged(alias_built, spark):
+    _, _, full, _ = alias_built
+    got = (
+        bm25_alias_topk_batch(spark, [full], QUERIES, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    want = (
+        bm25_topk_batch_ranged(spark, full, QUERIES, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+
+
+def test_alias_docmap_resolves_every_hit(alias_built, spark):
+    idx_a, idx_b, full, corpus = alias_built
+    hits = bm25_alias_topk_batch(spark, [idx_a, idx_b], QUERIES, k=10)
+    dm = alias_docmap(spark, [idx_a, idx_b])
+    n_hits = hits.count()
+    assert hits.join(dm, "doc_id").count() == n_hits
+    # the alias docmap IS the union index's docmap (key-ordered split)
+    a = {
+        (r.doc_id, r.repo, r.path, r.commit)
+        for r in dm.select("doc_id", "repo", "path", "commit").collect()
+    }
+    b = {
+        (r.doc_id, r.repo, r.path, r.commit)
+        for r in full.docmap(spark)
+        .select("doc_id", "repo", "path", "commit")
+        .collect()
+    }
+    assert a == b
+
+
+def test_alias_tombstones_rebase(alias_built, spark, tmp_path):
+    """A doc deleted from partition B is excluded from alias results via
+    the rebased tombstone set."""
+    from acora_spark.index.build import delete_docs, load_index
+
+    idx_a, idx_b, full, _ = alias_built
+    target = (
+        bm25_alias_topk_batch(spark, [idx_a, idx_b], ["data merge"], k=1)
+        .collect()[0]
+        .doc_id
+    )
+    dm = alias_docmap(spark, [idx_a, idx_b])
+    key = dm.filter(F.col("doc_id") == target).select(
+        "repo", "path", "commit"
+    )
+    n_a = idx_a.stats["N"]
+    owner_dir = (idx_a if target < n_a else idx_b).index_dir
+    assert delete_docs(spark, owner_dir, key) == 1
+    try:
+        fresh = [load_index(spark, idx_a.index_dir), load_index(spark, idx_b.index_dir)]
+        after = {
+            r.doc_id
+            for r in bm25_alias_topk_batch(
+                spark, fresh, ["data merge"], k=10
+            ).collect()
+        }
+        assert target not in after
+    finally:
+        # drop the tombstone so other tests in the module see clean state
+        import shutil
+
+        shutil.rmtree(
+            f"{owner_dir}/tombstones", ignore_errors=True
+        )
+
+
+def test_alias_rejects_mismatched_scoring_constants(alias_built, spark):
+    idx_a, _, _, _ = alias_built
+    import copy
+
+    fake = copy.copy(idx_a)
+    fake.stats = dict(idx_a.stats, k1=9.9)
+    with pytest.raises(ValueError, match="scoring constants"):
+        bm25_alias_topk_batch(spark, [idx_a, fake], ["data"])

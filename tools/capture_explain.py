@@ -269,6 +269,30 @@ def main() -> None:
         )
     )
 
+    # 4b7. alias search: per-partition pruned scans + offset slicers onto
+    #      one global range grid; ONE exchange by (query_id, rng)
+    from acora_spark.index.bm25 import bm25_alias_topk_batch
+
+    aidxs = entry._alias_indexes_for(spark, SF_DIR)
+    al = bm25_alias_topk_batch(
+        spark, aidxs, [entry.BM25_QUERY], k=10, num_ranges=8
+    )
+    p4b7 = plan_of(al, "simple")
+    assert "CartesianProduct" not in p4b7
+    assert p4b7.count("MapInPandas") >= 2  # one slicer per partition index
+    sections.append(
+        (
+            "Alias search (partitioned indexes, global stats)",
+            "Each partition index contributes a bucket-pruned, "
+            "term-filtered postings scan through its own slicer (which "
+            "rebases doc ids into the global alias space); the slice "
+            "union exchanges ONCE by (query_id, rng) into the standard "
+            "ranged kernel — adding a partition adds a pruned scan and "
+            "a slicer, never another shuffle of other partitions' bytes.",
+            p4b7,
+        )
+    )
+
     # 4c. zero-shuffle encode: the encode stage's Spark plan moves only
     #     FILE NAMES — each task reads its runs file directly with
     #     pyarrow, so the raw postings data shuffles exactly once per
