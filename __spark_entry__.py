@@ -429,6 +429,35 @@ def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+BOOLQ = {
+    "must": ["data merge"],
+    "should": ["stream", "window table"],
+    "minimum_should_match": 1,
+    "filter": ["the"],
+    "must_not": ["scan"],
+}
+
+
+def q_bm25_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored bool query (ES bool in query context): must terms filter
+    AND score, should terms score when present (msm-gated), filter
+    terms constrain without scoring, must_not excludes."""
+    from acora_spark.index.bm25 import bm25_bool_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    raw = bm25_bool_topk_batch(
+        spark, idx, [BOOLQ], k=4 * BM25_K, num_ranges=8
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 WHERE_LANGS = ["es", "de"]
 
 
@@ -1333,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_match": q_regex_match,
         "bm25_multifield": q_bm25_multifield,
         "bm25_alias": q_bm25_alias,
+        "bm25_bool": q_bm25_bool,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -1853,6 +1883,54 @@ tf AS (
 ),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 cand AS (SELECT doc_id FROM toks WHERE {f_must} AND {f_not}),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    # scored bool query: must+should terms score, must+filter+msm(should)
+    # +must_not constrain; statistics stay index-global
+    bq_must = sorted({w for x in BOOLQ["must"] for w in _qt(x)})
+    bq_should = sorted({w for x in BOOLQ["should"] for w in _qt(x)})
+    bq_filter = sorted({w for x in BOOLQ["filter"] for w in _qt(x)})
+    bq_not = sorted({w for x in BOOLQ["must_not"] for w in _qt(x)})
+    bq_score = sorted({*bq_must, *bq_should})
+    bq_msm = BOOLQ["minimum_should_match"]
+    bq_req = " AND ".join(
+        f"list_contains(t, '{w}')" for w in (*bq_must, *bq_filter)
+    )
+    bq_ex = " AND ".join(f"NOT list_contains(t, '{w}')" for w in bq_not)
+    bq_cnt = " + ".join(
+        f"CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END"
+        for w in bq_should
+    )
+    sql["bm25_bool"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(bq_score)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT doc_id FROM toks
+  WHERE {bq_req} AND {bq_ex} AND ({bq_cnt}) >= {bq_msm}
+),
 scored AS (
   SELECT tf.doc_id,
          round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))

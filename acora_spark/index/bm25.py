@@ -2525,6 +2525,8 @@ def bm25_filtered_topk_batch(
                 {t for x in q.get("must_not", []) for t in query_terms(x)}
             ),
         }
+        spec["should"] = []
+        spec["msm"] = 0
         if not spec["score"]:
             raise ValueError(
                 f"query {qi}: filtered search needs at least one scoring "
@@ -2537,8 +2539,108 @@ def bm25_filtered_topk_batch(
             # long values) so the distributed and cluster-free paths
             # behave identically; sorting is for spec-dedup determinism
             wheres[qi] = {c: sorted(set(vals)) for c, vals in w.items()}
+    return _constrained_ranged_topk(spark, index, norm, wheres, k, num_ranges)
+
+
+def bm25_bool_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[dict],
+    k: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """SCORED boolean query — the ES ``bool`` query in query context,
+    clause-exact: per query dict,
+
+    * ``must``: clauses that MUST match and CONTRIBUTE to the score;
+    * ``should``: optional clauses that contribute when they match; with
+      ``minimum_should_match`` (ES default: 0 when a must/filter clause
+      exists, else 1) at least that many DISTINCT should terms must be
+      present;
+    * ``filter``: clauses that must match but NEVER score (ES filter
+      context — cacheable constraint, no relevance contribution);
+    * ``must_not``: excluding clauses;
+    * ``where``: docmap attribute predicates (filter context over
+      metadata columns), same semantics as the filtered executor.
+
+    ``score(q, d) = sum of BM25 over the must + should terms present in
+    d`` — bit-identical to :func:`bm25_topk_batch` on the concatenated
+    must+should text restricted to the qualifying docs (same
+    ascending-term float64 summation).  Executes on the shared
+    constrained ranged engine: ONE slice pass ships every involved
+    term's postings to its doc ranges, constraint algebra (including the
+    distinct-membership msm count) is range-local and exact, then the
+    salted top-k merge."""
+    norm: dict[int, dict] = {}
+    wheres: dict[int, dict[str, list]] = {}
+    for qi, q in enumerate(queries):
+        bad = set(q) - {
+            "must", "should", "filter", "must_not",
+            "minimum_should_match", "where",
+        }
+        if bad:
+            raise ValueError(f"query {qi}: unknown key(s) {sorted(bad)}")
+        must = sorted({t for x in q.get("must", []) for t in query_terms(x)})
+        should = sorted(
+            {t for x in q.get("should", []) for t in query_terms(x)}
+        )
+        filt = sorted(
+            {t for x in q.get("filter", []) for t in query_terms(x)}
+        )
+        if not must and not should:
+            raise ValueError(
+                f"query {qi}: a scored bool query needs at least one "
+                "must or should clause (filter-only shapes are "
+                "boolean_query_batch territory)"
+            )
+        msm = q.get("minimum_should_match")
+        if msm is None:
+            # ES default: should is optional when other matching clauses
+            # exist, required (>=1) when should is all there is
+            msm = 0 if (must or filt) else 1
+        msm = int(msm)
+        if msm < 0 or (should and msm > len(should)):
+            raise ValueError(
+                f"query {qi}: minimum_should_match={msm} out of range "
+                f"for {len(should)} distinct should terms"
+            )
+        norm[qi] = {
+            "score": sorted({*must, *should}),
+            "must": sorted({*must, *filt}),
+            "must_not": sorted(
+                {t for x in q.get("must_not", []) for t in query_terms(x)}
+            ),
+            "should": should,
+            "msm": msm if should else 0,
+        }
+        w = q.get("where") or {}
+        if w:
+            wheres[qi] = {c: sorted(set(vals)) for c, vals in w.items()}
+    return _constrained_ranged_topk(spark, index, norm, wheres, k, num_ranges)
+
+
+def _constrained_ranged_topk(
+    spark: SparkSession,
+    index: Index,
+    norm: dict[int, dict],
+    wheres: dict[int, dict[str, list]],
+    k: int,
+    num_ranges: int | None,
+) -> DataFrame:
+    """Shared engine of the filtered and scored-bool executors.  Spec per
+    query: ``score`` (BM25-contributing terms, ascending — the float64
+    summation order), ``must`` (required non-scoring doc-set terms; the
+    callers fold scoring must clauses in by listing them in BOTH roles),
+    ``must_not``, ``should`` + ``msm`` (distinct-membership threshold;
+    0 disables), plus per-query ``where`` attribute predicates."""
+    stats = index.stats
     all_terms = sorted(
-        {t for s in norm.values() for r in s.values() for t in r}
+        {
+            t
+            for s in norm.values()
+            for r in ("score", "must", "must_not", "should")
+            for t in s[r]
+        }
     )
     buckets = term_buckets(spark, all_terms, stats["num_buckets"])
     needed = sorted(set(buckets.values()))
@@ -2557,7 +2659,11 @@ def bm25_filtered_topk_batch(
     pairs = [
         (qi, t)
         for qi, spec in norm.items()
-        for t in {x for r in spec.values() for x in r}
+        for t in {
+            x
+            for r in ("score", "must", "must_not", "should")
+            for x in spec[r]
+        }
     ]
     qdf = spark.createDataFrame(pairs, "query_id long, term string")
     joined = post.join(F.broadcast(qdf), "term").select(
@@ -2625,8 +2731,11 @@ def bm25_filtered_topk_batch(
     def _range_topk(qid: int, pdf: pd.DataFrame, meta) -> pd.DataFrame:
         spec = bc_spec.value[qid]
         score_terms = set(spec["score"])
+        msm = spec.get("msm", 0)
         sets: dict[str, np.ndarray] = {}
         need_sets = set(spec["must"]) | set(spec["must_not"])
+        if msm:
+            need_sets |= set(spec["should"])
         score_rows: list[tuple[str, bytes]] = []
         for term, grp in pdf.sort_values("term", kind="mergesort").groupby(
             "term", sort=False
@@ -2654,6 +2763,20 @@ def bm25_filtered_topk_batch(
             )
             if not len(allow):
                 break
+        if msm and (allow is None or len(allow)):
+            # distinct-membership count over the should doc-sets (each is
+            # unique per term, so concat counts = #distinct should terms
+            # present per doc) — range-local and exact
+            sh = [sets.get(t, empty) for t in spec["should"]]
+            cat = np.concatenate(sh) if sh else empty
+            if len(cat):
+                u, c = np.unique(cat, return_counts=True)
+                ok = u[c >= msm]
+            else:
+                ok = empty
+            allow = ok if allow is None else np.intersect1d(
+                allow, ok, assume_unique=True
+            )
         if allow is not None and not len(allow):
             # allowed set already empty in this range: skip the
             # scoring-term decode entirely (the common case for a

@@ -1,0 +1,210 @@
+"""Scored bool query (the ES ``bool`` query in query context): must
+scores AND constrains, should scores optionally (with
+minimum_should_match), filter constrains without scoring, must_not
+excludes — checked against a driver-side brute force and against the
+plain executor on degenerate shapes."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from acora_spark.index.bm25 import (
+    bm25_bool_topk_batch,
+    bm25_filtered_topk_batch,
+    bm25_topk_batch,
+    query_terms,
+)
+from acora_spark.index.build import build_index
+from acora_spark.sources.corpus import load_corpus
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("bqidx"))
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(
+        corpus, index_dir, num_buckets=8, docs_per_salt=100,
+        bucket_group_size=4,
+    )
+    return idx, corpus
+
+
+@pytest.fixture(scope="module")
+def ground(built, spark):
+    idx, corpus = built
+    tok = re.compile(r"[a-z0-9_]+")
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    counts = {}
+    for row in corpus.collect():
+        doc_id = docmap[(row.repo, row.path, row.commit)]
+        c: dict[str, int] = {}
+        for t in tok.findall(row.content.lower()):
+            c[t] = c.get(t, 0) + 1
+        counts[doc_id] = c
+    n_docs = len(counts)
+    avgdl = sum(sum(c.values()) for c in counts.values()) / n_docs
+    return counts, n_docs, avgdl
+
+
+def _idf(n_docs, df):
+    return math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _brute_bool(counts, n_docs, avgdl, spec, k=10):
+    must = sorted({t for x in spec.get("must", []) for t in query_terms(x)})
+    should = sorted(
+        {t for x in spec.get("should", []) for t in query_terms(x)}
+    )
+    filt = sorted(
+        {t for x in spec.get("filter", []) for t in query_terms(x)}
+    )
+    nots = sorted(
+        {t for x in spec.get("must_not", []) for t in query_terms(x)}
+    )
+    msm = spec.get("minimum_should_match")
+    if msm is None:
+        msm = 0 if (must or filt) else 1
+    score_terms = sorted({*must, *should})
+    dfs = {
+        t: sum(1 for c in counts.values() if t in c) for t in score_terms
+    }
+    out = []
+    for d, c in counts.items():
+        if any(t not in c for t in must):
+            continue
+        if any(t not in c for t in filt):
+            continue
+        if any(t in c for t in nots):
+            continue
+        if should and sum(1 for t in should if t in c) < msm:
+            continue
+        dl = sum(c.values())
+        s = 0.0
+        for t in score_terms:
+            tf = c.get(t, 0)
+            if tf and dfs[t]:
+                s += _idf(n_docs, dfs[t]) * tf / (
+                    tf + K1 * (1 - B + B * dl / avgdl)
+                )
+        if s > 0.0:
+            out.append((d, s))
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out[:k]
+
+
+SPECS = [
+    {"must": ["data"], "should": ["merge stream", "window"]},
+    {"must": ["data merge"], "filter": ["the"], "must_not": ["xylophone"]},
+    {"should": ["merge", "stream", "window"], "minimum_should_match": 2},
+    {"must": ["data"], "filter": ["stream"]},
+    {"should": ["data"], "where": {"lang": ["zh"]}},
+]
+
+
+def test_bool_matches_brute_force(built, ground, spark):
+    idx, _ = built
+    counts, n_docs, avgdl = ground
+    got_rows = bm25_bool_topk_batch(spark, idx, SPECS, k=10).collect()
+    got: dict[int, list] = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qi, spec in enumerate(SPECS):
+        sp = dict(spec)
+        w = sp.pop("where", None)
+        if w:
+            # where = docmap attribute predicate; stats stay
+            # CORPUS-GLOBAL (filter context never changes idf/avgdl)
+            idx_dm = {
+                r.doc_id: r.lang
+                for r in built[0]
+                .docmap(spark)
+                .select("doc_id", "lang")
+                .collect()
+            }
+            allowed = {d for d in counts if idx_dm[d] in w["lang"]}
+            want_all = _brute_bool(counts, n_docs, avgdl, sp, k=10**9)
+            want = [(d, s) for d, s in want_all if d in allowed][:10]
+        else:
+            want = _brute_bool(counts, n_docs, avgdl, sp, k=10)
+        assert [d for d, _ in got.get(qi, [])] == [d for d, _ in want], (
+            qi,
+            spec,
+        )
+        for (gd, gs), (wd, ws) in zip(got.get(qi, []), want):
+            assert abs(gs - ws) < 1e-9, (qi, gd, gs, ws)
+    # the sweep must actually exercise the executor: most specs rank docs
+    assert sum(1 for qi in range(len(SPECS)) if got.get(qi)) >= 4
+
+
+def test_bool_should_only_degenerates_to_plain(built, spark):
+    """{"should": [text]} with the ES default msm=1 scores exactly the
+    docs matching >=1 term — i.e. plain BM25, bit-identical."""
+    idx, _ = built
+    q = "data merge stream"
+    plain = bm25_topk_batch(spark, idx, [q], k=10).orderBy("rank").collect()
+    boolr = (
+        bm25_bool_topk_batch(spark, idx, [{"should": [q]}], k=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.doc_id, r.score) for r in boolr] == [
+        (r.doc_id, r.score) for r in plain
+    ]
+
+
+def test_bool_filter_does_not_score(built, spark):
+    """Adding a filter clause changes WHICH docs rank, never a ranked
+    doc's score: every surviving doc keeps its unfiltered score."""
+    idx, _ = built
+    base = {
+        r.doc_id: r.score
+        for r in bm25_bool_topk_batch(
+            spark, idx, [{"must": ["data merge"]}], k=10**6
+        ).collect()
+    }
+    filtered = bm25_bool_topk_batch(
+        spark, idx, [{"must": ["data merge"], "filter": ["the"]}], k=10**6
+    ).collect()
+    assert len(filtered) < len(base) and len(filtered) > 0
+    for r in filtered:
+        assert r.score == base[r.doc_id]
+
+
+def test_bool_validation(built, spark):
+    idx, _ = built
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_bool_topk_batch(spark, idx, [{"filter": ["data"]}])
+    with pytest.raises(ValueError, match="unknown key"):
+        bm25_bool_topk_batch(spark, idx, [{"must": ["a"], "query": "b"}])
+    with pytest.raises(ValueError, match="out of range"):
+        bm25_bool_topk_batch(
+            spark, idx,
+            [{"should": ["data merge"], "minimum_should_match": 5}],
+        )
+
+
+def test_filtered_executor_unchanged(built, spark):
+    """Regression: the generalized engine with should=[] / msm=0 must
+    leave the filtered executor's results untouched (same constraint
+    algebra, same float64 order)."""
+    idx, _ = built
+    res = bm25_filtered_topk_batch(
+        spark, idx,
+        [{"query": "data merge", "must": ["the"], "must_not": ["window"]}],
+        k=10,
+    ).collect()
+    plain = {
+        r.doc_id: r.score
+        for r in bm25_topk_batch(spark, idx, ["data merge"], k=10**6).collect()
+    }
+    assert len(res) > 0
+    for r in res:
+        assert r.score == plain[r.doc_id]
