@@ -458,6 +458,46 @@ def q_bm25_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+BOOST_TEXT = "data merge stream"
+BOOSTS = {"merge": 2.5, "stream": 0.5}
+
+
+def q_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term clause boosts: each boosted term's whole contribution
+    scales by its weight (idf multiplier)."""
+    from acora_spark.index.bm25 import bm25_bool_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    raw = bm25_bool_topk_batch(
+        spark, idx,
+        [{"should": [BOOST_TEXT], "boost": BOOSTS}],
+        k=4 * BM25_K, num_ranges=8,
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
+SIG_QUERY = {"must": ["dup"], "must_not": ["sort"]}
+
+
+def q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms: terms overrepresented (JLH score) in the
+    docs matching a boolean query vs the whole corpus."""
+    from acora_spark.index.bm25 import significant_terms
+
+    idx = _index_for(spark, sf_dir)
+    return significant_terms(
+        spark, idx, _corpus(spark, sf_dir), SIG_QUERY,
+        top_n=15, min_doc_count=3,
+    )
+
+
 WHERE_LANGS = ["es", "de"]
 
 
@@ -1363,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield": q_bm25_multifield,
         "bm25_alias": q_bm25_alias,
         "bm25_bool": q_bm25_bool,
+        "bm25_boosted": q_bm25_boosted,
+        "sig_terms": q_sig_terms,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -1944,6 +1986,81 @@ SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
 FROM scored JOIN dl USING (doc_id)
 ORDER BY score DESC, scored.doc_id ASC
 LIMIT {BM25_K}
+"""
+
+    # per-term clause boosts: CASE-weighted idf multiplier
+    bo_terms = sorted(set(_qt(BOOST_TEXT)))
+    bo_w = " ".join(
+        f"WHEN '{t}' THEN {BOOSTS[t]}" for t in sorted(BOOSTS)
+    )
+    sql["bm25_boosted"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(bo_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( (CASE tf.term {bo_w} ELSE 1.0 END)
+              * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    # significant terms: JLH over fg (boolean result) vs bg (corpus df)
+    sg_must = " AND ".join(
+        f"list_contains(t, '{w}')"
+        for x in SIG_QUERY.get("must", []) for w in _qt(x)
+    ) or "TRUE"
+    sg_not = " AND ".join(
+        f"NOT list_contains(t, '{w}')"
+        for x in SIG_QUERY.get("must_not", []) for w in _qt(x)
+    ) or "TRUE"
+    sg_excl = ", ".join(
+        f"'{w}'"
+        for r in ("must", "should", "must_not")
+        for x in SIG_QUERY.get(r, [])
+        for w in _qt(x)
+    )
+    sql["sig_terms"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+nstats AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+fg AS (SELECT doc_id, t FROM toks WHERE {sg_must} AND {sg_not}),
+fgtot AS (SELECT count(*)::DOUBLE AS total FROM fg),
+fgc AS (
+  SELECT term, count(*)::BIGINT AS fg_count
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM fg)
+  GROUP BY term
+),
+bgc AS (
+  SELECT term, count(*)::BIGINT AS bg_count
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+  GROUP BY term
+)
+SELECT term, fg_count, bg_count,
+       round( (fg_count / f.total - bg_count / n.n_docs)
+            * ((fg_count / f.total) / (bg_count / n.n_docs)), 6) AS score
+FROM fgc JOIN bgc USING (term) CROSS JOIN fgtot f CROSS JOIN nstats n
+WHERE term NOT IN ({sg_excl}) AND fg_count >= 3
+  AND round( (fg_count / f.total - bg_count / n.n_docs)
+    * ((fg_count / f.total) / (bg_count / n.n_docs)), 6) > 0
+ORDER BY score DESC, term ASC
+LIMIT 15
 """
 
     # metadata-filtered search: same BM25 formula and index-global stats,

@@ -2387,6 +2387,90 @@ def search_facets(
     return out
 
 
+def significant_terms(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    query: dict,
+    top_n: int = 10,
+    min_doc_count: int = 3,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    num_ranges: int | None = None,
+    score_round: int | None = 6,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation: the terms anomalously
+    frequent in the docs matching ``query`` (same dict shape as
+    :func:`boolean_query_batch`) relative to the whole corpus, scored
+    with JLH: ``(fg% - bg%) * (fg% / bg%)`` where fg% = share of
+    matching docs containing the term and bg% = share of ALL docs (the
+    index df).  The query's own terms are excluded (they trivially
+    dominate), as are terms in fewer than ``min_doc_count`` matching
+    docs (the ES noise guard).
+
+    Execution at scale: the boolean executor produces the matching doc
+    ids range-parallel; a key semi-join restricts the corpus scan to
+    the foreground docs (content moves once, only for matches);
+    per-doc DISTINCT terms come from one in-row ``array_distinct`` +
+    explode into a map-combined count — one shuffle of (term, partial)
+    rows.  Background df is a column-pruned ``(term, df)`` postings
+    scan (no blobs read), map-combined.  Background counts include
+    soft-deleted docs until compaction — the documented stats trade.
+    Returns ``(term, fg_count, bg_count, score)`` rows, score desc,
+    term asc, limited to ``top_n``."""
+    stats = index.stats
+    res = boolean_query_batch(
+        spark, index, [query], num_ranges=num_ranges
+    ).select("doc_id")
+    key_cols = list(key_cols)
+    dm = index.docmap(spark).select("doc_id", *key_cols)
+    fg_keys = res.join(dm, "doc_id").select(*key_cols)
+    fg_total = fg_keys.count()
+    if not fg_total:
+        return spark.createDataFrame(
+            [], "term string, fg_count long, bg_count long, score double"
+        )
+    fg_docs = corpus.join(fg_keys, key_cols, "semi")
+    exclude = sorted(
+        {
+            t
+            for r in ("must", "should", "must_not")
+            for x in query.get(r, [])
+            for t in query_terms(x)
+        }
+    )
+    from acora_spark.functions.tokenize import tokens_expr
+
+    fg_counts = (
+        fg_docs.select(
+            F.explode(
+                F.array_distinct(tokens_expr(F.col("content")))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_count"))
+        .filter(~F.col("term").isin(exclude))
+        .filter(F.col("fg_count") >= min_doc_count)
+    )
+    bg = (
+        index.postings(spark)
+        .groupBy("term")
+        .agg(F.sum("df").alias("bg_count"))
+    )
+    n_docs = float(stats["N"])
+    fgp = F.col("fg_count") / F.lit(float(fg_total))
+    bgp = F.col("bg_count") / F.lit(n_docs)
+    score = (fgp - bgp) * (fgp / bgp)
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return (
+        fg_counts.join(bg, "term")
+        .select("term", "fg_count", "bg_count", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     index: Index,
@@ -2561,7 +2645,10 @@ def bm25_bool_topk_batch(
       context — cacheable constraint, no relevance contribution);
     * ``must_not``: excluding clauses;
     * ``where``: docmap attribute predicates (filter context over
-      metadata columns), same semantics as the filtered executor.
+      metadata columns), same semantics as the filtered executor;
+    * ``boost``: per-term weight map (ES clause boost) — scales that
+      term's whole contribution via the idf multiplier, float64 order
+      untouched; boosted terms must be scoring (must/should) terms.
 
     ``score(q, d) = sum of BM25 over the must + should terms present in
     d`` — bit-identical to :func:`bm25_topk_batch` on the concatenated
@@ -2576,7 +2663,7 @@ def bm25_bool_topk_batch(
     for qi, q in enumerate(queries):
         bad = set(q) - {
             "must", "should", "filter", "must_not",
-            "minimum_should_match", "where",
+            "minimum_should_match", "where", "boost",
         }
         if bad:
             raise ValueError(f"query {qi}: unknown key(s) {sorted(bad)}")
@@ -2604,14 +2691,27 @@ def bm25_bool_topk_batch(
                 f"query {qi}: minimum_should_match={msm} out of range "
                 f"for {len(should)} distinct should terms"
             )
+        score = sorted({*must, *should})
+        boosts = {
+            t: float(w) for t, w in (q.get("boost") or {}).items()
+        }
+        bad_b = sorted(set(boosts) - set(score))
+        if bad_b:
+            raise ValueError(
+                f"query {qi}: boost term(s) {bad_b} are not scoring "
+                "terms (boosts apply to must/should terms)"
+            )
+        if any(w <= 0 for w in boosts.values()):
+            raise ValueError(f"query {qi}: boosts must be > 0")
         norm[qi] = {
-            "score": sorted({*must, *should}),
+            "score": score,
             "must": sorted({*must, *filt}),
             "must_not": sorted(
                 {t for x in q.get("must_not", []) for t in query_terms(x)}
             ),
             "should": should,
             "msm": msm if should else 0,
+            "boosts": boosts,
         }
         w = q.get("where") or {}
         if w:
@@ -2790,8 +2890,15 @@ def _constrained_ranged_topk(
                     [sets.get(t, empty) for t in spec["must_not"]]
                 )
             )
+        idfs = bc_idf.value
+        boosts = spec.get("boosts")
+        if boosts:
+            # per-term boost scales that term's whole contribution (ES
+            # clause boost): a pure idf multiplier, so the float64
+            # summation order is untouched
+            idfs = {t: v * boosts.get(t, 1.0) for t, v in idfs.items()}
         docs, scores = _topk_from_slices(
-            score_rows, k, avgdl, k1, b, bc_idf.value,
+            score_rows, k, avgdl, k1, b, idfs,
             bc_ex.value if bc_ex is not None else None,
             allow=allow, deny=deny,
         )

@@ -191,6 +191,82 @@ def test_bool_validation(built, spark):
         )
 
 
+def test_boost_scales_contributions(built, ground, spark):
+    """Per-term boost multiplies exactly that term's contribution (ES
+    clause boost as an idf multiplier)."""
+    idx, _ = built
+    counts, n_docs, avgdl = ground
+    boosts = {"merge": 2.5, "stream": 0.5}
+    got = (
+        bm25_bool_topk_batch(
+            spark, idx,
+            [{"should": ["data merge stream"], "boost": boosts}],
+            k=10,
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    terms = ["data", "merge", "stream"]
+    dfs = {t: sum(1 for c in counts.values() if t in c) for t in terms}
+    want = []
+    for d, c in counts.items():
+        dl = sum(c.values())
+        s = 0.0
+        for t in terms:
+            tf = c.get(t, 0)
+            if tf:
+                s += boosts.get(t, 1.0) * _idf(n_docs, dfs[t]) * tf / (
+                    tf + K1 * (1 - B + B * dl / avgdl)
+                )
+        if s > 0:
+            want.append((d, s))
+    want.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert [r.doc_id for r in got] == [d for d, _ in want[:10]]
+    for r, (_, s) in zip(got, want):
+        assert abs(r.score - s) < 1e-9
+    with pytest.raises(ValueError, match="not scoring"):
+        bm25_bool_topk_batch(
+            spark, idx, [{"must": ["data"], "boost": {"zzz": 2.0}}]
+        )
+    with pytest.raises(ValueError, match="> 0"):
+        bm25_bool_topk_batch(
+            spark, idx, [{"must": ["data"], "boost": {"data": 0.0}}]
+        )
+
+
+def test_significant_terms_matches_brute(built, ground, spark):
+    from acora_spark.index.bm25 import significant_terms
+
+    idx, corpus = built
+    counts, n_docs, avgdl = ground
+    q = {"must": ["dup"], "must_not": ["sort"]}
+    got = [
+        (r.term, r.fg_count, r.bg_count, r.score)
+        for r in significant_terms(
+            spark, idx, corpus, q, top_n=10, min_doc_count=3
+        ).collect()
+    ]
+    fg = {
+        d: c
+        for d, c in counts.items()
+        if "dup" in c and "sort" not in c
+    }
+    fg_total = len(fg)
+    rows = []
+    for t in {t for c in fg.values() for t in c} - {"dup", "sort"}:
+        fgc = sum(1 for c in fg.values() if t in c)
+        if fgc < 3:
+            continue
+        bgc = sum(1 for c in counts.values() if t in c)
+        fgp, bgp = fgc / fg_total, bgc / n_docs
+        s = round((fgp - bgp) * (fgp / bgp), 6)
+        if s > 0:
+            rows.append((t, fgc, bgc, s))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    assert got == rows[:10]
+    assert len(got) > 0
+
+
 def test_filtered_executor_unchanged(built, spark):
     """Regression: the generalized engine with should=[] / msm=0 must
     leave the filtered executor's results untouched (same constraint
