@@ -1308,6 +1308,52 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 8       # n-gram size (13 is the GPT-3 default; 8 fits sf docs)
+DECON_MOD = 29    # every 29th doc donates an eval passage
+DECON_SLICE = (6, 24)  # eval passage = tokens [6, 30) of the donor
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C): flag every training
+    doc sharing an 8-gram with a synthetic eval set (passages lifted
+    from every 29th doc — guaranteed hits for the donors and any
+    near-dups)."""
+    from acora_spark.functions.tokenize import tokens_expr
+    from acora_spark.operators.quality import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = d.filter(F.col("doc_id") % DECON_MOD == 0).select(
+        F.array_join(
+            F.slice(tokens_expr(F.col("text")), DECON_SLICE[0], DECON_SLICE[1]),
+            " ",
+        ).alias("content")
+    )
+    out = decontaminate(
+        d, ev, n=DECON_N, content_col="text", key_cols=("doc_id",)
+    )
+    return out.select(
+        "doc_id", "n_contaminated", "example_ngram", "contaminated"
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-rule features + composite quality gate over the
+    line-broken corpus view (documents.parquet text is single-line; the
+    every-5-words newline view gives the line rules something to see)."""
+    from acora_spark.operators.quality import gopher_quality
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text2", F.regexp_replace("text", _LINE_BREAK_RE, "$1\n")
+    )
+    out = gopher_quality(d, content_col="text2")
+    return out.select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_ngram_char_frac_2", "top_ngram_char_frac_3",
+        "top_ngram_char_frac_4", "dup_ngram_frac_5", "dup_ngram_frac_10",
+        "n_tokens", "avg_token_len", "gopher_keep",
+    )
+
+
 def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation composite: quality + language filters +
     exact dedup (near-dup off so the result is SQL-mirrorable)."""
@@ -1425,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "token_classes": q_token_classes,
         "token_count_bpe": q_token_count_bpe,
+        "decontamination": q_decontamination,
+        "gopher_quality": q_gopher_quality,
         "curated_docs": q_curated_docs,
         "curated_docs_neardup": q_curated_docs_neardup,
         "events_hourly": q_events_hourly,
@@ -2540,6 +2588,122 @@ SELECT doc_id, n::BIGINT AS n_tokens,
            + 0.3 * (CASE WHEN length(text) > 0
                     THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
                     ELSE 0 END), 6) AS quality
+FROM feat
+"""
+
+    # benchmark decontamination: n-gram overlap vs eval passages lifted
+    # from every DECON_MOD-th doc (tokens [start, start+len) of the donor)
+    dn, dmod = DECON_N, DECON_MOD
+    dst, dln = DECON_SLICE
+    sql["decontamination"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+ev AS (
+  SELECT t[{dst}:{dst + dln - 1}] AS s FROM base WHERE doc_id % {dmod} = 0
+),
+evg AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, greatest(len(s) - {dn} + 2, 1)),
+           i -> array_to_string(s[i:i+{dn - 1}], ' '))) AS ngram
+  FROM ev
+),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {dn} + 2, 1)),
+           i -> array_to_string(t[i:i+{dn - 1}], ' ')))) AS ngram
+  FROM base
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_contaminated, max(ngram) AS example_ngram
+  FROM dg JOIN evg USING (ngram) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       h.example_ngram AS example_ngram,
+       (h.n_contaminated IS NOT NULL) AS contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+    # Gopher repetition rules + composite gate over the line-broken view
+    def _gram_aggs(n: int) -> str:
+        return f"""
+g{n}_cnt AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - {n} + 2, 1)),
+             i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+    FROM base)
+  GROUP BY doc_id, g
+),
+g{n}_agg AS (
+  SELECT doc_id, sum(c) AS total,
+         max(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS best,
+         sum(c) - count(*) AS dups
+  FROM g{n}_cnt GROUP BY doc_id
+)"""
+
+    def _frac(num: str, den: str) -> str:
+        return (
+            f"round(CASE WHEN {den} > 0 THEN "
+            f"least(1.0, ({num})::DOUBLE / ({den})) ELSE 0.0 END, 6)"
+        )
+
+    sql["gopher_quality"] = f"""
+WITH d2 AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_LINE_BREAK_RE}', '\\1' || chr(10), 'g') AS c
+  FROM documents
+),
+base AS (
+  SELECT doc_id, c,
+         list_filter(string_split_regex(lower(c), '[^a-z0-9_]+'), x -> x <> '') AS t,
+         list_filter(string_split(c, chr(10)), x -> x <> '') AS lines
+  FROM d2
+),
+lcnt AS (
+  SELECT doc_id, ln, count(*) AS c
+  FROM (SELECT doc_id, unnest(lines) AS ln FROM base)
+  GROUP BY doc_id, ln
+),
+lagg AS (
+  SELECT doc_id, sum((c - 1) * length(ln)) AS dupchars,
+         sum(c * length(ln)) AS totchars
+  FROM lcnt GROUP BY doc_id
+),{_gram_aggs(2)},{_gram_aggs(3)},{_gram_aggs(4)},{_gram_aggs(5)},{_gram_aggs(10)},
+feat AS (
+  SELECT b.doc_id,
+         len(b.lines)::BIGINT AS n_lines,
+         {_frac("len(b.lines) - len(list_distinct(b.lines))", "len(b.lines)")} AS dup_line_frac,
+         {_frac("coalesce(l.dupchars, 0)", "coalesce(l.totchars, 0)")} AS dup_line_char_frac,
+         {_frac("coalesce(g2.best, 0)", "coalesce(length(array_to_string(b.t, ' ')), 0)")} AS top_ngram_char_frac_2,
+         {_frac("coalesce(g3.best, 0)", "coalesce(length(array_to_string(b.t, ' ')), 0)")} AS top_ngram_char_frac_3,
+         {_frac("coalesce(g4.best, 0)", "coalesce(length(array_to_string(b.t, ' ')), 0)")} AS top_ngram_char_frac_4,
+         {_frac("coalesce(g5.dups, 0)", "coalesce(g5.total, 0)")} AS dup_ngram_frac_5,
+         {_frac("coalesce(g10.dups, 0)", "coalesce(g10.total, 0)")} AS dup_ngram_frac_10,
+         len(b.t)::BIGINT AS n_tokens,
+         round(CASE WHEN len(b.t) > 0 THEN
+           coalesce(length(array_to_string(b.t, '')), 0)::DOUBLE / len(b.t)
+           ELSE 0.0 END, 6) AS avg_token_len
+  FROM base b
+  LEFT JOIN lagg l USING (doc_id)
+  LEFT JOIN g2_agg g2 USING (doc_id)
+  LEFT JOIN g3_agg g3 USING (doc_id)
+  LEFT JOIN g4_agg g4 USING (doc_id)
+  LEFT JOIN g5_agg g5 USING (doc_id)
+  LEFT JOIN g10_agg g10 USING (doc_id)
+)
+SELECT *,
+       (n_tokens >= 50 AND n_tokens <= 100000
+        AND avg_token_len >= 3.0 AND avg_token_len <= 10.0
+        AND dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        AND top_ngram_char_frac_2 <= 0.20
+        AND top_ngram_char_frac_3 <= 0.18
+        AND top_ngram_char_frac_4 <= 0.16
+        AND dup_ngram_frac_5 <= 0.15
+        AND dup_ngram_frac_10 <= 0.10) AS gopher_keep
 FROM feat
 """
 

@@ -1,0 +1,339 @@
+"""Data-hygiene operators for pretraining corpora: benchmark
+decontamination (n-gram overlap against an evaluation set — the GPT-3 /
+PaLM method) and repetition features (the Gopher "repetitive text"
+quality rules).
+
+Both are scan-shaped by design:
+
+* ``repetition_features`` is pure per-row array expressions — zero
+  shuffle, embarrassingly parallel, safe at any corpus size.  The
+  sorted-run aggregates are interpreted HOFs, but cost is O(m log m)
+  in the document's own token count, paid once per document on the
+  feature-extraction pass (NOT on the index-build hot path).
+* ``decontaminate`` explodes each document's DISTINCT n-grams and joins
+  them against a broadcast of the evaluation set's n-grams — the corpus
+  never shuffles; only matched (key, ngram) rows reach the one
+  map-combined aggregation.  Evaluation sets are small by nature
+  (benchmarks, not corpora); pass ``broadcast_eval=False`` for the
+  shuffle-join fallback if yours is not.
+
+Every output is expressible in ANSI SQL over the same token definition,
+so the driver's DuckDB oracle verifies values exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from acora_spark.functions.tokenize import TOKEN_RE
+
+__all__ = [
+    "ngrams_expr",
+    "eval_ngram_set",
+    "decontaminate",
+    "repetition_features",
+    "gopher_quality",
+    "GOPHER_THRESHOLDS",
+]
+
+
+def ngrams_expr(content: Column | str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of a text column (token
+    definition shared with the index: lowercase ``[a-z0-9_]+`` runs).
+    Documents shorter than ``n`` tokens yield an empty array.
+
+    The token array is bound once via the ``transform(array(x), tk ->
+    ...)[0]`` wrapper (interpreted HOFs have no common-subexpression
+    elimination — slicing a projected array per n-gram would
+    re-tokenize the document size(tk) times)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if isinstance(content, str):
+        content = F.col(content)
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(content, F.lit(""))), F.lit(TOKEN_RE), 0
+    )
+
+    def windows(tk: Column) -> Column:
+        # guard: sequence(1, 0) would DESCEND ([1, 0]); short docs get
+        # an explicitly typed empty array instead
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - n + 1),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(toks), windows)[0]
+
+
+def eval_ngram_set(
+    eval_df: DataFrame, *, n: int = 13, text_col: str = "content"
+) -> DataFrame:
+    """Distinct word ``n``-grams of the evaluation set — the
+    contamination reference.  One column ``ngram``."""
+    return (
+        eval_df.select(
+            F.explode(ngrams_expr(text_col, n)).alias("ngram")
+        ).distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 13,
+    content_col: str = "content",
+    eval_text_col: str = "content",
+    key_cols: Sequence[str] = ("doc_id",),
+    mode: str = "flag",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag (or drop) training documents
+    sharing any word ``n``-gram with the evaluation set — the GPT-3
+    appendix-C / PaLM method (13-gram overlap).
+
+    ``mode="flag"`` returns ``docs`` plus ``n_contaminated`` (count of
+    DISTINCT overlapping n-grams), ``example_ngram`` (lexicographic max
+    overlapping n-gram, NULL if clean — the audit breadcrumb), and
+    ``contaminated`` (bool).  ``mode="drop"`` returns only clean rows
+    with the original schema.
+
+    Plan shape at scale: eval n-grams deduplicate once (tiny), then
+    broadcast; the corpus scan explodes per-doc DISTINCT n-grams and
+    the broadcast hash join filters them map-side — only genuine hits
+    reach the (key, count) aggregation, and the corpus itself never
+    shuffles.  The final attach joins hit counts back on the document
+    key (hits only — a left join from ``docs``)."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    keys = list(key_cols)
+    ev = eval_ngram_set(eval_df, n=n, text_col=eval_text_col)
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    doc_grams = docs.select(
+        *keys,
+        F.explode(F.array_distinct(ngrams_expr(content_col, n))).alias(
+            "ngram"
+        ),
+    )
+    hits = (
+        doc_grams.join(ev, "ngram")
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.max("ngram").alias("example_ngram"),
+        )
+    )
+    if mode == "drop":
+        return docs.join(hits.select(*keys), keys, "left_anti")
+    out = docs.join(hits, keys, "left")
+    return out.withColumns(
+        {
+            "n_contaminated": F.coalesce(
+                F.col("n_contaminated"), F.lit(0)
+            ).cast("long"),
+            "contaminated": F.col("n_contaminated").isNotNull()
+            & (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0),
+        }
+    )
+
+
+def _dup_char_sum(sorted_arr: Column) -> Column:
+    """Sum of character lengths of every occurrence beyond the first of
+    each distinct value in a SORTED array — i.e. for a value with k
+    occurrences of length L, contributes (k-1)*L.  Adjacent-equality
+    scan over the sorted array; prev tracked in the accumulator so no
+    index sequence is needed (Spark's sequence(1,0) would descend)."""
+    return F.when(F.size(sorted_arr) <= 1, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.slice(sorted_arr, 2, F.greatest(F.lit(0), F.size(sorted_arr) - 1)),
+            F.struct(
+                F.element_at(sorted_arr, 1).alias("prev"),
+                F.lit(0).cast("long").alias("dup"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                (
+                    acc["dup"]
+                    + F.when(x == acc["prev"], F.length(x)).otherwise(F.lit(0))
+                ).alias("dup"),
+            ),
+            lambda acc: acc["dup"],
+        )
+    )
+
+
+def _top_run_char_cover(sorted_arr: Column) -> Column:
+    """max over REPEATED values v (count >= 2) of count(v) * length(v)
+    for a SORTED array — the character coverage of the densest repeated
+    value.  Values occurring once contribute nothing: a count-1 "top
+    n-gram" is not repetition (short diverse documents score 0 instead
+    of their longest n-gram's share)."""
+    return F.when(F.size(sorted_arr) <= 1, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.slice(
+                sorted_arr, 2, F.greatest(F.lit(0), F.size(sorted_arr) - 1)
+            ),
+            F.struct(
+                F.element_at(sorted_arr, 1).alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.when(
+                x == acc["prev"],
+                F.struct(
+                    x.alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    F.greatest(
+                        acc["best"], (acc["run"] + 1) * F.length(x)
+                    ).alias("best"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("run"),
+                    acc["best"].alias("best"),
+                )
+            ),
+            lambda acc: acc["best"],
+        )
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    line_sep: str = "\n",
+    top_ngram_ns: Sequence[int] = (2, 3, 4),
+    dup_ngram_ns: Sequence[int] = (5, 10),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Gopher repetition-rule features (Rae et al. 2021, table A1), one
+    row per input row, all per-row expressions (zero shuffle):
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line (``(n_lines - n_distinct) / n_lines``).
+    * ``dup_line_char_frac`` — fraction of line characters inside those
+      repeat occurrences.
+    * ``top_ngram_char_frac_{n}`` (n in ``top_ngram_ns``) — characters
+      covered by the single most char-covering repeated word n-gram
+      (``max_g count(g)*chars(g)``), over the normalized token-stream
+      character count.  (Gopher's "most frequently-occurring n-gram"
+      measure with the count*chars argmax as the documented
+      deterministic tie-break.)
+    * ``dup_ngram_frac_{n}`` (n in ``dup_ngram_ns``) — fraction of
+      n-gram occurrences that are repeats of an earlier occurrence
+      (the occurrence-fraction form of Gopher's duplicate-n-gram rule;
+      documented simplification of its character-weighted original).
+
+    Lines split on ``line_sep`` with empty lines dropped; empty
+    documents yield 0.0 for every fraction."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    lines = F.filter(F.split(c, F.lit(line_sep), -1), lambda x: x != "")
+    lsorted = F.array_sort(lines)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    toks = F.expr(
+        f"regexp_extract_all(lower(coalesce({content_col}, '')), '{TOKEN_RE}', 0)"
+    )
+    norm_chars = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        + F.greatest(F.lit(0), F.size(toks) - 1)
+    ).cast("long")  # space-joined token stream length, without building it
+
+    def frac(num: Column, den: Column) -> Column:
+        # least(1.0, ...): overlapping n-gram occurrences share
+        # characters, so count*chars can exceed the stream length in
+        # degenerate docs ("x x x ..."); clamp to keep it a fraction
+        out = F.when(
+            den > 0, F.least(F.lit(1.0), num.cast("double") / den)
+        ).otherwise(F.lit(0.0))
+        return F.round(out, round_to) if round_to is not None else out
+
+    cols: dict[str, Column] = {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac": frac(n_lines - F.size(F.array_distinct(lines)), n_lines),
+        "dup_line_char_frac": frac(_dup_char_sum(lsorted), line_chars),
+    }
+    for n in top_ngram_ns:
+        g = F.array_sort(ngrams_expr(content_col, n))
+        cols[f"top_ngram_char_frac_{n}"] = frac(
+            _top_run_char_cover(g), norm_chars
+        )
+    for n in dup_ngram_ns:
+        g = ngrams_expr(content_col, n)
+        cols[f"dup_ngram_frac_{n}"] = frac(
+            F.size(g) - F.size(F.array_distinct(g)), F.size(g)
+        )
+    return df.withColumns(cols)
+
+
+# Gopher table A1 thresholds (the repetition subset plus the basic
+# length/word-shape gates our text features cover).
+GOPHER_THRESHOLDS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 3.0,
+    "max_avg_token_len": 10.0,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_ngram_char_frac": {2: 0.20, 3: 0.18, 4: 0.16},
+    "max_dup_ngram_frac": {5: 0.15, 10: 0.10},
+}
+
+
+def gopher_quality(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    line_sep: str = "\n",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher quality gate: ``repetition_features`` plus token-count and
+    mean-word-length bounds, combined into one ``gopher_keep`` boolean
+    (documents failing ANY rule are flagged for removal).  Returns the
+    input plus the feature columns and the flag — filtering is the
+    caller's choice (``.filter("gopher_keep")``)."""
+    t = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    top_ns = tuple(sorted(t["max_top_ngram_char_frac"]))
+    dup_ns = tuple(sorted(t["max_dup_ngram_frac"]))
+    from acora_spark.functions.text import avg_token_len, token_count
+
+    out = repetition_features(
+        df,
+        content_col=content_col,
+        line_sep=line_sep,
+        top_ngram_ns=top_ns,
+        dup_ngram_ns=dup_ns,
+    ).withColumns(
+        {
+            "n_tokens": F.coalesce(
+                token_count(F.col(content_col)), F.lit(0)
+            ).cast("long"),
+            "avg_token_len": F.round(
+                F.coalesce(avg_token_len(F.col(content_col)), F.lit(0.0)), 6
+            ),
+        }
+    )
+    keep = (
+        (F.col("n_tokens") >= t["min_tokens"])
+        & (F.col("n_tokens") <= t["max_tokens"])
+        & (F.col("avg_token_len") >= t["min_avg_token_len"])
+        & (F.col("avg_token_len") <= t["max_avg_token_len"])
+        & (F.col("dup_line_frac") <= t["max_dup_line_frac"])
+        & (F.col("dup_line_char_frac") <= t["max_dup_line_char_frac"])
+    )
+    for n, thr in t["max_top_ngram_char_frac"].items():
+        keep = keep & (F.col(f"top_ngram_char_frac_{n}") <= thr)
+    for n, thr in t["max_dup_ngram_frac"].items():
+        keep = keep & (F.col(f"dup_ngram_frac_{n}") <= thr)
+    return out.withColumn("gopher_keep", keep)

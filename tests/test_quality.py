@@ -1,0 +1,168 @@
+"""Data-hygiene operators (quality.py): n-gram decontamination and
+Gopher repetition features, checked against driver-side brute forces on
+randomized and adversarial inputs."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.operators.quality import (
+    GOPHER_THRESHOLDS,
+    decontaminate,
+    gopher_quality,
+    ngrams_expr,
+    repetition_features,
+)
+
+TOK = re.compile(r"[a-z0-9_]+")
+
+
+def _ngrams(text: str | None, n: int) -> list[str]:
+    toks = TOK.findall((text or "").lower())
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _mk_docs(rng: random.Random, n_docs: int) -> list[tuple[int, str | None]]:
+    vocab = ["data", "merge", "stream", "x", "the", "cat", "sat_7", "q9"]
+    docs: list[tuple[int, str | None]] = [(0, None), (1, ""), (2, "x"),
+                                          (3, "x x x x x x x x")]
+    for i in range(4, n_docs):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 40))]
+        if rng.random() < 0.3 and words:
+            words = words + words[: rng.randrange(1, len(words) + 1)]
+        sep = "\n" if rng.random() < 0.5 else " "
+        docs.append((i, sep.join(words) if words else ""))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(77)
+    rows = _mk_docs(rng, 40)
+    return rows, spark.createDataFrame(rows, "id long, content string")
+
+
+def test_ngrams_expr_matches_brute(docs, spark):
+    rows, df = docs
+    for n in (1, 2, 3, 5):
+        got = {
+            r.id: r.g
+            for r in df.select("id", ngrams_expr("content", n).alias("g")).collect()
+        }
+        for i, text in rows:
+            assert got[i] == _ngrams(text, n), (i, n, text)
+    with pytest.raises(ValueError):
+        ngrams_expr("content", 0)
+
+
+def test_repetition_features_match_brute(docs, spark):
+    rows, df = docs
+    out = {
+        r.id: r.asDict()
+        for r in repetition_features(
+            df, top_ngram_ns=(2, 3), dup_ngram_ns=(2, 5)
+        ).collect()
+    }
+    for i, text in rows:
+        lines = [x for x in (text or "").split("\n") if x != ""]
+        n_lines = len(lines)
+        # duplicate lines
+        seen: dict[str, int] = {}
+        dup, dupchars = 0, 0
+        for ln in lines:
+            if ln in seen:
+                dup += 1
+                dupchars += len(ln)
+            seen[ln] = seen.get(ln, 0) + 1
+        total_chars = sum(len(x) for x in lines)
+        r = out[i]
+        assert r["n_lines"] == n_lines
+        assert r["dup_line_frac"] == pytest.approx(
+            round(min(1.0, dup / n_lines), 6) if n_lines else 0.0
+        )
+        assert r["dup_line_char_frac"] == pytest.approx(
+            round(min(1.0, dupchars / total_chars), 6) if total_chars else 0.0
+        )
+        toks = TOK.findall((text or "").lower())
+        norm_chars = len(" ".join(toks))
+        for n in (2, 3):
+            grams = _ngrams(text, n)
+            best = 0
+            for g in set(grams):
+                c = grams.count(g)
+                if c >= 2:  # count-1 n-grams are not repetition
+                    best = max(best, c * len(g))
+            want = round(min(1.0, best / norm_chars), 6) if norm_chars else 0.0
+            assert r[f"top_ngram_char_frac_{n}"] == pytest.approx(want), (i, n)
+        for n in (2, 5):
+            grams = _ngrams(text, n)
+            want = (
+                round(min(1.0, (len(grams) - len(set(grams))) / len(grams)), 6)
+                if grams
+                else 0.0
+            )
+            assert r[f"dup_ngram_frac_{n}"] == pytest.approx(want), (i, n)
+
+
+def test_decontaminate_matches_brute(docs, spark):
+    rows, df = docs
+    # eval set: passages lifted from some docs (guaranteed overlap)
+    ev_rows = [(t[: len(t) // 2],) for _, t in rows if t and len(t) > 20][:5]
+    ev = spark.createDataFrame(ev_rows, "content string")
+    n = 3
+    ev_grams = {g for (t,) in ev_rows for g in _ngrams(t, n)}
+    got = {
+        r.id: (r.n_contaminated, r.example_ngram, r.contaminated)
+        for r in decontaminate(df, ev, n=n, key_cols=("id",)).collect()
+    }
+    clean_ids = set()
+    for i, text in rows:
+        overlap = sorted(set(_ngrams(text, n)) & ev_grams)
+        want = (
+            len(overlap),
+            overlap[-1] if overlap else None,
+            bool(overlap),
+        )
+        assert got[i] == want, (i, got[i], want)
+        if not overlap:
+            clean_ids.add(i)
+    dropped = decontaminate(df, ev, n=n, key_cols=("id",), mode="drop")
+    assert {r.id for r in dropped.collect()} == clean_ids
+    # shuffle-join fallback must produce identical results
+    got2 = {
+        r.id: (r.n_contaminated, r.example_ngram, r.contaminated)
+        for r in decontaminate(
+            df, ev, n=n, key_cols=("id",), broadcast_eval=False
+        ).collect()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError):
+        decontaminate(df, ev, n=n, key_cols=("id",), mode="purge")
+
+
+def test_gopher_quality_composite(spark):
+    t = GOPHER_THRESHOLDS
+    good_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rng = random.Random(5)
+    good = " ".join(rng.choice(good_words) for _ in range(120))
+    short_diverse = " ".join(good_words) + " omega kappa"
+    rows = [
+        (0, good, True),
+        (1, short_diverse, False),          # too short (8 tokens)
+        (2, ("spam " * 30 + "\n") * 10, False),  # duplicate lines
+        (3, "ab " * 200, False),            # mean word length < 3
+    ]
+    df = spark.createDataFrame([(i, c) for i, c, _ in rows], "id long, content string")
+    got = {r.id: r.gopher_keep for r in gopher_quality(df).collect()}
+    for i, _, keep in rows:
+        assert got[i] == keep, i
+    # threshold override flips the verdict
+    got2 = {
+        r.id: r.gopher_keep
+        for r in gopher_quality(df, thresholds={"min_tokens": 5}).collect()
+    }
+    assert got2[1] is True
