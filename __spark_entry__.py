@@ -764,6 +764,44 @@ def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("rank", "repo", "path", "score")
 
 
+FSCORE_QUERY = "data merge"
+
+
+def q_bm25_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score (field_value_factor): BM25 multiplied by
+    log1p(dl) — the 'boost longer documents' modifier; exact top-k under
+    the MODIFIED order (full-candidate scoring, same pass as collapse)."""
+    from acora_spark.index.bm25 import bm25_function_score_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_function_score_topk_batch(
+        spark, idx, [FSCORE_QUERY], k=BM25_K,
+        field="dl", modifier="log1p", score_round=4,
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("rank", "path", "score", "dl")
+
+
+RESCORE_QUERY = "table scan"
+RESCORE_WINDOW = 30
+RESCORE_WEIGHT = 2.0
+
+
+def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: first-pass BM25 top-30 window re-ranked by the query
+    as an exact phrase (Lucene PhraseQuery scoring: tf = phrase
+    occurrences, idf = sum of term idfs), combined 1*bm25 + 2*phrase."""
+    from acora_spark.index.bm25 import bm25_rescore_topk_batch
+
+    idx = _pos_index_for(spark, sf_dir)
+    res = bm25_rescore_topk_batch(
+        spark, idx, [RESCORE_QUERY], k=BM25_K,
+        window=RESCORE_WINDOW, rescore_weight=RESCORE_WEIGHT, score_round=4,
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 SYN_GROUPS = [["data", "stream"], ["merge", "join"]]
 SYN_QUERY = "data merge shuffle"
 
@@ -1443,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_match": q_percolate_match,
         "bm25_search_after": q_bm25_search_after,
         "bm25_collapse": q_bm25_collapse,
+        "bm25_function_score": q_bm25_function_score,
+        "bm25_rescore": q_bm25_rescore,
         "bm25_synonyms": q_bm25_synonyms,
         "boolean_msm": q_boolean_msm,
         "regex_match": q_regex_match,
@@ -2335,6 +2375,98 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
        repo, path, score
 FROM best WHERE rn = 1
 ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    # function_score: BM25 * log1p(dl), rounded once on the COMBINED
+    # score (the executor's score_round hook), ranked under the
+    # modified order
+    fs_terms = sorted(set(FSCORE_QUERY.lower().split()))
+    sql["bm25_function_score"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(fs_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+           * ln(1 + dl.dl), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id, dl.dl
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
+       dl.path AS path, score, dl.dl::DOUBLE AS dl
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    # rescore: raw-score top-window (boundary gap verified >> float
+    # jitter at this sf), then combined = 1*bm25 + 2*phrase_bm25 with
+    # phrase tf from a token-sequence scan and idf = sum of term idfs
+    rs_toks = RESCORE_QUERY.lower().split()
+    rs_terms = sorted(set(rs_toks))
+    rs_pred = " AND ".join(
+        f"t[j + {i}] = '{tok}'" for i, tok in enumerate(rs_toks)
+    )
+    sql["bm25_rescore"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(rs_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),
+win AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+),
+ptf AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t) - {len(rs_toks) - 1} + 1),
+             j -> {rs_pred}))::DOUBLE AS ptf
+  FROM toks
+),
+pidf AS (
+  SELECT sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))) AS v
+  FROM dfreq d CROSS JOIN stats s
+),
+final AS (
+  SELECT w.doc_id,
+         round(w.score + {RESCORE_WEIGHT} * CASE WHEN p.ptf > 0 THEN
+             (SELECT v FROM pidf) * p.ptf
+             / (p.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           ELSE 0.0 END, 4) AS score
+  FROM win w JOIN ptf p USING (doc_id) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE w.rn <= {RESCORE_WINDOW}
+)
+SELECT row_number() OVER (ORDER BY score DESC, final.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM final JOIN dl USING (doc_id)
+ORDER BY score DESC, final.doc_id ASC
 LIMIT {BM25_K}
 """
 

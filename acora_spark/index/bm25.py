@@ -993,59 +993,36 @@ def bm25_alias_topk_batch(
     return _salted_topk_merge(partial, gstats, shift, k)
 
 
-def bm25_collapse_topk_batch(
+def _score_all_candidates(
     spark: SparkSession,
     index: Index,
     queries: Sequence[str],
-    field: str = "repo",
-    k: int = 10,
     num_ranges: int | None = None,
     score_round: int | None = None,
-) -> DataFrame:
-    """Field-collapsed top-k (the ES ``collapse`` / Lucene grouping
-    shape): rank documents by BM25, then return the top-``k`` GROUPS per
-    query, each represented by its best-scoring document, collapsed on a
-    docmap attribute (``repo`` dedups results to one hit per repository —
-    the standard code-search presentation).
-
-    Exactness requires scoring the FULL candidate set (a group's best
-    doc can rank arbitrarily deep in the plain top-k), so unlike the
-    top-k executors no per-range truncation is possible before the group
-    field is known.  Plan shape:
-
-    1. the ranged slice grid scores every candidate doc exactly as
-       :func:`bm25_topk_batch_ranged` does (same ascending-term float64
-       sums — scores are bit-identical to every other executor), but
-       emits ALL scored docs per (query, range) — cost is proportional
-       to the candidate set, the same bytes the boolean executor ships;
-    2. one join against the docmap attaches ``field`` (docmap rows are
-       doc_id-ordered parquet; Catalyst sort-merge-joins on doc_id);
-    3. a map-side-combinable ``max(struct(score, -doc_id))`` per
-       (query, field) picks each group's best doc under the canonical
-       (score desc, doc_id asc) order, and a final per-query window
-       ranks the group winners.
-
-    ``score_round`` (optional) rounds scores BEFORE the group-best
-    selection — the oracle-comparison hook (float jitter between
-    independent scorers must not flip near-tied winners).  Returns
-    (query_id, rank, <field>, doc_id, score)."""
+) -> DataFrame | None:
+    """Score EVERY candidate doc for each query — the shared full-
+    candidate ranged pass used by executors whose final order depends
+    on information beyond BM25 (field collapsing, score-modifier
+    functions): no per-range truncation is possible before that
+    information is attached.  Scores are bit-identical to every other
+    executor (same ascending-term float64 sums per range); tombstoned
+    docs are excluded.  Returns (query_id, doc_id, score), or ``None``
+    when no query term exists in the index (caller returns its own
+    empty frame)."""
     stats = index.stats
     all_terms = sorted({t for q in queries for t in query_terms(q)})
     pairs = [(qi, t) for qi, q in enumerate(queries) for t in query_terms(q)]
-    out_schema = (
-        f"query_id long, rank int, {field} string, doc_id long, score double"
-    )
     buckets = term_buckets(spark, all_terms, stats["num_buckets"])
     needed = sorted(set(buckets.values()))
     if not needed or not pairs:
-        return spark.createDataFrame([], out_schema)
+        return None
     post = index.postings(spark, needed).filter(F.col("term").isin(all_terms))
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     positional = bool(stats.get("with_positions"))
     term_df = _query_term_df(post)
     if not term_df:
-        return spark.createDataFrame([], out_schema)
+        return None
     idf_map = {t: idf(n_docs, d) for t, d in term_df.items()}
     shift = _range_shift(stats, max(term_df.values()), num_ranges)
 
@@ -1096,6 +1073,53 @@ def bm25_collapse_topk_batch(
     ).applyInPandas(run_range, "query_id long, doc_id long, score double")
     if score_round is not None:
         scored = scored.withColumn("score", F.round("score", score_round))
+    return scored
+
+
+def bm25_collapse_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[str],
+    field: str = "repo",
+    k: int = 10,
+    num_ranges: int | None = None,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Field-collapsed top-k (the ES ``collapse`` / Lucene grouping
+    shape): rank documents by BM25, then return the top-``k`` GROUPS per
+    query, each represented by its best-scoring document, collapsed on a
+    docmap attribute (``repo`` dedups results to one hit per repository —
+    the standard code-search presentation).
+
+    Exactness requires scoring the FULL candidate set (a group's best
+    doc can rank arbitrarily deep in the plain top-k), so unlike the
+    top-k executors no per-range truncation is possible before the group
+    field is known.  Plan shape:
+
+    1. the ranged slice grid scores every candidate doc exactly as
+       :func:`bm25_topk_batch_ranged` does (same ascending-term float64
+       sums — scores are bit-identical to every other executor), but
+       emits ALL scored docs per (query, range) — cost is proportional
+       to the candidate set, the same bytes the boolean executor ships;
+    2. one join against the docmap attaches ``field`` (docmap rows are
+       doc_id-ordered parquet; Catalyst sort-merge-joins on doc_id);
+    3. a map-side-combinable ``max(struct(score, -doc_id))`` per
+       (query, field) picks each group's best doc under the canonical
+       (score desc, doc_id asc) order, and a final per-query window
+       ranks the group winners.
+
+    ``score_round`` (optional) rounds scores BEFORE the group-best
+    selection — the oracle-comparison hook (float jitter between
+    independent scorers must not flip near-tied winners).  Returns
+    (query_id, rank, <field>, doc_id, score)."""
+    out_schema = (
+        f"query_id long, rank int, {field} string, doc_id long, score double"
+    )
+    scored = _score_all_candidates(
+        spark, index, queries, num_ranges=num_ranges, score_round=score_round
+    )
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
     dm = index.docmap(spark).select("doc_id", field)
     best = (
         scored.join(dm, "doc_id")
@@ -1122,6 +1146,158 @@ def bm25_collapse_topk_batch(
         best.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", field, "doc_id", "score")
+    )
+
+
+_FSCORE_MODIFIERS = ("none", "log1p", "sqrt", "square", "reciprocal")
+
+
+def bm25_function_score_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[str],
+    k: int = 10,
+    field: str = "dl",
+    modifier: str = "log1p",
+    factor: float = 1.0,
+    boost_mode: str = "multiply",
+    num_ranges: int | None = None,
+    score_round: int | None = None,
+) -> DataFrame:
+    """ES ``function_score`` with a ``field_value_factor`` function:
+    ``final = bm25 <boost_mode> modifier(factor * field)`` where
+    ``field`` is a numeric docmap attribute (default ``dl``, the doc
+    length — e.g. ``modifier="log1p"`` boosts longer documents the way
+    recency/popularity boosts work in ES).  ``boost_mode`` is
+    ``multiply`` (ES default) or ``sum``; ``modifier`` one of
+    ``none | log1p | sqrt | square | reciprocal``.
+
+    Exact top-k under the MODIFIED score requires scoring the FULL
+    candidate set — a multiplier can promote a doc from arbitrarily
+    deep in the plain BM25 order — so this shares the full-candidate
+    ranged pass with the collapse executor (cost proportional to the
+    candidate set, the same bytes boolean retrieval ships), then ONE
+    docmap join attaches the field and the modified order is ranked
+    per query.  ``score_round`` rounds the FINAL combined score (the
+    oracle hook).  Returns (query_id, rank, doc_id, score, <field>)."""
+    if modifier not in _FSCORE_MODIFIERS:
+        raise ValueError(
+            f"modifier must be one of {_FSCORE_MODIFIERS}, got {modifier!r}"
+        )
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"boost_mode must be multiply|sum, got {boost_mode!r}")
+    out_schema = (
+        f"query_id long, rank int, doc_id long, score double, {field} double"
+    )
+    scored = _score_all_candidates(spark, index, queries, num_ranges=num_ranges)
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
+    dm = index.docmap(spark).select(
+        "doc_id", F.col(field).cast("double").alias(field)
+    )
+    fv = F.col(field) * F.lit(float(factor))
+    mod = {
+        "none": fv,
+        "log1p": F.log1p(fv),
+        "sqrt": F.sqrt(fv),
+        "square": fv * fv,
+        "reciprocal": F.lit(1.0) / fv,
+    }[modifier]
+    combined = (
+        F.col("score") * mod if boost_mode == "multiply" else F.col("score") + mod
+    )
+    if score_round is not None:
+        combined = F.round(combined, score_round)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(dm, "doc_id")
+        .withColumn("score", combined)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", field)
+    )
+
+
+def bm25_rescore_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[str],
+    k: int = 10,
+    window: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    num_ranges: int | None = None,
+    score_round: int | None = None,
+) -> DataFrame:
+    """ES ``rescore``: re-rank the first-pass BM25 top-``window``
+    candidates per query with a second, more expensive signal — here
+    the standard match_phrase rescorer: the query string evaluated as
+    an EXACT PHRASE, scored the Lucene PhraseQuery way (tf = phrase
+    occurrence count, idf = sum of the phrase terms' idfs, repeats
+    counted, same BM25 saturation/norm as term scoring), combined as
+    ``query_weight * bm25 + rescore_weight * phrase_score``.
+
+    The window is GLOBAL top-``window`` (ES applies it per shard —
+    strictly weaker; documented difference).  Plan shape: the
+    first-pass executor's pruned WAND/TAAT pass finds the window; the
+    phrase executor's ranged pass (positional index) computes phrase
+    tfs ONLY for docs that contain the phrase; one join restricts them
+    to the window, one docmap join attaches dl for the phrase norm —
+    the expensive signal is never computed outside the candidate set
+    (the entire point of rescoring at 10^12 docs).  ``score_round``
+    rounds the FINAL combined score.  Returns
+    (query_id, rank, doc_id, score)."""
+    stats = index.stats
+    if not bool(stats.get("with_positions")):
+        raise ValueError("rescore needs a positional index (phrase pass)")
+    queries = list(queries)
+    first = bm25_topk_batch(spark, index, queries, k=window).select(
+        "query_id", "doc_id", F.col("score").alias("base_score")
+    )
+    ph = phrase_match_batch(spark, index, queries, num_ranges=num_ranges)
+    # per-query phrase idf: sum over the term SEQUENCE (repeats counted)
+    all_terms = sorted({t for q in queries for t in query_terms(q)})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    needed = sorted(set(buckets.values()))
+    term_df = (
+        _query_term_df(
+            index.postings(spark, needed).filter(F.col("term").isin(all_terms))
+        )
+        if needed
+        else {}
+    )
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    qidf = [
+        (qi, float(sum(idf(n_docs, term_df.get(t, 0)) for t in query_terms(q)
+                       if term_df.get(t))))
+        for qi, q in enumerate(queries)
+    ]
+    qdf = spark.createDataFrame(qidf, "query_id long, phrase_idf double")
+    dm = index.docmap(spark).select("doc_id", F.col("dl").cast("double"))
+    cand = (
+        first.join(ph, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(qdf), "query_id")
+        .join(dm, "doc_id")
+        .withColumn("phrase_tf", F.coalesce(F.col("phrase_tf"), F.lit(0)))
+    )
+    tf = F.col("phrase_tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    phrase_score = F.when(
+        tf > 0, F.col("phrase_idf") * tf / (tf + norm)
+    ).otherwise(F.lit(0.0))
+    combined = (
+        F.lit(float(query_weight)) * F.col("base_score")
+        + F.lit(float(rescore_weight)) * phrase_score
+    )
+    if score_round is not None:
+        combined = F.round(combined, score_round)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.withColumn("score", combined)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 

@@ -1,0 +1,188 @@
+"""function_score (field_value_factor) and rescore (match_phrase second
+pass) executors, checked against driver-side brute forces and against
+the plain executor on degenerate parameters."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from acora_spark.index.bm25 import (
+    bm25_function_score_topk_batch,
+    bm25_rescore_topk_batch,
+    bm25_topk_batch,
+)
+from acora_spark.index.build import build_index
+from acora_spark.sources.corpus import load_corpus
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("rfidx"))
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(
+        corpus, index_dir, num_buckets=8, docs_per_salt=100,
+        with_positions=True,
+    )
+    return idx, corpus
+
+
+@pytest.fixture(scope="module")
+def ground(built, spark):
+    idx, corpus = built
+    tok = re.compile(r"[a-z0-9_]+")
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    toks = {}
+    for row in corpus.collect():
+        toks[docmap[(row.repo, row.path, row.commit)]] = tok.findall(
+            row.content.lower()
+        )
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    return toks, n_docs, avgdl
+
+
+def _idf(n, df):
+    return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+
+def _bm25_all(toks, n_docs, avgdl, terms):
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    out = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in sorted(terms):
+            tf = tk.count(t)
+            if tf and dfs[t]:
+                s += _idf(n_docs, dfs[t]) * tf / (
+                    tf + K1 * (1 - B + B * len(tk) / avgdl)
+                )
+        if s > 0:
+            out[d] = s
+    return out, dfs
+
+
+def test_function_score_matches_brute(built, ground, spark):
+    idx, _ = built
+    toks, n_docs, avgdl = ground
+    terms = ["data", "merge"]
+    base, _ = _bm25_all(toks, n_docs, avgdl, terms)
+    for modifier, fn in (
+        ("log1p", lambda v: math.log1p(v)),
+        ("sqrt", lambda v: math.sqrt(v)),
+        ("none", lambda v: v),
+    ):
+        got = (
+            bm25_function_score_topk_batch(
+                spark, idx, ["data merge"], k=15, modifier=modifier
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        want = sorted(
+            ((d, s * fn(float(len(toks[d])))) for d, s in base.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:15]
+        assert [r.doc_id for r in got] == [d for d, _ in want], modifier
+        for r, (_, s) in zip(got, want):
+            assert abs(r.score - s) < 1e-9
+    # boost_mode=sum
+    got = (
+        bm25_function_score_topk_batch(
+            spark, idx, ["data merge"], k=10, modifier="none",
+            factor=0.01, boost_mode="sum",
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    want = sorted(
+        ((d, s + 0.01 * len(toks[d])) for d, s in base.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    with pytest.raises(ValueError, match="modifier"):
+        bm25_function_score_topk_batch(spark, idx, ["data"], modifier="exp")
+    with pytest.raises(ValueError, match="boost_mode"):
+        bm25_function_score_topk_batch(
+            spark, idx, ["data"], boost_mode="avg"
+        )
+
+
+def _phrase_tf(tk, phrase_toks):
+    m = len(phrase_toks)
+    return sum(
+        1
+        for i in range(len(tk) - m + 1)
+        if tk[i : i + m] == phrase_toks
+    )
+
+
+def test_rescore_matches_brute(built, ground, spark):
+    idx, _ = built
+    toks, n_docs, avgdl = ground
+    phrase = "data merge"
+    p_toks = phrase.split()
+    window, rw = 25, 2.0
+    base, dfs = _bm25_all(toks, n_docs, avgdl, p_toks)
+    cand = sorted(base.items(), key=lambda kv: (-kv[1], kv[0]))[:window]
+    pidf = sum(_idf(n_docs, dfs[t]) for t in p_toks if dfs[t])
+    want = []
+    for d, s in cand:
+        tf = _phrase_tf(toks[d], p_toks)
+        ps = (
+            pidf * tf / (tf + K1 * (1 - B + B * len(toks[d]) / avgdl))
+            if tf
+            else 0.0
+        )
+        want.append((d, s + rw * ps))
+    want.sort(key=lambda kv: (-kv[1], kv[0]))
+    got = (
+        bm25_rescore_topk_batch(
+            spark, idx, [phrase], k=10, window=window, rescore_weight=rw
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [d for d, _ in want[:10]]
+    for r, (_, s) in zip(got, want):
+        assert abs(r.score - s) < 1e-9
+
+
+def test_rescore_weight_zero_is_first_pass(built, spark):
+    """rescore_weight=0 must reproduce the plain executor's scores
+    (order may differ only on exact ties, which the shared doc_id
+    tie-break resolves identically)."""
+    idx, _ = built
+    got = (
+        bm25_rescore_topk_batch(
+            spark, idx, ["data merge"], k=10, window=50, rescore_weight=0.0
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    plain = (
+        bm25_topk_batch(spark, idx, ["data merge"], k=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in plain
+    ]
+
+
+def test_rescore_requires_positions(spark, sf_dir, tmp_path_factory):
+    from acora_spark.index.build import build_index
+
+    index_dir = str(tmp_path_factory.mktemp("nopos"))
+    idx = build_index(
+        load_corpus(spark, sf_dir).limit(50), index_dir, num_buckets=4
+    )
+    with pytest.raises(ValueError, match="positional"):
+        bm25_rescore_topk_batch(spark, idx, ["data merge"])
