@@ -498,6 +498,55 @@ def q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AGG_QUERY = {"must": ["data"], "must_not": ["window"]}
+HIST_INTERVAL = 25.0
+TV_MOD = 211  # every 211th doc gets a term-vectors request
+
+
+def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation: (count, min, max, sum, avg) of doc length
+    over the docs matching a boolean query."""
+    from acora_spark.index.bm25 import search_stats
+
+    idx = _index_for(spark, sf_dir)
+    return search_stats(spark, idx, AGG_QUERY, "dl")
+
+
+def q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation: fixed-interval doc-length buckets of
+    the matching docs (bucket = floor(dl/interval)*interval)."""
+    from acora_spark.index.bm25 import search_histogram
+
+    idx = _index_for(spark, sf_dir)
+    return search_histogram(spark, idx, AGG_QUERY, "dl", HIST_INTERVAL)
+
+
+def q_search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation (exact two-level count-distinct;
+    approx_count_distinct HLL++ is the tested scale path)."""
+    from acora_spark.index.bm25 import search_cardinality
+
+    idx = _index_for(spark, sf_dir)
+    return search_cardinality(spark, idx, AGG_QUERY, "lang")
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors with term_statistics: per-term tf (in the
+    requested docs) + corpus df (from the index) for every TV_MOD-th
+    document."""
+    from acora_spark.index.bm25 import term_vectors
+
+    idx = _index_for(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    keys = corpus.withColumn(
+        "did",
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long"),
+    ).filter(F.col("did") % TV_MOD == 0).select("repo", "path", "commit")
+    return term_vectors(spark, idx, corpus, keys).select(
+        "path", "term", "tf", "df"
+    )
+
+
 WHERE_LANGS = ["es", "de"]
 
 
@@ -1491,6 +1540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool": q_bm25_bool,
         "bm25_boosted": q_bm25_boosted,
         "sig_terms": q_sig_terms,
+        "search_stats": q_search_stats,
+        "search_histogram": q_search_histogram,
+        "search_cardinality": q_search_cardinality,
+        "term_vectors": q_term_vectors,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
@@ -2149,6 +2202,66 @@ WHERE term NOT IN ({sg_excl}) AND fg_count >= 3
     * ((fg_count / f.total) / (bg_count / n.n_docs)), 6) > 0
 ORDER BY score DESC, term ASC
 LIMIT 15
+"""
+
+    # query-then-aggregate family (ES stats / histogram / cardinality)
+    # over the AGG_QUERY boolean result set
+    ag_must = " AND ".join(
+        f"list_contains(t, '{w}')"
+        for x in AGG_QUERY.get("must", []) for w in _qt(x)
+    ) or "TRUE"
+    ag_not = " AND ".join(
+        f"NOT list_contains(t, '{w}')"
+        for x in AGG_QUERY.get("must_not", []) for w in _qt(x)
+    ) or "TRUE"
+    sql["search_stats"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+m AS (SELECT len(t) AS dl FROM toks WHERE {ag_must} AND {ag_not})
+SELECT count(*)::BIGINT AS count, min(dl)::DOUBLE AS min,
+       max(dl)::DOUBLE AS max, sum(dl)::DOUBLE AS sum,
+       round(avg(dl), 6) AS avg
+FROM m
+"""
+
+    sql["search_histogram"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT floor(len(t) / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM toks WHERE {ag_must} AND {ag_not}
+GROUP BY 1
+"""
+
+    sql["search_cardinality"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT count(DISTINCT d.lang)::BIGINT AS cardinality
+FROM toks JOIN docs d USING (doc_id)
+WHERE {ag_must} AND {ag_not}
+"""
+
+    # _termvectors: tf of the selected docs + corpus-wide df per term
+    sql["term_vectors"] = f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+sel AS (SELECT * FROM base WHERE doc_id % {TV_MOD} = 0),
+tf AS (
+  SELECT doc_id, source, lang, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, source, lang, unnest(t) AS term FROM sel)
+  GROUP BY doc_id, source, lang, term
+),
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM base)
+  GROUP BY term
+)
+SELECT source || '/' || lang || '/doc_' || CAST(tf.doc_id AS VARCHAR) || '.txt' AS path,
+       term, tf, coalesce(df, 0)::BIGINT AS df
+FROM tf LEFT JOIN dfreq USING (term)
 """
 
     # metadata-filtered search: same BM25 formula and index-global stats,

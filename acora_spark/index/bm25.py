@@ -2563,6 +2563,151 @@ def search_facets(
     return out
 
 
+def _boolean_docmap_join(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    cols: Sequence[str],
+    num_ranges: int | None,
+) -> DataFrame:
+    """Shared agg front-end: boolean result ids (range-parallel) joined
+    with the column-pruned docmap — the ES "query then aggregate"
+    shape.  Validates the requested columns against the docmap."""
+    dm = index.docmap(spark)
+    bad = sorted(set(cols) - set(dm.columns))
+    if bad:
+        raise ValueError(
+            f"column(s) {bad} not in docmap columns {sorted(dm.columns)}"
+        )
+    res = boolean_query_batch(
+        spark, index, [query], num_ranges=num_ranges
+    ).select("doc_id")
+    return res.join(dm.select("doc_id", *cols), "doc_id")
+
+
+def search_stats(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    num_ranges: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``stats`` aggregation over a numeric docmap attribute of the
+    docs matching a boolean query: one row
+    ``(count, min, max, sum, avg)`` — e.g. document-length statistics
+    of a result set.  One map-combined aggregation after the boolean
+    ids join the column-pruned docmap; no driver materialization."""
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    c = F.col(field).cast("double")
+    avg = F.avg(c)
+    if round_to is not None:
+        avg = F.round(avg, round_to)
+    return joined.agg(
+        F.count("*").alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        avg.alias("avg"),
+    )
+
+
+def search_histogram(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    interval: float,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``histogram`` aggregation: fixed-``interval`` buckets of a
+    numeric docmap attribute over the matching docs.  Bucket key is the
+    ES convention ``floor(value / interval) * interval``; empty buckets
+    are not emitted (ES min_doc_count=1).  Returns
+    ``(bucket, doc_count)`` map-combined — one shuffle of (bucket,
+    partial) rows regardless of result-set size."""
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    bucket = (
+        F.floor(F.col(field).cast("double") / F.lit(float(interval)))
+        * F.lit(float(interval))
+    )
+    return (
+        joined.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
+def search_cardinality(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``cardinality`` aggregation: distinct values of a docmap
+    attribute over the matching docs.  ``exact=True`` is a two-level
+    map-combined count-distinct (exact; one shuffle of distinct
+    (value) partials); ``exact=False`` is the ES-faithful scale path —
+    ``approx_count_distinct`` (HyperLogLog++, the same sketch ES uses)
+    with relative standard deviation ``rsd``, constant memory per
+    partition regardless of cardinality.  One row ``(cardinality)``."""
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    agg = (
+        F.count_distinct(F.col(field))
+        if exact
+        else F.approx_count_distinct(F.col(field), rsd)
+    )
+    return joined.agg(agg.alias("cardinality"))
+
+
+def term_vectors(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    keys: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    content_col: str = "content",
+) -> DataFrame:
+    """ES ``_termvectors``: per-term statistics for specific documents —
+    ``(key..., term, tf, df)`` where ``tf`` counts occurrences in that
+    document and ``df`` is the corpus-wide document frequency from the
+    INDEX (the ES term_statistics=true form; like ES, df counts
+    soft-deleted docs until compaction/merge refresh).
+
+    Plan shape: the ``keys`` frame (a handful of requested docs)
+    broadcast-semi-joins the corpus scan (the scan shuffles nothing;
+    only the requested docs' token rows survive), tf is one
+    map-combined count over those rows, and df attaches by
+    broadcast-joining the requested docs' distinct terms INTO the
+    column-pruned ``(term, df)`` postings scan — the scan's rows
+    filter map-side against the tiny term set before the df
+    aggregation, so no full-vocabulary aggregate ever materializes."""
+    from acora_spark.functions.tokenize import tokens_expr
+
+    key_cols = list(key_cols)
+    docs = corpus.join(F.broadcast(keys.select(*key_cols)), key_cols, "semi")
+    toks = docs.select(
+        *key_cols, F.explode(tokens_expr(F.col(content_col))).alias("term")
+    )
+    tf = toks.groupBy(*key_cols, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    doc_terms = tf.select("term").distinct()
+    dfreq = (
+        index.postings(spark)
+        .join(F.broadcast(doc_terms), "term")
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    return tf.join(dfreq, "term", "left").select(
+        *key_cols, "term", "tf", F.coalesce(F.col("df"), F.lit(0)).alias("df")
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index: Index,

@@ -1,0 +1,110 @@
+"""Query-then-aggregate family (ES stats / histogram / cardinality
+aggregations) and the _termvectors API, checked against driver-side
+brute forces over the same corpus."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.index.bm25 import (
+    search_cardinality,
+    search_histogram,
+    search_stats,
+    term_vectors,
+)
+from acora_spark.index.build import build_index
+from acora_spark.sources.corpus import load_corpus
+
+TOK = re.compile(r"[a-z0-9_]+")
+Q = {"must": ["merge"], "must_not": ["window"]}
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("aggidx"))
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, index_dir, num_buckets=8, docs_per_salt=100)
+    return idx, corpus
+
+
+@pytest.fixture(scope="module")
+def ground(built, spark):
+    _, corpus = built
+    rows = corpus.collect()
+    docs = {
+        (r.repo, r.path, r.commit): (r.lang, TOK.findall(r.content.lower()))
+        for r in rows
+    }
+    match = {
+        k: v
+        for k, v in docs.items()
+        if "merge" in v[1] and "window" not in v[1]
+    }
+    return docs, match
+
+
+def test_search_stats(built, ground, spark):
+    idx, _ = built
+    _, match = ground
+    dls = [len(t) for _, t in match.values()]
+    got = search_stats(spark, idx, Q, "dl").collect()[0]
+    assert got["count"] == len(dls)
+    assert got["min"] == float(min(dls))
+    assert got["max"] == float(max(dls))
+    assert got["sum"] == float(sum(dls))
+    assert got["avg"] == pytest.approx(round(sum(dls) / len(dls), 6))
+
+
+def test_search_histogram(built, ground, spark):
+    idx, _ = built
+    _, match = ground
+    want: dict[float, int] = {}
+    for _, t in match.values():
+        b = math.floor(len(t) / 20.0) * 20.0
+        want[b] = want.get(b, 0) + 1
+    got = {
+        r.bucket: r.doc_count
+        for r in search_histogram(spark, idx, Q, "dl", 20.0).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="interval"):
+        search_histogram(spark, idx, Q, "dl", 0)
+
+
+def test_search_cardinality(built, ground, spark):
+    idx, _ = built
+    _, match = ground
+    want = len({lang for lang, _ in match.values()})
+    got = search_cardinality(spark, idx, Q, "lang").collect()[0][0]
+    assert got == want
+    approx = search_cardinality(
+        spark, idx, Q, "lang", exact=False, rsd=0.01
+    ).collect()[0][0]
+    # HLL++ at rsd=0.01 on single-digit cardinalities is exact
+    assert approx == want
+    with pytest.raises(ValueError, match="column"):
+        search_stats(spark, idx, Q, "no_such_col")
+
+
+def test_term_vectors(built, ground, spark):
+    idx, corpus = built
+    docs, _ = ground
+    some = sorted(docs)[:3]
+    keys = spark.createDataFrame(
+        list(some), "repo string, path string, commit string"
+    )
+    got = {
+        (r.repo, r.path, r.commit, r.term): (r.tf, r.df)
+        for r in term_vectors(spark, idx, corpus, keys).collect()
+    }
+    want = {}
+    for k in some:
+        _, toks = docs[k]
+        for term in set(toks):
+            df = sum(1 for _, (_, t) in docs.items() if term in t)
+            want[(*k, term)] = (toks.count(term), df)
+    assert got == want
