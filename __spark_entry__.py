@@ -530,6 +530,31 @@ def q_search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_cardinality(spark, idx, AGG_QUERY, "lang")
 
 
+def q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation with sub-aggregations: per-language doc
+    counts + doc-length stats over the matching docs."""
+    from acora_spark.index.bm25 import search_facet_stats
+
+    idx = _index_for(spark, sf_dir)
+    return search_facet_stats(spark, idx, AGG_QUERY, "lang", "dl")
+
+
+SORT_K = 15
+
+
+def q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-field: matching docs ordered by doc length descending
+    (doc_id ascending tie-break), top-15 via TakeOrderedAndProject."""
+    from acora_spark.index.bm25 import search_sorted
+
+    idx = _index_for(spark, sf_dir)
+    res = search_sorted(spark, idx, AGG_QUERY, [("dl", "desc")], k=SORT_K)
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "rank", "path", F.col("dl").cast("long").alias("dl")
+    )
+
+
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _termvectors with term_statistics: per-term tf (in the
     requested docs) + corpus df (from the index) for every TV_MOD-th
@@ -1543,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_stats": q_search_stats,
         "search_histogram": q_search_histogram,
         "search_cardinality": q_search_cardinality,
+        "facet_stats": q_facet_stats,
+        "search_sorted": q_search_sorted,
         "term_vectors": q_term_vectors,
         "ngram_jaccard": q_ngram_jaccard,
         "content_integrity": q_content_integrity,
@@ -2239,6 +2266,28 @@ WITH {_CORPUS_CTE},
 SELECT count(DISTINCT d.lang)::BIGINT AS cardinality
 FROM toks JOIN docs d USING (doc_id)
 WHERE {ag_must} AND {ag_not}
+"""
+
+    sql["facet_stats"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT d.lang AS value, count(*)::BIGINT AS doc_count,
+       min(len(t))::DOUBLE AS min, max(len(t))::DOUBLE AS max,
+       sum(len(t))::DOUBLE AS sum, round(avg(len(t)), 6) AS avg
+FROM toks JOIN docs d USING (doc_id)
+WHERE {ag_must} AND {ag_not}
+GROUP BY d.lang
+"""
+
+    sql["search_sorted"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+m AS (
+  SELECT doc_id, path, len(t) AS dl FROM toks WHERE {ag_must} AND {ag_not}
+)
+SELECT row_number() OVER (ORDER BY dl DESC, doc_id ASC)::INT AS rank,
+       path, dl::BIGINT AS dl
+FROM m ORDER BY dl DESC, doc_id ASC LIMIT {SORT_K}
 """
 
     # _termvectors: tf of the selected docs + corpus-wide df per term

@@ -2664,6 +2664,72 @@ def search_cardinality(
     return joined.agg(agg.alias("cardinality"))
 
 
+def search_facet_stats(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    facet_col: str,
+    stat_field: str,
+    num_ranges: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``terms`` aggregation WITH sub-aggregations: per facet value
+    over the matching docs, the doc count plus (min, max, sum, avg) of
+    a numeric attribute — "results per language, with doc-length stats
+    each".  Still ONE map-combined aggregation (the sub-aggs ride the
+    same groupBy); returns
+    ``(value, doc_count, min, max, sum, avg)``."""
+    joined = _boolean_docmap_join(
+        spark, index, query, [facet_col, stat_field], num_ranges
+    )
+    c = F.col(stat_field).cast("double")
+    avg = F.avg(c)
+    if round_to is not None:
+        avg = F.round(avg, round_to)
+    return joined.groupBy(
+        F.col(facet_col).cast("string").alias("value")
+    ).agg(
+        F.count("*").alias("doc_count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        avg.alias("avg"),
+    )
+
+
+def search_sorted(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    sort: Sequence[tuple[str, str]],
+    k: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES sort-by-field: the matching docs ordered by docmap attributes
+    instead of relevance (``sort`` = [(column, 'asc'|'desc'), ...];
+    ``doc_id`` ascending is appended as the deterministic final
+    tie-break, the ES ``_doc`` convention).  Top-k executes as
+    TakeOrderedAndProject — per-partition heaps + one k-row merge, no
+    global sort.  Returns ``(rank, doc_id, <sort columns...>)``."""
+    if not sort:
+        raise ValueError("sort must be non-empty")
+    for c, d in sort:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+    cols = list(dict.fromkeys(c for c, _ in sort))
+    joined = _boolean_docmap_join(spark, index, query, cols, num_ranges)
+    order = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sort
+    ] + [F.col("doc_id").asc()]
+    w = Window.orderBy(*order)
+    return (
+        joined.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", *cols)
+    )
+
+
 def term_vectors(
     spark: SparkSession,
     index: Index,

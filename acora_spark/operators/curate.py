@@ -120,9 +120,22 @@ def curate(
     near_dup: bool = True,
     num_hashes: int = 8,
     band_size: int = 2,
+    gopher: bool = False,
+    gopher_thresholds: dict | None = None,
+    line_sep: str = "\n",
+    decontaminate_against: DataFrame | None = None,
+    decon_n: int = 13,
 ) -> DataFrame:
     """Returns the curated subset of ``docs`` (same schema, plus
-    ``quality_score`` and ``lang_pred`` columns)."""
+    ``quality_score`` and ``lang_pred`` columns).
+
+    The full pretraining sequence, in cost order: cheap per-row filters
+    first (quality score, language, and — when ``gopher=True`` — the
+    Gopher repetition rules, all zero-shuffle), then exact dedup, then
+    LSH near-dup removal, then benchmark decontamination against
+    ``decontaminate_against`` (an eval-set DataFrame with a ``content``
+    column; ``decon_n``-gram overlap) LAST — its n-gram explode+join
+    only pays for documents that survived everything cheaper."""
     c = F.col(content_col)
     out = docs.withColumns(
         {"quality_score": quality_score(c), "lang_pred": lang_id(c)}
@@ -131,6 +144,15 @@ def curate(
         out = out.filter(F.col("quality_score") >= min_quality)
     if langs is not None:
         out = out.filter(F.col("lang_pred").isin(langs))
+    if gopher:
+        from acora_spark.operators.quality import gopher_quality
+
+        feat_cols = set(out.columns)
+        out = gopher_quality(
+            out, content_col=content_col, line_sep=line_sep,
+            thresholds=gopher_thresholds,
+        ).filter(F.col("gopher_keep"))
+        out = out.select(*[col for col in out.columns if col in feat_cols])
 
     # exact dedup: keep the smallest id per content hash (one shuffle)
     w = Window.partitionBy(F.sha2(c, 256)).orderBy(F.col(id_col).asc())
@@ -152,4 +174,11 @@ def curate(
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
+    if decontaminate_against is not None:
+        from acora_spark.operators.quality import decontaminate
+
+        out = decontaminate(
+            out, decontaminate_against, n=decon_n,
+            content_col=content_col, key_cols=(id_col,), mode="drop",
+        )
     return out

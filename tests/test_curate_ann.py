@@ -86,3 +86,40 @@ def test_ann_query_probed_empty_cell(spark, tmp_path):
     got = ann_query(spark, index_dir, [900.0, 900.0], k=5, nprobe=2).collect()
     assert len(got) == 5
     assert all(r.rank == i + 1 for i, r in enumerate(got))
+
+
+def test_curate_gopher_and_decontaminate(spark, docs):
+    """The full-pipeline options compose exactly as the standalone
+    operators chained in the documented order (each operator is
+    individually oracle-checked; this pins the wiring)."""
+    from acora_spark.operators.quality import decontaminate, gopher_quality
+
+    ev = spark.createDataFrame(
+        [("quick brown fox jumps over",)], "content string"
+    )
+    got = sorted(
+        r.doc_id
+        for r in curate(
+            docs, near_dup=False,
+            gopher=True, gopher_thresholds={"min_tokens": 5},
+            decontaminate_against=ev, decon_n=3,
+        ).collect()
+    )
+    base = curate(docs, near_dup=False)
+    manual = gopher_quality(
+        base, thresholds={"min_tokens": 5}
+    ).filter(F.col("gopher_keep"))
+    manual = decontaminate(
+        manual, ev, n=3, key_cols=("doc_id",), mode="drop"
+    )
+    want = sorted(r.doc_id for r in manual.collect())
+    assert got == want
+    # the fox docs are contaminated, doc 4 fails min_tokens
+    assert 0 not in got and 2 not in got and 4 not in got
+    assert got  # something survives
+    # schema: no feature columns leak out of the composite
+    cols = set(
+        curate(docs, near_dup=False, gopher=True).columns
+    )
+    assert cols == {"doc_id", "content", "quality_score", "lang_pred"}
+

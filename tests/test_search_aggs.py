@@ -108,3 +108,63 @@ def test_term_vectors(built, ground, spark):
             df = sum(1 for _, (_, t) in docs.items() if term in t)
             want[(*k, term)] = (toks.count(term), df)
     assert got == want
+
+
+def test_search_facet_stats(built, ground, spark):
+    from acora_spark.index.bm25 import search_facet_stats
+
+    idx, _ = built
+    _, match = ground
+    want = {}
+    for lang, t in match.values():
+        c, mn, mx, sm = want.get(lang, (0, 10**9, -1, 0))
+        want[lang] = (c + 1, min(mn, len(t)), max(mx, len(t)), sm + len(t))
+    got = {
+        r.value: (r.doc_count, r.min, r.max, r.sum, r.avg)
+        for r in search_facet_stats(spark, idx, Q, "lang", "dl").collect()
+    }
+    assert set(got) == set(want)
+    for lang, (c, mn, mx, sm) in want.items():
+        g = got[lang]
+        assert g[0] == c and g[1] == float(mn) and g[2] == float(mx)
+        assert g[3] == float(sm)
+        assert g[4] == pytest.approx(round(sm / c, 6))
+
+
+def test_search_sorted(built, ground, spark):
+    from acora_spark.index.bm25 import search_sorted
+
+    idx, _ = built
+    docs, match = ground
+    dm = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    want = sorted(
+        ((dm[k], len(t)) for k, (_, t) in match.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:7]
+    got = [
+        (r.doc_id, int(r.dl))
+        for r in search_sorted(
+            spark, idx, Q, [("dl", "desc")], k=7
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
+    # multi-key sort: lang asc then dl desc
+    want2 = sorted(
+        ((lang, len(t), dm[k]) for k, (lang, t) in match.items()),
+        key=lambda kv: (kv[0], -kv[1], kv[2]),
+    )[:7]
+    got2 = [
+        (r.lang, int(r.dl), r.doc_id)
+        for r in search_sorted(
+            spark, idx, Q, [("lang", "asc"), ("dl", "desc")], k=7
+        ).orderBy("rank").collect()
+    ]
+    assert got2 == want2
+    with pytest.raises(ValueError, match="direction"):
+        search_sorted(spark, idx, Q, [("dl", "down")])
+    with pytest.raises(ValueError, match="non-empty"):
+        search_sorted(spark, idx, Q, [])
+
