@@ -318,6 +318,101 @@ def main() -> None:
         )
     )
 
+    # 4d. significant_terms: the corpus scan is RESTRICTED by a
+    #     (broadcastable) semi-join on the foreground keys — content
+    #     bytes move only for matching docs; bg df is a column-pruned
+    #     postings aggregate
+    from acora_spark.index.bm25 import significant_terms
+
+    sig = significant_terms(
+        spark, idx, entry._corpus(spark, SF_DIR), entry.SIG_QUERY,
+        top_n=10, min_doc_count=3,
+    )
+    p4d = plan_of(sig, "simple")
+    assert "CartesianProduct" not in p4d
+    assert "LeftSemi" in p4d
+    sections.append(
+        (
+            "significant_terms: semi-join-restricted corpus scan",
+            "The boolean executor yields the foreground ids; a LEFT SEMI "
+            "join on the document key restricts the corpus scan before "
+            "any content column is touched, the per-doc DISTINCT terms "
+            "come from one in-row array_distinct+explode (map-combined "
+            "count), and the background df never reads a blob column.",
+            p4d,
+        )
+    )
+
+    # 4e. rescore: the phrase executor's output joins ONLY the top-window
+    #     candidates — the expensive positional signal stays inside the
+    #     candidate set
+    pidx = entry._pos_index_for(spark, SF_DIR)
+    from acora_spark.index.bm25 import bm25_rescore_topk_batch
+
+    rs = bm25_rescore_topk_batch(
+        spark, pidx, [entry.RESCORE_QUERY], k=10,
+        window=entry.RESCORE_WINDOW, num_ranges=8,
+    )
+    p4e = plan_of(rs, "simple")
+    assert "CartesianProduct" not in p4e
+    sections.append(
+        (
+            "Rescore: phrase second pass joined onto the window only",
+            "First pass is the pruned WAND/TAAT executor (top-window); "
+            "the phrase pass is the ranged positional kernel; their join "
+            "keys on (query_id, doc_id) so phrase scores outside the "
+            "window never influence (or pay for) the final ranking; "
+            "docmap attaches dl for the phrase norm via one more join.  "
+            "The one-row-per-query idf frame ships as a broadcast.",
+            p4e,
+        )
+    )
+
+    # 4f. decontamination: eval n-grams broadcast — the corpus scan
+    #     filters map-side, no corpus shuffle before the hit aggregation
+    from acora_spark.operators.quality import decontaminate
+
+    docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs_raw.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("text").alias("content")
+    )
+    dec = decontaminate(
+        docs_raw, ev, n=8, content_col="text", key_cols=("doc_id",)
+    )
+    p4f = plan_of(dec, "simple")
+    assert "CartesianProduct" not in p4f
+    assert "BroadcastExchange" in p4f
+    sections.append(
+        (
+            "Decontamination: broadcast eval set, map-side n-gram filter",
+            "The eval set's distinct n-grams build once and broadcast; "
+            "each corpus task explodes its docs' DISTINCT n-grams and "
+            "filters them against the broadcast hash table in place — "
+            "only genuine hits reach the (key, count) aggregation, and "
+            "the corpus content column itself never shuffles.",
+            p4f,
+        )
+    )
+
+    # 4g. facet stats: ONE hash aggregation with map-side partials over
+    #     the boolean-ids/docmap join
+    from acora_spark.index.bm25 import search_facet_stats
+
+    fs = search_facet_stats(spark, idx, entry.AGG_QUERY, "lang", "dl")
+    p4g = plan_of(fs, "simple")
+    assert "CartesianProduct" not in p4g
+    assert "partial_count" in p4g or "HashAggregate" in p4g
+    sections.append(
+        (
+            "Query-then-aggregate (facet stats): map-combined partials",
+            "Boolean ids join the column-pruned docmap; the terms facet "
+            "and its stat sub-aggregations compute as ONE hash aggregate "
+            "with map-side partials — the exchange carries one row per "
+            "facet value per task, independent of result-set size.",
+            p4g,
+        )
+    )
+
     # 5. BM25 DataFrame top-k: distributed TakeOrderedAndProject
     docs_ids = entry._docs(spark, SF_DIR)
     from acora_spark.index.bm25 import bm25_topk_dataframe
