@@ -2664,6 +2664,21 @@ def search_cardinality(
     return joined.agg(agg.alias("cardinality"))
 
 
+def search_count(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``_count`` API: how many docs match the boolean query — one
+    row ``(count)``, map-combined over the range-parallel boolean
+    result (no ids ever reach the driver)."""
+    return (
+        boolean_query_batch(spark, index, [query], num_ranges=num_ranges)
+        .agg(F.count("*").alias("count"))
+    )
+
+
 def search_facet_stats(
     spark: SparkSession,
     index: Index,

@@ -18,7 +18,55 @@ from pyspark.sql import functions as F
 from acora_spark.functions.text import lang_id, quality_score
 from acora_spark.operators.dedup import lsh_candidate_pairs
 
-__all__ = ["curate", "chunk_documents", "split_corpus"]
+__all__ = ["curate", "chunk_documents", "split_corpus", "stratified_sample"]
+
+
+def stratified_sample(
+    docs: DataFrame,
+    *,
+    strata_cols: tuple[str, ...],
+    quotas: dict | int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic quota sampling per stratum — the data-mixing
+    primitive ("at most N docs per (source, lang)"): within each
+    stratum, documents rank by ``md5(seed|key)`` and the first
+    ``quota`` survive.  ``quotas`` is either one int for every stratum
+    or a dict mapping a stratum's value-tuple (or bare value for a
+    single column) to its quota; strata absent from the dict keep
+    nothing (explicit is better than a silent default at 100 TB).
+
+    Pure function of (seed, key): stable across runs, cluster sizes,
+    and row order.  Unlike ``df.sampleBy`` (Bernoulli per-row: quota
+    only in expectation, different rows per run) this is exact and
+    reproducible.  One window shuffle partitioned by the strata —
+    the same cost class as the dedup row_number pass."""
+    strata = [F.col(c) for c in strata_cols]
+    if not strata:
+        raise ValueError("strata_cols must be non-empty")
+    h = F.md5(
+        F.concat_ws("|", F.lit(seed), *[F.col(c) for c in key_cols])
+    )
+    w = Window.partitionBy(*strata).orderBy(h.asc(), *[
+        F.col(c).asc() for c in key_cols
+    ])
+    out = docs.withColumn("_sr", F.row_number().over(w))
+    if isinstance(quotas, int):
+        cond = F.col("_sr") <= F.lit(quotas)
+    else:
+        cond = F.lit(False)
+        for key, q in quotas.items():
+            vals = key if isinstance(key, tuple) else (key,)
+            if len(vals) != len(strata_cols):
+                raise ValueError(
+                    f"quota key {key!r} arity != strata {strata_cols}"
+                )
+            m = F.lit(True)
+            for c, v in zip(strata_cols, vals):
+                m = m & (F.col(c) == F.lit(v))
+            cond = cond | (m & (F.col("_sr") <= F.lit(int(q))))
+    return out.filter(cond).drop("_sr")
 
 
 def chunk_documents(

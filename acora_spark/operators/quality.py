@@ -37,6 +37,8 @@ __all__ = [
     "repetition_features",
     "gopher_quality",
     "GOPHER_THRESHOLDS",
+    "PII_PATTERNS",
+    "redact",
 ]
 
 
@@ -337,3 +339,56 @@ def gopher_quality(
     for n, thr in t["max_dup_ngram_frac"].items():
         keep = keep & (F.col(f"dup_ngram_frac_{n}") <= thr)
     return out.withColumn("gopher_keep", keep)
+
+
+# PII / secret patterns for code-corpus scrubbing.  Deliberately
+# lookahead-free and anchored with RE2-compatible constructs only, so
+# Java (Spark), RE2 (DuckDB oracle), and Python agree on every match.
+# Patterns are applied in this dict order; replacement happens pattern
+# by pattern, so a later pattern sees earlier placeholders (documented:
+# the email pattern runs before ipv4 so "user@10.0.0.1" redacts as one
+# email, not an email-then-ip).
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "bearer_token": r"\b[Bb]earer [A-Za-z0-9._~+/-]{16,}=*",
+}
+
+
+def redact(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    patterns: dict[str, str] | None = None,
+    placeholder: str = "[{name}]",
+    out_col: str | None = None,
+    count: bool = True,
+) -> DataFrame:
+    """PII / secret scrubbing for pretraining corpora: every match of
+    every pattern is replaced with ``placeholder`` (``{name}`` expands
+    to the pattern's key, e.g. ``[email]``), and — with ``count=True`` —
+    one ``n_<name>`` column per pattern records how many matches that
+    document had (the audit trail quality reports aggregate).
+
+    Pure per-row ``regexp_replace`` / ``regexp_count`` expressions —
+    zero shuffle, whole-stage codegen, linear in document length.
+    Patterns must be RE2-compatible (no lookaround) so the same
+    semantics hold in any SQL oracle; they apply in dict order and each
+    replacement sees the previous one's placeholders."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    out_col = out_col or content_col
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    cols: dict[str, Column] = {}
+    red = c
+    for name, pat in pats.items():
+        if count:
+            cols[f"n_{name}"] = F.regexp_count(red, F.lit(pat)).cast("long")
+        red = F.regexp_replace(
+            red, pat, placeholder.format(name=name)
+        )
+    cols[out_col] = red
+    return df.withColumns(cols)
