@@ -656,6 +656,31 @@ def q_bm25_where_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+RANGE_WHERE = {"dl": {"gte": 40, "lt": 90}, "lang": ["en", "es"]}
+
+
+def q_bm25_where_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range filter context (ES range query fused with ranking): BM25
+    restricted to docs with 40 <= dl < 90 AND lang in {en, es} — range
+    dicts and IN-lists mix freely in one where."""
+    from acora_spark.index.bm25 import bm25_filtered_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    raw = bm25_filtered_topk_batch(
+        spark, idx,
+        [{"query": BM25_QUERY, "where": RANGE_WHERE}],
+        k=4 * BM25_K, num_ranges=8,
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 WILDCARDS = ["s*", "*ta*"]
 
 
@@ -1601,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_query_ranged": q_boolean_query_ranged,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "bm25_where_topk": q_bm25_where_topk,
+        "bm25_where_range": q_bm25_where_range,
         "wildcard_match": q_wildcard_match,
         "fuzzy_match": q_fuzzy_match,
         "more_like_this": q_more_like_this,
@@ -2432,6 +2458,44 @@ dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
 cand AS (
   SELECT toks.doc_id FROM toks JOIN docs USING (doc_id)
   WHERE {f_must} AND docs.lang IN ({langs_in})
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    # range filter context: same formula, candidates restricted by a
+    # dl range + lang IN-list (the executor's where range dicts)
+    bq_terms = sorted(set(_qt(BM25_QUERY)))
+    rw_langs = ", ".join(f"'{x}'" for x in RANGE_WHERE["lang"])
+    sql["bm25_where_range"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(bq_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT toks.doc_id FROM toks JOIN docs USING (doc_id)
+  WHERE len(t) >= {RANGE_WHERE["dl"]["gte"]}
+    AND len(t) < {RANGE_WHERE["dl"]["lt"]}
+    AND docs.lang IN ({rw_langs})
 ),
 scored AS (
   SELECT tf.doc_id,

@@ -2988,10 +2988,11 @@ def bm25_filtered_topk_batch(
     score zero and are not ranked, the standard convention).
 
     METADATA FILTERS: a query may also carry
-    ``"where": {column: [allowed values], ...}`` — attribute predicates
-    over the docmap's metadata columns (``lang``, ``repo``, ...; AND
-    across columns, IN-list within one), the Lucene/ES "filter context"
-    fused into ranking.  The attribute doc-sets are resolved by a
+    ``"where": {column: [allowed values] | {gte/gt/lte/lt: bound}, ...}``
+    — attribute predicates over the docmap's metadata columns (``lang``,
+    ``repo``, ``dl``, ...; AND across columns; a LIST is the ES
+    ``terms`` query, a RANGE DICT the ES ``range`` query), the
+    Lucene/ES "filter context" fused into ranking.  The attribute doc-sets are resolved by a
     column-pruned, predicate-pushed docmap scan and flow to the range
     tasks THROUGH THE SHUFFLE (a cogroup on the same (query, range)
     grid) — never through the driver or a broadcast, so an unselective
@@ -3024,7 +3025,7 @@ def bm25_filtered_topk_batch(
             # values keep their native type (a long column filters with
             # long values) so the distributed and cluster-free paths
             # behave identically; sorting is for spec-dedup determinism
-            wheres[qi] = {c: sorted(set(vals)) for c, vals in w.items()}
+            wheres[qi] = _normalize_where(w)
     return _constrained_ranged_topk(spark, index, norm, wheres, k, num_ranges)
 
 
@@ -3047,7 +3048,8 @@ def bm25_bool_topk_batch(
       context — cacheable constraint, no relevance contribution);
     * ``must_not``: excluding clauses;
     * ``where``: docmap attribute predicates (filter context over
-      metadata columns), same semantics as the filtered executor;
+      metadata columns; IN-lists or gte/gt/lte/lt range dicts), same
+      semantics as the filtered executor;
     * ``boost``: per-term weight map (ES clause boost) — scales that
       term's whole contribution via the idf multiplier, float64 order
       untouched; boosted terms must be scoring (must/should) terms.
@@ -3117,8 +3119,79 @@ def bm25_bool_topk_batch(
         }
         w = q.get("where") or {}
         if w:
-            wheres[qi] = {c: sorted(set(vals)) for c, vals in w.items()}
+            wheres[qi] = _normalize_where(w)
     return _constrained_ranged_topk(spark, index, norm, wheres, k, num_ranges)
+
+
+_RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+
+def _normalize_where(w: dict) -> dict:
+    """Canonicalize a ``where`` filter-context dict: a column maps
+    either to a list of allowed values (ES ``terms`` query — IN) or to
+    a range dict with ``gte/gt/lte/lt`` bounds (ES ``range`` query).
+    Values keep their native type so the distributed and cluster-free
+    paths behave identically."""
+    out: dict = {}
+    for c, v in w.items():
+        if isinstance(v, dict):
+            bad = sorted(set(v) - set(_RANGE_OPS))
+            if bad:
+                raise ValueError(
+                    f"where[{c!r}]: unknown range op(s) {bad} "
+                    f"(allowed: {_RANGE_OPS})"
+                )
+            if not v:
+                raise ValueError(f"where[{c!r}]: empty range dict")
+            out[c] = {op: v[op] for op in _RANGE_OPS if op in v}
+        else:
+            out[c] = sorted(set(v))
+    return out
+
+
+def _where_spec_key(w: dict) -> tuple:
+    """Hashable canonical form of a normalized where dict (queries
+    sharing a predicate share one docmap scan)."""
+    return tuple(
+        sorted(
+            (c, ("range", tuple(sorted(v.items()))))
+            if isinstance(v, dict)
+            else (c, ("in", tuple(v)))
+            for c, v in w.items()
+        )
+    )
+
+
+def _where_pred_col(c: str, v) -> F.Column:
+    """Spark Column predicate for one normalized where entry."""
+    if isinstance(v, dict):
+        ops = {
+            "gte": lambda x: F.col(c) >= x,
+            "gt": lambda x: F.col(c) > x,
+            "lte": lambda x: F.col(c) <= x,
+            "lt": lambda x: F.col(c) < x,
+        }
+        p = None
+        for op, x in v.items():
+            q = ops[op](F.lit(x))
+            p = q if p is None else p & q
+        return p
+    return F.col(c).isin(list(v))
+
+
+def _where_pa_filters(where: dict) -> list:
+    """pyarrow.parquet row-group/page filters for a normalized where
+    dict — the cluster-free path's predicate pushdown (ranges push the
+    same way IN-lists do)."""
+    _pa_ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+    filters = []
+    for c, v in sorted(where.items()):
+        if isinstance(v, dict):
+            for op, x in sorted(v.items()):
+                filters.append((c, _pa_ops[op], x))
+        else:
+            filters.append((c, "in", list(v)))
+    return filters
 
 
 def _constrained_ranged_topk(
@@ -3191,13 +3264,17 @@ def _constrained_ranged_topk(
             )
         by_pred: dict[tuple, list[int]] = {}
         for qi, w in wheres.items():
-            key = tuple(sorted((c, tuple(v)) for c, v in w.items()))
+            key = _where_spec_key(w)
             by_pred.setdefault(key, []).append(qi)
         frames = []
         for key, qids in by_pred.items():
             pred = None
-            for c, vals in key:
-                p = F.col(c).isin(list(vals))
+            for c, spec in key:
+                kind, payload = spec
+                p = _where_pred_col(
+                    c,
+                    dict(payload) if kind == "range" else list(payload),
+                )
                 pred = p if pred is None else pred & p
             ids = dm.filter(pred).select("doc_id")
             qmap = spark.createDataFrame(
@@ -3366,7 +3443,8 @@ def bm25_topk_local(
 
     ``where`` applies the same metadata filter context as the
     distributed :func:`bm25_filtered_topk_batch` (``{column: [allowed
-    values]}`` over docmap metadata columns, AND across columns) to
+    values] | {gte/gt/lte/lt: bound}}`` over docmap metadata columns,
+    AND across columns) to
     EVERY query in the call: the predicate pushes down to the pyarrow
     docmap read, and the resulting allow set is enforced inside the
     WAND/TAAT executors exactly like tombstones — skipped before a doc
@@ -3374,6 +3452,11 @@ def bm25_topk_local(
     allowed documents.  ``afters`` = per-query (score, doc_id)
     search_after cursors (see :func:`bm25_topk_batch`) — the
     interactive pagination shape this sidecar path exists for."""
+    if isinstance(queries, (str, bytes)):
+        raise TypeError(
+            "queries must be a sequence of query strings, not a bare "
+            "string (a string would iterate per character)"
+        )
     if afters is not None and len(afters) != len(queries):
         raise ValueError(
             f"afters has {len(afters)} entries for {len(queries)} queries"
@@ -3406,11 +3489,9 @@ def bm25_topk_local(
             )
     allow = None
     if where:
-        # native-typed values, same as the distributed where path
-        filters = [
-            (c, "in", sorted(set(vals)))
-            for c, vals in sorted(where.items())
-        ]
+        # native-typed values, same as the distributed where path;
+        # range dicts (gte/gt/lte/lt) push down as pyarrow comparisons
+        filters = _where_pa_filters(_normalize_where(where))
         parts = []
         mid_bases = stats.get("docmap_mid_bases", {})
         for d in index.docmap_dir_names():

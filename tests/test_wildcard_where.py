@@ -573,3 +573,63 @@ def test_wildcard_limit_paging(built, spark):
         ).collect()
     )
     assert page2 == full[5:10]
+
+
+def test_where_range_predicates(built, spark):
+    """Range dicts (ES range query) in the filter context: distributed,
+    bool, and cluster-free paths agree bit-exactly, and the result is
+    exactly 'rank all, then apply the range' — including a mixed
+    range + IN where."""
+    from acora_spark.index.bm25 import (
+        bm25_bool_topk_batch,
+        bm25_filtered_topk_batch,
+        bm25_topk_batch,
+        bm25_topk_local,
+    )
+
+    idx, corpus = built
+    toks, langs = _doc_views(idx, corpus, spark)
+    dls = {
+        r.doc_id: r.dl for r in idx.docmap(spark).select("doc_id", "dl").collect()
+    }
+    q = "data table join"
+    w = {"dl": {"gte": 40, "lt": 80}, "lang": ["en", "es"]}
+    ranked_all = bm25_topk_batch(spark, idx, [q], k=10**6).collect()
+    want = [
+        (r.doc_id, r.score)
+        for r in sorted(ranked_all, key=lambda r: r.rank)
+        if 40 <= dls[r.doc_id] < 80 and langs[r.doc_id] in ("en", "es")
+    ][:8]
+    dist = (
+        bm25_filtered_topk_batch(spark, idx, [{"query": q, "where": w}], k=8)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.doc_id, r.score) for r in dist] == want
+    assert len(want) > 0
+    loc = bm25_topk_local(idx, [q], k=8, where=w)
+    assert [(r.doc_id, r.score) for r in dist] == list(
+        zip(loc["doc_id"].tolist(), loc["score"].tolist())
+    )
+    # the scored-bool executor shares the where machinery
+    b = (
+        bm25_bool_topk_batch(
+            spark, idx, [{"must": [q], "where": {"dl": {"gt": 60}}}], k=8
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(b) > 0
+    for r in b:
+        assert dls[r.doc_id] > 60
+    # validation: unknown op, empty dict, bare-string queries
+    with pytest.raises(ValueError, match="unknown range op"):
+        bm25_filtered_topk_batch(
+            spark, idx, [{"query": q, "where": {"dl": {"between": 1}}}]
+        )
+    with pytest.raises(ValueError, match="empty range"):
+        bm25_filtered_topk_batch(
+            spark, idx, [{"query": q, "where": {"dl": {}}}]
+        )
+    with pytest.raises(TypeError, match="bare"):
+        bm25_topk_local(idx, q)
