@@ -159,6 +159,32 @@ def main() -> None:
     merge_index(delta, index_dir)
     merge_secs = round(time.time() - t0, 3)
 
+    # data-hygiene throughput over the same synthetic corpus
+    # (informational, outside the headline wall): the Gopher repetition
+    # gate is the per-row-expression ceiling, decontamination the
+    # broadcast-ngram-join shape
+    from pyspark.sql import functions as F
+
+    from acora_spark.operators.quality import decontaminate, gopher_quality
+
+    t0 = time.time()
+    n_keep = gopher_quality(synth).filter("gopher_keep").count()
+    gopher_secs = round(time.time() - t0, 3)
+
+    ev = synth.filter(F.pmod(F.xxhash64("path"), F.lit(997)) == 0).select(
+        F.substring("content", 20, 200).alias("content")
+    )
+    t0 = time.time()
+    n_cont = (
+        decontaminate(
+            synth, ev, n=8, content_col="content",
+            key_cols=("repo", "path", "commit"),
+        )
+        .filter("contaminated")
+        .count()
+    )
+    decon_secs = round(time.time() - t0, 3)
+
     # -- sf-dir representative queries ------------------------------------
     corpus = load_corpus(spark, sf_dir)
     t0 = time.time()
@@ -188,6 +214,12 @@ def main() -> None:
         "bm25_where_p50": bm25_where_p50,
         "merge_secs": merge_secs,
         "merge_docs_per_sec": round(n_delta / merge_secs, 1),
+        "gopher_secs": gopher_secs,
+        "gopher_docs_per_sec": round(n_docs / gopher_secs, 1),
+        "gopher_keep": int(n_keep),
+        "decon_secs": decon_secs,
+        "decon_docs_per_sec": round(n_docs / decon_secs, 1),
+        "decon_flagged": int(n_cont),
         "scan_mb_per_sec": round(
             total_chars / 1e6 / timings["match_scan"], 1
         ),
