@@ -33,6 +33,11 @@ PHRASE = "table scan"
 # (df ~ 78% of docs) — the doc-range-parallel phrase path's worst case
 PHRASE_RANGED = "table hash"
 PHRASE_NUM_RANGES = 8
+# match_phrase_prefix: exact head token + trailing prefix, with a cap
+# small enough that the ES max_expansions cut is part of what the
+# oracle checks (the corpus vocabulary has more than 5 "sc" terms)
+PP_PHRASE = "table sc"
+PP_MAX_EXP = 5
 # every 5 words -> newline: a deterministic multi-line view of the corpus
 # for the R2/R3 line recipes (documents.parquet text is single-line).
 # Java and RE2 regexes agree on this pattern and global replacement.
@@ -875,6 +880,23 @@ def q_phrase_match_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: exact phrase head + trailing PREFIX,
+    expanded to the first max_expansions vocabulary terms in sort order
+    (the cap is the ES contract and is exercised here); a phrase start
+    counts when ANY expansion completes it."""
+    from acora_spark.index.bm25 import phrase_prefix_match_batch
+
+    idx = _pos_index_for(spark, sf_dir)
+    res = phrase_prefix_match_batch(
+        spark, idx, [PP_PHRASE], max_expansions=PP_MAX_EXP
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "path", F.col("phrase_tf").cast("long").alias("phrase_tf")
+    )
+
+
 def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked deep pagination: page 2 of the flagship query via a
     search_after (score, doc_id) cursor — the executor filters at the
@@ -1633,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "search_facets": q_search_facets,
         "phrase_match": q_phrase_match,
+        "phrase_prefix": q_phrase_prefix,
         "phrase_match_ranged": q_phrase_match_ranged,
         "near_match": q_near_match,
         "percolate_match": q_percolate_match,
@@ -2655,6 +2678,31 @@ SELECT path, phrase_tf::BIGINT AS phrase_tf FROM counted WHERE phrase_tf > 0
 
     sql["phrase_match"] = _phrase_sql(PHRASE)
     sql["phrase_match_ranged"] = _phrase_sql(PHRASE_RANGED)
+
+    # match_phrase_prefix: the trailing token is a prefix; expansions are
+    # the first PP_MAX_EXP vocabulary terms in sort order (the ES cut)
+    pp_toks = PP_PHRASE.lower().split()
+    pp_head, pp_pre = pp_toks[:-1], pp_toks[-1]
+    pp_pred = " AND ".join(
+        [f"t[j + {i}] = '{tok}'" for i, tok in enumerate(pp_head)]
+        + [f"list_contains(e.el, t[j + {len(pp_head)}])"]
+    )
+    sql["phrase_prefix"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+vocab AS (SELECT DISTINCT unnest(t) AS term FROM toks),
+exp AS (
+  SELECT list_slice(list(term ORDER BY term), 1, {PP_MAX_EXP}) AS el
+  FROM vocab WHERE term LIKE '{pp_pre}%'
+),
+counted AS (
+  SELECT path,
+         len(list_filter(range(1, len(t) - {len(pp_toks) - 1} + 1),
+             j -> {pp_pred})) AS phrase_tf
+  FROM toks CROSS JOIN exp e
+)
+SELECT path, phrase_tf::BIGINT AS phrase_tf FROM counted WHERE phrase_tf > 0
+"""
 
     # ranked deep pagination: page 2 == ranks 21..40 of the full rounded
     # ranking (boundary scores distinct at this sf — see the query's

@@ -1742,14 +1742,40 @@ def phrase_match_batch(
 
     A phrase containing a stopword therefore fans out across the grid
     instead of pulling that term's entire postings into one task."""
+    token_lists = {qi: _TOKEN_RE.findall(p.lower()) for qi, p in enumerate(phrases)}
+    token_lists = {qi: t for qi, t in token_lists.items() if t}
+    # exact phrases: every slot IS its index term (identity slot map)
+    slot_rows = [
+        (qi, t, t) for qi, toks in token_lists.items() for t in set(toks)
+    ]
+    return _phrase_slots_exec(spark, index, slot_rows, token_lists, num_ranges)
+
+
+def _phrase_slots_exec(
+    spark: SparkSession,
+    index: Index,
+    slot_rows: Sequence[tuple[int, str, str]],
+    token_lists: dict[int, list[str]],
+    num_ranges: int | None,
+) -> DataFrame:
+    """Shared positional-phrase executor, parameterized by a slot map.
+
+    ``token_lists[qi]`` is the per-query sequence of SLOT tags the
+    intersection kernel chains over; ``slot_rows`` holds
+    ``(query_id, index_term, slot)`` — which real index terms feed each
+    slot.  Exact phrases use the identity map (slot == term);
+    :func:`phrase_prefix_match_batch` maps every expansion of the
+    trailing prefix onto ONE sentinel slot, whose key array becomes the
+    union of the expansions' (doc, position) keys.  Positions are
+    exclusive (one token per (doc, pos)), so slot unions stay
+    sorted-unique after one concat+sort — the ``assume_unique``
+    contract of the intersect kernel holds for every slot map."""
     stats = index.stats
     if not stats.get("with_positions"):
         raise ValueError("phrase queries require an index built with_positions=True")
-    token_lists = {qi: _TOKEN_RE.findall(p.lower()) for qi, p in enumerate(phrases)}
-    token_lists = {qi: t for qi, t in token_lists.items() if t}
-    if not token_lists:
+    if not token_lists or not slot_rows:
         return spark.createDataFrame([], PHRASE_SCHEMA)
-    all_terms = sorted({t for toks in token_lists.values() for t in toks})
+    all_terms = sorted({t for _, t, _ in slot_rows})
     buckets = term_buckets(spark, all_terms, stats["num_buckets"])
     post = index.postings(spark, sorted(set(buckets.values()))).filter(
         F.col("term").isin(all_terms)
@@ -1771,11 +1797,12 @@ def phrase_match_batch(
             f"N={stats['N']}, pos_bits={pos_bits}"
         )
     qdf = spark.createDataFrame(
-        [(qi, t) for qi, toks in token_lists.items() for t in set(toks)],
-        "query_id long, term string",
+        list(slot_rows), "query_id long, term string, slot string"
     )
+    # the slicer passes `term` through untouched, so renaming it to the
+    # slot BEFORE the slice makes the range kernel group by slot for free
     joined = post.join(F.broadcast(qdf), "term").select(
-        "query_id", "term", "postings", "blocks"
+        "query_id", F.col("slot").alias("term"), "postings", "blocks"
     )
 
     sliced = joined.mapInPandas(
@@ -1807,6 +1834,84 @@ def phrase_match_batch(
     return sliced.repartition("query_id", "rng").groupBy(
         "query_id", "rng"
     ).applyInPandas(run_range, PHRASE_SCHEMA)
+
+
+# sentinel slot tag for the expanded trailing prefix — "\x00" cannot
+# appear in index terms (the token alphabet is [a-z0-9_]), so the tag
+# can never collide with an exact phrase token
+_PREFIX_SLOT = "\x00prefix"
+
+
+def phrase_prefix_match_batch(
+    spark: SparkSession,
+    index: Index,
+    phrases: Sequence[str],
+    max_expansions: int = 50,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: exact phrase on all tokens but the
+    last, whose token is a PREFIX — "quick brown f" matches "quick brown
+    fox" and "quick brown fig".  Per ES semantics each prefix expands to
+    the first ``max_expansions`` matching vocabulary terms in term-sort
+    order (Lucene's index order; the cap is part of the CONTRACT, not a
+    silent truncation — docs completed only by terms past the cap do not
+    match, exactly like ES).
+
+    Execution: one pruned vocabulary-column scan expands every prefix in
+    the batch (no posting blobs touched), then the shared positional
+    executor runs with the expansions mapped onto ONE sentinel slot —
+    the kernel sees an ordinary phrase whose last key array is the union
+    of the expansions' packed (doc, position) keys.  ``phrase_tf``
+    counts phrase starts completed by ANY expansion.  A single-token
+    phrase degenerates to a prefix query (tf = occurrences of any
+    expansion).  Returns (query_id, doc_id, phrase_tf) rows."""
+    if max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    token_lists = {qi: _TOKEN_RE.findall(p.lower()) for qi, p in enumerate(phrases)}
+    token_lists = {qi: t for qi, t in token_lists.items() if t}
+    if not token_lists:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    prefixes = {qi: toks[-1] for qi, toks in token_lists.items()}
+    # ONE pruned vocabulary-column scan for the whole batch: terms join
+    # the broadcast prefix list, a per-query window keeps the first
+    # max_expansions in term-sort order (the ES/Lucene cut — truncation
+    # is the documented contract here, unlike wildcard's TooManyClauses),
+    # so the driver collect is bounded at len(phrases) * max_expansions
+    # no matter how degenerate the prefix
+    pref_df = spark.createDataFrame(
+        [(qi, p) for qi, p in prefixes.items()], "query_id long, prefix string"
+    )
+    cond = None
+    for p in set(prefixes.values()):
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    vocab = index.postings(spark).select("term").filter(cond).distinct()
+    w = Window.partitionBy("query_id").orderBy("term")
+    rows = (
+        vocab.join(
+            F.broadcast(pref_df), F.col("term").startswith(F.col("prefix"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select("query_id", "term")
+        .collect()
+    )
+    expansions: dict[int, list[str]] = {qi: [] for qi in token_lists}
+    for r in rows:
+        expansions[r["query_id"]].append(r["term"])
+    for qi in expansions:
+        expansions[qi].sort()
+    slot_rows: list[tuple[int, str, str]] = []
+    slot_lists: dict[int, list[str]] = {}
+    for qi, toks in token_lists.items():
+        if not expansions[qi]:
+            continue  # no vocabulary term carries the prefix -> no match
+        for t in set(toks[:-1]):
+            slot_rows.append((qi, t, t))
+        for t in expansions[qi]:
+            slot_rows.append((qi, t, _PREFIX_SLOT))
+        slot_lists[qi] = list(toks[:-1]) + [_PREFIX_SLOT]
+    return _phrase_slots_exec(spark, index, slot_rows, slot_lists, num_ranges)
 
 
 NEAR_SCHEMA = StructType(

@@ -367,6 +367,59 @@ def test_positional_index_and_phrase_match(spark, sf_dir, tmp_path):
         assert got.get(qi, {}) == want, phrase
 
 
+def test_phrase_prefix_match(spark, sf_dir, tmp_path):
+    """match_phrase_prefix vs a brute-force oracle: expansions are the
+    first max_expansions vocabulary terms in sort order (the ES cut,
+    exercised with a deliberately small cap), and a phrase start counts
+    when ANY expansion completes it.  Covers the degenerate single-token
+    (pure prefix) form and a prefix with no vocabulary match."""
+    import re as _re
+
+    from acora_spark.index.bm25 import phrase_prefix_match_batch
+
+    corpus = load_corpus(spark, sf_dir).limit(150)
+    index_dir = str(tmp_path / "ppidx")
+    idx = build_index(
+        corpus, index_dir, num_buckets=4, bucket_group_size=4,
+        with_positions=True, resume=False,
+    )
+    max_exp = 3
+    phrases = ["table sc", "the f", "da", "table zzzqqq"]
+    res = phrase_prefix_match_batch(
+        spark, idx, phrases, max_expansions=max_exp
+    ).collect()
+    got: dict[int, dict[int, int]] = {}
+    for r in res:
+        got.setdefault(r.query_id, {})[r.doc_id] = r.phrase_tf
+
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    tok_re = _re.compile(r"[a-z0-9_]+")
+    docs = [
+        (docmap[(row.repo, row.path, row.commit)],
+         tok_re.findall(row.content.lower()))
+        for row in corpus.collect()
+    ]
+    vocab = sorted({t for _, toks in docs for t in toks})
+    for qi, phrase in enumerate(phrases):
+        ptoks = tok_re.findall(phrase.lower())
+        head, pre = ptoks[:-1], ptoks[-1]
+        exp = set([t for t in vocab if t.startswith(pre)][:max_exp])
+        want: dict[int, int] = {}
+        for did, toks in docs:
+            c = sum(
+                1
+                for i in range(len(toks) - len(ptoks) + 1)
+                if toks[i : i + len(head)] == head
+                and toks[i + len(head)] in exp
+            )
+            if c:
+                want[did] = c
+        assert got.get(qi, {}) == want, phrase
+
+
 def test_phrase_requires_positions(spark, sf_dir, built):
     from acora_spark.index.bm25 import phrase_match_batch
 
