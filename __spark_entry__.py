@@ -617,6 +617,45 @@ def q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_HITS_K = 3
+# composite page 2: an arbitrary but FIXED cursor — the keyset predicate
+# is a constant filter, so the page is deterministic at any sf and the
+# oracle applies the identical cursor
+COMPOSITE_AFTER = ("es", 75.0)
+COMPOSITE_SIZE = 8
+COMPOSITE_INTERVAL = 25.0
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation with a top_hits sub-aggregation: per-language
+    top-3 matching docs by doc length (doc_id ascending tie-break), one
+    windowed row_number after the boolean-ids/docmap join."""
+    from acora_spark.index.bm25 import search_top_hits
+
+    idx = _index_for(spark, sf_dir)
+    res = search_top_hits(
+        spark, idx, AGG_QUERY, "lang", [("dl", "desc")], k=TOP_HITS_K
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "value", "hit_rank", "path", F.col("dl").cast("long").alias("dl")
+    )
+
+
+def q_search_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation, page 2: (lang terms source, doc-length
+    histogram source) buckets strictly past a fixed after-cursor, ordered
+    by the key tuple, one bounded orderBy+limit."""
+    from acora_spark.index.bm25 import search_composite
+
+    idx = _index_for(spark, sf_dir)
+    return search_composite(
+        spark, idx, AGG_QUERY,
+        [("lang", "lang", None), ("dlb", "dl", COMPOSITE_INTERVAL)],
+        size=COMPOSITE_SIZE, after=COMPOSITE_AFTER,
+    ).withColumn("dlb", F.col("dlb").cast("double"))
+
+
 def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _termvectors with term_statistics: per-term tf (in the
     requested docs) + corpus df (from the index) for every TV_MOD-th
@@ -1676,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_cardinality": q_search_cardinality,
         "facet_stats": q_facet_stats,
         "search_sorted": q_search_sorted,
+        "top_hits": q_top_hits,
+        "search_composite": q_search_composite,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -2403,6 +2444,39 @@ FROM m ORDER BY dl DESC, doc_id ASC LIMIT {SORT_K}
 WITH {_CORPUS_CTE},
 {_TOKS_CTE}
 SELECT count(*)::BIGINT AS count FROM toks WHERE {ag_must} AND {ag_not}
+"""
+
+    sql["top_hits"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+m AS (
+  SELECT doc_id, d.lang AS value, toks.path AS path, len(t) AS dl
+  FROM toks JOIN docs d USING (doc_id) WHERE {ag_must} AND {ag_not}
+),
+r AS (
+  SELECT value, path, dl,
+         row_number() OVER (PARTITION BY value
+                            ORDER BY dl DESC, doc_id ASC) AS hit_rank
+  FROM m
+)
+SELECT value, hit_rank::INT AS hit_rank, path, dl::BIGINT AS dl
+FROM r WHERE hit_rank <= {TOP_HITS_K}
+"""
+
+    ca_lang, ca_dlb = COMPOSITE_AFTER
+    sql["search_composite"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+b AS (
+  SELECT d.lang AS lang,
+         floor(len(t) / {COMPOSITE_INTERVAL}) * {COMPOSITE_INTERVAL} AS dlb,
+         count(*)::BIGINT AS doc_count
+  FROM toks JOIN docs d USING (doc_id) WHERE {ag_must} AND {ag_not}
+  GROUP BY 1, 2
+)
+SELECT lang, dlb::DOUBLE AS dlb, doc_count FROM b
+WHERE lang > '{ca_lang}' OR (lang = '{ca_lang}' AND dlb > {ca_dlb})
+ORDER BY lang, dlb LIMIT {COMPOSITE_SIZE}
 """
 
     # PII redaction: patterns chain in PII_PATTERNS order; each count

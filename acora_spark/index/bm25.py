@@ -2850,6 +2850,110 @@ def search_sorted(
     )
 
 
+def search_top_hits(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    facet_col: str,
+    sort: Sequence[tuple[str, str]],
+    k: int = 3,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation: for
+    every value of ``facet_col`` over the docs matching a boolean query,
+    the top-``k`` hits ordered by docmap attributes (``doc_id``
+    ascending appended as the deterministic final tie-break, the ES
+    ``_doc`` convention).  Returns
+    ``(value, hit_rank, doc_id, <sort columns...>)``.
+
+    Execution: boolean ids (range-parallel) join the column-pruned
+    docmap once, then ONE window ``row_number`` partitioned by the facet
+    — a sort-based exchange that spills safely on a hot facet value (no
+    per-group collect), with the rank filter applied before anything
+    leaves the executors."""
+    if not sort:
+        raise ValueError("sort must be non-empty")
+    for c, d in sort:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc, got {d!r}")
+    cols = list(dict.fromkeys([facet_col] + [c for c, _ in sort]))
+    joined = _boolean_docmap_join(spark, index, query, cols, num_ranges)
+    order = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sort
+    ] + [F.col("doc_id").asc()]
+    w = Window.partitionBy(facet_col).orderBy(*order)
+    return (
+        joined.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= k)
+        .select(
+            F.col(facet_col).cast("string").alias("value"),
+            "hit_rank",
+            "doc_id",
+            *[c for c in cols if c != facet_col],
+        )
+    )
+
+
+def search_composite(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    sources: Sequence[tuple[str, str, float | None]],
+    size: int = 10,
+    after: Sequence | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: multi-source bucket keys over the
+    docs matching a boolean query, paged by key order — THE ES way to
+    exhaustively enumerate a large bucket space without deep-bucket
+    truncation.  ``sources`` is ``(name, docmap_column, interval)`` where
+    ``interval=None`` is a terms source and a number is a histogram
+    source (bucket = floor(value/interval)*interval).  Buckets order by
+    the full key tuple ascending; ``after`` (the previous page's last
+    key tuple) filters STRICTLY past the cursor with a lexicographic
+    keyset predicate, so every page is one bounded
+    ``orderBy(keys).limit(size)`` — per-partition heaps, no global sort,
+    no state carried between pages.  Returns
+    ``(<source names...>, doc_count)``."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    names = [n for n, _, _ in sources]
+    if len(set(names)) != len(names):
+        raise ValueError("source names must be unique")
+    cols = list(dict.fromkeys(c for _, c, _ in sources))
+    joined = _boolean_docmap_join(spark, index, query, cols, num_ranges)
+    key_exprs = []
+    for name, col, interval in sources:
+        if interval is None:
+            key_exprs.append(F.col(col).alias(name))
+        else:
+            if interval <= 0:
+                raise ValueError("histogram interval must be > 0")
+            key_exprs.append(
+                (
+                    F.floor(F.col(col).cast("double") / F.lit(float(interval)))
+                    * F.lit(float(interval))
+                ).alias(name)
+            )
+    buckets = joined.groupBy(*key_exprs).agg(F.count("*").alias("doc_count"))
+    if after is not None:
+        if len(after) != len(names):
+            raise ValueError(
+                f"after key must have {len(names)} values, got {len(after)}"
+            )
+        # lexicographic keyset: strictly past the cursor
+        pred = None
+        for i in range(len(names)):
+            clause = F.col(names[i]) > F.lit(after[i])
+            for j in range(i):
+                clause = (F.col(names[j]) == F.lit(after[j])) & clause
+            pred = clause if pred is None else (pred | clause)
+        buckets = buckets.filter(pred)
+    return buckets.orderBy(*[F.col(n).asc() for n in names]).limit(size)
+
+
 def term_vectors(
     spark: SparkSession,
     index: Index,

@@ -168,3 +168,71 @@ def test_search_sorted(built, ground, spark):
     with pytest.raises(ValueError, match="non-empty"):
         search_sorted(spark, idx, Q, [])
 
+
+
+def test_search_top_hits(built, ground, spark):
+    from acora_spark.index.bm25 import search_top_hits
+
+    idx, _ = built
+    _, match = ground
+    dm = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for k, (lang, t) in match.items():
+        per_lang.setdefault(lang, []).append((len(t), dm[k]))
+    want = {
+        lang: [
+            doc
+            for _, doc in sorted(rows, key=lambda kv: (-kv[0], kv[1]))[:2]
+        ]
+        for lang, rows in per_lang.items()
+    }
+    got: dict[str, list[int]] = {}
+    res = search_top_hits(
+        spark, idx, Q, "lang", [("dl", "desc")], k=2
+    ).orderBy("value", "hit_rank").collect()
+    for r in res:
+        got.setdefault(r.value, []).append(r.doc_id)
+        # the sort column rides along
+        assert isinstance(r.dl, (int, float))
+    assert got == want
+    with pytest.raises(ValueError, match="direction"):
+        search_top_hits(spark, idx, Q, "lang", [("dl", "down")])
+    with pytest.raises(ValueError, match="non-empty"):
+        search_top_hits(spark, idx, Q, "lang", [])
+
+
+def test_search_composite_paging(built, ground, spark):
+    from acora_spark.index.bm25 import search_composite
+
+    idx, _ = built
+    _, match = ground
+    want: dict[tuple[str, float], int] = {}
+    for lang, t in match.values():
+        key = (lang, math.floor(len(t) / 25.0) * 25.0)
+        want[key] = want.get(key, 0) + 1
+    full = sorted(want.items())
+
+    sources = [("lang", "lang", None), ("dlb", "dl", 25.0)]
+    pages, after = [], None
+    while True:
+        page = search_composite(
+            spark, idx, Q, sources, size=3, after=after
+        ).collect()
+        if not page:
+            break
+        assert len(page) <= 3
+        pages.extend(page)
+        after = (page[-1]["lang"], page[-1]["dlb"])
+        if len(page) < 3:
+            break
+    got = [((r.lang, r.dlb), r.doc_count) for r in pages]
+    assert got == full
+    # no duplicate buckets across pages
+    assert len({k for k, _ in got}) == len(got)
+    with pytest.raises(ValueError, match="after key"):
+        search_composite(spark, idx, Q, sources, after=("en",))
+    with pytest.raises(ValueError, match="non-empty"):
+        search_composite(spark, idx, Q, [])
