@@ -617,6 +617,37 @@ def q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPLAIN_DOCS = 5
+
+
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain: per-(doc, term) BM25 decomposition — tf, df, idf, dl
+    and the term contribution — for the flagship query's top-5 docs
+    (selected on the rounded score, the cross-engine-stable order);
+    contributions sum to exactly the executor's score (pytest asserts
+    bit-exactness on the raw float64)."""
+    from acora_spark.index.bm25 import bm25_explain, bm25_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    raw = bm25_topk_batch(spark, idx, [BM25_QUERY], k=4 * BM25_K)
+    rounded = raw.withColumn("score", F.round("score", 4))
+    top = (
+        rounded.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(EXPLAIN_DOCS)
+        .select("doc_id")
+        .collect()
+    )
+    ids = [r["doc_id"] for r in top]
+    res = bm25_explain(spark, idx, BM25_QUERY, ids)
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "path", "term", "tf", "df",
+        F.round("idf", 6).alias("idf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
 TOP_HITS_K = 3
 # composite page 2: an arbitrary but FIXED cursor — the keyset predicate
 # is a constant filter, so the page is deterministic at any sf and the
@@ -1717,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sorted": q_search_sorted,
         "top_hits": q_top_hits,
         "search_composite": q_search_composite,
+        "bm25_explain": q_bm25_explain,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -2461,6 +2493,42 @@ r AS (
 )
 SELECT value, hit_rank::INT AS hit_rank, path, dl::BIGINT AS dl
 FROM r WHERE hit_rank <= {TOP_HITS_K}
+"""
+
+    ex_terms = sorted(set(BM25_QUERY.lower().split()))
+    sql["bm25_explain"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(ex_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+comp AS (
+  SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, f.df AS df,
+         ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) AS idf,
+         d.dl AS dl,
+         1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl) AS norm
+  FROM tf JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, round(sum(idf * tf / (tf + norm)), 4) AS score
+  FROM comp GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {EXPLAIN_DOCS}
+)
+SELECT d.path AS path, c.term AS term, c.tf AS tf, c.df AS df,
+       round(c.idf, 6) AS idf, c.dl::BIGINT AS dl,
+       round(c.idf * c.tf / (c.tf + c.norm), 6) AS contribution
+FROM comp c JOIN top USING (doc_id) JOIN dl d USING (doc_id)
 """
 
     ca_lang, ca_dlb = COMPOSITE_AFTER

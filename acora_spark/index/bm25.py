@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -2952,6 +2953,133 @@ def search_composite(
             pred = clause if pred is None else (pred | clause)
         buckets = buckets.filter(pred)
     return buckets.orderBy(*[F.col(n).asc() for n in names]).limit(size)
+
+
+EXPLAIN_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+        StructField("dl", LongType(), False),
+    ]
+)
+
+
+def bm25_explain(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    doc_ids: Sequence[int],
+    max_docs: int = 64,
+) -> DataFrame:
+    """ES ``_explain`` API, batched: the BM25 score decomposition of a
+    query against SPECIFIC documents — per (doc, term) the index tf,
+    df, idf, dl, the length norm, and the term's contribution, which
+    sum (ascending-term, float64) to exactly the executor's score.
+
+    Execution: the diagnostic doc set is small by contract
+    (``max_docs`` guards the API), so it broadcasts; the postings read
+    is bucket-pruned + term-filtered as in the executors, and each
+    (term, shard) row decodes ONLY the blocks whose ``last_doc`` skip
+    pointers can contain a requested id — a hot term's postings are
+    never fully decoded.  Soft-deleted docs explain to nothing, the
+    same contract the executors enforce.  Returns
+    ``(term, doc_id, tf, df, idf, dl, norm, contribution)``."""
+    terms = query_terms(query)
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) > max_docs:
+        raise ValueError(
+            f"explain is a per-doc diagnostic: {len(ids)} docs requested, "
+            f"max_docs={max_docs}"
+        )
+    stats = index.stats
+    if not terms or not len(ids):
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    buckets = term_buckets(spark, terms, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(terms)
+    )
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    tomb = index.tombstones(spark)
+    if len(tomb):
+        ids = ids[~np.isin(ids, tomb)]
+    if not len(ids):
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    n_docs, avgdl = stats["N"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    positional = bool(stats.get("with_positions"))
+    bc_ids = spark.sparkContext.broadcast(ids)
+
+    def fn(batches):
+        want = bc_ids.value
+        for pdf in batches:
+            out = {"term": [], "doc_id": [], "tf": [], "dl": []}
+            for term, blob, blocks in zip(
+                pdf["term"], pdf["postings"], pdf["blocks"]
+            ):
+                blocks = [dict(x) for x in blocks]
+                if not blocks:
+                    continue
+                last = np.array(
+                    [blk["last_doc"] for blk in blocks], dtype=np.int64
+                )
+                # block i covers (last[i-1], last[i]] — candidates via
+                # one searchsorted over the skip pointers
+                sel = np.unique(np.searchsorted(last, want, side="left"))
+                sel = sel[sel < len(blocks)]
+                if not len(sel):
+                    continue
+                if positional:
+                    docs, tfs, dls, _pos = decode_postings_positional(
+                        bytes(blob), blocks, block_idx=sel
+                    )
+                else:
+                    docs, tfs, dls = decode_postings(
+                        bytes(blob), blocks, block_idx=sel
+                    )
+                hit = np.isin(docs, want)
+                for d, tf, dl in zip(docs[hit], tfs[hit], dls[hit]):
+                    out["term"].append(term)
+                    out["doc_id"].append(int(d))
+                    out["tf"].append(int(tf))
+                    out["dl"].append(int(dl))
+            yield pd.DataFrame(out)
+
+    raw = post.select("term", "postings", "blocks").mapInPandas(
+        fn, EXPLAIN_SCHEMA
+    )
+    tstats = spark.createDataFrame(
+        [
+            (t, int(d), float(idf(int(n_docs), int(d))))
+            for t, d in sorted(term_df.items())
+        ],
+        "term string, df long, idf double",
+    )
+    # same float64 expression the kernels evaluate (impact * idf):
+    # norm = k1*(1-b+b*dl/avgdl), contribution = idf * tf/(tf+norm)
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.lit(float(avgdl))
+    )
+    return (
+        raw.join(F.broadcast(tstats), "term")
+        .withColumn("norm", norm)
+        .withColumn(
+            # idf * (tf/(tf+norm)) — parenthesized like the kernels'
+            # t_idf * impact(...) so the float64 result is bit-identical
+            "contribution",
+            F.col("idf")
+            * (
+                F.col("tf").cast("double")
+                / (F.col("tf").cast("double") + F.col("norm"))
+            ),
+        )
+        .select(
+            "term", "doc_id", "tf", "df", "idf", "dl", "norm", "contribution"
+        )
+    )
 
 
 def term_vectors(

@@ -236,3 +236,43 @@ def test_search_composite_paging(built, ground, spark):
         search_composite(spark, idx, Q, sources, after=("en",))
     with pytest.raises(ValueError, match="non-empty"):
         search_composite(spark, idx, Q, [])
+
+
+def test_bm25_explain(built, ground, spark):
+    from acora_spark.index.bm25 import bm25_explain, bm25_topk_batch
+
+    idx, _ = built
+    docs, _ = ground
+    q = "merge data stream"
+    top = bm25_topk_batch(spark, idx, [q], k=5).collect()
+    ids = [r.doc_id for r in top]
+    scores = {r.doc_id: r.score for r in top}
+    rows = bm25_explain(spark, idx, q, ids).collect()
+
+    # per-doc float64 sum in ascending-term order == executor score,
+    # bit-exact (same idf literals, same impact expression shape)
+    per_doc: dict[int, float] = {}
+    for r in sorted(rows, key=lambda r: r.term):
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0.0) + r.contribution
+    assert set(per_doc) == set(ids)
+    for d in ids:
+        assert per_doc[d] == scores[d]
+
+    # tf and dl match a brute force over the corpus; df is corpus-wide
+    dm = {
+        r.doc_id: (r.repo, r.path, r.commit)
+        for r in idx.docmap(spark).collect()
+    }
+    n_with = {
+        t: sum(1 for _, toks in docs.values() if t in toks)
+        for t in ("merge", "data", "stream")
+    }
+    for r in rows:
+        toks = docs[dm[r.doc_id]][1]
+        assert r.tf == toks.count(r.term)
+        assert r.dl == len(toks)
+        assert r.df == n_with[r.term]
+
+    # the guard: explain is a bounded diagnostic API
+    with pytest.raises(ValueError, match="max_docs"):
+        bm25_explain(spark, idx, q, list(range(100)), max_docs=10)
