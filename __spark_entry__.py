@@ -617,6 +617,29 @@ def q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_DEDUP_MIN_DOCS = 2  # the C4 rule: any line occurring more than once
+LINE_DEDUP_MIN_CHARS = 10
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb boilerplate-line removal over the multi-line corpus
+    view: lines of >= 10 chars occurring in >= 2 distinct docs drop from
+    every doc; content is rewritten (md5 here, for a compact result) and
+    the per-doc removal count is the audit column."""
+    from acora_spark.operators.quality import dedup_lines
+
+    ml = _multiline_corpus(spark, sf_dir)
+    out = dedup_lines(
+        ml,
+        key_cols=("repo", "path", "commit"),
+        min_docs=LINE_DEDUP_MIN_DOCS,
+        min_line_chars=LINE_DEDUP_MIN_CHARS,
+    )
+    return out.select(
+        "path", "n_lines_removed", F.md5("content").alias("content_md5")
+    )
+
+
 EXPLAIN_DOCS = 5
 
 
@@ -1749,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits": q_top_hits,
         "search_composite": q_search_composite,
         "bm25_explain": q_bm25_explain,
+        "dedup_lines": q_dedup_lines,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -2493,6 +2517,42 @@ r AS (
 )
 SELECT value, hit_rank::INT AS hit_rank, path, dl::BIGINT AS dl
 FROM r WHERE hit_rank <= {TOP_HITS_K}
+"""
+
+    sql["dedup_lines"] = f"""
+WITH {_CORPUS_CTE},
+ml AS (
+  SELECT path,
+         regexp_replace(content, '{_LINE_BREAK_RE}', '\\1' || chr(10), 'g') AS content
+  FROM corpus
+),
+ls0 AS (SELECT path, string_split(content, chr(10)) AS ls FROM ml),
+lines AS (
+  SELECT path, unnest(ls) AS line, unnest(range(0, len(ls))) AS line_no
+  FROM ls0
+),
+hot AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT path) AS c
+    FROM lines WHERE length(line) >= {LINE_DEDUP_MIN_CHARS}
+    GROUP BY line
+  ) WHERE c >= {LINE_DEDUP_MIN_DOCS}
+),
+kept AS (
+  SELECT path, line_no, line FROM lines
+  WHERE NOT (length(line) >= {LINE_DEDUP_MIN_CHARS}
+             AND line IN (SELECT line FROM hot))
+),
+agg AS (
+  SELECT path, string_agg(line, chr(10) ORDER BY line_no) AS content,
+         count(*) AS n_kept
+  FROM kept GROUP BY path
+),
+tot AS (SELECT path, count(*) AS n_all FROM lines GROUP BY path)
+SELECT t.path AS path,
+       (t.n_all - coalesce(a.n_kept, 0))::BIGINT AS n_lines_removed,
+       md5(coalesce(a.content, '')) AS content_md5
+FROM tot t LEFT JOIN agg a USING (path)
 """
 
     ex_terms = sorted(set(BM25_QUERY.lower().split()))

@@ -39,6 +39,7 @@ __all__ = [
     "GOPHER_THRESHOLDS",
     "PII_PATTERNS",
     "redact",
+    "dedup_lines",
 ]
 
 
@@ -392,3 +393,84 @@ def redact(
         )
     cols[out_col] = red
     return df.withColumns(cols)
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    key_cols: Sequence[str] = ("doc_id",),
+    min_docs: int = 2,
+    min_line_chars: int = 10,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate line removal (the C4 / RefinedWeb /
+    MassiveText repetition-removal rule): a line occurring in at least
+    ``min_docs`` DISTINCT documents is boilerplate (license headers,
+    navigation chrome, generated banners) and is dropped from EVERY
+    document.  Lines shorter than ``min_line_chars`` are never dropped —
+    short lines (blank, "}", "end") repeat for structural reasons, not
+    because they are boilerplate.  Returns the input with ``content_col``
+    rewritten and an ``n_lines_removed`` audit column.
+
+    Plan shape at 100 TB: documents explode to (key, line_no, line)
+    rows once; ONE map-combined aggregation counts distinct docs per
+    eligible line (in-doc repeats pre-collapse map-side via the
+    (line, key) distinct, so a line repeated 1000x inside one doc
+    contributes one row to the shuffle); the boilerplate set — tiny
+    relative to the corpus by construction — joins back onto the lines,
+    and documents reassemble with a per-doc sorted ``collect_list``
+    (bounded by the document's own size).  Grouping is by the line
+    text itself, which keeps the operator exactly mirrorable in ANSI
+    SQL; at extreme scale swap the join key for ``xxhash64(line)`` to
+    shrink shuffle rows (collision odds ~n^2/2^64 — a silent extra
+    drop, which is why it is not the default)."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    keys = list(key_cols)
+    other = [c for c in df.columns if c != content_col]
+    lines = df.select(
+        *other,
+        F.posexplode(
+            F.split(F.coalesce(F.col(content_col), F.lit("")), line_sep, -1)
+        ).alias("line_no", "line"),
+    )
+    eligible = F.length("line") >= min_line_chars
+    hot = (
+        lines.filter(eligible)
+        .select("line", *keys)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("line_df"))
+        .filter(F.col("line_df") >= min_docs)
+        .select("line", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(hot, "line", "left").withColumn(
+        "_drop", eligible & F.col("_boiler").isNotNull()
+    )
+    rebuilt = (
+        marked.groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias(content_col),
+            F.sum(F.col("_drop").cast("long")).alias("n_lines_removed"),
+        )
+    )
+    rest = [c for c in other if c not in keys]
+    if rest:
+        # key_cols identify a document (the caller's contract), so the
+        # attribute attach is a plain key join — no dedup pass needed
+        rebuilt = rebuilt.join(df.select(*keys, *rest), keys)
+    return rebuilt.select(*keys, *rest, content_col, "n_lines_removed")

@@ -262,3 +262,65 @@ def test_stratified_sample_deterministic(spark):
         )
     with pytest.raises(ValueError, match="non-empty"):
         stratified_sample(df, strata_cols=(), quotas=1)
+
+
+def test_dedup_lines_brute_force(spark):
+    """Randomized docs with planted boilerplate vs a driver-side brute
+    force of the same rule (drop lines of >= min_line_chars chars in
+    >= min_docs distinct docs), plus the structural edge cases: NULL
+    content, empty lines preserved, short repeated lines immune,
+    in-doc repeats counting once, all-lines-removed docs."""
+    from acora_spark.operators.quality import dedup_lines
+
+    rng = random.Random(11)
+    header = "licensed under the apache license version 2"
+    banner = "generated by tool do not edit"
+    short = "end"  # repeats everywhere but is under min_line_chars
+    body = ["alpha beta gamma", "delta epsilon", "unique line %d",
+            "x", ""]
+    docs: list[tuple[int, str | None]] = [(0, None), (1, "")]
+    for i in range(2, 40):
+        ls = []
+        if rng.random() < 0.6:
+            ls.append(header)
+        for _ in range(rng.randrange(0, 5)):
+            w = rng.choice(body)
+            ls.append(w % i if "%d" in w else w)
+        if rng.random() < 0.4:
+            ls.append(banner)
+            if rng.random() < 0.5:
+                ls.append(banner)  # in-doc repeat: counts once
+        ls.append(short)
+        docs.append((i, "\n".join(ls)))
+    docs.append((40, header))  # every line removed -> empty content
+
+    min_docs, min_chars = 3, 10
+    # brute force
+    df_count: dict[str, set[int]] = {}
+    for did, text in docs:
+        for line in (text or "").split("\n"):
+            if len(line) >= min_chars:
+                df_count.setdefault(line, set()).add(did)
+    hot = {l for l, s in df_count.items() if len(s) >= min_docs}
+    want: dict[int, tuple[str, int]] = {}
+    for did, text in docs:
+        kept = [
+            l
+            for l in (text or "").split("\n")
+            if not (len(l) >= min_chars and l in hot)
+        ]
+        n_rm = len((text or "").split("\n")) - len(kept)
+        want[did] = ("\n".join(kept), n_rm)
+    assert any(n for _, n in want.values())  # the rule actually fires
+
+    sdf = spark.createDataFrame(docs, "doc_id long, content string")
+    out = dedup_lines(
+        sdf.withColumn("lang", F.lit("en")),
+        min_docs=min_docs, min_line_chars=min_chars,
+    ).collect()
+    got = {r.doc_id: (r.content, r.n_lines_removed) for r in out}
+    assert got == want
+    # attribute column survives
+    assert all(r.lang == "en" for r in out)
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup_lines(sdf, min_docs=1)
