@@ -1695,6 +1695,30 @@ def q_curated_docs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DH_THRESHOLD = 250.0  # sparse enough at sf0.01 that day gaps exist
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with calendar intervals: offset-shifted day
+    buckets (boundaries at 06:00) over a sparse event subset, with
+    min_doc_count=0 emitting the EMPTY buckets across the span — the
+    sequence()-generated calendar axis left-joins the one map-combined
+    aggregation."""
+    from acora_spark.operators.timeseries import date_histogram
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        (F.col("event_type") == "error") & (F.col("value") > DH_THRESHOLD)
+    )
+    out = date_histogram(
+        e, calendar_interval="day", offset="'6' HOUR",
+        min_doc_count=0, value_col="value", round_to=4,
+    )
+    return out.select(
+        F.col("bucket").cast("string").alias("bucket"), "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1773,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_composite": q_search_composite,
         "bm25_explain": q_bm25_explain,
         "dedup_lines": q_dedup_lines,
+        "date_histogram": q_date_histogram,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3532,6 +3557,27 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
 FROM events
 GROUP BY 1, 2
 """
+    sql["date_histogram"] = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE event_type = 'error' AND value > {DH_THRESHOLD}
+),
+counted AS (
+  SELECT date_trunc('day', ts - INTERVAL 6 HOUR) + INTERVAL 6 HOUR AS bucket,
+         count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+  FROM ev GROUP BY 1
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM counted),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+)
+SELECT CAST(a.bucket AS VARCHAR) AS bucket,
+       coalesce(c.n, 0)::BIGINT AS n,
+       round(coalesce(c.sum_value, 0.0), 4) AS sum_value
+FROM axis a LEFT JOIN counted c USING (bucket)
+"""
+
     from acora_spark.functions.text import BPE_TOKEN_RE
 
     sql["token_count_bpe"] = f"""

@@ -1,0 +1,107 @@
+"""Time-series aggregations over event streams: the ES
+``date_histogram`` (calendar intervals) — the piece of the aggregation
+family that fixed-width :func:`~acora_spark.index.bm25.search_histogram`
+cannot express, because calendar buckets (months, quarters) are not a
+constant number of seconds.
+
+Everything is built-in expressions (``date_trunc``, interval
+arithmetic, ``sequence``): zero Python on the data path, one
+map-combined aggregation, and the empty-bucket fill joins a tiny
+generated calendar axis against the aggregated buckets — never against
+the raw events.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["date_histogram", "CALENDAR_UNITS"]
+
+# ES calendar_interval units -> (Spark date_trunc unit, bucket step)
+CALENDAR_UNITS = {
+    "minute": "INTERVAL '1' MINUTE",
+    "hour": "INTERVAL '1' HOUR",
+    "day": "INTERVAL '1' DAY",
+    "week": "INTERVAL '7' DAY",
+    "month": "INTERVAL '1' MONTH",
+    "quarter": "INTERVAL '3' MONTH",
+    "year": "INTERVAL '1' YEAR",
+}
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    calendar_interval: str = "day",
+    *,
+    offset: str | None = None,
+    min_doc_count: int = 1,
+    value_col: str | None = None,
+    group_cols: Sequence[str] = (),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``date_histogram`` aggregation with CALENDAR intervals:
+    buckets are ``date_trunc`` boundaries (weeks start Monday, months on
+    the 1st — not fixed-width seconds), optionally shifted by
+    ``offset`` (the ES "+6h" form, passed as a Spark interval string
+    like ``"6 hours"``: boundaries move, so a day bucket runs
+    06:00→06:00).  ``min_doc_count=0`` emits EMPTY buckets across the
+    data's full span — the ES convention charting clients rely on —
+    by generating the calendar axis with ``sequence()`` and left-joining
+    the aggregated buckets (with ``group_cols``, per group value).
+    Returns ``(bucket timestamp, <group_cols...>, n [, sum_value])``.
+
+    Scale shape: ONE map-combined groupBy over the events; the axis
+    fill touches only (buckets x groups) rows.  The aggregation is
+    exactly mirrorable in ANSI SQL (``date_trunc`` + interval
+    arithmetic + ``generate_series``)."""
+    if calendar_interval not in CALENDAR_UNITS:
+        raise ValueError(
+            f"calendar_interval must be one of {sorted(CALENDAR_UNITS)}, "
+            f"got {calendar_interval!r}"
+        )
+    if min_doc_count not in (0, 1):
+        raise ValueError("min_doc_count must be 0 or 1 (the ES defaults)")
+    step = CALENDAR_UNITS[calendar_interval]
+    unit = "week" if calendar_interval == "week" else calendar_interval
+    ts = F.col(ts_col)
+    if offset is not None:
+        off = F.expr(f"INTERVAL {offset}")
+        bucket = F.date_trunc(unit, ts - off) + off
+    else:
+        bucket = F.date_trunc(unit, ts)
+    gcols = list(group_cols)
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        s = F.sum(value_col)
+        if round_to is not None:
+            s = F.round(s, round_to)
+        aggs.append(s.alias("sum_value"))
+    counted = df.groupBy(bucket.alias("bucket"), *gcols).agg(*aggs)
+    if min_doc_count == 1:
+        return counted
+    # min_doc_count=0: generate the calendar axis over the observed span
+    # and left-join the counts; the axis is tiny (buckets x groups)
+    bounds = counted.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    axis = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(step))
+        ).alias("bucket")
+    )
+    if gcols:
+        axis = axis.crossJoin(df.select(*gcols).distinct())
+    filled = axis.join(counted, ["bucket", *gcols], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    )
+    if value_col is not None:
+        filled = filled.withColumn(
+            "sum_value", F.coalesce(F.col("sum_value"), F.lit(0.0))
+        )
+    return filled.select("bucket", *gcols, "n", *(
+        ["sum_value"] if value_col is not None else []
+    ))

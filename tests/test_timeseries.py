@@ -1,0 +1,100 @@
+"""ES date_histogram (calendar intervals) vs driver-side brute forces:
+calendar month boundaries, offset-shifted day buckets, empty-bucket
+fill, and per-group axis fill."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from acora_spark.operators.timeseries import date_histogram
+
+
+def _mk_events(spark):
+    rows = []
+    t = dt.datetime(2024, 1, 28, 3, 15)
+    # irregular steps spanning Jan->Apr with multi-day gaps
+    steps = [0, 5, 26, 30, 50, 51, 52, 200, 201, 500, 900, 1300, 1301]
+    for i, h in enumerate(steps):
+        rows.append(
+            (i, t + dt.timedelta(hours=h), "click" if i % 3 else "view",
+             float(i))
+        )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ), [r[1] for r in rows], rows
+
+
+def test_month_calendar_buckets(spark):
+    df, tss, rows = _mk_events(spark)
+    got = {
+        r.bucket: (r.n, r.sum_value)
+        for r in date_histogram(
+            df, calendar_interval="month", value_col="value"
+        ).collect()
+    }
+    want: dict[dt.datetime, list[float]] = {}
+    for _, ts, _, v in rows:
+        b = dt.datetime(ts.year, ts.month, 1)
+        want.setdefault(b, []).append(v)
+    assert got == {
+        b: (len(vs), round(sum(vs), 6)) for b, vs in want.items()
+    }
+
+
+def test_offset_day_buckets_and_fill(spark):
+    df, tss, rows = _mk_events(spark)
+    out = date_histogram(
+        df, calendar_interval="day", offset="'6' HOUR", min_doc_count=0
+    ).collect()
+    got = {r.bucket: r.n for r in out}
+
+    def b_of(ts):
+        s = ts - dt.timedelta(hours=6)
+        return dt.datetime(s.year, s.month, s.day, 6)
+
+    want: dict[dt.datetime, int] = {}
+    for _, ts, _, _ in rows:
+        want[b_of(ts)] = want.get(b_of(ts), 0) + 1
+    lo, hi = min(want), max(want)
+    cur = lo
+    while cur <= hi:
+        want.setdefault(cur, 0)
+        cur += dt.timedelta(days=1)
+    assert got == want
+    assert 0 in set(got.values())  # gaps genuinely filled
+    # buckets sit on the 06:00 offset boundary
+    assert all(b.hour == 6 for b in got)
+
+
+def test_group_cols_axis_fill(spark):
+    df, _, rows = _mk_events(spark)
+    out = date_histogram(
+        df, calendar_interval="week", min_doc_count=0,
+        group_cols=("event_type",),
+    ).collect()
+    got = {(r.bucket, r.event_type): r.n for r in out}
+    want: dict[tuple, int] = {}
+    for _, ts, et, _ in rows:
+        d = ts.date()
+        monday = d - dt.timedelta(days=d.weekday())
+        b = dt.datetime(monday.year, monday.month, monday.day)
+        want[(b, et)] = want.get((b, et), 0) + 1
+    weeks = sorted({b for b, _ in want})
+    lo, hi = weeks[0], weeks[-1]
+    cur = lo
+    while cur <= hi:
+        for et in ("click", "view"):
+            want.setdefault((cur, et), 0)
+        cur += dt.timedelta(days=7)
+    assert got == want
+
+
+def test_validation(spark):
+    df, _, _ = _mk_events(spark)
+    with pytest.raises(ValueError, match="calendar_interval"):
+        date_histogram(df, calendar_interval="fortnight")
+    with pytest.raises(ValueError, match="min_doc_count"):
+        date_histogram(df, min_doc_count=2)
