@@ -617,6 +617,25 @@ def q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"en": 1.5, "de": 2.0, "zh": 0.5}  # langs absent: dropped
+
+
+def q_repeat_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain upsampling (the mixing primitive's other
+    half): per-lang fractional repeat weights resolved by the
+    md5(seed|doc_id) uniform draw, epoch column per copy — exact,
+    reproducible, zero corpus shuffle."""
+    from acora_spark.operators.curate import repeat_by_weight
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repeat_by_weight(
+        d, strata_cols=("lang",), weights=MIX_WEIGHTS, key_cols=("doc_id",)
+    )
+    return out.select(
+        "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 LINE_DEDUP_MIN_DOCS = 2  # the C4 rule: any line occurring more than once
 LINE_DEDUP_MIN_CHARS = 10
 
@@ -1798,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": q_bm25_explain,
         "dedup_lines": q_dedup_lines,
         "date_histogram": q_date_histogram,
+        "repeat_by_weight": q_repeat_by_weight,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -2542,6 +2562,24 @@ r AS (
 )
 SELECT value, hit_rank::INT AS hit_rank, path, dl::BIGINT AS dl
 FROM r WHERE hit_rank <= {TOP_HITS_K}
+"""
+
+    mix_vals = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())
+    sql["repeat_by_weight"] = f"""
+WITH w(lang, wt) AS (VALUES {mix_vals}),
+d AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+c AS (
+  SELECT doc_id, d.lang AS lang,
+         (floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)::BIGINT AS copies
+  FROM d JOIN w USING (lang)
+)
+SELECT doc_id, lang, unnest(range(0, copies))::BIGINT AS epoch
+FROM c WHERE copies > 0
 """
 
     sql["dedup_lines"] = f"""

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from acora_spark.functions.text import lang_id, quality_score
 from acora_spark.operators.dedup import lsh_candidate_pairs
 
-__all__ = ["curate", "chunk_documents", "split_corpus", "stratified_sample"]
+__all__ = ["curate", "chunk_documents", "split_corpus", "stratified_sample", "repeat_by_weight"]
 
 
 def stratified_sample(
@@ -230,3 +230,77 @@ def curate(
             content_col=content_col, key_cols=(id_col,), mode="drop",
         )
     return out
+
+
+def repeat_by_weight(
+    docs: DataFrame,
+    *,
+    strata_cols: tuple[str, ...],
+    weights: dict,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "mix",
+    max_weight: float = 100.0,
+) -> DataFrame:
+    """Deterministic domain upsampling — the other half of the mixing
+    primitive (:func:`stratified_sample` downsamples): each document
+    repeats ``weight(stratum)`` times, with fractional weights resolved
+    per document by a uniform hash draw (weight 2.3 -> every doc gets 2
+    copies, and the 30% of docs whose ``md5(seed|key)`` falls below .3
+    get a third).  The realized mixture is EXACT in expectation and a
+    pure function of (seed, key): stable across runs, cluster sizes,
+    and row order — reruns of a 100-TB mixing job reproduce the same
+    epochs bit-for-bit, unlike Bernoulli sampling.
+
+    Strata absent from ``weights`` keep weight 0 (dropped — explicit
+    mixtures only).  Output adds an ``epoch`` column (0-based copy
+    index) so downstream shuffles can spread copies across the run.
+    Shape: a broadcast weights join + one ``explode(sequence(...))`` —
+    zero shuffle of the corpus; ``max_weight`` guards against a typo'd
+    weight exploding the output 1000x."""
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    spark = docs.sparkSession
+    rows = []
+    for key, wt in weights.items():
+        vals = key if isinstance(key, tuple) else (key,)
+        if len(vals) != len(strata_cols):
+            raise ValueError(
+                f"weight key {key!r} arity != strata {strata_cols}"
+            )
+        wt = float(wt)
+        if wt < 0 or wt > max_weight:
+            raise ValueError(
+                f"weight {wt} for {key!r} outside [0, {max_weight}]"
+            )
+        rows.append((*[str(v) for v in vals], wt))
+    wdf = spark.createDataFrame(
+        rows,
+        ", ".join(f"`{c}` string" for c in strata_cols) + ", _w double",
+    )
+    # uniform in [0,1) from the first 8 md5 hex chars — the same
+    # deterministic draw any ANSI engine reproduces exactly
+    h = F.md5(
+        F.concat_ws("|", F.lit(seed), *[F.col(c) for c in key_cols])
+    )
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+        float(16**8)
+    )
+    copies = (
+        F.floor(F.col("_w"))
+        + F.when(u < (F.col("_w") - F.floor(F.col("_w"))), 1).otherwise(0)
+    ).cast("long")
+    joined = docs.join(
+        F.broadcast(wdf),
+        [docs[c].cast("string") == wdf[c] for c in strata_cols],
+    ).drop(*[wdf[c] for c in strata_cols])
+    return (
+        joined.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)),
+        )
+        .drop("_w", "_copies")
+    )

@@ -324,3 +324,55 @@ def test_dedup_lines_brute_force(spark):
     assert all(r.lang == "en" for r in out)
     with pytest.raises(ValueError, match="min_docs"):
         dedup_lines(sdf, min_docs=1)
+
+
+def test_repeat_by_weight_brute_force(spark):
+    """Deterministic upsampling vs a python mirror of the same hash
+    draw: copy counts, epoch indices, zero-weight and missing strata
+    dropped, stability across repartition, and the weight guard."""
+    import hashlib
+
+    from acora_spark.operators.curate import repeat_by_weight
+
+    docs = [(i, ["web", "code", "wiki", "forum"][i % 4]) for i in range(60)]
+    sdf = spark.createDataFrame(docs, "doc_id long, source string")
+    weights = {"web": 0.5, "code": 2.3, "wiki": 1.0}  # forum: dropped
+
+    def u_of(did):
+        h = hashlib.md5(f"mix|{did}".encode()).hexdigest()
+        return int(h[:8], 16) / 16**8
+
+    want: dict[tuple[int, int], int] = {}
+    import math
+    for did, src in docs:
+        w = weights.get(src, 0.0)
+        c = int(math.floor(w)) + (1 if u_of(did) < w - math.floor(w) else 0)
+        for ep in range(c):
+            want[(did, ep)] = want.get((did, ep), 0) + 1
+
+    out = repeat_by_weight(
+        sdf, strata_cols=("source",), weights=weights
+    ).collect()
+    got: dict[tuple[int, int], int] = {}
+    for r in out:
+        got[(r.doc_id, r.epoch)] = got.get((r.doc_id, r.epoch), 0) + 1
+    assert got == want
+    assert any(ep == 2 for _, ep in got)  # the fractional third copy fires
+    assert all(src != "forum" for _, src in docs if False)  # noop guard
+    assert not any(r.source == "forum" for r in out)
+    # stable under different partitioning
+    out2 = repeat_by_weight(
+        sdf.repartition(7), strata_cols=("source",), weights=weights
+    ).collect()
+    got2 = {}
+    for r in out2:
+        got2[(r.doc_id, r.epoch)] = got2.get((r.doc_id, r.epoch), 0) + 1
+    assert got2 == want
+    with pytest.raises(ValueError, match="outside"):
+        repeat_by_weight(
+            sdf, strata_cols=("source",), weights={"web": 1e6}
+        )
+    with pytest.raises(ValueError, match="arity"):
+        repeat_by_weight(
+            sdf, strata_cols=("source",), weights={("a", "b"): 1.0}
+        )
