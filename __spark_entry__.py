@@ -690,6 +690,28 @@ def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCT_PERCENTS = (1.0, 25.0, 50.0, 75.0, 99.0)
+RANGE_BUCKETS = [(None, 50.0), (50.0, 100.0), (100.0, None)]
+
+
+def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (exact linear interpolation, the value
+    the t-digest approximates) of doc length over the matching docs."""
+    from acora_spark.index.bm25 import search_percentiles
+
+    idx = _index_for(spark, sf_dir)
+    return search_percentiles(spark, idx, AGG_QUERY, "dl", PCT_PERCENTS)
+
+
+def q_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation: explicit [from, to) doc-length buckets
+    (open ends, ES key convention), ONE conditional-sum pass."""
+    from acora_spark.index.bm25 import search_range_agg
+
+    idx = _index_for(spark, sf_dir)
+    return search_range_agg(spark, idx, AGG_QUERY, "dl", RANGE_BUCKETS)
+
+
 TOP_HITS_K = 3
 # composite page 2: an arbitrary but FIXED cursor — the keyset predicate
 # is a constant filter, so the page is deterministic at any sf and the
@@ -1818,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "date_histogram": q_date_histogram,
         "repeat_by_weight": q_repeat_by_weight,
+        "search_percentiles": q_search_percentiles,
+        "search_range": q_search_range,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -2545,6 +2569,44 @@ FROM m ORDER BY dl DESC, doc_id ASC LIMIT {SORT_K}
 WITH {_CORPUS_CTE},
 {_TOKS_CTE}
 SELECT count(*)::BIGINT AS count FROM toks WHERE {ag_must} AND {ag_not}
+"""
+
+    pct_list = ", ".join(str(p) for p in PCT_PERCENTS)
+    q_list = ", ".join(str(p / 100.0) for p in PCT_PERCENTS)
+    sql["search_percentiles"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+sel AS (SELECT len(t) AS dl FROM toks WHERE {ag_must} AND {ag_not})
+SELECT unnest([{pct_list}]) AS percent,
+       unnest(list_transform(quantile_cont(dl, [{q_list}]),
+                             v -> round(v, 6))) AS value
+FROM sel
+"""
+
+    def _range_row(lo, hi):
+        key = f"{'*' if lo is None else format(lo, 'g')}-" \
+              f"{'*' if hi is None else format(hi, 'g')}"
+        conds = []
+        if lo is not None:
+            conds.append(f"dl >= {lo}")
+        if hi is not None:
+            conds.append(f"dl < {hi}")
+        lo_sql = "NULL::DOUBLE" if lo is None else f"{lo}::DOUBLE"
+        hi_sql = "NULL::DOUBLE" if hi is None else f"{hi}::DOUBLE"
+        return (
+            f"SELECT '{key}' AS range_key, {lo_sql} AS lo, {hi_sql} AS hi, "
+            f"coalesce(sum(CASE WHEN {' AND '.join(conds)} THEN 1 ELSE 0 END), 0)::BIGINT "
+            f"AS doc_count FROM sel"
+        )
+
+    range_union = "\nUNION ALL\n".join(
+        _range_row(lo, hi) for lo, hi in RANGE_BUCKETS
+    )
+    sql["search_range"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+sel AS (SELECT len(t) AS dl FROM toks WHERE {ag_must} AND {ag_not})
+{range_union}
 """
 
     sql["top_hits"] = f"""

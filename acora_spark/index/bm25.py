@@ -2851,6 +2851,104 @@ def search_sorted(
     )
 
 
+def search_percentiles(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    percents: Sequence[float] = (1, 5, 25, 50, 75, 95, 99),
+    num_ranges: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation over a numeric docmap attribute of
+    the matching docs.  Exact linear-interpolation percentiles (the
+    value ES's t-digest approximates; identical convention in numpy
+    ``linear``, Spark ``percentile``, and SQL ``quantile_cont``, so the
+    oracle can verify values exactly — at truly unbounded result sets
+    swap in ``approx_percentile``, Spark's own sketch).  Returns
+    ``(percent, value)`` rows from ONE aggregation."""
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    ps = [float(p) for p in percents]
+    if any(p < 0 or p > 100 for p in ps):
+        raise ValueError("percents must be within [0, 100]")
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    vals = F.percentile(
+        F.col(field).cast("double"),
+        F.array(*[F.lit(p / 100.0) for p in ps]),
+    )
+    one = joined.agg(vals.alias("vals"))
+    out = one.select(
+        F.posexplode("vals").alias("pos", "value")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in ps]), F.col("pos") + 1
+        ).alias("percent"),
+        "value",
+    )
+    if round_to is not None:
+        out = out.withColumn("value", F.round("value", round_to))
+    return out
+
+
+def search_range_agg(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    ranges: Sequence[tuple[float | None, float | None]],
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``range`` aggregation: explicit ``[from, to)`` buckets (either
+    end open) of a numeric docmap attribute over the matching docs.
+    Buckets are independent per the ES contract — they may overlap and a
+    doc lands in every bucket it satisfies — so each is one conditional
+    ``sum`` in a SINGLE map-combined aggregation pass (no per-bucket
+    scan, no shuffle of doc rows beyond the one boolean/docmap join).
+    Returns ``(range_key, lo, hi, doc_count)`` with the ES key
+    convention ``"from-to"`` / ``"*-to"`` / ``"from-*"``."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    c = F.col(field).cast("double")
+    aggs = []
+    meta = []
+    for i, (lo, hi) in enumerate(ranges):
+        if lo is None and hi is None:
+            raise ValueError("a range needs at least one bound")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= float(lo))
+        if hi is not None:
+            cond = cond & (c < float(hi))
+        key = f"{'*' if lo is None else format(float(lo), 'g')}-" \
+              f"{'*' if hi is None else format(float(hi), 'g')}"
+        aggs.append(F.sum(cond.cast("long")).alias(f"_r{i}"))
+        meta.append((key, lo, hi))
+    one = joined.agg(*aggs)
+    pairs = []
+    for i, (key, lo, hi) in enumerate(meta):
+        pairs += [
+            F.lit(key),
+            F.struct(
+                F.lit(None if lo is None else float(lo)).cast("double").alias("lo"),
+                F.lit(None if hi is None else float(hi)).cast("double").alias("hi"),
+                F.col(f"_r{i}").alias("doc_count"),
+            ),
+        ]
+    return (
+        one.select(
+            F.explode(F.create_map(*pairs)).alias("range_key", "s")
+        )
+        .select(
+            "range_key",
+            F.col("s.lo").alias("lo"),
+            F.col("s.hi").alias("hi"),
+            F.coalesce(F.col("s.doc_count"), F.lit(0)).alias("doc_count"),
+        )
+    )
+
+
 def search_top_hits(
     spark: SparkSession,
     index: Index,

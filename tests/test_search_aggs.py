@@ -276,3 +276,53 @@ def test_bm25_explain(built, ground, spark):
     # the guard: explain is a bounded diagnostic API
     with pytest.raises(ValueError, match="max_docs"):
         bm25_explain(spark, idx, q, list(range(100)), max_docs=10)
+
+
+def test_search_percentiles(built, ground, spark):
+    import numpy as np
+
+    from acora_spark.index.bm25 import search_percentiles
+
+    idx, _ = built
+    _, match = ground
+    dls = np.array(sorted(len(t) for _, t in match.values()), dtype=float)
+    ps = (0.0, 10.0, 50.0, 90.0, 100.0)
+    got = {
+        r.percent: r.value
+        for r in search_percentiles(spark, idx, Q, "dl", ps).collect()
+    }
+    want = {
+        p: round(float(np.percentile(dls, p, method="linear")), 6)
+        for p in ps
+    }
+    assert got == pytest.approx(want)
+    with pytest.raises(ValueError, match="within"):
+        search_percentiles(spark, idx, Q, "dl", (101,))
+    with pytest.raises(ValueError, match="non-empty"):
+        search_percentiles(spark, idx, Q, "dl", ())
+
+
+def test_search_range_agg(built, ground, spark):
+    from acora_spark.index.bm25 import search_range_agg
+
+    idx, _ = built
+    _, match = ground
+    dls = [len(t) for _, t in match.values()]
+    ranges = [(None, 50.0), (50.0, 100.0), (80.0, None), (1e9, None)]
+    got = {
+        r.range_key: (r.lo, r.hi, r.doc_count)
+        for r in search_range_agg(spark, idx, Q, "dl", ranges).collect()
+    }
+    want = {
+        "*-50": (None, 50.0, sum(1 for d in dls if d < 50)),
+        "50-100": (50.0, 100.0, sum(1 for d in dls if 50 <= d < 100)),
+        "80-*": (80.0, None, sum(1 for d in dls if d >= 80)),
+        "1e+09-*": (1e9, None, 0),  # empty bucket still emitted
+    }
+    assert got == want
+    # overlapping buckets: doc counted in each it satisfies
+    assert sum(c for _, _, c in got.values()) >= len(dls)
+    with pytest.raises(ValueError, match="at least one bound"):
+        search_range_agg(spark, idx, Q, "dl", [(None, None)])
+    with pytest.raises(ValueError, match="non-empty"):
+        search_range_agg(spark, idx, Q, "dl", [])
