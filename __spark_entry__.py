@@ -617,6 +617,38 @@ def q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K, RRF_RETRIEVER_K, RRF_TOP = 60, 20, 10
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 hybrid search: lexical BM25 top-20 and vector cosine top-20
+    over the SAME doc-id space fused by reciprocal rank fusion
+    (score = sum 1/(60+rank)); rank-based, so the incomparable score
+    scales need no calibration."""
+    from acora_spark.index.bm25 import bm25_topk_dataframe
+    from acora_spark.operators.similarity import brute_force_topk, rrf_fusion
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    lex = bm25_topk_dataframe(
+        d, BM25_QUERY, k=RRF_RETRIEVER_K, score_round=4
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    vec = brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=RRF_RETRIEVER_K
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = rrf_fusion(
+        [lex.select("doc_id", "rank"), vec.select("doc_id", "rank")],
+        rrf_k=RRF_K, top_n=RRF_TOP,
+    )
+    return fused.select(
+        "fused_rank", "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"), "n_retrievers",
+    )
+
+
 MIX_WEIGHTS = {"en": 1.5, "de": 2.0, "zh": 0.5}  # langs absent: dropped
 
 
@@ -1842,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_by_weight": q_repeat_by_weight,
         "search_percentiles": q_search_percentiles,
         "search_range": q_search_range,
+        "hybrid_rrf": q_hybrid_rrf,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -2624,6 +2657,58 @@ r AS (
 )
 SELECT value, hit_rank::INT AS hit_rank, path, dl::BIGINT AS dl
 FROM r WHERE hit_rank <= {TOP_HITS_K}
+"""
+
+    rrf_terms = sorted(set(BM25_QUERY.lower().split()))
+    sql["hybrid_rrf"] = f"""
+WITH toks2 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+dl2 AS (SELECT doc_id, len(t) AS dl FROM toks2),
+stats2 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl2),
+qterms(term) AS (VALUES {_values(rrf_terms)}),
+tok_rows2 AS (SELECT doc_id, unnest(t) AS term FROM toks2),
+tf2 AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows2 WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term),
+scored2 AS (
+  SELECT tf2.doc_id AS doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf2.tf / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl / s.avgdl)) ), 4) AS score
+  FROM tf2 JOIN dl2 USING (doc_id) CROSS JOIN stats2 s JOIN dfreq2 d USING (term)
+  GROUP BY tf2.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored2 ORDER BY score DESC, doc_id ASC LIMIT {RRF_RETRIEVER_K}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM cscored ORDER BY cos DESC, doc_id ASC LIMIT {RRF_RETRIEVER_K}
+),
+u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM vec),
+f AS (
+  SELECT doc_id, sum(1.0 / ({RRF_K} + rank)) AS rrf_score,
+         count(*)::BIGINT AS n_retrievers
+  FROM u GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::INT AS fused_rank,
+       doc_id, round(rrf_score, 6) AS rrf_score, n_retrievers
+FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOP}
 """
 
     mix_vals = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())

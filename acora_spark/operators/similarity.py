@@ -29,6 +29,7 @@ __all__ = [
     "ivf_topk",
     "build_ann_index",
     "ann_query",
+    "rrf_fusion",
 ]
 
 
@@ -349,3 +350,72 @@ def ivf_topk(
         cells.filter(F.col("cell").isin(probe)).select(id_col), id_col
     )
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def rrf_fusion(
+    results: Sequence[DataFrame],
+    *,
+    rrf_k: int = 60,
+    top_n: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    query_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Reciprocal rank fusion (the ES 8 hybrid-search combiner;
+    Cormack/Clarke/Buettcher SIGIR '09): fuse N ranked result lists —
+    typically lexical BM25 and vector kNN — by
+    ``score(d) = sum over lists of 1/(rrf_k + rank_in_list(d))``.
+    Rank-based, so the retrievers' incomparable score scales never need
+    calibration; ``rrf_k`` (ES default 60) damps the head.
+
+    Each input needs ``(query_cols..., id_col, rank_col)`` with 1-based
+    ranks.  The inputs are already top-k'd (<= k rows per query per
+    retriever), so everything downstream is bounded: one unionByName,
+    ONE map-combined aggregation over <= N*k rows per query, and a
+    per-query window for the fused top-``top_n``.  Returns
+    ``(query_cols..., fused_rank, id_col, rrf_score, n_retrievers)``.
+    Summation is in retriever order per doc (sort inside the agg is
+    unnecessary: addition of the two-or-three reciprocal terms is
+    order-insensitive at the rounding the caller applies; ties broken
+    by id ascending)."""
+    if len(results) < 2:
+        raise ValueError("rrf_fusion needs at least two result lists")
+    if rrf_k < 1:
+        raise ValueError("rrf_k must be >= 1")
+    qcols = list(query_cols)
+    tagged = [
+        df.select(
+            *qcols,
+            F.col(id_col).alias(id_col),
+            F.col(rank_col).cast("long").alias("_rank"),
+        )
+        for df in results
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    scored = u.groupBy(*qcols, id_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_rank"))).alias(
+            "rrf_score"
+        ),
+        F.count("*").alias("n_retrievers"),
+    )
+    from pyspark.sql import Window
+
+    order = [F.desc("rrf_score"), F.asc(id_col)]
+    if qcols:
+        w = Window.partitionBy(*qcols).orderBy(*order)
+        return (
+            scored.withColumn("fused_rank", F.row_number().over(w))
+            .filter(F.col("fused_rank") <= top_n)
+            .select(*qcols, "fused_rank", id_col, "rrf_score", "n_retrievers")
+        )
+    # single-query form: distributed limit first, then the in-partition
+    # row index (no WindowExec, no no-partition warning)
+    lim = scored.orderBy(*order).limit(top_n).coalesce(1)
+    return lim.sortWithinPartitions(*order).select(
+        (F.monotonically_increasing_id() + 1).cast("int").alias("fused_rank"),
+        id_col,
+        "rrf_score",
+        "n_retrievers",
+    )

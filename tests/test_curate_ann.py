@@ -123,3 +123,54 @@ def test_curate_gopher_and_decontaminate(spark, docs):
     )
     assert cols == {"doc_id", "content", "quality_score", "lang_pred"}
 
+
+
+def test_rrf_fusion_brute_force(spark):
+    """RRF vs a python mirror: multi-retriever sum, docs present in one
+    list only, tie-break by id, per-query partitioning, and the
+    single-query (no query_cols) form."""
+    import pytest as _pytest
+
+    from acora_spark.operators.similarity import rrf_fusion
+
+    a = [(0, 10 + i, i + 1) for i in range(8)]          # q0: docs 10..17
+    b = [(0, 14 + i, i + 1) for i in range(8)]          # q0: docs 14..21
+    a += [(1, 30 + i, i + 1) for i in range(5)]         # q1 in A only
+    A = spark.createDataFrame(a, "qid long, doc_id long, rank long")
+    B = spark.createDataFrame(b, "qid long, doc_id long, rank long")
+
+    K, TOP = 60, 6
+    want_scores: dict[tuple[int, int], tuple[float, int]] = {}
+    for qid, d, r in a + b:
+        s, n = want_scores.get((qid, d), (0.0, 0))
+        want_scores[(qid, d)] = (s + 1.0 / (K + r), n + 1)
+    want: dict[int, list[int]] = {}
+    for qid in (0, 1):
+        rows = sorted(
+            ((v[0], -d) for (q, d), v in want_scores.items() if q == qid),
+            reverse=True,
+        )
+        want[qid] = [-nd for _, nd in rows[:TOP]]
+
+    out = rrf_fusion(
+        [A, B], rrf_k=K, top_n=TOP, query_cols=("qid",)
+    ).collect()
+    got: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r.qid, r.fused_rank)):
+        got.setdefault(r.qid, []).append(r.doc_id)
+        k = (r.qid, r.doc_id)
+        assert r.rrf_score == _pytest.approx(want_scores[k][0])
+        assert r.n_retrievers == want_scores[k][1]
+    assert got == want
+
+    # single-query form (no query_cols): same docs as q0
+    out0 = rrf_fusion(
+        [A.filter("qid = 0").drop("qid"), B.filter("qid = 0").drop("qid")],
+        rrf_k=K, top_n=TOP,
+    ).collect()
+    assert [r.doc_id for r in sorted(out0, key=lambda r: r.fused_rank)] == want[0]
+
+    with _pytest.raises(ValueError, match="at least two"):
+        rrf_fusion([A])
+    with _pytest.raises(ValueError, match="rrf_k"):
+        rrf_fusion([A, B], rrf_k=0)
