@@ -617,6 +617,27 @@ def q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TERMS = ("the", "data", "table")
+SPAN_SLOP = 8
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity (Lucene SpanNearQuery inOrder=true): docs where
+    the three terms occur in order with at most 8 intervening tokens,
+    with the minimal such count — the vectorized greedy chain over
+    packed position keys, doc-range-parallel."""
+    from acora_spark.index.bm25 import span_near_match_batch
+
+    idx = _pos_index_for(spark, sf_dir)
+    res = span_near_match_batch(
+        spark, idx, [{"terms": list(SPAN_TERMS), "slop": SPAN_SLOP}]
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "path", F.col("span").cast("long").alias("span")
+    )
+
+
 RRF_K, RRF_RETRIEVER_K, RRF_TOP = 60, 20, 10
 
 
@@ -1875,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_percentiles": q_search_percentiles,
         "search_range": q_search_range,
         "hybrid_rrf": q_hybrid_rrf,
+        "span_near": q_span_near,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3411,6 +3433,28 @@ spans AS (
   FROM a JOIN b USING (doc_id) GROUP BY a.doc_id, a.path
 )
 SELECT path, span FROM spans WHERE span <= {NEAR_WINDOW}
+"""
+
+    t1, t2, t3 = SPAN_TERMS
+    sql["span_near"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+posr AS (
+  SELECT doc_id, path, unnest(t) AS term,
+         unnest(range(len(t))) AS p
+  FROM toks
+),
+a AS (SELECT doc_id, path, p FROM posr WHERE term = '{t1}'),
+b AS (SELECT doc_id, p FROM posr WHERE term = '{t2}'),
+c AS (SELECT doc_id, p FROM posr WHERE term = '{t3}'),
+spans AS (
+  SELECT a.doc_id AS doc_id, a.path AS path,
+         min(c.p - a.p + 1 - 3)::BIGINT AS span
+  FROM a JOIN b ON a.doc_id = b.doc_id AND b.p > a.p
+         JOIN c ON b.doc_id = c.doc_id AND c.p > b.p
+  GROUP BY a.doc_id, a.path
+)
+SELECT path, span FROM spans WHERE span <= {SPAN_SLOP}
 """
 
     sql["content_integrity"] = f"""

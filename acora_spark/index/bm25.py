@@ -2044,6 +2044,149 @@ def near_match_batch(
     ).applyInPandas(run_range, NEAR_SCHEMA)
 
 
+def _ordered_spans_from_keys(
+    key_arrays: dict[str, np.ndarray],
+    terms: Sequence[str],
+    pos_bits: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized minimal ORDERED span over packed position keys: for
+    every doc where ``terms`` occur at strictly increasing positions in
+    the given order, the minimum total intervening-token count
+    (``last - first + 1 - len(terms)``, the Lucene ordered-span slop
+    measure) over one chosen occurrence per term.
+
+    Greedy chain, one ``searchsorted`` per consecutive term pair: the
+    best predecessor of an occurrence is its term's LATEST prior
+    occurrence in the same doc — valid because the carried chain-start
+    array is nondecreasing within a doc by induction (base: positions
+    ascend; step: searchsorted indices into a sorted array ascend), so
+    the latest predecessor always carries the maximal (= span-minimal)
+    start.  Duplicate terms in the chain need no special case: the
+    strict ``< cur key`` predecessor search enforces strictly
+    increasing positions even when ``cur is prev``."""
+    if any(t not in key_arrays for t in terms):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pmask = (np.int64(1) << pos_bits) - 1
+    prev_keys = key_arrays[terms[0]]
+    prev_start = prev_keys & pmask
+    for t in terms[1:]:
+        if not len(prev_keys):
+            break
+        cur = key_arrays[t]
+        i = np.searchsorted(prev_keys, cur, side="left") - 1
+        i_safe = np.maximum(i, 0)
+        ok = (i >= 0) & (
+            (prev_keys[i_safe] >> pos_bits) == (cur >> pos_bits)
+        )
+        prev_keys = cur[ok]
+        prev_start = prev_start[i_safe][ok]
+    if not len(prev_keys):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    spans = (prev_keys & pmask) - prev_start + 1 - len(terms)
+    docs = prev_keys >> pos_bits  # ascending: chain ends stay sorted
+    starts = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+    return docs[starts], np.minimum.reduceat(spans, starts)
+
+
+def span_near_match_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[dict],
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ORDERED proximity search over a positional index — Lucene
+    SpanNearQuery with ``inOrder=true``: for each query
+    ``{"terms": [...], "slop": n}`` the documents where the terms occur
+    in the GIVEN order at strictly increasing positions with at most
+    ``n`` total intervening tokens, returned with the minimal such
+    count (``slop=0`` degenerates to the exact phrase).  Term order is
+    preserved and duplicates are meaningful ("data .. data"), unlike
+    the unordered :func:`near_match_batch`.
+
+    Same doc-range-parallel grid as the phrase executor; each
+    (query, range) group runs the vectorized greedy chain of
+    :func:`_ordered_spans_from_keys` — one ``searchsorted`` per
+    consecutive term pair, no per-candidate-doc Python loop."""
+    stats = index.stats
+    if not stats.get("with_positions"):
+        raise ValueError(
+            "span queries require an index built with_positions=True"
+        )
+    specs: dict[int, tuple[list[str], int]] = {}
+    for qi, q in enumerate(queries):
+        # order-preserving tokenization (query_terms sorts and dedups,
+        # which would change the span semantics)
+        terms = [
+            t for x in q.get("terms", []) for t in _TOKEN_RE.findall(
+                str(x).lower()
+            )
+        ]
+        slop = int(q.get("slop", 0))
+        if slop < 0:
+            raise ValueError(f"query {qi}: slop must be >= 0")
+        if len(terms) < 2:
+            raise ValueError(
+                f"query {qi}: span queries need at least two terms"
+            )
+        specs[qi] = (terms, slop)
+    if not specs:
+        return spark.createDataFrame([], NEAR_SCHEMA)
+    all_terms = sorted({t for ts, _ in specs.values() for t in ts})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(all_terms)
+    )
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], NEAR_SCHEMA)
+    pos_bits = _phrase_pos_bits(stats, 1)
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+    if max(1, _id_space(stats) - 1).bit_length() + pos_bits > 62:
+        raise ValueError(
+            "packed position keys would overflow int64: "
+            f"N={stats['N']}, pos_bits={pos_bits}"
+        )
+    qdf = spark.createDataFrame(
+        sorted({(qi, t) for qi, (ts, _) in specs.items() for t in ts}),
+        "query_id long, term string",
+    )
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    sliced = joined.mapInPandas(
+        _make_positional_slicer(shift, pos_bits),
+        "query_id long, rng long, term string, keys array<long>",
+    )
+    bc_specs = spark.sparkContext.broadcast(specs)
+    tomb = index.tombstones(spark)
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+
+    def run_range(key, pdf):
+        qid = int(key[0])
+        terms, slop = bc_specs.value[qid]
+        key_arrays: dict[str, np.ndarray] = {}
+        for term, grp in pdf.groupby("term", sort=False):
+            arrs = [np.asarray(a, dtype=np.int64) for a in grp["keys"]]
+            a = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+            key_arrays[term] = a
+        docs, spans = _ordered_spans_from_keys(key_arrays, terms, pos_bits)
+        keep = spans <= slop
+        docs, spans = docs[keep], spans[keep]
+        if bc_ex is not None and len(docs):
+            pos = np.searchsorted(bc_ex.value, docs)
+            dead = (pos < len(bc_ex.value)) & (
+                bc_ex.value[np.minimum(pos, len(bc_ex.value) - 1)] == docs
+            )
+            docs, spans = docs[~dead], spans[~dead]
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": docs, "span": spans}
+        )
+
+    return sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, NEAR_SCHEMA)
+
+
 BOOLEAN_SCHEMA = StructType(
     [
         StructField("query_id", LongType(), False),

@@ -178,3 +178,81 @@ def test_near_phrase_consistency(pos_built, spark):
     }
     assert ph <= set(near)
     assert all(s == 1 for d, s in near.items() if d in ph)
+
+
+def test_span_near_ordered_brute_force(spark, sf_dir, tmp_path):
+    """Ordered span (Lucene SpanNearQuery inOrder=true) vs a per-doc DP
+    brute force: order sensitivity, slop gating, duplicate terms, and
+    the slop=0 == exact-phrase degeneracy."""
+    import re as _re
+
+    from acora_spark.index.bm25 import span_near_match_batch
+    from acora_spark.index.build import build_index
+    from acora_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, sf_dir).limit(150)
+    idx = build_index(
+        corpus, str(tmp_path / "spanidx"), num_buckets=4,
+        bucket_group_size=4, with_positions=True, resume=False,
+    )
+    queries = [
+        {"terms": ["table", "scan"], "slop": 0},      # == phrase
+        {"terms": ["scan", "table"], "slop": 3},      # reverse order
+        {"terms": ["data", "data"], "slop": 5},       # duplicate term
+        {"terms": ["the", "data", "table"], "slop": 8},
+    ]
+    res = span_near_match_batch(spark, idx, queries).collect()
+    got: dict[int, dict[int, int]] = {}
+    for r in res:
+        got.setdefault(r.query_id, {})[r.doc_id] = r.span
+
+    def min_ordered_span(toks, terms):
+        best = None
+        # DP over positions: latest chain start ending at each occurrence
+        starts = [
+            (p, p) for p, t in enumerate(toks) if t == terms[0]
+        ]  # (end, start)
+        for term in terms[1:]:
+            nxt = []
+            bi = 0
+            best_start = None
+            occ = [p for p, t in enumerate(toks) if t == term]
+            si = 0
+            for q in occ:
+                while si < len(starts) and starts[si][0] < q:
+                    best_start = starts[si][1]
+                    si += 1
+                if best_start is not None:
+                    nxt.append((q, best_start))
+            starts = nxt
+            if not starts:
+                return None
+        return min(q - s + 1 - len(terms) for q, s in starts)
+
+    tok_re = _re.compile(r"[a-z0-9_]+")
+    docmap = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    rows = corpus.collect()
+    for qi, q in enumerate(queries):
+        want: dict[int, int] = {}
+        for row in rows:
+            toks = tok_re.findall(row.content.lower())
+            m = min_ordered_span(toks, q["terms"])
+            if m is not None and m <= q["slop"]:
+                want[docmap[(row.repo, row.path, row.commit)]] = m
+        assert got.get(qi, {}) == want, q
+
+    # slop=0 equals the exact phrase executor's doc set
+    from acora_spark.index.bm25 import phrase_match_batch
+
+    ph = {
+        r.doc_id
+        for r in phrase_match_batch(spark, idx, ["table scan"]).collect()
+    }
+    assert set(got.get(0, {})) == ph
+    with pytest.raises(ValueError, match="slop"):
+        span_near_match_batch(spark, idx, [{"terms": ["a", "b"], "slop": -1}])
+    with pytest.raises(ValueError, match="two terms"):
+        span_near_match_batch(spark, idx, [{"terms": ["only"], "slop": 2}])
