@@ -617,6 +617,27 @@ def q_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MQ_CLAUSES = {
+    "data-strict": {"must": ["data"], "must_not": ["window"]},
+    "mergey": {"must": ["merge"]},
+    "streamy": {"should": ["stream", "scan"]},
+}
+
+
+def q_matched_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES named queries: per doc matching the required clause, the
+    sorted list of clause names it satisfies — N clauses run as ONE
+    range-parallel boolean batch (shared postings read)."""
+    from acora_spark.index.bm25 import matched_queries
+
+    idx = _index_for(spark, sf_dir)
+    res = matched_queries(spark, idx, MQ_CLAUSES, require="data-strict")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "path", F.array_join("matched", ",").alias("matched")
+    )
+
+
 SPAN_TERMS = ("the", "data", "table")
 SPAN_SLOP = 8
 
@@ -1897,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range": q_search_range,
         "hybrid_rrf": q_hybrid_rrf,
         "span_near": q_span_near,
+        "matched_queries": q_matched_queries,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3433,6 +3455,24 @@ spans AS (
   FROM a JOIN b USING (doc_id) GROUP BY a.doc_id, a.path
 )
 SELECT path, span FROM spans WHERE span <= {NEAR_WINDOW}
+"""
+
+    sql["matched_queries"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+sel AS (
+  SELECT path,
+         list_contains(t, 'data') AND NOT list_contains(t, 'window') AS c1,
+         list_contains(t, 'merge') AS c2,
+         list_contains(t, 'stream') OR list_contains(t, 'scan') AS c3
+  FROM toks
+)
+SELECT path,
+       concat_ws(',',
+                 CASE WHEN c1 THEN 'data-strict' END,
+                 CASE WHEN c2 THEN 'mergey' END,
+                 CASE WHEN c3 THEN 'streamy' END) AS matched
+FROM sel WHERE c1
 """
 
     t1, t2, t3 = SPAN_TERMS

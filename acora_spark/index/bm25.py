@@ -2044,6 +2044,51 @@ def near_match_batch(
     ).applyInPandas(run_range, NEAR_SCHEMA)
 
 
+def matched_queries(
+    spark: SparkSession,
+    index: Index,
+    named_clauses: dict[str, dict],
+    require: str | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES named queries (the ``_name`` / ``matched_queries`` response
+    field): given named boolean clauses, return per matching doc the
+    sorted list of clause names it satisfies — "this result matched
+    'title-clause' and 'recent-clause'".  ``require`` optionally
+    restricts the output to docs matching that clause (the usual shape:
+    one required query, several optional annotations).
+
+    Execution is purely compositional: the clauses run as ONE
+    range-parallel boolean batch (shared slice grid, shared postings
+    read — N clauses cost one job, not N), then a map-combined
+    ``collect_set`` groups clause names per doc.  Returns
+    ``(doc_id, matched)`` with ``matched`` a sorted array of names."""
+    if not named_clauses:
+        raise ValueError("named_clauses must be non-empty")
+    names = sorted(named_clauses)
+    if require is not None and require not in named_clauses:
+        raise ValueError(
+            f"require={require!r} is not one of {names}"
+        )
+    res = boolean_query_batch(
+        spark, index, [named_clauses[n] for n in names],
+        num_ranges=num_ranges,
+    )
+    name_arr = F.array(*[F.lit(n) for n in names])
+    tagged = res.select(
+        "doc_id",
+        F.element_at(name_arr, F.col("query_id").cast("int") + 1).alias(
+            "name"
+        ),
+    )
+    out = tagged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("name")).alias("matched")
+    )
+    if require is not None:
+        out = out.filter(F.array_contains("matched", require))
+    return out
+
+
 def _ordered_spans_from_keys(
     key_arrays: dict[str, np.ndarray],
     terms: Sequence[str],

@@ -326,3 +326,49 @@ def test_search_range_agg(built, ground, spark):
         search_range_agg(spark, idx, Q, "dl", [(None, None)])
     with pytest.raises(ValueError, match="non-empty"):
         search_range_agg(spark, idx, Q, "dl", [])
+
+
+def test_matched_queries(built, ground, spark):
+    from acora_spark.index.bm25 import matched_queries
+
+    idx, _ = built
+    docs, _ = ground
+    dm = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    clauses = {
+        "has-merge": {"must": ["merge"]},
+        "data-no-window": {"must": ["data"], "must_not": ["window"]},
+        "streamy": {"should": ["stream", "window"]},
+    }
+    want: dict[int, list[str]] = {}
+    for k, (_, t) in docs.items():
+        m = []
+        if "merge" in t:
+            m.append("has-merge")
+        if "data" in t and "window" not in t:
+            m.append("data-no-window")
+        if "stream" in t or "window" in t:
+            m.append("streamy")
+        if m:
+            want[dm[k]] = sorted(m)
+    got = {
+        r.doc_id: list(r.matched)
+        for r in matched_queries(spark, idx, clauses).collect()
+    }
+    assert got == want
+    # require restricts to docs matching that clause
+    got_req = {
+        r.doc_id: list(r.matched)
+        for r in matched_queries(
+            spark, idx, clauses, require="has-merge"
+        ).collect()
+    }
+    assert got_req == {
+        d: m for d, m in want.items() if "has-merge" in m
+    }
+    with pytest.raises(ValueError, match="non-empty"):
+        matched_queries(spark, idx, {})
+    with pytest.raises(ValueError, match="require"):
+        matched_queries(spark, idx, clauses, require="nope")
