@@ -413,6 +413,66 @@ def main() -> None:
         )
     )
 
+    from acora_spark.index.bm25 import search_composite, search_top_hits
+
+    th = search_top_hits(
+        spark, idx, entry.AGG_QUERY, "lang", [("dl", "desc")], k=3
+    )
+    p4h = plan_of(th, "simple")
+    assert "CartesianProduct" not in p4h
+    assert "Window" in p4h
+    sections.append(
+        (
+            "top_hits sub-aggregation: ONE windowed rank per facet",
+            "Boolean ids join the column-pruned docmap once; the per-facet "
+            "top-k is a single sort-based Window (spills safely on a hot "
+            "facet — no per-group collect), with the rank filter applied "
+            "before anything leaves the executors.",
+            p4h,
+        )
+    )
+
+    comp = search_composite(
+        spark, idx, entry.AGG_QUERY,
+        [("lang", "lang", None), ("dlb", "dl", 25.0)],
+        size=8, after=("es", 75.0),
+    )
+    p4i = plan_of(comp, "simple")
+    assert "TakeOrderedAndProject" in p4i
+    sections.append(
+        (
+            "Composite aggregation page: keyset filter + bounded top-k",
+            "The after-cursor becomes a lexicographic keyset predicate on "
+            "the aggregated buckets and the page materializes as "
+            "TakeOrderedAndProject — per-partition heaps, no global sort, "
+            "no state between pages.",
+            p4i,
+        )
+    )
+
+    from acora_spark.operators.similarity import rrf_fusion
+
+    # rrf over two small ranked frames: the whole fuse is bounded
+    a = spark.range(20).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 1).alias("rank")
+    )
+    b = spark.range(20).select(
+        (F.col("id") + 10).alias("doc_id"), (F.col("id") + 1).alias("rank")
+    )
+    fused = rrf_fusion([a, b], rrf_k=60, top_n=10)
+    p4j = plan_of(fused, "simple")
+    assert "CartesianProduct" not in p4j
+    sections.append(
+        (
+            "RRF hybrid fusion: bounded union -> one hash aggregate",
+            "The retriever inputs are already top-k'd, so the fuse is a "
+            "unionByName of <= N*k rows, ONE map-combined aggregate on the "
+            "doc key, and a bounded top-n — nothing in the plan scales "
+            "with corpus size.",
+            p4j,
+        )
+    )
+
     # 5. BM25 DataFrame top-k: distributed TakeOrderedAndProject
     docs_ids = entry._docs(spark, SF_DIR)
     from acora_spark.index.bm25 import bm25_topk_dataframe
