@@ -624,6 +624,17 @@ MQ_CLAUSES = {
 }
 
 
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation: per-filter doc counts plus every
+    pairwise intersection (ES 'a', 'a&b' keys) — one shared boolean
+    batch, a doc-keyed self-join bounded by the clause count, one
+    map-combined count."""
+    from acora_spark.index.bm25 import adjacency_matrix
+
+    idx = _index_for(spark, sf_dir)
+    return adjacency_matrix(spark, idx, MQ_CLAUSES)
+
+
 def q_matched_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES named queries: per doc matching the required clause, the
     sorted list of clause names it satisfies — N clauses run as ONE
@@ -1919,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "span_near": q_span_near,
         "matched_queries": q_matched_queries,
+        "adjacency_matrix": q_adjacency_matrix,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3473,6 +3485,34 @@ SELECT path,
                  CASE WHEN c2 THEN 'mergey' END,
                  CASE WHEN c3 THEN 'streamy' END) AS matched
 FROM sel WHERE c1
+"""
+
+    adj_names = {"c1": "data-strict", "c2": "mergey", "c3": "streamy"}
+    adj_rows = []
+    flags = sorted(adj_names)
+    for i, fa in enumerate(flags):
+        for fb in flags[i:]:
+            k = (
+                adj_names[fa]
+                if fa == fb
+                else f"{adj_names[fa]}&{adj_names[fb]}"
+            )
+            adj_rows.append(
+                f"SELECT '{k}' AS key, "
+                f"sum(({fa} AND {fb})::INT)::BIGINT AS doc_count FROM sel"
+            )
+    adj_union = "\nUNION ALL\n".join(adj_rows)
+    sql["adjacency_matrix"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+sel AS (
+  SELECT path,
+         list_contains(t, 'data') AND NOT list_contains(t, 'window') AS c1,
+         list_contains(t, 'merge') AS c2,
+         list_contains(t, 'stream') OR list_contains(t, 'scan') AS c3
+  FROM toks
+)
+SELECT key, doc_count FROM ({adj_union}) WHERE doc_count > 0
 """
 
     t1, t2, t3 = SPAN_TERMS

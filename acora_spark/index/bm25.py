@@ -2089,6 +2089,47 @@ def matched_queries(
     return out
 
 
+def adjacency_matrix(
+    spark: SparkSession,
+    index: Index,
+    named_clauses: dict[str, dict],
+    num_ranges: int | None = None,
+    sep: str = "&",
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: doc counts for every named
+    boolean filter AND every pairwise intersection — the co-occurrence
+    matrix behind "how do these audiences overlap".  Keys follow the ES
+    convention: ``"a"`` for singles, ``"a&b"`` (name-sorted) for pairs.
+
+    Execution: the clauses run as ONE range-parallel boolean batch
+    (shared postings read); the tagged (doc, name) rows self-join on
+    doc_id — per doc that is (names-matched)^2 rows, bounded by the
+    clause count ES caps at 100, never by corpus size — then ONE
+    map-combined count per key.  Returns ``(key, doc_count)``."""
+    if not named_clauses:
+        raise ValueError("named_clauses must be non-empty")
+    names = sorted(named_clauses)
+    res = boolean_query_batch(
+        spark, index, [named_clauses[n] for n in names],
+        num_ranges=num_ranges,
+    )
+    name_arr = F.array(*[F.lit(n) for n in names])
+    tagged = res.select(
+        "doc_id",
+        F.element_at(name_arr, F.col("query_id").cast("int") + 1).alias(
+            "name"
+        ),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = a.join(b, "doc_id").filter(F.col("a.name") <= F.col("b.name"))
+    key = F.when(
+        F.col("a.name") == F.col("b.name"), F.col("a.name")
+    ).otherwise(F.concat_ws(sep, F.col("a.name"), F.col("b.name")))
+    return pairs.groupBy(key.alias("key")).agg(
+        F.count("*").alias("doc_count")
+    )
+
+
 def _ordered_spans_from_keys(
     key_arrays: dict[str, np.ndarray],
     terms: Sequence[str],

@@ -372,3 +372,36 @@ def test_matched_queries(built, ground, spark):
         matched_queries(spark, idx, {})
     with pytest.raises(ValueError, match="require"):
         matched_queries(spark, idx, clauses, require="nope")
+
+
+def test_adjacency_matrix(built, ground, spark):
+    from acora_spark.index.bm25 import adjacency_matrix
+
+    idx, _ = built
+    docs, _ = ground
+    clauses = {
+        "m": {"must": ["merge"]},
+        "d": {"must": ["data"]},
+        "s": {"should": ["stream", "window"]},
+    }
+    flags = {}
+    for k, (_, t) in docs.items():
+        flags[k] = {
+            "m": "merge" in t,
+            "d": "data" in t,
+            "s": "stream" in t or "window" in t,
+        }
+    want: dict[str, int] = {}
+    for f in flags.values():
+        for i, a in enumerate("dms"):
+            for b in "dms"[i:]:
+                if f[a] and f[b]:
+                    key = a if a == b else f"{a}&{b}"
+                    want[key] = want.get(key, 0) + 1
+    got = {
+        r.key: r.doc_count
+        for r in adjacency_matrix(spark, idx, clauses).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v > 0}
+    with pytest.raises(ValueError, match="non-empty"):
+        adjacency_matrix(spark, idx, {})
