@@ -272,6 +272,32 @@ def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+def q_index_bm25_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lifecycle end to end ON the oracle path: point-in-time
+    copy of the per-sf index (stats-last commit, mutator lease held on
+    the source), then the flagship WAND query answered FROM THE
+    SNAPSHOT — must equal the full-corpus oracle exactly."""
+    import shutil
+
+    from acora_spark.index.bm25 import bm25_topk_batch
+    from acora_spark.index.build import load_index, snapshot_index
+
+    idx = _index_for(spark, sf_dir)
+    snap_dir = idx.index_dir + "_snap"
+    shutil.rmtree(snap_dir, ignore_errors=True)
+    snapshot_index(idx.index_dir, snap_dir)
+    sidx = load_index(spark, snap_dir)
+    raw = bm25_topk_batch(spark, sidx, [BM25_QUERY], k=4 * BM25_K)
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = sidx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 def _del_index_for(spark: SparkSession, sf_dir: str):
     """A SEPARATE index (own /tmp dir) with the flagship query's top-2
     documents soft-deleted — exercises the tombstone machinery end to
@@ -1883,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_freq_top20": q_term_doc_freq_top20,
         "bm25_topk": q_bm25_topk,
         "index_bm25_topk": q_index_bm25_topk,
+        "index_bm25_snapshot": q_index_bm25_snapshot,
         "index_bm25_topk_ranged": q_index_bm25_topk_ranged,
         "index_bm25_deleted": q_index_bm25_deleted,
         "index_bm25_local": q_index_bm25_local,
@@ -2388,6 +2415,8 @@ LIMIT 20
 
     sql["bm25_topk"] = _bm25_sql()
     sql["index_bm25_topk"] = _bm25_sql()
+    # a snapshot answers exactly like its source index
+    sql["index_bm25_snapshot"] = _bm25_sql()
     sql["index_bm25_topk_ranged"] = _bm25_sql()
     sql["index_bm25_deleted"] = _bm25_deleted_sql()
     sql["index_bm25_local"] = _bm25_sql()

@@ -271,3 +271,68 @@ def makedirs(path: str) -> None:
         fsys.create_dir(p, recursive=True)
     except Exception:
         pass  # object stores: directories are implicit
+
+
+def list_files_recursive(path: str) -> list[str]:
+    """All file paths under ``path`` (recursive), as paths RELATIVE to
+    it; empty when it does not exist.  Directories themselves are not
+    listed (object stores have none)."""
+    if not is_remote(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                full = os.path.join(root, f)
+                out.append(os.path.relpath(full, path))
+        return sorted(out)
+    from pyarrow import fs as pafs
+
+    fsys, p = pa_fs(path)
+    try:
+        infos = fsys.get_file_info(
+            pafs.FileSelector(p, recursive=True, allow_not_found=True)
+        )
+    except FileNotFoundError:
+        return []
+    base = p.rstrip("/") + "/"
+    return sorted(
+        i.path[len(base):]
+        for i in infos
+        if i.type == pafs.FileType.File
+    )
+
+
+def copy_file(src: str, dst: str, chunk: int = 8 << 20) -> None:
+    """Stream one file between any two fsutil-supported locations
+    (local<->local fast path, otherwise pyarrow streams in ``chunk``
+    bytes — constant memory regardless of file size)."""
+    if not is_remote(src) and not is_remote(dst):
+        import shutil
+
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        shutil.copyfile(src, dst)
+        return
+    sfs, sp = pa_fs(src)
+    dfs, dp = pa_fs(dst)
+    parent = dp.rsplit("/", 1)[0]
+    try:
+        dfs.create_dir(parent, recursive=True)
+    except Exception:
+        pass
+    with sfs.open_input_stream(sp) as r, dfs.open_output_stream(dp) as w:
+        while True:
+            buf = r.read(chunk)
+            if not buf:
+                break
+            w.write(buf)
+
+
+def copy_dir(src: str, dst: str) -> int:
+    """Recursively copy a directory tree; returns the file count.
+    Non-atomic by design — callers sequence it BEFORE their own commit
+    point (the copied tree is invisible until the caller publishes a
+    manifest/stats referencing it)."""
+    n = 0
+    for rel in list_files_recursive(src):
+        copy_file(join_path(src, rel), join_path(dst, rel))
+        n += 1
+    return n

@@ -83,6 +83,8 @@ __all__ = [
     "verify_index",
     "Index",
     "load_index",
+    "snapshot_index",
+    "restore_index",
 ]
 
 # On-disk postings row: ONE ROW PER (term, shard).  Cold terms have a single
@@ -2690,3 +2692,67 @@ def verify_index(spark: SparkSession, index: Index) -> DataFrame:
 
 def load_index(spark: SparkSession, index_dir: str) -> Index:
     return Index(index_dir=index_dir, stats=_read_stats(index_dir))
+
+
+def snapshot_index(index_dir: str, dest_dir: str) -> dict:
+    """Consistent point-in-time copy of a built index (the ES
+    ``_snapshot`` API): the committed data directories named by
+    ``stats.json``, the build manifest, pending tombstones, and the
+    informational hot-width mirror, finished by writing the snapshot's
+    own ``stats.json`` LAST — the same commit discipline as every
+    mutation, so a crashed snapshot is an unreadable partial directory,
+    never a corrupt index.  The result is itself a complete index dir:
+    ``load_index`` opens it directly, which is also what restore is.
+
+    Holds the mutator lease on the SOURCE for the duration: copying is
+    read-only, but a concurrent compaction deletes superseded
+    directories after its commit, and a long-running copy must not lose
+    files mid-read.  Works across fsutil locations (local <-> s3://).
+    Returns ``{"files": n, "dirs": [...]}``."""
+    with _mutator_lease(index_dir, "snapshot"):
+        if not build_is_complete(index_dir):
+            raise ValueError(
+                f"{index_dir} is not a complete index (crashed or "
+                "in-progress build) — snapshot refuses partial state"
+            )
+        stats = _read_stats(index_dir)
+        dirs = sorted(
+            set(
+                stats.get("postings_dirs", ["postings"])
+                + stats.get("docmap_dirs", ["docmap"])
+                + stats.get("docstats_dirs", ["docstats"])
+            )
+        )
+        fsutil.makedirs(dest_dir)
+        n = 0
+        for d in dirs:
+            n += fsutil.copy_dir(
+                _join_path(index_dir, d), _join_path(dest_dir, d)
+            )
+        tomb = _join_path(index_dir, "tombstones")
+        if fsutil.exists(tomb):
+            n += fsutil.copy_dir(tomb, _join_path(dest_dir, "tombstones"))
+            dirs.append("tombstones")
+        for f in ("_manifest.json", "hot_terms.json"):
+            src = _join_path(index_dir, f)
+            if fsutil.exists(src):
+                fsutil.copy_file(src, _join_path(dest_dir, f))
+                n += 1
+        # the commit point: the snapshot becomes a readable index here
+        _commit_stats(dest_dir, stats)
+        return {"files": n + 1, "dirs": dirs}
+
+
+def restore_index(snapshot_dir: str, dest_dir: str) -> dict:
+    """Restore a snapshot to a new location (the ES ``_restore`` API).
+    A snapshot IS a complete index directory, so restore is the same
+    stats-last copy — run from the snapshot, which is immutable by
+    convention, onto a fresh ``dest_dir``.  Refuses a destination that
+    already looks like an index (restoring over live data is the
+    classic operational footgun; delete it explicitly first)."""
+    if fsutil.exists(_join_path(dest_dir, "stats.json")):
+        raise ValueError(
+            f"{dest_dir} already holds an index — refusing to restore "
+            "over it; delete it explicitly first"
+        )
+    return snapshot_index(snapshot_dir, dest_dir)

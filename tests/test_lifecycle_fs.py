@@ -691,3 +691,46 @@ def test_unsuffixed_orphan_dirs_reclaimed(spark, sf_dir, tmp_path):
     idx = compact_index(spark, index_dir)
     assert "postings" not in set(os.listdir(index_dir))
     assert _topk(spark, idx) == before
+
+
+def test_snapshot_restore_roundtrip(spark, sf_dir, tmp_path):
+    """Snapshot -> (mutate the original) -> restore: the snapshot is a
+    complete index answering identically to the source AT SNAPSHOT TIME,
+    through a file:// remote-scheme destination; restore refuses a
+    non-empty destination and snapshot refuses a crashed build."""
+    from acora_spark.index.build import restore_index, snapshot_index
+
+    corpus = load_corpus(spark, sf_dir).limit(200)
+    src = str(tmp_path / "snap_src")
+    idx = build_index(corpus, src, num_buckets=4, docs_per_salt=64,
+                      resume=False)
+    delete_docs(spark, src, corpus.limit(3))  # pending tombstones ride along
+    idx = load_index(spark, src)
+    want = _topk(spark, idx)
+
+    snap = "file://" + str(tmp_path / "snap_v1")
+    info = snapshot_index(src, snap)
+    assert info["files"] > 0 and "tombstones" in info["dirs"]
+
+    # mutate the ORIGINAL after the snapshot: the snapshot must not move
+    delta = load_corpus(spark, sf_dir).limit(260).subtract(corpus)
+    merge_index(delta, src)
+
+    got_snap = _topk(spark, load_index(spark, snap))
+    assert got_snap == want
+
+    dst = str(tmp_path / "restored")
+    restore_index(snap, dst)
+    assert _topk(spark, load_index(spark, dst)) == want
+
+    with pytest.raises(ValueError, match="refusing to restore"):
+        restore_index(snap, dst)
+
+    crashed = str(tmp_path / "crashed")
+    os.makedirs(crashed)
+    import json as _json
+
+    with open(os.path.join(crashed, "stats.json"), "w") as f:
+        _json.dump({"num_buckets": 4}, f)
+    with pytest.raises(ValueError, match="not a complete index"):
+        snapshot_index(crashed, str(tmp_path / "nope"))
