@@ -650,6 +650,26 @@ MQ_CLAUSES = {
 }
 
 
+HL_K, HL_WINDOW = 10, 60
+
+
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search results with highlights (the ES highlight block): WAND
+    top-10 (rounded-score rank for the oracle), the k winners broadcast
+    into the corpus scan, best-window snippet per hit."""
+    from acora_spark.index.bm25 import search_highlight
+
+    idx = _index_for(spark, sf_dir)
+    out = search_highlight(
+        spark, idx, _corpus(spark, sf_dir), BM25_QUERY,
+        k=HL_K, window=HL_WINDOW, score_round=4,
+    )
+    return out.select(
+        "rank", "path", "score", "snippet_start",
+        F.col("n_matches").cast("long").alias("n_matches"), "snippet",
+    )
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation: per-filter doc counts plus every
     pairwise intersection (ES 'a', 'a&b' keys) — one shared boolean
@@ -1958,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": q_span_near,
         "matched_queries": q_matched_queries,
         "adjacency_matrix": q_adjacency_matrix,
+        "search_highlight": q_search_highlight,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3514,6 +3535,56 @@ SELECT path,
                  CASE WHEN c2 THEN 'mergey' END,
                  CASE WHEN c3 THEN 'streamy' END) AS matched
 FROM sel WHERE c1
+"""
+
+    hl_terms = sorted(set(BM25_QUERY.lower().split()))
+    sql["search_highlight"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(hl_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         score
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT {HL_K}
+),
+topd AS (SELECT t.rank AS rank, d.path AS path, t.score AS score
+         FROM top t JOIN dl d USING (doc_id)),
+{_hits_cte(hl_terms)},
+scoredw AS (
+  SELECT h.path AS path, h.start AS snippet_start,
+         (SELECT count(*) FROM hits h2
+          WHERE h2.path = h.path AND h2.start >= h.start
+            AND h2.start < h.start + {HL_WINDOW}) AS n_matches
+  FROM hits h WHERE h.path IN (SELECT path FROM topd)
+),
+best AS (
+  SELECT path, snippet_start, n_matches,
+         row_number() OVER (PARTITION BY path
+                            ORDER BY n_matches DESC, snippet_start ASC) AS rn
+  FROM scoredw
+)
+SELECT t.rank AS rank, t.path AS path, t.score AS score,
+       b.snippet_start AS snippet_start, b.n_matches::BIGINT AS n_matches,
+       substr(c.content, CAST(b.snippet_start AS INT) + 1, {HL_WINDOW}) AS snippet
+FROM topd t
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON t.path = b.path
+LEFT JOIN corpus c ON t.path = c.path
 """
 
     adj_names = {"c1": "data-strict", "c2": "mergey", "c3": "streamy"}

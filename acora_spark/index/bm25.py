@@ -2089,6 +2089,56 @@ def matched_queries(
     return out
 
 
+def search_highlight(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    window: int = 60,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Search results WITH highlights (the ES ``highlight`` response
+    block): WAND top-k over the index, then the best-window snippet of
+    each hit computed by the corpus-side argmax operator — the standard
+    search-page shape.
+
+    The expensive signal is computed only for the k winners: the top-k
+    keys BROADCAST into the corpus scan (a k-row join, so the content
+    read is pruned to k documents), and the snippet argmax runs on
+    those rows alone.  A hit whose terms never appear as literal
+    substrings (can't happen for the index's own tokens, but callers
+    may pass ``ignore_case`` corpora) keeps its rank with a NULL
+    snippet.  Returns ``(rank, key_cols..., score, snippet_start,
+    n_matches, snippet)``."""
+    from acora_spark.operators.snippets import snippets
+
+    keys = list(key_cols)
+    raw = bm25_topk_batch(spark, index, [query], k=k).drop("query_id")
+    if score_round is not None:
+        # re-rank on the ROUNDED score (cross-engine-stable order for
+        # SQL oracles; last-ulp float differences cannot flip ranks)
+        raw = _rank_rows(
+            raw.withColumn("score", F.round("score", score_round))
+            .drop("rank")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k),
+            [F.desc("score"), F.asc("doc_id")],
+        )
+    dm = index.docmap(spark).select("doc_id", *keys)
+    hits = raw.join(dm, "doc_id")
+    docs = corpus.join(F.broadcast(hits.select(*keys)), keys)
+    sn = snippets(
+        docs, query_terms(query), window=window,
+        id_cols=keys, content_col=content_col,
+    )
+    return hits.join(sn, keys, "left").select(
+        "rank", *keys, "score", "snippet_start", "n_matches", "snippet"
+    )
+
+
 def adjacency_matrix(
     spark: SparkSession,
     index: Index,

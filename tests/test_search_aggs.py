@@ -405,3 +405,41 @@ def test_adjacency_matrix(built, ground, spark):
     assert got == {k: v for k, v in want.items() if v > 0}
     with pytest.raises(ValueError, match="non-empty"):
         adjacency_matrix(spark, idx, {})
+
+
+def test_search_highlight_composition(built, ground, spark):
+    """search_highlight == bm25_topk_batch ranks + the snippets argmax
+    restricted to the winners (both components brute-force-tested on
+    their own); NULL-snippet path via a term absent as substring is
+    impossible for index tokens, so assert every hit highlighted."""
+    from acora_spark.index.bm25 import bm25_topk_batch, search_highlight
+    from acora_spark.operators.snippets import snippets as snip_op
+
+    idx, corpus = built
+    q = "merge data"
+    out = search_highlight(spark, idx, corpus, q, k=7, window=50).collect()
+    assert len(out) == 7
+    top = bm25_topk_batch(spark, idx, [q], k=7).collect()
+    dm = {
+        r.doc_id: (r.repo, r.path, r.commit)
+        for r in idx.docmap(spark).collect()
+    }
+    want_ranks = {dm[r.doc_id]: (r.rank, r.score) for r in top}
+    got_ranks = {
+        (r.repo, r.path, r.commit): (r.rank, r.score) for r in out
+    }
+    assert got_ranks == want_ranks
+
+    keys = {(r.repo, r.path, r.commit) for r in out}
+    filt = corpus.filter(
+        F.concat_ws("|", "repo", "path", "commit").isin(
+            ["|".join(k) for k in keys]
+        )
+    )
+    want_snip = {
+        (r.repo, r.path, r.commit): (r.snippet_start, r.n_matches, r.snippet)
+        for r in snip_op(filt, ["data", "merge"], window=50).collect()
+    }
+    for r in out:
+        k = (r.repo, r.path, r.commit)
+        assert (r.snippet_start, r.n_matches, r.snippet) == want_snip[k]
