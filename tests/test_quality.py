@@ -376,3 +376,17 @@ def test_repeat_by_weight_brute_force(spark):
         repeat_by_weight(
             sdf, strata_cols=("source",), weights={("a", "b"): 1.0}
         )
+
+
+def test_repetition_engines_agree(spark):
+    """The arrow fast path (integer stats in Python, fractions in JVM)
+    and the pure-expression engine produce IDENTICAL rows on randomized
+    and adversarial docs."""
+    rng = random.Random(23)
+    docs = _mk_docs(rng, 80)
+    sdf = spark.createDataFrame(docs, "doc_id long, content string")
+    a = repetition_features(sdf, engine="arrow").orderBy("doc_id").collect()
+    b = repetition_features(sdf, engine="expr").orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    with pytest.raises(ValueError, match="engine"):
+        repetition_features(sdf, engine="numpy")
