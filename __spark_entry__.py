@@ -1891,6 +1891,26 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations (derivative / cumulative_sum /
+    moving_avg(3)) over the zero-filled day-bucket axis of the sparse
+    date_histogram — the windows run on the tiny bucket axis, never on
+    events."""
+    from acora_spark.operators.timeseries import bucket_pipeline, date_histogram
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        (F.col("event_type") == "error") & (F.col("value") > DH_THRESHOLD)
+    )
+    hist = date_histogram(
+        e, calendar_interval="day", offset="'6' HOUR", min_doc_count=0
+    )
+    out = bucket_pipeline(hist, value_col="n", moving_avg=3)
+    return out.select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "n", "derivative", "cumulative_sum", "moving_avg",
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1979,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matched_queries": q_matched_queries,
         "adjacency_matrix": q_adjacency_matrix,
         "search_highlight": q_search_highlight,
+        "bucket_pipeline": q_bucket_pipeline,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3985,6 +4006,34 @@ SELECT CAST(a.bucket AS VARCHAR) AS bucket,
        coalesce(c.n, 0)::BIGINT AS n,
        round(coalesce(c.sum_value, 0.0), 4) AS sum_value
 FROM axis a LEFT JOIN counted c USING (bucket)
+"""
+
+    sql["bucket_pipeline"] = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE event_type = 'error' AND value > {DH_THRESHOLD}
+),
+counted AS (
+  SELECT date_trunc('day', ts - INTERVAL 6 HOUR) + INTERVAL 6 HOUR AS bucket,
+         count(*)::BIGINT AS n
+  FROM ev GROUP BY 1
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM counted),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+),
+filled AS (
+  SELECT a.bucket AS bucket, coalesce(c.n, 0)::BIGINT AS n
+  FROM axis a LEFT JOIN counted c USING (bucket)
+)
+SELECT CAST(bucket AS VARCHAR) AS bucket, n,
+       n::DOUBLE - lag(n::DOUBLE) OVER (ORDER BY bucket) AS derivative,
+       sum(n::DOUBLE) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cumulative_sum,
+       round(avg(n::DOUBLE) OVER (ORDER BY bucket
+                                  ROWS 2 PRECEDING), 6) AS moving_avg
+FROM filled
 """
 
     from acora_spark.functions.text import BPE_TOKEN_RE

@@ -18,7 +18,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["date_histogram", "CALENDAR_UNITS"]
+__all__ = ["date_histogram", "bucket_pipeline", "CALENDAR_UNITS"]
 
 # ES calendar_interval units -> (Spark date_trunc unit, bucket step)
 CALENDAR_UNITS = {
@@ -105,3 +105,58 @@ def date_histogram(
     return filled.select("bucket", *gcols, "n", *(
         ["sum_value"] if value_col is not None else []
     ))
+
+
+def bucket_pipeline(
+    buckets: DataFrame,
+    *,
+    order_col: str = "bucket",
+    value_col: str = "n",
+    group_cols: Sequence[str] = (),
+    derivative: bool = True,
+    cumulative: bool = True,
+    moving_avg: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES pipeline aggregations over an ORDERED bucket sequence —
+    ``derivative`` (bucket minus previous bucket, NULL for the first,
+    the ES convention), ``cumulative_sum``, and simple ``moving_avg``
+    over the trailing ``moving_avg`` buckets (the ES moving_fn window,
+    current bucket inclusive).
+
+    Meant for the output of :func:`date_histogram` /
+    ``search_histogram`` — run with ``min_doc_count=0`` first when gaps
+    matter, exactly like ES, where pipeline aggs see the bucket list
+    the parent emitted.  The input is an already-aggregated bucket
+    axis (tiny by construction — buckets x groups rows, never events),
+    so the ordered window is cheap; with ``group_cols`` the windows
+    partition per group."""
+    if moving_avg is not None and moving_avg < 1:
+        raise ValueError("moving_avg window must be >= 1")
+    if not (derivative or cumulative or moving_avg):
+        raise ValueError("nothing to compute: enable at least one op")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    base = (
+        Window.partitionBy(*gcols).orderBy(order_col)
+        if gcols
+        else Window.orderBy(order_col)
+    )
+    v = F.col(value_col).cast("double")
+    out = buckets
+    if derivative:
+        out = out.withColumn("derivative", v - F.lag(v, 1).over(base))
+    if cumulative:
+        out = out.withColumn(
+            "cumulative_sum",
+            F.sum(v).over(
+                base.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    if moving_avg is not None:
+        m = F.avg(v).over(base.rowsBetween(-(moving_avg - 1), 0))
+        if round_to is not None:
+            m = F.round(m, round_to)
+        out = out.withColumn("moving_avg", m)
+    return out

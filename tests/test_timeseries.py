@@ -98,3 +98,38 @@ def test_validation(spark):
         date_histogram(df, calendar_interval="fortnight")
     with pytest.raises(ValueError, match="min_doc_count"):
         date_histogram(df, min_doc_count=2)
+
+
+def test_bucket_pipeline(spark):
+    from acora_spark.operators.timeseries import bucket_pipeline
+
+    rows = [(i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2])]
+    df = spark.createDataFrame(rows, "bucket long, n double")
+    out = {
+        r.bucket: (r.derivative, r.cumulative_sum, r.moving_avg)
+        for r in bucket_pipeline(df, moving_avg=3).collect()
+    }
+    vals = [v for _, v in rows]
+    run = 0.0
+    for i, v in enumerate(vals):
+        run += v
+        der = None if i == 0 else v - vals[i - 1]
+        mav = round(sum(vals[max(0, i - 2): i + 1]) / len(vals[max(0, i - 2): i + 1]), 6)
+        assert out[i] == (der, run, mav), i
+    # grouped windows stay within their group
+    g = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "a", 5.0), (0, "b", 10.0), (1, "b", 2.0)],
+        "bucket long, g string, n double",
+    )
+    got = {
+        (r.g, r.bucket): (r.derivative, r.cumulative_sum)
+        for r in bucket_pipeline(g, group_cols=("g",)).collect()
+    }
+    assert got == {
+        ("a", 0): (None, 1.0), ("a", 1): (4.0, 6.0),
+        ("b", 0): (None, 10.0), ("b", 1): (-8.0, 12.0),
+    }
+    with pytest.raises(ValueError, match="moving_avg"):
+        bucket_pipeline(df, moving_avg=0)
+    with pytest.raises(ValueError, match="nothing"):
+        bucket_pipeline(df, derivative=False, cumulative=False)
