@@ -748,6 +748,25 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HE_DIM, HE_MOD = 32, 29
+
+
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings (the hashing trick / HashingTF): md5
+    bucket + sign, map-combined signed counts, L2 norm — rebuilt
+    bit-for-bit by the SQL oracle at round-6; exploded to (doc, dim,
+    val) rows over a deterministic doc sample."""
+    from acora_spark.functions.embed import hashing_embeddings
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % HE_MOD == 0
+    ).select("doc_id", F.col("text").alias("content"))
+    emb = hashing_embeddings(d, dim=HE_DIM, round_to=6)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "val")
+    ).select("doc_id", F.col("i").cast("long").alias("i"), "val")
+
+
 MIX_WEIGHTS = {"en": 1.5, "de": 2.0, "zh": 0.5}  # langs absent: dropped
 
 
@@ -2000,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix": q_adjacency_matrix,
         "search_highlight": q_search_highlight,
         "bucket_pipeline": q_bucket_pipeline,
+        "hash_embeddings": q_hash_embeddings,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -2836,6 +2856,37 @@ f AS (
 SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::INT AS fused_rank,
        doc_id, round(rrf_score, 6) AS rrf_score, n_retrievers
 FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOP}
+"""
+
+    sql["hash_embeddings"] = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {HE_MOD} = 0
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                '[^a-z0-9_]+'), x -> x <> '')) AS tok
+  FROM d
+),
+hb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {HE_DIM} AS bucket,
+         CASE WHEN substr(md5(tok), 9, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign
+  FROM tok
+),
+sums AS (SELECT doc_id, bucket, sum(sign) AS v FROM hb GROUP BY 1, 2),
+axis AS (
+  SELECT d.doc_id AS doc_id, i
+  FROM d CROSS JOIN (SELECT unnest(range(0, {HE_DIM})) AS i)
+),
+raw AS (
+  SELECT a.doc_id AS doc_id, a.i AS i, coalesce(s.v, 0.0) AS v
+  FROM axis a LEFT JOIN sums s ON a.doc_id = s.doc_id AND a.i = s.bucket
+),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM raw GROUP BY doc_id)
+SELECT r.doc_id AS doc_id, r.i::BIGINT AS i,
+       round(CASE WHEN n > 0 THEN v / n ELSE v END, 6) AS val
+FROM raw r JOIN nrm USING (doc_id)
 """
 
     mix_vals = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())

@@ -1,0 +1,97 @@
+"""Feature-hashing text embeddings (the hashing trick — Weinberger et
+al., ICML '09; Spark MLlib's HashingTF is the same construction): map
+each token to one of ``dim`` buckets by hash, accumulate a signed count
+per bucket, L2-normalize.  No vocabulary, no training, deterministic —
+the honest baseline featurizer for near-dup/ANN pipelines when no
+learned embedding model is available, and the Spark-side plumbing
+(tokenize → explode → map-combined signed counts → dense vector) is
+identical to what a learned-embedding UDF would need.
+
+The hash is md5-derived rather than Murmur3 so every arithmetic step is
+reproducible in ANSI SQL (the driver oracle rebuilds the vectors in
+DuckDB bit-for-bit at round-6 precision): bucket = first 8 md5 hex
+chars mod dim, sign = 9th hex char (< '8' → +1, else −1) — the signed
+variant keeps hash collisions unbiased in expectation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acora_spark.functions.tokenize import TOKEN_RE
+
+__all__ = ["hashing_embeddings"]
+
+
+def hashing_embeddings(
+    df: DataFrame,
+    *,
+    content_col: str = "content",
+    key_cols: Sequence[str] = ("doc_id",),
+    dim: int = 64,
+    signed: bool = True,
+    normalize: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document feature-hashed embedding: ``key_cols`` plus an
+    ``embedding`` ``array<double>`` of length ``dim``.
+
+    Shape at scale: tokenize + explode (one pass over content), ONE
+    map-combined ``(keys, bucket) -> sum(sign)`` aggregation, then the
+    per-doc dense vector assembles from a ``map_from_entries`` +
+    ``sequence`` transform — per-doc cost O(dim + distinct buckets),
+    no UDFs anywhere.  Documents with zero tokens get the zero vector
+    (they stay rows — dropping them silently would desync aligned
+    tables)."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    keys = list(key_cols)
+    toks = F.expr(
+        f"regexp_extract_all(lower(coalesce({content_col}, '')), "
+        f"'{TOKEN_RE}', 0)"
+    )
+    tok_rows = df.select(*keys, F.explode(toks).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    sign = (
+        F.when(F.substring(h, 9, 1) < "8", F.lit(1.0)).otherwise(F.lit(-1.0))
+        if signed
+        else F.lit(1.0)
+    )
+    sums = (
+        tok_rows.groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.sum(sign).alias("v"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("m")
+        )
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)
+        ),
+    )
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        vec = F.when(norm > 0, F.transform(vec, lambda x: x / norm)).otherwise(
+            vec
+        )
+    if round_to is not None:
+        vec = F.transform(vec, lambda x: F.round(x, round_to))
+    out = df.select(*keys).join(sums, keys, "left").withColumn(
+        "embedding",
+        F.when(
+            F.col("m").isNotNull(), vec
+        ).otherwise(F.array_repeat(F.lit(0.0), dim)),
+    )
+    return out.drop("m")

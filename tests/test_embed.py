@@ -1,0 +1,62 @@
+"""Feature-hashing embeddings vs a python mirror of the same md5
+bucket/sign arithmetic."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from acora_spark.functions.embed import hashing_embeddings
+
+TOK = re.compile(r"[a-z0-9_]+")
+
+
+def _mirror(text, dim, signed=True, normalize=True):
+    v = [0.0] * dim
+    for t in TOK.findall((text or "").lower()):
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:8], 16) % dim
+        s = 1.0 if (not signed or h[8] < "8") else -1.0
+        v[b] += s
+    if normalize:
+        n = math.sqrt(sum(x * x for x in v))
+        if n > 0:
+            v = [x / n for x in v]
+    return v
+
+
+def test_hashing_embeddings_mirror(spark):
+    docs = [
+        (0, "data merge stream data data"),
+        (1, ""),
+        (2, None),
+        (3, "x"),
+        (4, "the quick brown fox jumps over the lazy dog " * 3),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, content string")
+    for signed in (True, False):
+        got = {
+            r.doc_id: list(r.embedding)
+            for r in hashing_embeddings(
+                sdf, dim=16, signed=signed
+            ).collect()
+        }
+        for did, text in docs:
+            assert got[did] == pytest.approx(
+                _mirror(text, 16, signed=signed)
+            ), (did, signed)
+    # zero-token docs keep the zero vector and stay rows
+    assert got[1] == [0.0] * 16 and got[2] == [0.0] * 16
+    # un-normalized counts are exact integers
+    raw = {
+        r.doc_id: list(r.embedding)
+        for r in hashing_embeddings(
+            sdf, dim=16, normalize=False
+        ).collect()
+    }
+    assert raw[0] == _mirror(docs[0][1], 16, normalize=False)
+    with pytest.raises(ValueError, match="dim"):
+        hashing_embeddings(sdf, dim=0)
