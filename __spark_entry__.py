@@ -1930,6 +1930,24 @@ def q_bucket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP = "'4' HOUR"
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (4h inactivity gap):
+    per-session event count and bounds — the two shared-sort windows
+    shuffle the events once on the user key."""
+    from acora_spark.operators.timeseries import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(e, gap=SESSION_GAP)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").cast("string").alias("start_ts"),
+        F.max("ts").cast("string").alias("end_ts"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -2020,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": q_search_highlight,
         "bucket_pipeline": q_bucket_pipeline,
         "hash_embeddings": q_hash_embeddings,
+        "sessionize": q_sessionize,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -4057,6 +4076,27 @@ SELECT CAST(a.bucket AS VARCHAR) AS bucket,
        coalesce(c.n, 0)::BIGINT AS n,
        round(coalesce(c.sum_value, 0.0), 4) AS sum_value
 FROM axis a LEFT JOIN counted c USING (bucket)
+"""
+
+    sql["sessionize"] = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS b
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+x AS (
+  SELECT user_id, ts,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       CAST(min(ts) AS VARCHAR) AS start_ts,
+       CAST(max(ts) AS VARCHAR) AS end_ts
+FROM x GROUP BY 1, 2
 """
 
     sql["bucket_pipeline"] = f"""

@@ -18,7 +18,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["date_histogram", "bucket_pipeline", "CALENDAR_UNITS"]
+__all__ = ["date_histogram", "bucket_pipeline", "sessionize", "CALENDAR_UNITS"]
 
 # ES calendar_interval units -> (Spark date_trunc unit, bucket step)
 CALENDAR_UNITS = {
@@ -160,3 +160,46 @@ def bucket_pipeline(
             m = F.round(m, round_to)
         out = out.withColumn("moving_avg", m)
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of the same key
+    belong to one session while the gap between them stays under
+    ``gap`` (a Spark interval string); a longer silence starts the next
+    session.  Adds ``session_col`` — the key's 0-based session index —
+    to every event row (aggregate with a plain groupBy on
+    ``key_cols + [session_col]`` for per-session stats).
+
+    The classic two-window formulation: a boundary flag per event
+    (previous event missing or too old), then a running sum of
+    boundaries minus one.  Shuffles ONCE on the key (both windows share
+    the (key, ts) sort), and sessions never cross keys, so the shape
+    holds at any event volume — skew rides on the hottest single key,
+    the same bound any per-key analysis has."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    boundary = (
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("long")
+    return events.withColumn(
+        session_col,
+        (
+            F.sum(boundary).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - 1
+        ).cast("long"),
+    )

@@ -133,3 +133,34 @@ def test_bucket_pipeline(spark):
         bucket_pipeline(df, moving_avg=0)
     with pytest.raises(ValueError, match="nothing"):
         bucket_pipeline(df, derivative=False, cumulative=False)
+
+
+def test_sessionize_brute_force(spark):
+    import datetime as dt
+
+    from acora_spark.operators.timeseries import sessionize
+
+    t = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1: gaps 10m, 45m (boundary), 5m; user 2: one event
+    for i, mins in enumerate([0, 10, 55, 60]):
+        rows.append((i, 1, t + dt.timedelta(minutes=mins)))
+    rows.append((99, 2, t))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: r.session_idx
+        for r in sessionize(df, gap="'30' MINUTE").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 99: 0}
+    # boundary exactly AT the gap is the same session (strict >)
+    df2 = spark.createDataFrame(
+        [(0, 1, t), (1, 1, t + dt.timedelta(minutes=30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got2 = {
+        r.event_id: r.session_idx
+        for r in sessionize(df2, gap="'30' MINUTE").collect()
+    }
+    assert got2 == {0: 0, 1: 0}
+    with pytest.raises(ValueError, match="key_cols"):
+        sessionize(df, key_cols=())
