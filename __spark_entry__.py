@@ -650,6 +650,27 @@ MQ_CLAUSES = {
 }
 
 
+BOOSTING_NEG = {"must": ["window"]}
+BOOSTING_NB, BOOSTING_K = 0.7, 40
+
+
+def q_bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: flagship ranking with docs containing 'window'
+    DEMOTED (score x 0.7) instead of excluded — full-candidate ranged
+    scoring + one boolean batch for the negative set."""
+    from acora_spark.index.bm25 import bm25_boosting_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_boosting_topk_batch(
+        spark, idx, [BM25_QUERY], [BOOSTING_NEG],
+        BOOSTING_NB, k=BOOSTING_K, score_round=4,
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "rank", "path", "score", "demoted"
+    )
+
+
 HL_K, HL_WINDOW = 10, 60
 
 
@@ -2039,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_pipeline": q_bucket_pipeline,
         "hash_embeddings": q_hash_embeddings,
         "sessionize": q_sessionize,
+        "bm25_boosting": q_bm25_boosting,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3626,6 +3648,42 @@ SELECT path,
                  CASE WHEN c2 THEN 'mergey' END,
                  CASE WHEN c3 THEN 'streamy' END) AS matched
 FROM sel WHERE c1
+"""
+
+    bq_terms = sorted(set(BM25_QUERY.lower().split()))
+    bq_neg = BOOSTING_NEG["must"][0]
+    sql["bm25_boosting"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(bq_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scoredraw AS (
+  SELECT tf.doc_id AS doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS s
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),
+neg AS (SELECT doc_id FROM toks WHERE list_contains(t, '{bq_neg}')),
+adj AS (
+  SELECT sr.doc_id AS doc_id,
+         round(CASE WHEN n.doc_id IS NOT NULL
+                    THEN sr.s * {BOOSTING_NB} ELSE sr.s END, 4) AS score,
+         n.doc_id IS NOT NULL AS demoted
+  FROM scoredraw sr LEFT JOIN neg n USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY score DESC, adj.doc_id ASC)::INT AS rank,
+       dl.path AS path, score, demoted
+FROM adj JOIN dl USING (doc_id)
+ORDER BY score DESC, adj.doc_id ASC LIMIT {BOOSTING_K}
 """
 
     hl_terms = sorted(set(BM25_QUERY.lower().split()))

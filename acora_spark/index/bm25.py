@@ -1219,6 +1219,65 @@ def bm25_function_score_topk_batch(
     )
 
 
+def bm25_boosting_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    positives: Sequence[str],
+    negatives: Sequence[dict],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    num_ranges: int | None = None,
+    score_round: int | None = None,
+) -> DataFrame:
+    """ES ``boosting`` query: docs matching the positive query score
+    normally, and those ALSO matching the negative query are DEMOTED —
+    score multiplied by ``negative_boost`` — instead of excluded (the
+    "prefer fruit-apple over computer-apple but keep both" semantics
+    ``must_not`` cannot express).  ``negatives[i]`` is the boolean
+    clause demoting ``positives[i]``.
+
+    A demotion can drop a doc from arbitrarily deep in the plain order
+    AND promote everything below it, so exact top-k needs the full
+    candidate set — the shared full-candidate ranged pass — plus ONE
+    range-parallel boolean batch for the negative sets, a left join on
+    (query, doc), and the per-query rank.  Returns
+    ``(query_id, rank, doc_id, score, demoted)``."""
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError(
+            f"negative_boost must be within [0, 1], got {negative_boost}"
+        )
+    if len(positives) != len(negatives):
+        raise ValueError(
+            f"{len(positives)} positive queries vs {len(negatives)} negatives"
+        )
+    out_schema = (
+        "query_id long, rank int, doc_id long, score double, demoted boolean"
+    )
+    scored = _score_all_candidates(
+        spark, index, positives, num_ranges=num_ranges
+    )
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
+    neg = boolean_query_batch(
+        spark, index, list(negatives), num_ranges=num_ranges
+    ).withColumn("_neg", F.lit(True))
+    joined = scored.join(neg, ["query_id", "doc_id"], "left").withColumn(
+        "demoted", F.col("_neg").isNotNull()
+    )
+    combined = F.when(
+        F.col("demoted"), F.col("score") * F.lit(float(negative_boost))
+    ).otherwise(F.col("score"))
+    if score_round is not None:
+        combined = F.round(combined, score_round)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("score", combined)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "demoted")
+    )
+
+
 def bm25_rescore_topk_batch(
     spark: SparkSession,
     index: Index,

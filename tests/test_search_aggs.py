@@ -443,3 +443,49 @@ def test_search_highlight_composition(built, ground, spark):
     for r in out:
         k = (r.repo, r.path, r.commit)
         assert (r.snippet_start, r.n_matches, r.snippet) == want_snip[k]
+
+
+def test_bm25_boosting(built, ground, spark):
+    from acora_spark.index.bm25 import (
+        _score_all_candidates,
+        bm25_boosting_topk_batch,
+        boolean_query_batch,
+    )
+
+    idx, _ = built
+    pos, negq, NB = ["merge data"], {"must": ["window"]}, 0.25
+    cand = {
+        r.doc_id: r.score
+        for r in _score_all_candidates(spark, idx, pos).collect()
+    }
+    negd = {
+        r.doc_id for r in boolean_query_batch(spark, idx, [negq]).collect()
+    }
+    adj = {
+        d: (s * NB if d in negd else s, d in negd)
+        for d, s in cand.items()
+    }
+    want = sorted(adj.items(), key=lambda kv: (-kv[1][0], kv[0]))[:8]
+    got = (
+        bm25_boosting_topk_batch(spark, idx, pos, [negq], NB, k=8)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.doc_id, r.demoted) for r in got] == [
+        (d, dem) for d, (_, dem) in want
+    ]
+    for r, (d, (s, _)) in zip(got, want):
+        assert r.score == pytest.approx(s)
+    assert any(r.demoted for r in got) or any(dem for _, (_, dem) in adj.items())
+    # boost=1.0 degenerates to the plain candidate order
+    plain = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    got1 = (
+        bm25_boosting_topk_batch(spark, idx, pos, [negq], 1.0, k=8)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got1] == [d for d, _ in plain]
+    with pytest.raises(ValueError, match="negative_boost"):
+        bm25_boosting_topk_batch(spark, idx, pos, [negq], 1.5)
+    with pytest.raises(ValueError, match="negatives"):
+        bm25_boosting_topk_batch(spark, idx, pos, [])
