@@ -650,6 +650,19 @@ MQ_CLAUSES = {
 }
 
 
+RARE_MAX = 100
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation: vocabulary terms in at most 100 docs (the synthetic vocab tail) —
+    one column-pruned (term, df) postings scan, shard dfs summed
+    map-combined."""
+    from acora_spark.index.bm25 import rare_terms
+
+    idx = _index_for(spark, sf_dir)
+    return rare_terms(spark, idx, max_doc_count=RARE_MAX)
+
+
 BOOSTING_NEG = {"must": ["window"]}
 BOOSTING_NB, BOOSTING_K = 0.7, 40
 
@@ -2061,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embeddings": q_hash_embeddings,
         "sessionize": q_sessionize,
         "bm25_boosting": q_bm25_boosting,
+        "rare_terms": q_rare_terms,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3648,6 +3662,17 @@ SELECT path,
                  CASE WHEN c2 THEN 'mergey' END,
                  CASE WHEN c3 THEN 'streamy' END) AS matched
 FROM sel WHERE c1
+"""
+
+    sql["rare_terms"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dfreq AS (
+  SELECT term, count(*)::BIGINT AS doc_count
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+  GROUP BY term
+)
+SELECT term, doc_count FROM dfreq WHERE doc_count <= {RARE_MAX}
 """
 
     bq_terms = sorted(set(BM25_QUERY.lower().split()))

@@ -3189,6 +3189,34 @@ def search_sorted(
     )
 
 
+def rare_terms(
+    spark: SparkSession,
+    index: Index,
+    max_doc_count: int = 1,
+    limit: int | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the vocabulary's long tail — terms
+    whose document frequency is at most ``max_doc_count`` (typo mining,
+    spam-token discovery, vocabulary pruning candidates).  One
+    column-pruned ``(term, df)`` postings scan (no blob bytes touched)
+    with a map-combined per-term df sum across hot-term shards; the
+    filter is applied before anything leaves the executors, and
+    ``limit`` bounds the result term-ascending (the deterministic
+    cut).  Like ES, df counts soft-deleted docs until merge/compaction
+    refresh.  Returns ``(term, doc_count)``."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    out = (
+        index.postings(spark)
+        .groupBy("term")
+        .agg(F.sum("df").alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+    )
+    if limit is not None:
+        out = out.orderBy("term").limit(limit)
+    return out
+
+
 def search_percentiles(
     spark: SparkSession,
     index: Index,

@@ -489,3 +489,27 @@ def test_bm25_boosting(built, ground, spark):
         bm25_boosting_topk_batch(spark, idx, pos, [negq], 1.5)
     with pytest.raises(ValueError, match="negatives"):
         bm25_boosting_topk_batch(spark, idx, pos, [])
+
+
+def test_rare_terms(built, ground, spark):
+    from acora_spark.index.bm25 import rare_terms
+
+    idx, _ = built
+    docs, _ = ground
+    df_count: dict[str, int] = {}
+    for _, (_, t) in docs.items():
+        for term in set(t):
+            df_count[term] = df_count.get(term, 0) + 1
+    # pick a threshold guaranteed to split the vocabulary: the median df
+    mid = sorted(df_count.values())[len(df_count) // 2]
+    want = {t: c for t, c in df_count.items() if c <= mid}
+    assert 0 < len(want) < len(df_count)  # a real subset, not all/none
+    got = {
+        r.term: r.doc_count
+        for r in rare_terms(spark, idx, max_doc_count=mid).collect()
+    }
+    assert got == want
+    lim = rare_terms(spark, idx, max_doc_count=mid, limit=5).collect()
+    assert [r.term for r in lim] == sorted(want)[:5]
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms(spark, idx, max_doc_count=0)
