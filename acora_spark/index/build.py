@@ -85,6 +85,7 @@ __all__ = [
     "load_index",
     "snapshot_index",
     "restore_index",
+    "index_stats",
 ]
 
 # On-disk postings row: ONE ROW PER (term, shard).  Cold terms have a single
@@ -2756,3 +2757,42 @@ def restore_index(snapshot_dir: str, dest_dir: str) -> dict:
             "over it; delete it explicitly first"
         )
     return snapshot_index(snapshot_dir, dest_dir)
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Operational visibility (the ES ``_stats`` / ``_cat indices``
+    shape): one dict summarizing a built index — corpus stats from the
+    committed ``stats.json``, lifecycle state (committed generation
+    dirs, pending tombstones, hot-term shard count), and physical
+    numbers from ONE column-pruned aggregation over the postings
+    (vocabulary size, row count, summed df, encoded bytes).  Read-only:
+    takes no lease, sees the last committed state like any reader."""
+    from pyspark.sql import functions as F
+
+    idx = load_index(spark, index_dir)
+    stats = idx.stats
+    agg = (
+        idx.postings(spark)
+        .agg(
+            F.count_distinct("term").alias("vocab"),
+            F.count("*").alias("rows"),
+            F.sum("df").alias("df_sum"),
+            F.sum(F.length("postings")).alias("bytes"),
+        )
+        .collect()[0]
+    )
+    return {
+        "docs": int(stats["N"]),
+        "avgdl": float(stats["avgdl"]),
+        "max_dl": int(stats.get("max_dl") or 0),
+        "num_buckets": int(stats["num_buckets"]),
+        "with_positions": bool(stats.get("with_positions")),
+        "generations": len(stats.get("postings_dirs", ["postings"])),
+        "postings_dirs": list(stats.get("postings_dirs", ["postings"])),
+        "tombstones": int(len(idx.tombstones(spark))),
+        "hot_terms": len(_hot_widths(index_dir, stats)),
+        "vocab_size": int(agg["vocab"]),
+        "postings_rows": int(agg["rows"]),
+        "df_sum": int(agg["df_sum"]),
+        "postings_bytes": int(agg["bytes"]),
+    }

@@ -734,3 +734,34 @@ def test_snapshot_restore_roundtrip(spark, sf_dir, tmp_path):
         _json.dump({"num_buckets": 4}, f)
     with pytest.raises(ValueError, match="not a complete index"):
         snapshot_index(crashed, str(tmp_path / "nope"))
+
+
+def test_index_stats_lifecycle(spark, sf_dir, tmp_path):
+    """index_stats tracks the lifecycle: one generation after build, two
+    after merge, tombstones after delete, back to one generation with
+    zero tombstones after compaction; physical numbers stay sane."""
+    from acora_spark.index.build import index_stats
+
+    corpus = load_corpus(spark, sf_dir).limit(200)
+    lo, hi = _halves(corpus)
+    d = str(tmp_path / "stats_idx")
+    build_index(lo, d, num_buckets=4, docs_per_salt=64, resume=False)
+    s0 = index_stats(spark, d)
+    assert s0["generations"] == 1 and s0["tombstones"] == 0
+    assert s0["vocab_size"] > 0 and s0["postings_bytes"] > 0
+    assert s0["docs"] == lo.count()
+
+    merge_index(hi, d)
+    s1 = index_stats(spark, d)
+    assert s1["generations"] == 2
+    assert s1["docs"] == corpus.count()
+    assert s1["postings_bytes"] > s0["postings_bytes"]
+
+    delete_docs(spark, d, corpus.limit(5))
+    s2 = index_stats(spark, d)
+    assert s2["tombstones"] == 5
+
+    compact_index(spark, d)
+    s3 = index_stats(spark, d)
+    assert s3["generations"] == 1 and s3["tombstones"] == 0
+    assert s3["docs"] == corpus.count() - 5
