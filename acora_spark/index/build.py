@@ -86,6 +86,7 @@ __all__ = [
     "snapshot_index",
     "restore_index",
     "index_stats",
+    "upsert_docs",
 ]
 
 # On-disk postings row: ONE ROW PER (term, shard).  Cold terms have a single
@@ -2796,3 +2797,32 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
         "df_sum": int(agg["df_sum"]),
         "postings_bytes": int(agg["bytes"]),
     }
+
+
+def upsert_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    key_cols: Sequence[str] = ("repo", "path"),
+) -> dict:
+    """Document replacement (the ES ``_update`` / index-by-key shape):
+    tombstone every indexed version of the incoming keys, then
+    LSM-merge the new rows as a delta — one mutator lease spans both
+    steps (the lease is reentrant), so a compaction cron cannot
+    interleave between them.  ``key_cols`` defaults to (repo, path) —
+    the content-independent identity — because the full corpus key
+    includes the content hash, which a changed document no longer
+    matches.
+
+    Not transactional across the two steps, like ES delete+index: a
+    crash after the tombstone commit and before the merge leaves the
+    keys absent until the upsert re-runs — and re-running IS the
+    recovery, idempotent in effect (the delete re-resolves whatever
+    versions are then live; the merge appends exactly one new copy).
+    Returns ``{"deleted": n, "merged": m}``."""
+    with _mutator_lease(index_dir, "upsert"):
+        keys = docs.select(*key_cols).distinct()
+        n_del = delete_docs(spark, index_dir, keys, key_cols=key_cols)
+        n_new = docs.count()
+        merge_index(docs, index_dir)
+    return {"deleted": int(n_del), "merged": int(n_new)}

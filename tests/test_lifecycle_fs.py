@@ -765,3 +765,47 @@ def test_index_stats_lifecycle(spark, sf_dir, tmp_path):
     s3 = index_stats(spark, d)
     assert s3["generations"] == 1 and s3["tombstones"] == 0
     assert s3["docs"] == corpus.count() - 5
+
+
+def test_upsert_docs_replaces_versions(spark, sf_dir, tmp_path):
+    """Upsert by (repo, path): old versions tombstoned, new content
+    searchable, compaction nets out to the same doc count; upserting a
+    NEW key is a plain append (deleted=0)."""
+    from acora_spark.index.build import index_stats, upsert_docs
+
+    corpus = load_corpus(spark, sf_dir).limit(120).cache()
+    d = str(tmp_path / "ups_idx")
+    build_index(corpus, d, num_buckets=4, docs_per_salt=64, resume=False)
+
+    # rewrite 7 docs: new content (planted unique token) -> new commit
+    mod = (
+        corpus.limit(7)
+        .withColumn("content", F.concat(F.col("content"), F.lit(" zzupserted")))
+        .withColumn("commit", F.md5("content"))
+    )
+    info = upsert_docs(spark, mod, d)
+    assert info == {"deleted": 7, "merged": 7}
+
+    idx = load_index(spark, d)
+    hits = bm25_topk_batch(spark, idx, ["zzupserted"], k=50).count()
+    assert hits == 7
+    # the old versions cannot rank anywhere
+    st = index_stats(spark, d)
+    assert st["tombstones"] == 7 and st["generations"] == 2
+    res = bm25_topk_batch(spark, idx, QUERIES, k=200)
+    live = res.join(idx.docmap(spark), "doc_id").filter(
+        F.col("path").isin([r.path for r in mod.select("path").collect()])
+    )
+    # every surviving hit for an upserted path is the NEW version
+    new_commits = {r["commit"] for r in mod.select("commit").collect()}
+    assert all(r["commit"] in new_commits for r in live.collect())
+
+    compact_index(spark, d)
+    st2 = index_stats(spark, d)
+    assert st2["docs"] == 120 and st2["tombstones"] == 0
+
+    # brand-new key: plain append
+    fresh = mod.withColumn("path", F.concat(F.col("path"), F.lit(".new")))
+    info2 = upsert_docs(spark, fresh, d)
+    assert info2 == {"deleted": 0, "merged": 7}
+    assert index_stats(spark, d)["docs"] == 127
