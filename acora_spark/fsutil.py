@@ -302,9 +302,12 @@ def list_files_recursive(path: str) -> list[str]:
 
 
 def copy_file(src: str, dst: str, chunk: int = 8 << 20) -> None:
-    """Stream one file between any two fsutil-supported locations
-    (local<->local fast path, otherwise pyarrow streams in ``chunk``
-    bytes — constant memory regardless of file size)."""
+    """Copy one file between any two fsutil-supported locations:
+    local<->local via ``shutil``, SAME-scheme remote pairs via the
+    filesystem's own ``copy_file`` (a server-side S3 CopyObject — the
+    bytes never transit the client), and only genuinely cross-scheme
+    pairs stream through pyarrow in ``chunk`` bytes (constant memory
+    regardless of file size)."""
     if not is_remote(src) and not is_remote(dst):
         import shutil
 
@@ -318,6 +321,14 @@ def copy_file(src: str, dst: str, chunk: int = 8 << 20) -> None:
         dfs.create_dir(parent, recursive=True)
     except Exception:
         pass
+    if is_remote(src) and is_remote(dst) and (
+        src.split("://", 1)[0].lower() == dst.split("://", 1)[0].lower()
+    ):
+        try:
+            sfs.copy_file(sp, dp)
+            return
+        except Exception:
+            pass  # filesystems without a native copy fall through
     with sfs.open_input_stream(sp) as r, dfs.open_output_stream(dp) as w:
         while True:
             buf = r.read(chunk)

@@ -2103,6 +2103,29 @@ def near_match_batch(
     ).applyInPandas(run_range, NEAR_SCHEMA)
 
 
+def _tagged_boolean_batch(
+    spark: SparkSession,
+    index: Index,
+    named_clauses: dict[str, dict],
+    num_ranges: int | None,
+) -> DataFrame:
+    """Shared front-end of the named-clause family: run the clauses as
+    ONE range-parallel boolean batch (name-sorted, shared postings
+    read) and tag each (doc_id) row with its clause name."""
+    names = sorted(named_clauses)
+    res = boolean_query_batch(
+        spark, index, [named_clauses[n] for n in names],
+        num_ranges=num_ranges,
+    )
+    name_arr = F.array(*[F.lit(n) for n in names])
+    return res.select(
+        "doc_id",
+        F.element_at(name_arr, F.col("query_id").cast("int") + 1).alias(
+            "name"
+        ),
+    )
+
+
 def matched_queries(
     spark: SparkSession,
     index: Index,
@@ -2124,22 +2147,11 @@ def matched_queries(
     ``(doc_id, matched)`` with ``matched`` a sorted array of names."""
     if not named_clauses:
         raise ValueError("named_clauses must be non-empty")
-    names = sorted(named_clauses)
     if require is not None and require not in named_clauses:
         raise ValueError(
-            f"require={require!r} is not one of {names}"
+            f"require={require!r} is not one of {sorted(named_clauses)}"
         )
-    res = boolean_query_batch(
-        spark, index, [named_clauses[n] for n in names],
-        num_ranges=num_ranges,
-    )
-    name_arr = F.array(*[F.lit(n) for n in names])
-    tagged = res.select(
-        "doc_id",
-        F.element_at(name_arr, F.col("query_id").cast("int") + 1).alias(
-            "name"
-        ),
-    )
+    tagged = _tagged_boolean_batch(spark, index, named_clauses, num_ranges)
     out = tagged.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("name")).alias("matched")
     )
@@ -2158,6 +2170,7 @@ def search_highlight(
     key_cols: Sequence[str] = ("repo", "path", "commit"),
     content_col: str = "content",
     score_round: int | None = None,
+    ignore_case: bool = True,
 ) -> DataFrame:
     """Search results WITH highlights (the ES ``highlight`` response
     block): WAND top-k over the index, then the best-window snippet of
@@ -2167,31 +2180,36 @@ def search_highlight(
     The expensive signal is computed only for the k winners: the top-k
     keys BROADCAST into the corpus scan (a k-row join, so the content
     read is pruned to k documents), and the snippet argmax runs on
-    those rows alone.  A hit whose terms never appear as literal
-    substrings (can't happen for the index's own tokens, but callers
-    may pass ``ignore_case`` corpora) keeps its rank with a NULL
-    snippet.  Returns ``(rank, key_cols..., score, snippet_start,
-    n_matches, snippet)``."""
+    those rows alone.  ``ignore_case`` defaults to True because index
+    tokens are LOWERCASED — a doc ranking via a capitalized occurrence
+    ("Table scan") must still highlight; a hit whose terms genuinely
+    never appear keeps its rank with a NULL snippet.  Returns
+    ``(rank, key_cols..., score, snippet_start, n_matches, snippet)``."""
     from acora_spark.operators.snippets import snippets
 
     keys = list(key_cols)
-    raw = bm25_topk_batch(spark, index, [query], k=k).drop("query_id")
     if score_round is not None:
         # re-rank on the ROUNDED score (cross-engine-stable order for
-        # SQL oracles; last-ulp float differences cannot flip ranks)
+        # SQL oracles).  Over-fetch 4x on the raw order first — rounding
+        # can swap docs ACROSS the raw k boundary, so cutting at k before
+        # rounding would return the wrong tail doc (same convention as
+        # every other rounded-rank call site)
         raw = _rank_rows(
-            raw.withColumn("score", F.round("score", score_round))
-            .drop("rank")
+            bm25_topk_batch(spark, index, [query], k=4 * k)
+            .drop("query_id", "rank")
+            .withColumn("score", F.round("score", score_round))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k),
             [F.desc("score"), F.asc("doc_id")],
         )
+    else:
+        raw = bm25_topk_batch(spark, index, [query], k=k).drop("query_id")
     dm = index.docmap(spark).select("doc_id", *keys)
     hits = raw.join(dm, "doc_id")
     docs = corpus.join(F.broadcast(hits.select(*keys)), keys)
     sn = snippets(
         docs, query_terms(query), window=window,
-        id_cols=keys, content_col=content_col,
+        id_cols=keys, content_col=content_col, ignore_case=ignore_case,
     )
     return hits.join(sn, keys, "left").select(
         "rank", *keys, "score", "snippet_start", "n_matches", "snippet"
@@ -2217,18 +2235,7 @@ def adjacency_matrix(
     map-combined count per key.  Returns ``(key, doc_count)``."""
     if not named_clauses:
         raise ValueError("named_clauses must be non-empty")
-    names = sorted(named_clauses)
-    res = boolean_query_batch(
-        spark, index, [named_clauses[n] for n in names],
-        num_ranges=num_ranges,
-    )
-    name_arr = F.array(*[F.lit(n) for n in names])
-    tagged = res.select(
-        "doc_id",
-        F.element_at(name_arr, F.col("query_id").cast("int") + 1).alias(
-            "name"
-        ),
-    )
+    tagged = _tagged_boolean_batch(spark, index, named_clauses, num_ranges)
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = a.join(b, "doc_id").filter(F.col("a.name") <= F.col("b.name"))
     key = F.when(
@@ -3175,7 +3182,9 @@ def search_sorted(
     for c, d in sort:
         if d not in ("asc", "desc"):
             raise ValueError(f"sort direction must be asc|desc, got {d!r}")
-    cols = list(dict.fromkeys(c for c, _ in sort))
+    # exclude doc_id: the join key provides it, and a duplicate column
+    # would make the order/select references ambiguous (ES _doc sort)
+    cols = list(dict.fromkeys(c for c, _ in sort if c != "doc_id"))
     joined = _boolean_docmap_join(spark, index, query, cols, num_ranges)
     order = [
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sort
@@ -3341,7 +3350,14 @@ def search_top_hits(
     for c, d in sort:
         if d not in ("asc", "desc"):
             raise ValueError(f"sort direction must be asc|desc, got {d!r}")
-    cols = list(dict.fromkeys([facet_col] + [c for c, _ in sort]))
+    # doc_id is excluded from the docmap projection: the join key
+    # provides it, and selecting it twice would make every downstream
+    # reference ambiguous (the ES _doc sort is just sort=[('doc_id',..)])
+    cols = list(
+        dict.fromkeys(
+            [facet_col] + [c for c, _ in sort if c != "doc_id"]
+        )
+    )
     joined = _boolean_docmap_join(spark, index, query, cols, num_ranges)
     order = [
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sort
@@ -3419,13 +3435,20 @@ def search_composite(
     return buckets.orderBy(*[F.col(n).asc() for n in names]).limit(size)
 
 
-EXPLAIN_SCHEMA = StructType(
+# internal decode-stage schema (what the mapInPandas emits)
+EXPLAIN_RAW_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
         StructField("doc_id", LongType(), False),
         StructField("tf", LongType(), False),
         StructField("dl", LongType(), False),
     ]
+)
+# the public result schema — empty results carry it too, so callers can
+# select the documented columns unconditionally
+EXPLAIN_SCHEMA = (
+    "term string, doc_id long, tf long, df long, idf double, dl long, "
+    "norm double, contribution double"
 )
 
 
@@ -3512,7 +3535,7 @@ def bm25_explain(
             yield pd.DataFrame(out)
 
     raw = post.select("term", "postings", "blocks").mapInPandas(
-        fn, EXPLAIN_SCHEMA
+        fn, EXPLAIN_RAW_SCHEMA
     )
     tstats = spark.createDataFrame(
         [

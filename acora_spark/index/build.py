@@ -2792,10 +2792,13 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
         "postings_dirs": list(stats.get("postings_dirs", ["postings"])),
         "tombstones": int(len(idx.tombstones(spark))),
         "hot_terms": len(_hot_widths(index_dir, stats)),
-        "vocab_size": int(agg["vocab"]),
-        "postings_rows": int(agg["rows"]),
-        "df_sum": int(agg["df_sum"]),
-        "postings_bytes": int(agg["bytes"]),
+        # sums are NULL over zero postings rows (a fully-drained index):
+        # report zeros, don't crash the one visibility call that should
+        # always work
+        "vocab_size": int(agg["vocab"] or 0),
+        "postings_rows": int(agg["rows"] or 0),
+        "df_sum": int(agg["df_sum"] or 0),
+        "postings_bytes": int(agg["bytes"] or 0),
     }
 
 

@@ -228,6 +228,10 @@ def _rep_stats_udf(line_sep: str, top_ns: tuple, dup_ns: tuple):
     from pyspark.sql.types import LongType, StructField, StructType
 
     tok_re = re.compile(TOKEN_RE)
+    # line_sep is a REGEX in the expr engine (F.split) — split with the
+    # same semantics here, or a metachar separator ('\r?\n', '|') would
+    # silently stop splitting on the arrow path
+    sep_re = re.compile(line_sep)
     fields = [
         StructField("n_lines", LongType()),
         StructField("dup_lines", LongType()),
@@ -248,7 +252,7 @@ def _rep_stats_udf(line_sep: str, top_ns: tuple, dup_ns: tuple):
         rows = []
         for text in content:
             text = text or ""
-            lines = [l for l in text.split(line_sep) if l != ""]
+            lines = [l for l in sep_re.split(text) if l != ""]
             lc = Counter(lines)
             toks = tok_re.findall(text.lower())
             row = {
@@ -540,8 +544,12 @@ def dedup_lines(
         raise ValueError("min_docs must be >= 2")
     keys = list(key_cols)
     other = [c for c in df.columns if c != content_col]
+    # explode KEYS ONLY: dragging wide attribute columns onto every
+    # (key, line_no, line) row would multiply the boilerplate join's
+    # shuffle volume for nothing — the non-key attributes re-attach
+    # from df after reassembly
     lines = df.select(
-        *other,
+        *keys,
         F.posexplode(
             F.split(F.coalesce(F.col(content_col), F.lit("")), line_sep, -1)
         ).alias("line_no", "line"),

@@ -438,7 +438,9 @@ def test_search_highlight_composition(built, ground, spark):
     )
     want_snip = {
         (r.repo, r.path, r.commit): (r.snippet_start, r.n_matches, r.snippet)
-        for r in snip_op(filt, ["data", "merge"], window=50).collect()
+        for r in snip_op(
+            filt, ["data", "merge"], window=50, ignore_case=True
+        ).collect()
     }
     for r in out:
         k = (r.repo, r.path, r.commit)
@@ -513,3 +515,30 @@ def test_rare_terms(built, ground, spark):
     assert [r.term for r in lim] == sorted(want)[:5]
     with pytest.raises(ValueError, match="max_doc_count"):
         rare_terms(spark, idx, max_doc_count=0)
+
+
+def test_review_fix_edges(built, ground, spark):
+    """Round-5 review fixes: empty-result explain carries the full
+    documented schema; doc_id as a sort column works (the ES _doc
+    sort) in search_sorted and search_top_hits."""
+    from acora_spark.index.bm25 import (
+        bm25_explain,
+        search_sorted,
+        search_top_hits,
+    )
+
+    idx, _ = built
+    empty = bm25_explain(spark, idx, "zzzz_not_a_term", [1, 2])
+    assert empty.columns == [
+        "term", "doc_id", "tf", "df", "idf", "dl", "norm", "contribution"
+    ]
+    assert empty.count() == 0
+
+    rows = search_sorted(spark, idx, Q, [("doc_id", "asc")], k=5).collect()
+    ids = [r.doc_id for r in rows]
+    assert ids == sorted(ids) and len(ids) == 5
+
+    th = search_top_hits(
+        spark, idx, Q, "lang", [("doc_id", "desc")], k=2
+    ).collect()
+    assert th and all(r.hit_rank <= 2 for r in th)
