@@ -650,6 +650,28 @@ MQ_CLAUSES = {
 }
 
 
+QS_QUERY = 'data +merge "table scan" -window'
+QS_K = 10
+
+
+def q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query_string: the search-box mini-language — bare terms score,
+    + requires, - excludes, quotes make a required phrase whose doc set
+    rides the constrained engine's cogrouped grid."""
+    from acora_spark.index.bm25 import query_string_topk_batch
+
+    idx = _pos_index_for(spark, sf_dir)
+    raw = query_string_topk_batch(spark, idx, [QS_QUERY], k=4 * QS_K)
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= QS_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 RARE_MAX = 100
 
 
@@ -2075,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "bm25_boosting": q_bm25_boosting,
         "rare_terms": q_rare_terms,
+        "query_string": q_query_string,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3662,6 +3685,40 @@ SELECT path,
                  CASE WHEN c2 THEN 'mergey' END,
                  CASE WHEN c3 THEN 'streamy' END) AS matched
 FROM sel WHERE c1
+"""
+
+    qs_score = sorted({"data", "merge", "scan", "table"})
+    sql["query_string"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(qs_score)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),
+allowed AS (
+  SELECT doc_id FROM toks
+  WHERE list_contains(t, 'merge') AND list_contains(t, 'scan')
+    AND list_contains(t, 'table') AND NOT list_contains(t, 'window')
+    AND len(list_filter(range(1, len(t)),
+            j -> t[j] = 'table' AND t[j + 1] = 'scan')) > 0
+)
+SELECT row_number() OVER (ORDER BY score DESC, sc.doc_id ASC)::INT AS rank,
+       dl.path AS path, score
+FROM scored sc JOIN allowed USING (doc_id) JOIN dl USING (doc_id)
+ORDER BY score DESC, sc.doc_id ASC LIMIT {QS_K}
 """
 
     sql["rare_terms"] = f"""

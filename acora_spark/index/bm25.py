@@ -3947,6 +3947,121 @@ def bm25_bool_topk_batch(
     return _constrained_ranged_topk(spark, index, norm, wheres, k, num_ranges)
 
 
+_QS_CLAUSE = re.compile(r'([+-]?)"([^"]*)"|([+-]?)(\S+)')
+
+
+def parse_query_string(q: str) -> dict:
+    """Parse the Lucene/ES ``query_string`` mini-language:
+    ``spark +shuffle -window "table scan"`` — bare terms are optional
+    (should), ``+`` requires, ``-`` excludes, double quotes make a
+    PHRASE.  Returns
+    ``{"must": [...], "should": [...], "must_not": [...],
+    "phrases": [...]}`` with terms token-normalized.  Positive phrases
+    are REQUIRED clauses (constraints); negated phrases are rejected —
+    excluding a phrase means materializing a posting-list complement,
+    which has no bounded distributed form (use must_not TERMS or
+    post-filter a page instead)."""
+    out: dict = {"must": [], "should": [], "must_not": [], "phrases": []}
+    for m in _QS_CLAUSE.finditer(q or ""):
+        if m.group(2) is not None:
+            sign, phrase = m.group(1), m.group(2)
+            if sign == "-":
+                raise ValueError(
+                    'negated phrases (-"...") are not supported: a '
+                    "phrase complement has no bounded distributed form"
+                )
+            if _TOKEN_RE.findall(phrase.lower()):
+                out["phrases"].append(phrase)
+        else:
+            sign, word = m.group(3), m.group(4)
+            toks = _TOKEN_RE.findall(word.lower())
+            if not toks:
+                continue
+            dst = {"": "should", "+": "must", "-": "must_not"}[sign]
+            out[dst].extend(toks)
+    return out
+
+
+def query_string_topk_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[str],
+    k: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``query_string`` query: the user-facing search-box
+    mini-language (``spark +shuffle -window "table scan"``) parsed by
+    :func:`parse_query_string` and executed EXACTLY on the shared
+    constrained ranged engine — must/should/must_not terms behave as in
+    the scored bool executor (msm=1 when should is all there is), and
+    every positive phrase is a required constraint whose doc set comes
+    from the positional phrase executor and rides the SAME cogrouped
+    (query, range) grid as the metadata filters.  Phrase WORDS
+    contribute ordinary BM25 term scores (the phrase itself constrains
+    rather than re-weights — the documented simplification;
+    ``bm25_rescore_topk_batch`` is the phrase-SCORING path).  Returns
+    the standard (query_id, rank, doc_id, score) page."""
+    parsed = {qi: parse_query_string(q) for qi, q in enumerate(queries)}
+    norm: dict[int, dict] = {}
+    phrase_rows: list[tuple[int, str]] = []
+    for qi, p in parsed.items():
+        must = sorted(set(p["must"]))
+        should = sorted(set(p["should"]))
+        phrase_terms = sorted(
+            {t for ph in p["phrases"] for t in _TOKEN_RE.findall(ph.lower())}
+        )
+        if not (must or should or phrase_terms):
+            raise ValueError(
+                f"query {qi}: no positive clause in {queries[qi]!r}"
+            )
+        score = sorted({*must, *should, *phrase_terms})
+        norm[qi] = {
+            "score": score,
+            "must": sorted({*must, *phrase_terms}),
+            "must_not": sorted(set(p["must_not"])),
+            "should": should,
+            # ES: should is optional once other matching clauses exist
+            "msm": 1 if (should and not must and not p["phrases"]) else 0,
+            "boosts": {},
+        }
+        for ph in p["phrases"]:
+            phrase_rows.append((qi, ph))
+    allow_sets, allow_qids = None, frozenset()
+    if phrase_rows:
+        pm = phrase_match_batch(
+            spark, index, [ph for _, ph in phrase_rows],
+            num_ranges=num_ranges,
+        )
+        # map phrase-batch ids back to their owning query; a doc must
+        # match EVERY positive phrase of its query (count == n_phrases)
+        owner = F.array(
+            *[F.lit(qi) for qi, _ in phrase_rows]
+        )
+        need = {qi: 0 for qi, _ in phrase_rows}
+        for qi, _ in phrase_rows:
+            need[qi] += 1
+        need_arr = F.create_map(
+            *[x for qi, n in sorted(need.items()) for x in (F.lit(qi), F.lit(n))]
+        )
+        tagged = pm.select(
+            F.element_at(owner, F.col("query_id").cast("int") + 1).alias(
+                "query_id"
+            ),
+            "doc_id",
+        )
+        allow_sets = (
+            tagged.groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") == F.element_at(need_arr, F.col("query_id")))
+            .select("query_id", "doc_id")
+        )
+        allow_qids = frozenset(need)
+    return _constrained_ranged_topk(
+        spark, index, norm, {}, k, num_ranges,
+        allow_sets=allow_sets, allow_qids=allow_qids,
+    )
+
+
 _RANGE_OPS = ("gte", "gt", "lte", "lt")
 
 
@@ -4025,13 +4140,23 @@ def _constrained_ranged_topk(
     wheres: dict[int, dict[str, list]],
     k: int,
     num_ranges: int | None,
+    allow_sets: DataFrame | None = None,
+    allow_qids: frozenset = frozenset(),
 ) -> DataFrame:
     """Shared engine of the filtered and scored-bool executors.  Spec per
     query: ``score`` (BM25-contributing terms, ascending — the float64
     summation order), ``must`` (required non-scoring doc-set terms; the
     callers fold scoring must clauses in by listing them in BOTH roles),
     ``must_not``, ``should`` + ``msm`` (distinct-membership threshold;
-    0 disables), plus per-query ``where`` attribute predicates."""
+    0 disables), plus per-query ``where`` attribute predicates.
+
+    ``allow_sets`` (with ``allow_qids``, the queries it constrains —
+    needed separately because an EMPTY allowed set must mean "no doc
+    may rank", which rows alone cannot express) is an optional
+    (query_id, doc_id) DataFrame of precomputed doc-set constraints —
+    e.g. phrase-match results — that rides the SAME cogrouped grid as
+    the attribute doc-sets; a query carrying both a ``where`` and an
+    allow set gets their INTERSECTION (both constraints apply)."""
     stats = index.stats
     all_terms = sorted(
         {
@@ -4108,6 +4233,27 @@ def _constrained_ranged_topk(
         attr = frames[0]
         for f2 in frames[1:]:
             attr = attr.unionByName(f2)
+
+    if allow_sets is not None and allow_qids:
+        ex = allow_sets.select("query_id", "doc_id")
+        both = set(wheres) & set(allow_qids)
+        if both and attr is not None:
+            # a query under BOTH constraints keeps their intersection
+            b = list(both)
+            inter = attr.filter(F.col("query_id").isin(b)).join(
+                ex.filter(F.col("query_id").isin(b)),
+                ["query_id", "doc_id"],
+            )
+            attr = (
+                attr.filter(~F.col("query_id").isin(b))
+                .unionByName(ex.filter(~F.col("query_id").isin(b)))
+                .unionByName(inter)
+            )
+        elif attr is not None:
+            attr = attr.unionByName(ex)
+        else:
+            attr = ex
+    if attr is not None:
         attr = attr.select(
             "query_id",
             F.shiftright("doc_id", shift).alias("rng"),
@@ -4115,7 +4261,7 @@ def _constrained_ranged_topk(
         )
 
     bc_spec = spark.sparkContext.broadcast(norm)
-    bc_where = spark.sparkContext.broadcast(set(wheres))
+    bc_where = spark.sparkContext.broadcast(set(wheres) | set(allow_qids))
     bc_idf = spark.sparkContext.broadcast(idf_map)
     tomb = index.tombstones(spark)
     bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None

@@ -284,3 +284,23 @@ def test_filtered_executor_unchanged(built, spark):
     assert len(res) > 0
     for r in res:
         assert r.score == plain[r.doc_id]
+
+
+def test_parse_query_string():
+    from acora_spark.index.bm25 import parse_query_string
+
+    p = parse_query_string('spark +shuffle -window "table scan" data')
+    assert p == {
+        "must": ["shuffle"],
+        "should": ["spark", "data"],
+        "must_not": ["window"],
+        "phrases": ["table scan"],
+    }
+    # multi-token words split; empty quotes ignored; punctuation-only skipped
+    p2 = parse_query_string('+fast-path "" ... -a_b')
+    assert p2["must"] == ["fast", "path"] and p2["must_not"] == ["a_b"]
+    assert p2["phrases"] == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negated phrases"):
+        parse_query_string('-"no way"')

@@ -1213,3 +1213,73 @@ def test_docmap_join_size_gate(spark, sf_dir):
         assert "SortMergeJoin" in none and "ShuffledHashJoin" not in none
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_query_string_executor(spark, sf_dir, tmp_path):
+    """query_string end to end on a positional index: phrase clauses
+    constrain exactly (doc sets from the phrase executor), +/- terms
+    behave as must/must_not, bare terms score; ranking equals the
+    brute-force combination of the candidate scorer and the constraint
+    sets bit-exactly."""
+    from acora_spark.index.bm25 import (
+        _score_all_candidates,
+        boolean_query_batch,
+        phrase_match_batch,
+        query_string_topk_batch,
+    )
+
+    corpus = load_corpus(spark, sf_dir).limit(150)
+    idx = build_index(
+        corpus, str(tmp_path / "qsidx"), num_buckets=4,
+        bucket_group_size=4, with_positions=True, resume=False,
+    )
+    qs = 'data +merge "table scan" -window'
+    got = (
+        query_string_topk_batch(spark, idx, [qs], k=8)
+        .orderBy("rank")
+        .collect()
+    )
+
+    cand = {
+        r.doc_id: r.score
+        for r in _score_all_candidates(
+            spark, idx, ["data merge scan table"]
+        ).collect()
+    }
+    must_ok = {
+        r.doc_id
+        for r in boolean_query_batch(
+            spark, idx,
+            [{"must": ["merge", "scan", "table"], "must_not": ["window"]}],
+        ).collect()
+    }
+    ph_ok = {
+        r.doc_id
+        for r in phrase_match_batch(spark, idx, ["table scan"]).collect()
+    }
+    allowed = must_ok & ph_ok
+    want = sorted(
+        ((d, s) for d, s in cand.items() if d in allowed),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:8]
+    assert [(r.doc_id, r.score) for r in got] == want
+    assert want  # non-degenerate
+
+    # should-only string requires >= 1 term (msm=1), no constraints
+    got2 = {
+        r.doc_id
+        for r in query_string_topk_batch(
+            spark, idx, ["data merge"], k=500
+        ).collect()
+    }
+    want2 = {
+        r.doc_id
+        for r in boolean_query_batch(
+            spark, idx,
+            [{"should": ["data", "merge"], "minimum_should_match": 1}],
+        ).collect()
+    }
+    assert got2 == want2
+
+    with pytest.raises(ValueError, match="no positive clause"):
+        query_string_topk_batch(spark, idx, ["-window"])
