@@ -1134,6 +1134,28 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+MLT_LIKE_TEXT = "fast data merge over the stream table scan"
+
+
+def q_more_like_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this with a raw like-TEXT ('find docs like this
+    paste'): same tf x idf selection, no self-exclusion."""
+    from acora_spark.index.bm25 import more_like_text
+
+    idx = _index_for(spark, sf_dir)
+    raw = more_like_text(
+        spark, idx, MLT_LIKE_TEXT, top_terms=MLT_TOP_TERMS, k=4 * BM25_K
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 def _pos_index_for(spark: SparkSession, sf_dir: str):
     from acora_spark.index.build import build_index
 
@@ -2098,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosting": q_bm25_boosting,
         "rare_terms": q_rare_terms,
         "query_string": q_query_string,
+        "more_like_text": q_more_like_text,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -3274,6 +3297,50 @@ scored AS (
               * tfq.tf / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
   FROM tfq JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
   WHERE tfq.doc_id <> (SELECT doc_id FROM src)
+  GROUP BY tfq.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,
+       dl.path AS path, score
+FROM scored JOIN dl USING (doc_id)
+ORDER BY score DESC, scored.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    import collections as _collections
+    import re as _re
+
+    mlt_tf = _collections.Counter(
+        _re.findall(r"[a-z0-9_]+", MLT_LIKE_TEXT.lower())
+    )
+    mlt_tf_vals = ", ".join(f"('{t}', {c})" for t, c in sorted(mlt_tf.items()))
+    sql["more_like_text"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+src_tf(term, tf) AS (VALUES {mlt_tf_vals}),
+gdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok_rows GROUP BY term
+),
+wts AS (
+  SELECT s.term AS term,
+         round(ln(1 + (st.n_docs - g.df + 0.5) / (g.df + 0.5)) * s.tf, 6) AS w
+  FROM src_tf s JOIN gdf g USING (term) CROSS JOIN stats st
+),
+qsel AS (SELECT term FROM wts ORDER BY w DESC, term ASC LIMIT {MLT_TOP_TERMS}),
+tfq AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qsel)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT tfq.doc_id AS doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tfq.tf / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tfq JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
   GROUP BY tfq.doc_id
 )
 SELECT row_number() OVER (ORDER BY score DESC, scored.doc_id ASC) AS rank,

@@ -3741,27 +3741,7 @@ def more_like_this(
             "— pass key_cols that uniquely identify the source document"
         )
     content = rows[0]["content"] or ""
-    from collections import Counter
-
-    tf = Counter(_TOKEN_RE.findall(content.lower()))
-    if not tf:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    stats = index.stats
-    cand = sorted(tf)
-    buckets = term_buckets(spark, cand, stats["num_buckets"])
-    post = index.postings(spark, sorted(set(buckets.values()))).filter(
-        F.col("term").isin(cand)
-    )
-    term_df = _query_term_df(post)
-    n_docs = stats["N"]
-    weights = []
-    for t, d in term_df.items():
-        w = idf(n_docs, d) * tf[t]
-        if weight_round is not None:
-            w = round(w, weight_round)
-        weights.append((w, t))
-    weights.sort(key=lambda x: (-x[0], x[1]))
-    sel = [t for _, t in weights[:top_terms]]
+    sel = _mlt_select_terms(spark, index, content, top_terms, weight_round)
     if not sel:
         return spark.createDataFrame([], TOPK_SCHEMA)
     src = index.docmap(spark).filter(pred).select("doc_id").limit(1).collect()
@@ -3781,6 +3761,59 @@ def more_like_this(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def _mlt_select_terms(
+    spark: SparkSession,
+    index: Index,
+    text: str,
+    top_terms: int,
+    weight_round: int | None,
+) -> list[str]:
+    """Shared MLT term selection: the text's top terms by tf x idf
+    (idf from the INDEX — a bucket-pruned postings read for just the
+    text's distinct terms), (weight desc, term asc) order, weights
+    rounded so an independent scorer reproduces the exact term set."""
+    from collections import Counter
+
+    tf = Counter(_TOKEN_RE.findall((text or "").lower()))
+    if not tf:
+        return []
+    stats = index.stats
+    cand = sorted(tf)
+    buckets = term_buckets(spark, cand, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(cand)
+    )
+    term_df = _query_term_df(post)
+    n_docs = stats["N"]
+    weights = []
+    for t, d in term_df.items():
+        w = idf(n_docs, d) * tf[t]
+        if weight_round is not None:
+            w = round(w, weight_round)
+        weights.append((w, t))
+    weights.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in weights[:top_terms]]
+
+
+def more_like_text(
+    spark: SparkSession,
+    index: Index,
+    text: str,
+    *,
+    top_terms: int = 10,
+    k: int = 10,
+    weight_round: int | None = 6,
+) -> DataFrame:
+    """ES ``more_like_this`` with a raw ``like`` TEXT (no source doc in
+    the corpus — "find documents like this paste"): the same
+    tf x idf term selection as :func:`more_like_this`, BM25-ranked with
+    no self-exclusion.  Returns TOPK_SCHEMA rows (query_id = 0)."""
+    sel = _mlt_select_terms(spark, index, text, top_terms, weight_round)
+    if not sel:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return bm25_topk_batch(spark, index, [" ".join(sel)], k=k)
 
 
 def bm25_filtered_topk_batch(
