@@ -909,6 +909,18 @@ def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_percentiles(spark, idx, AGG_QUERY, "dl", PCT_PERCENTS)
 
 
+PCTR_VALUES = (20.0, 40.0, 80.0)
+
+
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks: exact percent of matching docs with dl at or
+    below each value, one conditional-count pass."""
+    from acora_spark.index.bm25 import search_percentile_ranks
+
+    idx = _index_for(spark, sf_dir)
+    return search_percentile_ranks(spark, idx, AGG_QUERY, "dl", PCTR_VALUES)
+
+
 def q_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES range aggregation: explicit [from, to) doc-length buckets
     (open ends, ES key convention), ONE conditional-sum pass."""
@@ -2121,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_terms": q_rare_terms,
         "query_string": q_query_string,
         "more_like_text": q_more_like_text,
+        "percentile_ranks": q_percentile_ranks,
         "search_count": q_search_count,
         "redacted_docs": q_redacted_docs,
         "stratified_sample": q_stratified_sample,
@@ -2862,6 +2875,19 @@ SELECT unnest([{pct_list}]) AS percent,
        unnest(list_transform(quantile_cont(dl, [{q_list}]),
                              v -> round(v, 6))) AS value
 FROM sel
+"""
+
+    pctr_rows = "\nUNION ALL\n".join(
+        f"SELECT {v}::DOUBLE AS value, "
+        f"round(sum(CASE WHEN dl <= {v} THEN 1 ELSE 0 END)::DOUBLE "
+        f"/ count(*) * 100.0, 6) AS percent FROM sel"
+        for v in PCTR_VALUES
+    )
+    sql["percentile_ranks"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+sel AS (SELECT len(t) AS dl FROM toks WHERE {ag_must} AND {ag_not})
+{pctr_rows}
 """
 
     def _range_row(lo, hi):

@@ -3266,6 +3266,45 @@ def search_percentiles(
     return out
 
 
+def search_percentile_ranks(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    values: Sequence[float],
+    num_ranges: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation — the inverse of
+    ``percentiles``: for each given value, the percentage of the
+    matching docs' ``field`` at or below it ("what fraction of result
+    docs are under 100 tokens").  Exact: one conditional-count per
+    value inside a SINGLE map-combined aggregation (the ES t-digest
+    approximates this same number).  Returns ``(value, percent)``."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    c = F.col(field).cast("double")
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum((c <= float(v)).cast("long")).alias(f"_v{i}")
+        for i, v in enumerate(values)
+    ]
+    one = joined.agg(*aggs)
+    pairs = []
+    for i, v in enumerate(values):
+        pct = (
+            F.col(f"_v{i}").cast("double")
+            / F.col("_n").cast("double")
+            * F.lit(100.0)
+        )
+        if round_to is not None:
+            pct = F.round(pct, round_to)
+        pairs += [F.lit(float(v)), pct]
+    return one.select(
+        F.explode(F.create_map(*pairs)).alias("value", "percent")
+    )
+
+
 def search_range_agg(
     spark: SparkSession,
     index: Index,

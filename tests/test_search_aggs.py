@@ -542,3 +542,24 @@ def test_review_fix_edges(built, ground, spark):
         spark, idx, Q, "lang", [("doc_id", "desc")], k=2
     ).collect()
     assert th and all(r.hit_rank <= 2 for r in th)
+
+
+def test_search_percentile_ranks(built, ground, spark):
+    from acora_spark.index.bm25 import search_percentile_ranks
+
+    idx, _ = built
+    _, match = ground
+    dls = [len(t) for _, t in match.values()]
+    vals = (10.0, 40.0, 1e9)
+    got = {
+        r.value: r.percent
+        for r in search_percentile_ranks(spark, idx, Q, "dl", vals).collect()
+    }
+    want = {
+        v: round(sum(1 for d in dls if d <= v) / len(dls) * 100.0, 6)
+        for v in vals
+    }
+    assert got == pytest.approx(want)
+    assert got[1e9] == 100.0
+    with pytest.raises(ValueError, match="non-empty"):
+        search_percentile_ranks(spark, idx, Q, "dl", ())
