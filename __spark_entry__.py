@@ -1797,6 +1797,35 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+ANN_FILTER_LABELS = [1, 4, 7]
+
+
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (ES knn + filter): the IVF probe with a
+    label IN-predicate applied to the pruned cell read BEFORE top-k —
+    the exact filtered top-k of the probed cells."""
+    import os
+
+    from acora_spark.operators.similarity import ann_query, build_ann_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    index_dir = os.path.join(
+        "/tmp", f"annivf_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    build_ann_index(
+        emb.filter(F.col("vec_id") != 0),
+        index_dir,
+        num_cells=ANN_IVF_CELLS,
+        centroids=_ivf_centroids(),
+    )
+    res = ann_query(
+        spark, index_dir, list(qvec), k=10, nprobe=ANN_IVF_NPROBE,
+        where={"label": ANN_FILTER_LABELS},
+    )
+    return res.select("rank", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-ball hyperplane-LSH ANN: sign-bucket candidates within
     Hamming distance 1 of the query's bucket, exact-cosine verified —
@@ -2131,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "bm25_boosting": q_bm25_boosting,
         "rare_terms": q_rare_terms,
+        "ann_ivf_filtered": q_ann_ivf_filtered,
         "query_string": q_query_string,
         "more_like_text": q_more_like_text,
         "percentile_ranks": q_percentile_ranks,
@@ -2391,7 +2421,7 @@ def _ann_lsh_sql() -> str:
         for i in range(ANN_LSH_PLANES)
     )
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {bucket} AS bucket FROM base),
 q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = 0),
 scored AS (
@@ -2407,11 +2437,12 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
-def _ann_ivf_sql() -> str:
+def _ann_ivf_sql(label_filter: list | None = None) -> str:
     """Mirror of q_ann_ivf_topk: identical centroid literals, nearest-cell
     assignment (arg_min on euclidean distance — same ordering as the
     squared-distance argmin the Spark side computes), nprobe probe-set,
-    exact cosine within probed cells."""
+    exact cosine within probed cells; ``label_filter`` mirrors the
+    knn-filter variant (predicate before top-k)."""
     cents = _ivf_centroids()
 
     def arr(p) -> str:
@@ -2421,7 +2452,7 @@ def _ann_ivf_sql() -> str:
         f"({i}, {arr(cents[i])}::DOUBLE[])" for i in range(len(cents))
     )
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cents(cell, c) AS (VALUES
   {rows}),
 q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
@@ -2438,12 +2469,19 @@ scored AS (
          list_dot_product(b.v, q.qv)
            / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
   FROM base b JOIN assign a USING (vec_id) CROSS JOIN q
-  WHERE a.cell IN (SELECT cell FROM probe)
+  WHERE a.cell IN (SELECT cell FROM probe){{LABEL_PRED}}
 )
 SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank,
        vec_id, round(cos, 4) AS cosine
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
-"""
+""".replace(
+        "{LABEL_PRED}",
+        (
+            " AND b.label IN (" + ", ".join(map(str, label_filter)) + ")"
+            if label_filter
+            else ""
+        ),
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2452,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["ann_lsh_topk"] = _ann_lsh_sql()
     sql["ann_ivf_topk"] = _ann_ivf_sql()
+    sql["ann_ivf_filtered"] = _ann_ivf_sql(ANN_FILTER_LABELS)
 
     sql["match_count_by_term"] = f"""
 WITH {_CORPUS_CTE},

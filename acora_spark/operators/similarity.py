@@ -269,9 +269,17 @@ def ann_query(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: dict | None = None,
 ) -> DataFrame:
     """Query the persisted IVF index: read ONLY the nprobe nearest cells
-    (partition-pruned), exact cosine within them."""
+    (partition-pruned), exact cosine within them.
+
+    ``where`` is the ES ``knn.filter`` shape — attribute predicates over
+    the columns stored WITH the vectors (``{col: [values]}`` IN-lists or
+    ``{col: {gte/gt/lte/lt: bound}}`` ranges, the same filter-context
+    dialect the BM25 executors take), applied to the pruned cell read
+    BEFORE the top-k, so the result is the exact filtered top-k of the
+    probed cells and the predicate pushes into the parquet scan."""
     import json
     import os
 
@@ -298,6 +306,22 @@ def ann_query(
         cells = spark.read.parquet(base).filter(F.col("cell").isin(probe))
     else:
         cells = spark.read.option("basePath", base).parquet(*paths)
+    if where:
+        # local import: bm25 owns the filter-context dialect (shared
+        # with every BM25 executor); similarity must not be a hard
+        # dependency of bm25, so the edge points this way only
+        from acora_spark.index.bm25 import _normalize_where, _where_pred_col
+
+        pred = None
+        for c, v in _normalize_where(where).items():
+            if c not in cells.columns:
+                raise ValueError(
+                    f"where column {c!r} not stored in the ANN index "
+                    f"(columns: {sorted(cells.columns)})"
+                )
+            p = _where_pred_col(c, v)
+            pred = p if pred is None else pred & p
+        cells = cells.filter(pred)
     return brute_force_topk(cells, query_vec, k, id_col, vec_col)
 
 

@@ -174,3 +174,47 @@ def test_rrf_fusion_brute_force(spark):
         rrf_fusion([A])
     with _pytest.raises(ValueError, match="rrf_k"):
         rrf_fusion([A, B], rrf_k=0)
+
+
+def test_ann_query_filtered(spark, tmp_path):
+    """ES knn + filter: the IVF probe with an attribute predicate —
+    exact filtered top-k of the probed cells vs a brute force, plus the
+    unknown-column refusal."""
+    import numpy as np
+
+    from acora_spark.operators.similarity import ann_query, build_ann_index
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((120, 8))
+    rows = [
+        (i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cents = rng.standard_normal((4, 8))
+    d = str(tmp_path / "ivf_filtered")
+    build_ann_index(emb, d, num_cells=4, centroids=cents)
+    q = vecs[0]
+    got = ann_query(
+        spark, d, [float(x) for x in q], k=5, nprobe=2,
+        where={"label": [1, 2]},
+    ).collect()
+
+    probe = np.argsort(((cents - q[None]) ** 2).sum(1))[:2]
+    cell = ((vecs[:, None, :] - cents[None]) ** 2).sum(-1).argmin(1)
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    cand = [
+        (i, cos[i])
+        for i in range(120)
+        if cell[i] in probe and i % 3 in (1, 2)
+    ]
+    want = sorted(cand, key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.vec_id, round(r.cosine, 9)) for r in got] == [
+        (i, round(c, 9)) for i, c in want
+    ]
+    assert all(r.vec_id % 3 in (1, 2) for r in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not stored"):
+        ann_query(spark, d, [0.0] * 8, where={"nope": [1]})
