@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["index_ingest_stream", "index_delete_stream"]
+__all__ = ["index_ingest_stream", "index_delete_stream", "index_upsert_stream"]
 
 
 def index_ingest_stream(
@@ -120,6 +120,85 @@ def index_delete_stream(
         delete_docs(batch_df.sparkSession, index_dir, batch_df)
 
     writer = key_stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def index_upsert_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    key_cols: tuple = ("repo", "path"),
+    build_kwargs: dict | None = None,
+):
+    """Attach an UPSERT sink: each micro-batch REPLACES documents by
+    ``key_cols`` — tombstone the indexed versions, merge the new rows
+    (:func:`acora_spark.index.build.upsert_docs`) — the streaming CDC
+    shape (document feeds that re-crawl / re-render existing keys).
+    The first batch builds the index.  Returns the ``StreamingQuery``.
+
+    Replay safety: an upsert is NOT naturally idempotent (replaying
+    delete+merge after success would tombstone the fresh copies, then
+    skip the duplicate-keyed merge — net data LOSS), so the sink
+    detects an already-applied batch BEFORE mutating: a batch is
+    applied iff every (repo, path, commit) triple it carries is in the
+    committed docmap AND not tombstoned.  The check is sound for the
+    same reason the ingest sink's is — merges commit atomically, so a
+    live docmap triple implies fully-committed postings; and a crash
+    ANYWHERE inside the apply leaves at least one batch triple
+    non-live (the merge is the only step that creates them), so a
+    partial apply always re-runs, and re-running upsert_docs IS its
+    documented recovery.  A batch whose content equals the indexed
+    content (commit unchanged) is skipped — correct, since replacing a
+    doc with itself is a no-op.  A batch must not repeat a key."""
+    from acora_spark.index.build import build_index, upsert_docs
+
+    kwargs = dict(build_kwargs or {})
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from acora_spark.index.build import build_is_complete, load_index
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not build_is_complete(index_dir):
+            # first batch — or the replay of a crashed first build; the
+            # manifest-resumable build continues it idempotently
+            build_index(batch_df, index_dir, **kwargs)
+            return
+        dup = (
+            batch_df.groupBy(*keys).count().filter(F.col("count") > 1)
+        )
+        if not dup.isEmpty():
+            raise ValueError(
+                f"upsert batch {batch_id} repeats key(s) "
+                f"{[tuple(r[k] for k in keys) for r in dup.limit(3).collect()]}"
+                " — one version per key per batch"
+            )
+        idx = load_index(spark, index_dir)
+        triples = batch_df.select("repo", "path", "commit").distinct()
+        n_batch = triples.count()
+        present = (
+            idx.docmap(spark)
+            .join(F.broadcast(triples), ["repo", "path", "commit"])
+            .select("doc_id")
+        )
+        ids = np.sort(
+            np.array([r.doc_id for r in present.collect()], dtype=np.int64)
+        )
+        tomb = idx.tombstones(spark)
+        n_live = int((~np.isin(ids, tomb)).sum())
+        if n_live == n_batch:
+            return  # fully applied (or content-identical): replay no-op
+        upsert_docs(spark, batch_df, index_dir, key_cols=key_cols)
+
+    writer = stream_df.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

@@ -392,3 +392,81 @@ def test_index_ingest_stream_first_batch_crash_resumes(
     assert build_is_complete(index_dir)
     assert idx.stats["N"] == 60
     assert len(bm25_topk_batch(spark, idx, ["the data"], k=5).collect()) == 5
+
+
+def test_index_upsert_stream_replaces_and_survives_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streaming upsert: batch 0 builds, batch 1 REPLACES 6 docs by
+    (repo, path); a simulated crash between the sink apply and the
+    checkpoint commit replays batch 1 — the applied-batch detector
+    must make the replay a no-op (a naive delete+merge replay would
+    tombstone the fresh copies)."""
+    import glob
+    import os as _os
+
+    from acora_spark.index.bm25 import bm25_topk_batch
+    from acora_spark.index.build import load_index
+    from acora_spark.streaming.index_stream import index_upsert_stream
+
+    corpus = load_corpus(spark, sf_dir).limit(90).cache()
+    src = str(tmp_path / "ups_src")
+    ckpt = str(tmp_path / "ups_ckpt")
+    corpus.coalesce(1).write.mode("overwrite").parquet(src)
+    index_dir = str(tmp_path / "ups_stream_idx")
+
+    def start():
+        stream = spark.readStream.schema(corpus.schema).option(
+            "maxFilesPerTrigger", "64"
+        ).parquet(src)
+        return index_upsert_stream(
+            stream, index_dir, checkpoint_dir=ckpt,
+            build_kwargs=dict(num_buckets=4, docs_per_salt=100,
+                              bucket_group_size=4),
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()  # batch 0: build
+        mod = (
+            corpus.limit(6)
+            .withColumn(
+                "content",
+                F.concat(F.col("content"), F.lit(" zzstreamupsert")),
+            )
+            .withColumn("commit", F.md5("content"))
+            .cache()
+        )
+        mod.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 1: upsert
+    finally:
+        q.stop()
+
+    idx = load_index(spark, index_dir)
+    assert bm25_topk_batch(spark, idx, ["zzstreamupsert"], k=50).count() == 6
+    assert idx.stats["N"] == 96 and len(idx.tombstones(spark)) == 6
+
+    # crash simulation: drop batch 1's checkpoint commit marker -> replay
+    commits = sorted(
+        c
+        for c in glob.glob(_os.path.join(ckpt, "commits", "*"))
+        if not c.endswith(".crc") and not _os.path.basename(c).startswith(".")
+    )
+    _os.remove(commits[-1])
+    crc = _os.path.join(
+        _os.path.dirname(commits[-1]),
+        "." + _os.path.basename(commits[-1]) + ".crc",
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()  # replays batch 1
+    finally:
+        q2.stop()
+
+    idx2 = load_index(spark, index_dir)
+    # the detector made the replay a no-op: same live docs, same counts
+    assert bm25_topk_batch(spark, idx2, ["zzstreamupsert"], k=50).count() == 6
+    assert idx2.stats["N"] == 96 and len(idx2.tombstones(spark)) == 6
