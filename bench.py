@@ -146,6 +146,33 @@ def main() -> None:
         lat_w.append(time.time() - t0)
     bm25_where_p50 = round(statistics.median(lat_w), 3)
 
+    # boolean retrieval (range-parallel set algebra, count only — no ids
+    # to the driver) and the query_string mini-language (phrase allow-set
+    # fused into the constrained engine; needs no positions here because
+    # the bench phrases are single-token) — informational
+    from acora_spark.index.bm25 import boolean_query_batch
+
+    lat_b = []
+    for q in queries:
+        terms = q.split()
+        t0 = time.time()
+        boolean_query_batch(
+            spark, idx, [{"must": terms[:1], "should": terms[1:]}]
+        ).agg({"doc_id": "count"}).collect()
+        lat_b.append(time.time() - t0)
+    boolean_p50 = round(statistics.median(lat_b), 3)
+
+    from acora_spark.index.bm25 import query_string_topk_batch
+
+    lat_q = []
+    for q in queries:
+        terms = q.split()
+        qs = f"+{terms[0]} " + " ".join(terms[1:]) + " -vector"
+        t0 = time.time()
+        query_string_topk_batch(spark, idx, [qs], k=10).collect()
+        lat_q.append(time.time() - t0)
+    query_string_p50 = round(statistics.median(lat_q), 3)
+
     # incremental merge throughput (informational — OUTSIDE the headline
     # wall so round-over-round totals stay comparable): merge a 10%-sized
     # disjoint-key delta into the just-built index
@@ -212,6 +239,8 @@ def main() -> None:
         "bm25_local_p50": bm25_local_p50,
         "bm25_filtered_p50": bm25_filtered_p50,
         "bm25_where_p50": bm25_where_p50,
+        "boolean_p50": boolean_p50,
+        "query_string_p50": query_string_p50,
         "merge_secs": merge_secs,
         "merge_docs_per_sec": round(n_delta / merge_secs, 1),
         "gopher_secs": gopher_secs,
