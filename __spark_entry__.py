@@ -1557,6 +1557,34 @@ def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("path", "span")
 
 
+NDA_MOD, NDA_THRESHOLD = 43, 0.5
+
+
+def q_near_dup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup decontamination vs a reference set: every 43rd doc's
+    60%-token-prefix forms the reference (deterministic truncation
+    near-dups), both sides MinHash with shared seeds, reference bands
+    broadcast, exact-Jaccard verify at threshold 0.5."""
+    from acora_spark.operators.dedup import near_dup_against
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    toks = F.expr("regexp_extract_all(lower(content), '[a-z0-9_]+', 0)")
+    keep = F.greatest(F.lit(3), F.floor(F.size(toks) * 3 / 5).cast("int"))
+    ref = (
+        d.filter(F.col("doc_id") % NDA_MOD == 0)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, keep), " ").alias("content"),
+        )
+    )
+    out = near_dup_against(
+        d, ref, threshold=NDA_THRESHOLD, num_hashes=4, band_size=1
+    )
+    return out.select("doc_id", "near_dup", "near_ref_id", "near_jaccard")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification over the MinHash-LSH candidate
     pairs (the dedup pipeline's verify stage) — candidates only, never
@@ -2169,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "term_vectors": q_term_vectors,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_against": q_near_dup_against,
         "content_integrity": q_content_integrity,
         "exact_dupes": q_exact_dupes,
         "fingerprint_dupes": q_fingerprint_dupes,
@@ -4580,6 +4609,69 @@ FROM cand
 JOIN shm sa ON sa.doc_id = cand.id_a
 JOIN shm sb ON sb.doc_id = cand.id_b
 """
+    nda_dbands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, md5(mh_{i}) AS bucket FROM sig"
+        for i in range(4)
+    )
+    nda_rbands = "\n  UNION ALL ".join(
+        f"SELECT rid, {i} AS band, md5(mh_{i}) AS bucket FROM rsig"
+        for i in range(4)
+    )
+    sql["near_dup_against"] = f"""
+WITH {_MINHASH4_CTES},
+refd AS (
+  SELECT doc_id AS rid,
+         list_slice(t, 1, greatest(3, CAST(floor(len(t) * 3 / 5) AS INT))) AS rt
+  FROM toksm WHERE doc_id % {NDA_MOD} = 0
+),
+rsh AS (
+  SELECT rid,
+         CASE WHEN len(rt) >= 3 THEN
+           list_distinct(list_transform(range(1, len(rt) - 1),
+             j -> array_to_string(list_slice(rt, j, j + 2), ' ')))
+         ELSE [] END AS sh
+  FROM refd
+),
+rshr AS (SELECT rid, unnest(sh) AS s FROM rsh),
+rsig AS (
+  SELECT rid,
+         min(md5('0:' || s)) AS mh_0,
+         min(md5('1:' || s)) AS mh_1,
+         min(md5('2:' || s)) AS mh_2,
+         min(md5('3:' || s)) AS mh_3
+  FROM rshr GROUP BY rid
+),
+dbands AS (
+  {nda_dbands}
+),
+rbands AS (
+  {nda_rbands}
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS doc_id, r.rid AS rid
+  FROM dbands d JOIN rbands r USING (band, bucket)
+),
+jac AS (
+  SELECT cand.doc_id AS doc_id, cand.rid AS rid,
+         round(len(list_intersect(sd.sh, sr.sh))::DOUBLE
+               / len(list_distinct(sd.sh || sr.sh)), 6) AS j
+  FROM cand
+  JOIN shm sd ON sd.doc_id = cand.doc_id
+  JOIN rsh sr ON sr.rid = cand.rid
+),
+best AS (
+  SELECT doc_id, rid, j FROM (
+    SELECT doc_id, rid, j,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY j DESC, rid ASC) AS rn
+    FROM jac WHERE j >= {NDA_THRESHOLD}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id AS doc_id, b.rid IS NOT NULL AS near_dup,
+       b.rid AS near_ref_id, b.j AS near_jaccard
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
     sql["embedding_near_dups"] = _near_dup_sql()
 
     # image_meta: payloads are REAL header bytes synthesized from doc_id

@@ -44,6 +44,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "hyperplane_bands",
     "embedding_near_dup_pairs",
+    "near_dup_against",
     "WINNOW_MAX_DF",
     "LSH_MAX_BUCKET",
 ]
@@ -239,6 +240,31 @@ def minhash_signature(
     return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
 
 
+def _minhash_bands(
+    sig: DataFrame, id_col: str, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(id, band, bucket) rows from a minhash signature frame — one row
+    per (doc, band), bucket = md5 of the band's signature columns.
+    Docs with no shingles have NULL signatures and are dropped here:
+    concat_ws would fold them all into one md5('') bucket and pair
+    every empty doc with every other."""
+    sig = sig.filter(F.col("mh_0").isNotNull())
+    bands = []
+    for b0 in range(0, num_hashes, band_size):
+        cols = [f"mh_{i}" for i in range(b0, min(b0 + band_size, num_hashes))]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b0 // band_size).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     content_col: str = "content",
@@ -266,22 +292,7 @@ def lsh_candidate_pairs(
     from pyspark.sql import Observation
 
     sig = minhash_signature(df, content_col, id_col, num_hashes, shingle_n)
-    # docs with no shingles have NULL signatures; concat_ws would fold them
-    # all into one md5('') bucket and pair every empty doc with every other
-    sig = sig.filter(F.col("mh_0").isNotNull())
-    bands = []
-    for b0 in range(0, num_hashes, band_size):
-        cols = [f"mh_{i}" for i in range(b0, min(b0 + band_size, num_hashes))]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b0 // band_size).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    exploded = bands[0]
-    for b in bands[1:]:
-        exploded = exploded.unionByName(b)
+    exploded = _minhash_bands(sig, id_col, num_hashes, band_size)
     drop_obs = None
     if max_bucket_size is not None:
         # bucket sizes via ONE aggregation on the same (band, bucket) key
@@ -618,4 +629,94 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def near_dup_against(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    ref_content_col: str | None = None,
+    ref_id_col: str | None = None,
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    mode: str = "flag",
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Near-duplicate DECONTAMINATION against a reference set: flag (or
+    drop) training documents whose n-gram Jaccard to ANY reference doc
+    reaches ``threshold`` — the fuzzy counterpart of
+    :func:`~acora_spark.operators.quality.decontaminate` (exact n-gram
+    overlap misses light paraphrase/truncation; eval-set protection
+    needs both).
+
+    Shape at 100 TB: both sides MinHash with the SAME seeds (pure
+    expressions, no explode); the reference's (band, bucket) rows
+    BROADCAST (eval sets are small by nature — pass
+    ``broadcast_ref=False`` for a corpus-sized reference) and the
+    corpus's bands join them map-side, so the corpus never shuffles;
+    only genuine candidates reach the exact-Jaccard verify, and the
+    verify joins contents for candidate rows alone.  ``mode="flag"``
+    returns ``docs`` plus ``near_ref_id`` / ``near_jaccard`` (best
+    passing reference match, ties to the smaller ref id; NULL if clean)
+    and ``near_dup`` bool; ``mode="drop"`` returns only clean rows with
+    the original schema."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    rc = ref_content_col or content_col
+    rid = ref_id_col or id_col
+    sig_d = minhash_signature(docs, content_col, id_col, num_hashes, shingle_n)
+    sig_r = minhash_signature(reference, rc, rid, num_hashes, shingle_n)
+    bands_d = _minhash_bands(sig_d, id_col, num_hashes, band_size)
+    bands_r = _minhash_bands(sig_r, rid, num_hashes, band_size).withColumnRenamed(
+        rid, "_ref_id"
+    )
+    if broadcast_ref:
+        bands_r = F.broadcast(bands_r)
+    cand = (
+        bands_d.join(bands_r, ["band", "bucket"])
+        .select(id_col, "_ref_id")
+        .distinct()
+    )
+    sh_d = docs.select(
+        F.col(id_col), shingles_col(F.col(content_col), shingle_n).alias("_sh_d")
+    )
+    sh_r = reference.select(
+        F.col(rid).alias("_ref_id"),
+        shingles_col(F.col(rc), shingle_n).alias("_sh_r"),
+    )
+    if broadcast_ref:
+        sh_r = F.broadcast(sh_r)
+    verified = (
+        cand.join(sh_d, id_col)
+        .join(sh_r, "_ref_id")
+        .withColumn(
+            "near_jaccard",
+            F.round(
+                F.size(F.array_intersect("_sh_d", "_sh_r"))
+                / F.size(F.array_union("_sh_d", "_sh_r")),
+                6,
+            ),
+        )
+        .filter(F.col("near_jaccard") >= threshold)
+    )
+    best = verified.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("near_jaccard"), (-F.col("_ref_id")).alias("_nref")
+            )
+        ).alias("_b")
+    ).select(
+        id_col,
+        (-F.col("_b._nref")).alias("near_ref_id"),
+        F.col("_b.near_jaccard").alias("near_jaccard"),
+    )
+    if mode == "drop":
+        return docs.join(best.select(id_col), id_col, "left_anti")
+    return docs.join(best, id_col, "left").withColumn(
+        "near_dup", F.col("near_jaccard").isNotNull()
     )

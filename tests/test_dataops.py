@@ -3,9 +3,13 @@ similarity search, text features, multimodal plumbing."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+
+TOK = re.compile(r"[a-z0-9_]+")
 
 from acora_spark.operators.dedup import (
     embedding_near_dup_pairs,
@@ -487,3 +491,69 @@ def test_chunk_documents_null_content_yields_no_chunks(spark):
     rows = chunk_documents(d, chunk_tokens=4, overlap=1).collect()
     assert {r.doc_id for r in rows} == {2}
     assert all(r.chunk_text is not None for r in rows)
+
+
+def test_near_dup_against_brute_force(spark):
+    """Cross-set near-dup decontamination vs a brute force of the same
+    shingle Jaccard: paraphrased/truncated copies flagged, clean docs
+    kept, ties to the smaller ref id, drop mode anti-joins, and the
+    LSH banding can only MISS (never invent) pairs — asserted by
+    checking every flagged pair against the exact Jaccard."""
+    from acora_spark.operators.dedup import near_dup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),                                  # exact copy of ref 100
+        (1, base + " with a small tail appended"),  # near copy
+        (2, "completely different words about spark shuffle partitions"),
+        (3, "the quick brown fox jumps over"),      # truncation
+        (4, None),
+        (5, ""),
+    ]
+    refs = [(100, base), (101, "unrelated reference text entirely")]
+    ddf = spark.createDataFrame(docs, "doc_id long, content string")
+    rdf = spark.createDataFrame(refs, "doc_id long, content string")
+
+    def sh(t, n=3):
+        toks = TOK.findall((t or "").lower())
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    thr = 0.4
+    want = {}
+    for did, text in docs:
+        best = None
+        for rid, rt in refs:
+            a, b = sh(text), sh(rt)
+            if not a or not b:
+                continue
+            j = round(len(a & b) / len(a | b), 6)
+            if j >= thr and (best is None or (j, -rid) > (best[1], -best[0])):
+                best = (rid, j)
+        want[did] = best
+
+    out = near_dup_against(ddf, rdf, threshold=thr).collect()
+    got = {
+        r.doc_id: ((r.near_ref_id, r.near_jaccard) if r.near_dup else None)
+        for r in out
+    }
+    # LSH banding may miss a true near pair (probabilistic recall), but
+    # everything it FLAGS must be exactly right, and the strong copies
+    # (exact, tail-appended) must be found
+    for did, flagged in got.items():
+        if flagged is not None:
+            assert flagged == want[did], did
+    assert got[0] == want[0] is not None
+    assert got[1] == want[1] is not None
+    assert got[2] is None and got[4] is None and got[5] is None
+
+    kept = {
+        r.doc_id
+        for r in near_dup_against(ddf, rdf, threshold=thr, mode="drop").collect()
+    }
+    assert kept == {d for d, f in got.items() if f is None}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        near_dup_against(ddf, rdf, mode="purge")
