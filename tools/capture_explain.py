@@ -473,6 +473,66 @@ def main() -> None:
         )
     )
 
+    # 4h. near-dup decontamination: the reference's band rows BROADCAST,
+    #     so the corpus side never shuffles for candidate generation
+    from acora_spark.operators.dedup import near_dup_against
+
+    docs_nda = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    ref_nda = docs_nda.filter(F.col("doc_id") % 43 == 0)
+    nda = near_dup_against(
+        docs_nda, ref_nda, threshold=0.5, num_hashes=4, band_size=1
+    )
+    sections.append(
+        (
+            "Near-dup decontamination (near_dup_against): reference bands "
+            "broadcast, corpus never shuffles to find candidates",
+            "Both sides MinHash with shared seeds as pure expressions; the "
+            "reference's (band, bucket) rows appear as "
+            "BroadcastHashJoin/BroadcastExchange build sides, so candidate "
+            "generation is map-side on the corpus scan; the only exchanges "
+            "are over CANDIDATE rows (the per-doc best-match aggregation) "
+            "and the final flag join back onto doc ids.  At 100 TB "
+            "the eval/benchmark reference is KBs-to-MBs; `broadcast_ref="
+            "False` switches to a shuffle join for a corpus-sized reference.",
+            plan_of(nda, "simple"),
+        )
+    )
+
+    # 4i. filtered vector search: the knn.filter predicate pushes into
+    #     the partition-pruned cell read
+    import shutil
+    import tempfile
+
+    from acora_spark.operators.similarity import ann_query, build_ann_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ivf_dir = tempfile.mkdtemp(prefix="explain_ivf_")
+    try:
+        shutil.rmtree(ivf_dir)
+        build_ann_index(emb.filter(F.col("vec_id") != 0), ivf_dir, num_cells=8)
+        filtered = ann_query(
+            spark, ivf_dir, list(qvec), k=10, nprobe=3,
+            where={"label": [1, 4, 7]},
+        )
+        sections.append(
+            (
+                "Filtered vector search (ann_query + where): cell partition "
+                "pruning AND predicate pushdown on the probed read",
+                "`Location` lists ONLY the nprobe=3 probed cell directories "
+                "(of 8), and the label IN-list reaches the parquet scan as "
+                "`PushedFilters: [In(label, ...)]` — the filter applies "
+                "BEFORE the top-k, so the result is the exact filtered "
+                "top-k of the probed cells and non-matching row groups are "
+                "skipped at the scan.",
+                plan_of(filtered),
+            )
+        )
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     # 5. BM25 DataFrame top-k: distributed TakeOrderedAndProject
     docs_ids = entry._docs(spark, SF_DIR)
     from acora_spark.index.bm25 import bm25_topk_dataframe
