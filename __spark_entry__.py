@@ -1678,6 +1678,54 @@ def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET, PACK_SHARDS = 64, 4
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (GPT-style pretraining batch
+    prep): per md5-hash shard, the token stream concatenates in doc-id
+    order and cuts into 64-token examples; one row per (doc, example)
+    slice with offsets and the slice text, trailing sub-budget
+    remainders dropped."""
+    from acora_spark.operators.curate import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = pack_sequences(
+        d,
+        budget=PACK_BUDGET,
+        content_col="text",
+        id_col="doc_id",
+        num_shards=PACK_SHARDS,
+        emit_text=True,
+    )
+    return p.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("example_id").cast("long").alias("example_id"),
+        "doc_id",
+        F.col("doc_offset").cast("long").alias("doc_offset"),
+        F.col("slice_tokens").cast("long").alias("slice_tokens"),
+        F.col("example_offset").cast("long").alias("example_offset"),
+        "slice_text",
+    )
+
+
+TOKEN_BUDGETS = {"en": 6000, "de": 2500, "fr": 1500}
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: per language, documents in
+    md5(seed|doc_id) order survive until the running token total
+    reaches the language's budget (the crossing doc kept); strata
+    absent from the recipe keep nothing."""
+    from acora_spark.operators.curate import sample_to_token_budget
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample_to_token_budget(
+        d, strata_cols=("lang",), budgets=TOKEN_BUDGETS, content_col="text"
+    )
+    return out.select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint near-dup pairs: k-gram md5 hashes,
     window minima, shared-fingerprint self-join — the PASSAGE-level
@@ -2206,6 +2254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "doc_chunks": q_doc_chunks,
         "corpus_splits": q_corpus_splits,
+        "pack_sequences": q_pack_sequences,
+        "token_budget_sample": q_token_budget_sample,
         "dup_groups": q_dup_groups,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash": q_simhash,
@@ -4516,6 +4566,74 @@ SELECT CASE WHEN b < 98 THEN 'train'
             ELSE 'test' END AS split,
        count(*)::BIGINT AS n_docs
 FROM bk GROUP BY 1
+"""
+
+    # sequence packing: same md5-derived shard, same windowed running
+    # total, same example-span explosion (DuckDB range() is exclusive
+    # on the upper bound, hence +1); DuckDB's SUM over BIGINT yields
+    # HUGEINT, so the running totals cast back explicitly.  List slice
+    # t[a:b] is 1-based INCLUSIVE: doc_offset+1 .. doc_offset+len.
+    _hexp = " + ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    B, S = PACK_BUDGET, PACK_SHARDS
+    sql["pack_sequences"] = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t,
+         md5('pack|' || doc_id) AS h
+  FROM documents
+),
+nn AS (
+  SELECT doc_id, t, len(t)::BIGINT AS n, (({_hexp}) % {S})::BIGINT AS shard
+  FROM tk WHERE len(t) > 0
+),
+cum AS (
+  SELECT doc_id, t, n, shard,
+         (sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n)::BIGINT AS strt,
+         (sum(n) OVER (PARTITION BY shard))::BIGINT AS total
+  FROM nn
+),
+ex AS (
+  SELECT shard, doc_id, t, n, strt, total,
+         unnest(range(strt // {B}, (strt + n - 1) // {B} + 1)) AS e
+  FROM cum
+)
+SELECT shard, e::BIGINT AS example_id, doc_id,
+       greatest(0, e * {B} - strt)::BIGINT AS doc_offset,
+       (least(n, e * {B} + {B} - strt)
+        - greatest(0, e * {B} - strt))::BIGINT AS slice_tokens,
+       greatest(0, strt - e * {B})::BIGINT AS example_offset,
+       array_to_string(
+         t[greatest(0, e * {B} - strt) + 1 : least(n, e * {B} + {B} - strt)],
+         ' ') AS slice_text
+FROM ex
+WHERE (e + 1) * {B} <= total
+"""
+
+    # token-budget sampling: same md5 order, same exclusive-prefix rule
+    _buds = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in TOKEN_BUDGETS.items()
+    )
+    sql["token_budget_sample"] = f"""
+WITH nn AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT
+           AS n_tokens,
+         md5('budget|' || doc_id) AS h
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS before
+  FROM nn
+)
+SELECT doc_id, lang, n_tokens
+FROM cum
+WHERE before < (CASE {_buds} ELSE -1 END)
 """
 
     # winnowing (k=4, window=3, min_shared=2): same md5 k-gram hashes,

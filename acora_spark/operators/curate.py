@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 from acora_spark.functions.text import lang_id, quality_score
 from acora_spark.operators.dedup import lsh_candidate_pairs
 
-__all__ = ["curate", "chunk_documents", "split_corpus", "stratified_sample", "repeat_by_weight"]
+__all__ = [
+    "curate",
+    "chunk_documents",
+    "split_corpus",
+    "stratified_sample",
+    "repeat_by_weight",
+    "pack_sequences",
+    "sample_to_token_budget",
+]
 
 
 def stratified_sample(
@@ -304,3 +312,183 @@ def repeat_by_weight(
         )
         .drop("_w", "_copies")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    budget: int,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    num_shards: int = 1,
+    drop_last: bool = True,
+    emit_text: bool = False,
+    seed: str = "pack",
+) -> DataFrame:
+    """Concat-and-split sequence packing — the standard pretraining
+    batch prep (GPT-2/T5 style): the corpus's token stream is
+    concatenated in document-key order and cut into training examples
+    of exactly ``budget`` tokens, documents spanning example boundaries
+    (no padding, no per-doc truncation).  Returns one row per
+    (document, example) SLICE::
+
+        shard, example_id, doc_id, doc_offset, slice_tokens,
+        example_offset [, slice_text]
+
+    where example ``example_id`` (0-based within its shard) is the
+    ordered concatenation of its slices by ``example_offset``, slice
+    ``i`` covering document tokens ``[doc_offset, doc_offset +
+    slice_tokens)``.  ``drop_last`` drops each shard's trailing
+    incomplete example (the usual choice); ``emit_text`` adds the
+    space-joined slice text.  If ``n_tokens_col`` is given the
+    documents are taken as pre-tokenized with that length (the text
+    columns are not touched and ``emit_text`` is unavailable).
+
+    Scale shape: a single global token stream would serialize the
+    cumulative sum, so packing shards by ``md5(seed|key) %
+    num_shards`` — each shard packs independently (one window shuffle
+    partitioned by shard; the sort-based window spills, but size
+    ``num_shards`` so a shard's (doc_id, n_tokens) rows sort
+    comfortably in a task).  Example identity is (shard, example_id):
+    deterministic across runs, cluster sizes, and row order; training
+    never needs a globally-dense example numbering.  Boundary loss is
+    at most ``budget - 1`` tokens per shard."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    if emit_text and n_tokens_col is not None:
+        raise ValueError("emit_text requires tokenizing content_col; "
+                         "drop n_tokens_col to use it")
+    from acora_spark.functions.tokenize import tokens_expr
+
+    b = F.lit(int(budget))
+    if n_tokens_col is None:
+        out = docs.select(
+            F.col(id_col),
+            tokens_expr(F.coalesce(F.col(content_col), F.lit(""))).alias(
+                "_tk"
+            ),
+        ).withColumn("_n", F.size("_tk").cast("long"))
+        if not emit_text:
+            out = out.drop("_tk")
+    else:
+        out = docs.select(
+            F.col(id_col), F.col(n_tokens_col).cast("long").alias("_n")
+        )
+    out = out.filter(F.col("_n") > 0)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % num_shards
+    )
+    out = out.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    wall = Window.partitionBy("shard")
+    out = (
+        out.withColumn("_start", F.sum("_n").over(w) - F.col("_n"))
+        .withColumn("_total", F.sum("_n").over(wall))
+        .withColumn(
+            "example_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_start") / b),
+                    F.floor((F.col("_start") + F.col("_n") - 1) / b),
+                )
+            ),
+        )
+    )
+    if drop_last:
+        out = out.filter((F.col("example_id") + 1) * b <= F.col("_total"))
+    ex_start = F.col("example_id") * b
+    doc_off = F.greatest(F.lit(0), ex_start - F.col("_start"))
+    slice_end = F.least(F.col("_n"), ex_start + b - F.col("_start"))
+    cols = [
+        F.col("shard"),
+        F.col("example_id"),
+        F.col(id_col),
+        doc_off.alias("doc_offset"),
+        (slice_end - doc_off).alias("slice_tokens"),
+        F.greatest(F.lit(0), F.col("_start") - ex_start).alias(
+            "example_offset"
+        ),
+    ]
+    if emit_text:
+        cols.append(
+            F.array_join(
+                F.slice(
+                    F.col("_tk"),
+                    (doc_off + 1).cast("int"),
+                    (slice_end - doc_off).cast("int"),
+                ),
+                " ",
+            ).alias("slice_text")
+        )
+    return out.select(*cols)
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    *,
+    strata_cols: tuple[str, ...],
+    budgets: dict | int,
+    content_col: str = "content",
+    n_tokens_col: str | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "budget",
+) -> DataFrame:
+    """Deterministic TOKEN-budget sampling per stratum — the mixture
+    primitive when recipes are written in tokens, not documents ("30B
+    tokens of web, 5B of code"): within each stratum documents order by
+    ``md5(seed|key)`` and the greedy prefix survives until the running
+    token total reaches the stratum's budget.  The document that
+    CROSSES the budget is kept (realized tokens land in
+    ``[budget, budget + max_doc_tokens)``; dropping it instead would
+    under-fill small strata by a whole document) — callers wanting an
+    exact cut compose with :func:`pack_sequences` downstream.
+
+    ``budgets`` is one int for every stratum or a dict keyed like
+    :func:`stratified_sample`'s quotas (strata absent from the dict
+    keep nothing).  Pure function of (seed, key): stable across runs,
+    cluster sizes, and corpus growth SUBJECT to the usual greedy
+    caveat that inserting a new document ahead of the cut can evict the
+    last-kept one.  Returns the surviving rows plus ``n_tokens``.
+    One window shuffle partitioned by the strata."""
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    from acora_spark.functions.tokenize import tokens_expr
+
+    if n_tokens_col is None:
+        n = F.size(
+            tokens_expr(F.coalesce(F.col(content_col), F.lit("")))
+        ).cast("long")
+    else:
+        n = F.col(n_tokens_col).cast("long")
+    h = F.md5(F.concat_ws("|", F.lit(seed), *[F.col(c) for c in key_cols]))
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        h.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    out = docs.withColumn("n_tokens", n).withColumn(
+        "_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    if isinstance(budgets, int):
+        cond = F.col("_before") < F.lit(int(budgets))
+    else:
+        cond = F.lit(False)
+        for key, bud in budgets.items():
+            vals = key if isinstance(key, tuple) else (key,)
+            if len(vals) != len(strata_cols):
+                raise ValueError(
+                    f"budget key {key!r} arity != strata {strata_cols}"
+                )
+            m = F.lit(True)
+            for c, v in zip(strata_cols, vals):
+                m = m & (F.col(c) == F.lit(v))
+            cond = cond | (m & (F.col("_before") < F.lit(int(bud))))
+    return out.filter(cond).drop("_before")

@@ -557,3 +557,119 @@ def test_near_dup_against_brute_force(spark):
 
     with _pytest.raises(ValueError, match="mode"):
         near_dup_against(ddf, rdf, mode="purge")
+
+
+def test_pack_sequences_invariants_randomized(spark):
+    """Every complete example holds exactly ``budget`` tokens assembled
+    from contiguous, in-order document slices; total packed tokens =
+    corpus tokens minus each shard's sub-budget remainder; and the
+    reassembled example text equals the concatenated token stream."""
+    import random
+
+    from acora_spark.operators.curate import pack_sequences
+
+    rng = random.Random(17)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 37))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    budget, shards = 29, 3
+    p = pack_sequences(
+        docs, budget=budget, num_shards=shards, emit_text=True
+    ).cache()
+    rws = p.collect()
+    assert rws, "packer produced no examples"
+    # per-example: slice offsets tile [0, budget) exactly
+    by_ex: dict = {}
+    for r in rws:
+        by_ex.setdefault((r["shard"], r["example_id"]), []).append(r)
+    for (sh, ex), slices in by_ex.items():
+        slices.sort(key=lambda r: r["example_offset"])
+        pos = 0
+        for s in slices:
+            assert s["example_offset"] == pos
+            assert s["slice_tokens"] == len(s["slice_text"].split())
+            assert s["slice_tokens"] > 0
+            pos += s["slice_tokens"]
+        assert pos == budget, f"example ({sh},{ex}) has {pos} tokens"
+    # example ids are dense 0..k-1 per shard
+    for sh in {k[0] for k in by_ex}:
+        exs = sorted(e for s, e in by_ex if s == sh)
+        assert exs == list(range(len(exs)))
+    # stream identity: concatenating a shard's examples reproduces the
+    # shard's document token stream prefix (doc-id order)
+    tok = {did: content.split() for did, content in rows}
+    shard_of = {
+        r["doc_id"]: r["shard"]
+        for r in p.select("doc_id", "shard").distinct().collect()
+    }
+    for sh in {k[0] for k in by_ex}:
+        stream = []
+        for did in sorted(d for d, s in shard_of.items() if s == sh):
+            stream += tok[did]
+        packed = []
+        for ex in sorted(e for s, e in by_ex if s == sh):
+            for s in sorted(
+                by_ex[(sh, ex)], key=lambda r: r["example_offset"]
+            ):
+                packed += s["slice_text"].split()
+        assert packed == stream[: len(packed)]
+        # remainder strictly under one budget
+        assert len(stream) - len(packed) < budget
+
+
+def test_pack_sequences_keep_last_and_pretokenized(spark):
+    from acora_spark.operators.curate import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 7), (3, 4)], "doc_id long, toks long"
+    )
+    p = pack_sequences(
+        docs, budget=8, n_tokens_col="toks", drop_last=False, num_shards=1
+    ).collect()
+    total = sum(r["slice_tokens"] for r in p)
+    assert total == 21  # nothing dropped
+    last_ex = max(r["example_id"] for r in p)
+    last_tok = sum(
+        r["slice_tokens"] for r in p if r["example_id"] == last_ex
+    )
+    assert last_tok == 21 % 8
+    # emit_text with pretokenized input is a contract error
+    with pytest.raises(ValueError):
+        pack_sequences(
+            docs, budget=8, n_tokens_col="toks", emit_text=True
+        )
+
+
+def test_sample_to_token_budget(spark):
+    from acora_spark.operators.curate import sample_to_token_budget
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "de", "w " * (i % 9 + 1))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    out = sample_to_token_budget(
+        docs, strata_cols=("lang",), budgets={"en": 40, "de": 25}
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r)
+    # realized tokens reach the budget and overshoot < max doc len
+    for lang, bud in (("en", 40), ("de", 25)):
+        tot = sum(r["n_tokens"] for r in per[lang])
+        assert bud <= tot < bud + 9
+    # deterministic: second run picks identical ids
+    out2 = sample_to_token_budget(
+        docs, strata_cols=("lang",), budgets={"en": 40, "de": 25}
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in out2
+    )
+    # int budget applies to every stratum; missing-dict stratum keeps 0
+    only_en = sample_to_token_budget(
+        docs, strata_cols=("lang",), budgets={"en": 10}
+    ).collect()
+    assert {r["lang"] for r in only_en} == {"en"}
