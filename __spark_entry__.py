@@ -1400,6 +1400,29 @@ def q_boolean_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("path")
 
 
+TERMS_SET_TERMS = ["data", "query", "stream", "merge"]
+
+
+def q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms_set`` query (Lucene CoveringQuery): docs containing at
+    least a PER-DOCUMENT minimum number of the query's distinct terms,
+    the requirement computed from the doc's own length (``dl % 3 + 1``)
+    — mirrored by a distinct-membership-count SQL predicate with the
+    same per-row requirement expression over the same tokenization."""
+    from acora_spark.index.bm25 import terms_set_query_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = terms_set_query_batch(
+        spark, idx,
+        [{"terms": TERMS_SET_TERMS,
+          "minimum_should_match_expr": "dl % 3 + 1"}],
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "path", "match_count", "required"
+    )
+
+
 REGEX_PATTERN = "st[a-z]*m|mer[gd]e"
 
 
@@ -2207,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rescore": q_bm25_rescore,
         "bm25_synonyms": q_bm25_synonyms,
         "boolean_msm": q_boolean_msm,
+        "terms_set": q_terms_set,
         "regex_match": q_regex_match,
         "bm25_multifield": q_bm25_multifield,
         "bm25_alias": q_bm25_alias,
@@ -3780,6 +3804,21 @@ SELECT path FROM toks
 WHERE ({msm_sum}) >= {MSM_N}
 ORDER BY doc_id
 LIMIT 2000
+"""
+
+    # terms_set: distinct-membership count vs a per-row requirement
+    # computed from the SAME doc length the index's docmap stores
+    ts_sum = " + ".join(
+        f"CAST(list_contains(t, '{w}') AS INT)" for w in TERMS_SET_TERMS
+    )
+    sql["terms_set"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT path,
+       ({ts_sum})::BIGINT AS match_count,
+       (len(t) % 3 + 1)::BIGINT AS required
+FROM toks
+WHERE ({ts_sum}) >= (len(t) % 3 + 1)
 """
 
     # regex retrieval: whole-token regex membership (RE2's semantics on

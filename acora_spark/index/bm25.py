@@ -2581,6 +2581,139 @@ def boolean_query_batch(
     return res
 
 
+TERMS_SET_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("match_count", LongType(), False),
+    ]
+)
+
+
+def terms_set_query_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[dict],
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``terms_set`` query (Lucene ``CoveringQuery``): a document
+    matches when it contains at least a PER-DOCUMENT minimum number of
+    the query's distinct terms.  Each query dict carries ``terms`` plus
+    exactly one of
+
+    * ``minimum_should_match_field`` — a numeric docmap column holding
+      each document's requirement (the ES shape), or
+    * ``minimum_should_match_expr`` — a SQL expression over docmap
+      columns (the library-idiomatic generalization of ES's
+      ``minimum_should_match_script``, e.g. ``"least(3, dl / 20)"``).
+
+    Returns ``(query_id, doc_id, match_count, required)`` for matching
+    docs.  Semantics pinned down: the requirement is evaluated per doc
+    and CLAMPED to >= 1 (a non-positive requirement would make every
+    document — including ones containing no query term — a trivial
+    match, which at 10^12 docs is a full docmap dump; callers wanting
+    it can scan the docmap directly), NULL requirements never match,
+    and a requirement above ``len(terms)`` never matches (it exceeds
+    the maximum possible count — the documented ES footgun).
+
+    Shape: term match COUNTS come from the same doc-range slice grid as
+    the boolean/BM25/phrase executors (every (term, shard) blob decodes
+    once, docs ship to exactly one range task, ``np.unique`` counts
+    distinct matching terms range-locally — exact, since a doc's
+    postings for a term live in one shard).  The per-doc requirement
+    joins on from a column-pruned docmap read; only docs matching >= 1
+    term ever reach the join."""
+    specs: list[tuple[list[str], str]] = []
+    for qi, q in enumerate(queries):
+        terms = sorted({t for x in q.get("terms", []) for t in query_terms(x)})
+        if not terms:
+            raise ValueError(f"query {qi}: terms_set needs at least one term")
+        field = q.get("minimum_should_match_field")
+        expr = q.get("minimum_should_match_expr")
+        if (field is None) == (expr is None):
+            raise ValueError(
+                f"query {qi}: exactly one of minimum_should_match_field / "
+                "minimum_should_match_expr is required"
+            )
+        specs.append((terms, field if field is not None else expr))
+    stats = index.stats
+    all_terms = sorted({t for terms, _ in specs for t in terms})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(all_terms)
+    )
+    term_df = _query_term_df(post)
+    if not term_df:
+        # none of the queried terms exist: every count is 0 < required
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(TERMS_SET_SCHEMA.fields)
+                + [StructField("required", LongType(), True)]
+            ),
+        )
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+    pairs = [(qi, t) for qi, (terms, _) in enumerate(specs) for t in terms]
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    positional = bool(stats.get("with_positions"))
+    sliced = joined.mapInPandas(_make_slicer(shift, positional), _SLICE_SCHEMA)
+    tomb = index.tombstones(spark)
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+
+    from acora_spark.functions.postings_codec import decode_slice
+
+    def run_range(key, pdf):
+        qid = int(key[0])
+        arrs = []
+        for _term, grp in pdf.groupby("term", sort=False):
+            parts = [decode_slice(bytes(b))[0] for b in grp["blob"]]
+            arrs.append(
+                parts[0]
+                if len(parts) == 1
+                else np.unique(np.concatenate(parts))
+            )
+        docs, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+        if bc_ex is not None and len(docs):
+            keep = ~np.isin(docs, bc_ex.value, assume_unique=True)
+            docs, cnt = docs[keep], cnt[keep]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": docs.astype(np.int64),
+                "match_count": cnt.astype(np.int64),
+            }
+        )
+
+    counts = sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, TERMS_SET_SCHEMA)
+    # per-doc requirement: one column-pruned docmap read serving every
+    # query in the batch (substring-superset pruning — a referenced
+    # column always appears literally in its field/expr text)
+    dm_cols = [
+        c
+        for c in index.docmap(spark).columns
+        if c != "doc_id" and any(c in src for _, src in specs)
+    ]
+    dm = index.docmap(spark).select("doc_id", *dm_cols)
+    req = None
+    for qi, (_terms, src) in enumerate(specs):
+        val = F.expr(src).cast("long")
+        req = (
+            F.when(F.col("query_id") == qi, val)
+            if req is None
+            else req.when(F.col("query_id") == qi, val)
+        )
+    out = counts.join(dm, "doc_id").withColumn("required", req)
+    return out.filter(
+        F.col("required").isNotNull()
+        & (F.col("match_count") >= F.greatest(F.lit(1), F.col("required")))
+    ).select("query_id", "doc_id", "match_count", "required")
+
+
 def _glob_to_like(pattern: str) -> str:
     """Translate a glob-style term pattern (``*`` = any run, ``?`` = one
     char) to a SQL LIKE pattern, escaping LIKE's own metacharacters."""

@@ -304,3 +304,69 @@ def test_parse_query_string():
 
     with _pytest.raises(ValueError, match="negated phrases"):
         parse_query_string('-"no way"')
+
+
+def test_terms_set_query_matches_brute_force(spark, built):
+    """terms_set (CoveringQuery): per-doc distinct-match counts vs a
+    driver-side brute force, with the requirement drawn from a docmap
+    expression; clamp-to-1, NULL, and too-high requirements covered."""
+    import re as _re
+
+    from acora_spark.index.bm25 import terms_set_query_batch
+
+    idx, corpus = built
+    terms = ["data", "spark", "index", "query"]
+    res = terms_set_query_batch(
+        spark, idx,
+        [
+            {"terms": terms, "minimum_should_match_expr": "dl % 3 + 1"},
+            # requirement 0 clamps to 1 => plain disjunction
+            {"terms": terms, "minimum_should_match_expr": "0"},
+            # requirement above len(terms) matches nothing
+            {"terms": terms, "minimum_should_match_expr": "9"},
+            # NULL requirement matches nothing
+            {"terms": terms, "minimum_should_match_expr": "CAST(NULL AS INT)"},
+        ],
+    ).collect()
+    by_q: dict = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = (
+            r["match_count"], r["required"]
+        )
+    tok = _re.compile(r"[a-z0-9_]+")
+    dm = {
+        (r.repo, r.path, r.commit): (r.doc_id, r.dl)
+        for r in idx.docmap(spark).collect()
+    }
+    want0, want1 = {}, {}
+    for row in corpus.collect():
+        did, dl = dm[(row.repo, row.path, row.commit)]
+        toks = set(tok.findall(row.content.lower()))
+        cnt = sum(1 for t in terms if t in toks)
+        if cnt >= dl % 3 + 1:
+            want0[did] = (cnt, dl % 3 + 1)
+        if cnt >= 1:
+            want1[did] = (cnt, 0)
+    assert {d: c for d, (c, _) in by_q.get(0, {}).items()} == {
+        d: c for d, (c, _) in want0.items()
+    }
+    # required column carries the evaluated expression
+    assert all(
+        by_q[0][d][1] == want0[d][1] for d in want0
+    )
+    assert set(by_q.get(1, {})) == set(want1)
+    assert 2 not in by_q and 3 not in by_q
+    # field form: dl is a docmap column (requirement = doc length —
+    # unreachable for every doc, so empty)
+    empty = terms_set_query_batch(
+        spark, idx,
+        [{"terms": terms, "minimum_should_match_field": "dl"}],
+    ).collect()
+    assert empty == []
+    with pytest.raises(ValueError):
+        terms_set_query_batch(spark, idx, [{"terms": terms}])
+    with pytest.raises(ValueError):
+        terms_set_query_batch(
+            spark, idx,
+            [{"terms": [], "minimum_should_match_field": "dl"}],
+        )
