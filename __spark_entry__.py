@@ -1843,6 +1843,34 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions: k-means cells (injected literal
+    centroids — the frozen-router pattern) + within-cell smallest-id
+    cosine-duplicate policy.  30 exact copies and 20 collinear (x2)
+    copies are planted (cosine exactly 1.0 — no threshold-boundary
+    float risk); the SQL mirror reproduces the identical assignment and
+    pair policy, so keep/drop matches row for row."""
+    from acora_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    collinear = emb.filter(
+        (F.col("vec_id") >= 30) & (F.col("vec_id") < 50)
+    ).select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    both = emb.unionByName(exact).unionByName(collinear)
+    res = semantic_dedup(
+        both, centroids=_ivf_centroids(), threshold=0.95
+    )
+    return res.select("vec_id", "cell", "shard", "dup_of")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acora_spark.operators.similarity import brute_force_topk
 
@@ -2287,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "image_meta": q_image_meta,
         "text_features": q_text_features,
         "token_classes": q_token_classes,
@@ -2594,6 +2623,48 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_lsh_topk"] = _ann_lsh_sql()
     sql["ann_ivf_topk"] = _ann_ivf_sql()
     sql["ann_ivf_filtered"] = _ann_ivf_sql(ANN_FILTER_LABELS)
+
+    # SemDeDup: identical centroid literals + nearest-cell assignment as
+    # the IVF oracle, then the smallest-id in-cell cosine-duplicate
+    # policy as one grouped self-join (shard is 0 at oracle scale: no
+    # cell exceeds max_cell_size, matching the Spark default)
+    _sd_cents = _ivf_centroids()
+    _sd_rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in _sd_cents[i])
+        )
+        for i in range(len(_sd_cents))
+    )
+    sql["semantic_dedup"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+allv AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000, v FROM base WHERE vec_id < 30
+  UNION ALL
+  SELECT vec_id + 2000, list_transform(v, x -> x * 2.0)
+  FROM base WHERE vec_id >= 30 AND vec_id < 50
+),
+cents(cell, c) AS (VALUES
+  {_sd_rows}),
+assign AS (
+  SELECT a.vec_id, arg_min(c.cell, list_distance(a.v, c.c)) AS cell
+  FROM allv a CROSS JOIN cents c GROUP BY a.vec_id
+),
+n AS (
+  SELECT a.vec_id, a.cell, b.v,
+         sqrt(list_dot_product(b.v, b.v)) AS nrm
+  FROM assign a JOIN allv b USING (vec_id)
+),
+dups AS (
+  SELECT y.vec_id AS j, min(x.vec_id) AS dup_of
+  FROM n x JOIN n y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.95
+  GROUP BY y.vec_id
+)
+SELECT a.vec_id, a.cell::INT AS cell, 0::INT AS shard, d.dup_of
+FROM assign a LEFT JOIN dups d ON a.vec_id = d.j
+"""
 
     sql["match_count_by_term"] = f"""
 WITH {_CORPUS_CTE},

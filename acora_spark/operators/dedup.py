@@ -45,8 +45,10 @@ __all__ = [
     "hyperplane_bands",
     "embedding_near_dup_pairs",
     "near_dup_against",
+    "semantic_dedup",
     "WINNOW_MAX_DF",
     "LSH_MAX_BUCKET",
+    "SEMANTIC_MAX_CELL",
 ]
 
 # default hot-key caps of the pair generators (see winnow_near_dup_pairs
@@ -54,6 +56,11 @@ __all__ = [
 # IDENTICAL bound and stay semantically aligned at every corpus scale
 WINNOW_MAX_DF = 1000
 LSH_MAX_BUCKET = 500
+
+# semantic_dedup: default per-task cell bound.  The chunked in-cell scorer
+# holds one (cell_size x CHUNK) float64 block: 20_000 x 2_048 x 8 B =
+# 328 MB peak per task — comfortable under a few-GB executor task slot.
+SEMANTIC_MAX_CELL = 20_000
 
 
 def exact_duplicates(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
@@ -719,4 +726,128 @@ def near_dup_against(
         return docs.join(best.select(id_col), id_col, "left_anti")
     return docs.join(best, id_col, "left").withColumn(
         "near_dup", F.col("near_jaccard").isNotNull()
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_cells: int = 16,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+    max_cell_size: int = SEMANTIC_MAX_CELL,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding table — cluster with k-means, then
+    within each cluster drop all but one member of every
+    cosine-``threshold`` duplicate set.  Near-dup LSH
+    (:func:`embedding_near_dup_pairs`) finds pairs; THIS operator makes
+    the keep/drop decision the training-data pipeline actually applies.
+
+    Keep policy (deterministic, order-free): within a cluster, a row is
+    a duplicate iff some row with a SMALLER id scores ``cosine >=
+    threshold`` against it; ``dup_of`` reports the smallest such id and
+    is NULL for keepers.  ``filter("dup_of IS NULL")`` is the kept set.
+    (The paper keeps one arbitrary member per epsilon-ball; smallest-id
+    is the reproducible choice, and unlike greedy chaining it needs no
+    sequential pass — every decision reads only raw pairwise cosines,
+    so it is expressible as one per-cluster matrix product.)
+
+    Shape at 100 TB: centroids are trained driver-side from a
+    hash-ordered sample (or injected via ``centroids`` — the frozen-
+    router production pattern, which also makes the operator
+    SQL-mirrorable with literal centroids); assignment is one broadcast
+    matmul pass (``mapInPandas``); the quadratic part runs per
+    ``(cell, shard)`` group with columns CHUNKED so peak memory is
+    O(cell_size x 2048), never O(cell_size^2).  Cells larger than
+    ``max_cell_size`` are sub-sharded by ``xxhash64(id)`` — an explicit,
+    documented recall trade (cross-shard duplicates inside one giant
+    cell are missed; size ``num_cells`` ~ n / max_cell_size to avoid
+    it).  The ``shard`` output column makes any split visible: shard 0
+    everywhere means no cell was split and recall is the full SemDeDup
+    recall.  No all-pairs join and no driver-side pair loop anywhere."""
+    from acora_spark.operators.similarity import _train_centroids
+
+    import pandas as pd
+
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _train_centroids(emb, num_cells, seed, vec_col, id_col)
+    )
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        cc = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "cell": d2.argmin(1).astype("int32"),
+                    "vec": [r.tolist() for r in mat],
+                }
+            )
+
+    assigned = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, "id long, cell int, vec array<double>"
+    )
+    # sub-shard oversized cells: the size table is <= num_cells rows, so
+    # the join is a broadcast of a trivially small dimension
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("_csz"))
+    assigned = assigned.join(F.broadcast(sizes), "cell").withColumn(
+        "shard",
+        F.when(
+            F.col("_csz") > max_cell_size,
+            F.pmod(
+                F.xxhash64("id"),
+                F.ceil(F.col("_csz") / max_cell_size).cast("int"),
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+    chunk = 2048
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        nrm = np.sqrt((X * X).sum(1))
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm[:, None]
+        n = len(Xn)
+        dup = np.full(n, -1, dtype=np.int64)
+        rows = np.arange(n)[:, None]
+        for j0 in range(1, n, chunk):
+            j1 = min(j0 + chunk, n)
+            hit = (Xn @ Xn[j0:j1].T >= threshold) & (
+                rows < np.arange(j0, j1)[None, :]
+            )
+            has = hit.any(0)
+            dup[j0:j1] = np.where(has, ids[hit.argmax(0)], -1)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "dup_of": pd.array(
+                    [None if d < 0 else d for d in dup], dtype="Int64"
+                ),
+            }
+        )
+
+    out = assigned.groupBy("cell", "shard").applyInPandas(
+        dedup_cell, "id long, cell int, shard int, dup_of long"
+    )
+    return out.select(
+        F.col("id").alias(id_col), "cell", "shard", "dup_of"
     )

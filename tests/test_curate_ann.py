@@ -218,3 +218,78 @@ def test_ann_query_filtered(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not stored"):
         ann_query(spark, d, [0.0] * 8, where={"nope": [1]})
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    """SemDeDup keep/drop vs a driver-side brute force of the same
+    policy (smallest-id in-cell duplicate), with planted exact copies,
+    collinear copies, and a perturbed near-copy."""
+    from acora_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((80, 8))
+    vecs = list(base)
+    # exact copies of 0..9 -> ids 100..109; collinear (x2) copies of
+    # 10..14 -> ids 200..204; a near-copy of 20 -> id 300
+    vecs += [base[i] for i in range(10)]
+    vecs += [2.0 * base[i] for i in range(10, 15)]
+    vecs += [base[20] + 0.01]
+    ids = list(range(80)) + list(range(100, 110)) + list(range(200, 205)) + [300]
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = rng.standard_normal((6, 8))
+    res = semantic_dedup(emb, centroids=cents, threshold=0.95).collect()
+
+    mat = np.stack(vecs)
+    cell = ((mat[:, None, :] - cents[None]) ** 2).sum(-1).argmin(1)
+    nrm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    want = {}
+    for j, jid in enumerate(ids):
+        dups = [
+            ids[i]
+            for i in range(len(ids))
+            if cell[i] == cell[j] and ids[i] < jid and cos[i, j] >= 0.95
+        ]
+        want[jid] = (int(cell[j]), min(dups) if dups else None)
+    got = {r.vec_id: (r.cell, r.dup_of) for r in res}
+    assert got == want
+    assert all(r.shard == 0 for r in res)
+    # the planted duplicates whose copy shares a cell are dropped
+    for orig, copy in [(i, i + 100) for i in range(10)]:
+        if cell[ids.index(orig)] == cell[ids.index(copy)]:
+            assert got[copy][1] == orig
+
+
+def test_semantic_dedup_subsharding_bounds_cells(spark):
+    """Oversized cells split into xxhash shards: output marks shard > 0,
+    every reported dup really is a >=threshold in-(cell, shard) pair,
+    and keepers+dups partition the input."""
+    from acora_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    mat = rng.standard_normal((60, 4))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # one centroid -> one 60-row cell, forced to split into 6 shards
+    res = semantic_dedup(
+        emb,
+        centroids=np.zeros((1, 4)),
+        threshold=0.99,
+        max_cell_size=10,
+    ).collect()
+    assert len(res) == 60
+    assert {r.vec_id for r in res} == set(range(60))
+    assert max(r.shard for r in res) > 0
+    nrm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    shard_of = {r.vec_id: r.shard for r in res}
+    for r in res:
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+            assert shard_of[r.dup_of] == r.shard
+            assert cos[r.dup_of, r.vec_id] >= 0.99
