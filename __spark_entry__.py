@@ -1543,6 +1543,36 @@ def q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+DISMAX_TIE = 0.3
+
+
+def q_bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max / best_fields (the ES multi_match DEFAULT and Lucene's
+    DisjunctionMaxQuery): the best single field's BM25 wins, the other
+    field contributes through tie_breaker — mirrored by two independent
+    per-field BM25 computations combined with greatest() in SQL."""
+    from acora_spark.index.bm25 import bm25_multifield_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    pidx = _path_index_for(spark, sf_dir)
+    raw = bm25_multifield_topk_batch(
+        spark,
+        {"content": (idx, 1.0), "path": (pidx, MF_PATH_WEIGHT)},
+        [MF_QUERY],
+        k=4 * BM25_K,
+        mode="best_fields",
+        tie_breaker=DISMAX_TIE,
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 PERC_QUERIES = [
     {"must": ["data", "table"], "must_not": ["window"]},
     {"should": ["spark", "merge"]},
@@ -2261,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set": q_terms_set,
         "regex_match": q_regex_match,
         "bm25_multifield": q_bm25_multifield,
+        "bm25_dismax": q_bm25_dismax,
         "bm25_alias": q_bm25_alias,
         "bm25_bool": q_bm25_bool,
         "bm25_boosted": q_bm25_boosted,
@@ -3904,7 +3935,8 @@ WHERE len(list_filter(t, x -> regexp_full_match(x, '{REGEX_PATTERN}'))) > 0
     # multi-field most_fields: two independent per-field BM25 scores
     # (each with its own dl/avgdl/df statistics), weight-summed per doc
     mf_terms = sorted(set(MF_QUERY.lower().split()))
-    sql["bm25_multifield"] = f"""
+    def _mf_sql(total_expr: str) -> str:
+        return f"""
 WITH {_CORPUS_CTE},
 {_TOKS_CTE},
 ptoks AS (
@@ -3948,7 +3980,7 @@ sp AS (
 ),
 total AS (
   SELECT coalesce(sc.doc_id, sp.doc_id) AS doc_id,
-         round(coalesce(sc.score, 0) + {MF_PATH_WEIGHT} * coalesce(sp.score, 0), 4) AS score
+         round({total_expr}, 4) AS score
   FROM sc FULL OUTER JOIN sp ON sc.doc_id = sp.doc_id
 )
 SELECT row_number() OVER (ORDER BY score DESC, total.doc_id ASC)::INT AS rank,
@@ -3957,6 +3989,15 @@ FROM total JOIN dlc ON total.doc_id = dlc.doc_id
 ORDER BY score DESC, total.doc_id ASC
 LIMIT {BM25_K}
 """
+
+    _mf_c = "coalesce(sc.score, 0)"
+    _mf_p = f"{MF_PATH_WEIGHT} * coalesce(sp.score, 0)"
+    sql["bm25_multifield"] = _mf_sql(f"{_mf_c} + {_mf_p}")
+    # dis_max: best field + tie_breaker * the rest
+    sql["bm25_dismax"] = _mf_sql(
+        f"greatest({_mf_c}, {_mf_p}) + {DISMAX_TIE} * "
+        f"(({_mf_c} + {_mf_p}) - greatest({_mf_c}, {_mf_p}))"
+    )
 
     # percolation: per registered query, the docs whose token sets
     # satisfy its boolean predicate (query_id = registration order)

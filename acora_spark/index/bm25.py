@@ -1505,10 +1505,23 @@ def bm25_multifield_topk_batch(
     queries: Sequence[str],
     k: int = 10,
     num_ranges: int | None = None,
+    *,
+    mode: str = "most_fields",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
-    """Multi-field ranked retrieval (the ES ``multi_match``
-    "most_fields" shape): ``score(q, d) = sum_f w_f * BM25_f(q, d)``,
-    each field scored with ITS OWN collection statistics (df, avgdl)
+    """Multi-field ranked retrieval, both ES ``multi_match`` combiners:
+
+    * ``mode="most_fields"`` — ``score = sum_f w_f * BM25_f(q, d)``;
+    * ``mode="best_fields"`` — the ES DEFAULT ranker (Lucene
+      ``DisjunctionMaxQuery``): the best single field wins, other
+      fields contribute through ``tie_breaker``::
+
+          score = max_f w_f*BM25_f + tie_breaker * (sum_f w_f*BM25_f - max_f w_f*BM25_f)
+
+      ``tie_breaker=0`` is pure dis_max; ``tie_breaker=1`` degenerates
+      to most_fields.
+
+    Each field is scored with ITS OWN collection statistics (df, avgdl)
     against its own inverted index.
 
     ``fields`` maps a field name to ``(Index, weight)``.  Field indexes
@@ -1526,6 +1539,8 @@ def bm25_multifield_topk_batch(
     (field, term) tag order — a fixed float64 order, so results are
     reproducible at any parallelism.  A doc tombstoned in ANY field
     index is excluded.  Returns TOPK_SCHEMA rows."""
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match mode {mode!r}")
     if not fields:
         raise ValueError("fields must name at least one (Index, weight)")
     for f in fields:
@@ -1609,7 +1624,10 @@ def bm25_multifield_topk_batch(
     def run_range(key, pdf):  # (key, pdf) applyInPandas form
         qid = int(key[0])
         pdf = pdf.sort_values("term", kind="mergesort")
-        docs_parts, contrib_parts = [], []
+        # tag sort = ascending (field, term): parts arrive grouped per
+        # field with terms ascending inside — the fixed float64 order
+        per_docs: dict[str, list] = {}
+        per_contribs: dict[str, list] = {}
         for tag, blob in zip(pdf["term"], pdf["blob"]):
             m = bc_meta.value.get(tag)
             if m is None:
@@ -1618,11 +1636,12 @@ def bm25_multifield_topk_batch(
             docs, tfs, dls = decode_slice(bytes(blob))
             if not len(docs):
                 continue
-            docs_parts.append(docs)
-            contrib_parts.append(
+            fname = tag.split("\x00", 1)[0]
+            per_docs.setdefault(fname, []).append(docs)
+            per_contribs.setdefault(fname, []).append(
                 w_idf * impact(tfs, dls, avgdl_f, k1_f, b_f)
             )
-        if not docs_parts:
+        if not per_docs:
             return pd.DataFrame(
                 {
                     "query_id": pd.Series([], dtype=np.int64),
@@ -1630,7 +1649,29 @@ def bm25_multifield_topk_batch(
                     "score": pd.Series([], dtype=np.float64),
                 }
             )
-        udocs, scores = _accumulate_contribs(docs_parts, contrib_parts)
+        forder = sorted(per_docs)
+        if mode == "most_fields":
+            # flat field-then-term ascending order: identical float adds
+            # to the pre-best_fields kernel
+            udocs, scores = _accumulate_contribs(
+                [d for f in forder for d in per_docs[f]],
+                [c for f in forder for c in per_contribs[f]],
+            )
+        else:  # best_fields (dis_max): per-field subtotals, then combine
+            field_res = [
+                _accumulate_contribs(per_docs[f], per_contribs[f])
+                for f in forder
+            ]
+            udocs = np.unique(np.concatenate([d for d, _ in field_res]))
+            smax = np.zeros(len(udocs), dtype=np.float64)
+            ssum = np.zeros(len(udocs), dtype=np.float64)
+            for docs_f, s_f in field_res:  # ascending field order
+                pos = np.searchsorted(udocs, docs_f)
+                tmp = np.zeros(len(udocs), dtype=np.float64)
+                tmp[pos] = s_f
+                np.maximum(smax, tmp, out=smax)
+                ssum[pos] += s_f
+            scores = smax + tie_breaker * (ssum - smax)
         docs, sc = _select_topk(
             udocs, scores, k,
             exclude=bc_ex.value if bc_ex is not None else None,

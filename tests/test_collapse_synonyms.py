@@ -401,3 +401,79 @@ def test_multifield_mismatched_corpus_raises(built, spark, tmp_path):
         bm25_multifield_topk_batch(
             spark, {"content": (idx, 1.0), "path": (half, 1.0)}, ["data"]
         )
+
+
+def test_dismax_matches_brute_force(built, path_built, ground, spark):
+    """best_fields (dis_max): max over per-field BM25 + tie_breaker *
+    the rest, vs a driver-side brute force; tie_breaker=1 must equal
+    most_fields bit-exactly and tie_breaker=0 must be the pure max."""
+    from acora_spark.index.bm25 import bm25_multifield_topk_batch, query_terms
+
+    idx, corpus = built
+    pidx = path_built
+    counts, meta, n_docs, avgdl = ground
+    tok = re.compile(r"[a-z0-9_]+")
+    pcounts = {}
+    for d, (repo, path, _dl) in meta.items():
+        c: dict[str, int] = {}
+        for t in tok.findall(path.lower()):
+            c[t] = c.get(t, 0) + 1
+        pcounts[d] = c
+    pavgdl = sum(sum(c.values()) for c in pcounts.values()) / n_docs
+
+    q = "data zh txt"
+    w_path = 2.5
+    tie = 0.4
+    per_field: dict[str, dict[int, float]] = {"content": {}, "path": {}}
+    for field, fc, favg, w in (
+        ("content", counts, avgdl, 1.0),
+        ("path", pcounts, pavgdl, w_path),
+    ):
+        for t in sorted(set(query_terms(q))):
+            df = sum(1 for c in fc.values() if t in c)
+            if not df:
+                continue
+            ti = _idf(n_docs, df)
+            for d, c in fc.items():
+                tf = c.get(t, 0)
+                if tf:
+                    dl = sum(c.values()) if field == "path" else meta[d][2]
+                    contrib = (
+                        w * ti * tf / (tf + K1 * (1 - B + B * dl / favg))
+                    )
+                    per_field[field][d] = (
+                        per_field[field].get(d, 0.0) + contrib
+                    )
+    scores = {}
+    for d in set(per_field["content"]) | set(per_field["path"]):
+        fs = [per_field[f].get(d, 0.0) for f in ("content", "path")]
+        scores[d] = max(fs) + tie * (sum(fs) - max(fs))
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    flds = {"content": (idx, 1.0), "path": (pidx, w_path)}
+    got = (
+        bm25_multifield_topk_batch(
+            spark, flds, [q], k=10, mode="best_fields", tie_breaker=tie
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [d for d, _ in expected]
+    for row, (_, s) in zip(got, expected):
+        assert abs(row.score - s) < 1e-9
+
+    # tie_breaker=1 == most_fields (same doc set; scores equal)
+    mf = bm25_multifield_topk_batch(spark, flds, [q], k=10).orderBy("rank").collect()
+    dm1 = (
+        bm25_multifield_topk_batch(
+            spark, flds, [q], k=10, mode="best_fields", tie_breaker=1.0
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in dm1] == [r.doc_id for r in mf]
+    for a, b in zip(dm1, mf):
+        assert abs(a.score - b.score) < 1e-12
+
+    with pytest.raises(ValueError, match="unknown multi_match mode"):
+        bm25_multifield_topk_batch(spark, flds, [q], mode="cross_fields")
