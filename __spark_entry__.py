@@ -561,6 +561,43 @@ def q_search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_cardinality(spark, idx, AGG_QUERY, "lang")
 
 
+def q_search_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation: full moment set (variance both
+    ways, std deviations, sigma bounds) of doc length over the matching
+    docs, every moment derived from exact integer accumulators."""
+    from acora_spark.index.bm25 import search_extended_stats
+
+    idx = _index_for(spark, sf_dir)
+    return search_extended_stats(spark, idx, AGG_QUERY, "dl")
+
+
+def q_search_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg aggregation: doc length weighted by path length
+    over the matching docs."""
+    from acora_spark.index.bm25 import search_weighted_avg
+
+    idx = _index_for(spark, sf_dir)
+    return search_weighted_avg(spark, idx, AGG_QUERY, "dl", "length(path)")
+
+
+def q_search_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats aggregation: length stats + Shannon character
+    entropy of the lang attribute over the matching docs."""
+    from acora_spark.index.bm25 import search_string_stats
+
+    idx = _index_for(spark, sf_dir)
+    return search_string_stats(spark, idx, AGG_QUERY, "lang")
+
+
+def q_search_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation: top (lang, repo) composite buckets by
+    doc count over the matching docs."""
+    from acora_spark.index.bm25 import search_multi_terms
+
+    idx = _index_for(spark, sf_dir)
+    return search_multi_terms(spark, idx, AGG_QUERY, ["lang", "repo"], size=12)
+
+
 def q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _count API over the boolean query."""
     from acora_spark.index.bm25 import search_count
@@ -2299,6 +2336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_stats": q_search_stats,
         "search_histogram": q_search_histogram,
         "search_cardinality": q_search_cardinality,
+        "search_extended_stats": q_search_extended_stats,
+        "search_weighted_avg": q_search_weighted_avg,
+        "search_string_stats": q_search_string_stats,
+        "search_multi_terms": q_search_multi_terms,
         "facet_stats": q_facet_stats,
         "search_sorted": q_search_sorted,
         "top_hits": q_top_hits,
@@ -3079,6 +3120,81 @@ WITH {_CORPUS_CTE},
 SELECT count(DISTINCT d.lang)::BIGINT AS cardinality
 FROM toks JOIN docs d USING (doc_id)
 WHERE {ag_must} AND {ag_not}
+"""
+
+    # extended_stats: identical closed-form moments from the same exact
+    # integer accumulators (count, sum, sum of squares)
+    sql["search_extended_stats"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+m AS (SELECT len(t)::DOUBLE AS dl FROM toks WHERE {ag_must} AND {ag_not}),
+a AS (
+  SELECT count(*)::BIGINT AS count, min(dl) AS mn, max(dl) AS mx,
+         sum(dl) AS s, sum(dl * dl) AS ss
+  FROM m
+)
+SELECT count, mn AS min, mx AS max, s AS sum, ss AS sum_of_squares,
+       round(s / count, 6) AS avg,
+       round(ss / count - (s / count) * (s / count), 6) AS variance,
+       round((ss - count * (s / count) * (s / count)) / (count - 1), 6)
+         AS variance_sampling,
+       round(sqrt(ss / count - (s / count) * (s / count)), 6)
+         AS std_deviation,
+       round(sqrt((ss - count * (s / count) * (s / count)) / (count - 1)), 6)
+         AS std_deviation_sampling,
+       round(s / count
+             + 2.0 * sqrt(ss / count - (s / count) * (s / count)), 6)
+         AS upper,
+       round(s / count
+             - 2.0 * sqrt(ss / count - (s / count) * (s / count)), 6)
+         AS lower
+FROM a
+"""
+
+    sql["search_weighted_avg"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+m AS (
+  SELECT len(t)::DOUBLE AS v, length(path)::DOUBLE AS w
+  FROM toks WHERE {ag_must} AND {ag_not}
+)
+SELECT round(sum(v * w) / sum(w), 6) AS weighted_avg FROM m
+"""
+
+    sql["search_string_stats"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+m AS (
+  SELECT d.lang AS v FROM toks JOIN docs d USING (doc_id)
+  WHERE {ag_must} AND {ag_not}
+),
+lens AS (
+  SELECT count(v)::BIGINT AS count, min(length(v))::INT AS min_length,
+         max(length(v))::INT AS max_length,
+         round(avg(length(v)), 6) AS avg_length
+  FROM m
+),
+chars AS (
+  SELECT ch, count(*)::DOUBLE AS n
+  FROM (SELECT unnest(string_split(v, '')) AS ch FROM m)
+  WHERE ch <> '' GROUP BY ch
+),
+ent AS (
+  SELECT round(-sum((n / t.total) * log2(n / t.total)), 6) AS entropy
+  FROM chars, (SELECT sum(n) AS total FROM chars) t
+)
+SELECT lens.*, ent.entropy FROM lens CROSS JOIN ent
+"""
+
+    sql["search_multi_terms"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE}
+SELECT d.lang, d.repo, count(*)::BIGINT AS doc_count
+FROM toks JOIN docs d USING (doc_id)
+WHERE {ag_must} AND {ag_not}
+GROUP BY d.lang, d.repo
+ORDER BY doc_count DESC, d.lang ASC, d.repo ASC
+LIMIT 12
 """
 
     sql["facet_stats"] = f"""

@@ -3237,6 +3237,159 @@ def search_stats(
     )
 
 
+def search_extended_stats(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    sigma: float = 2.0,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``extended_stats`` aggregation over a numeric docmap attribute
+    of the matching docs: the ``stats`` row plus sum_of_squares,
+    variance (population — the ES default — and sampling), standard
+    deviations, and the ``avg +/- sigma*std`` bounds.
+
+    Moments derive from the three EXACT integer accumulators (count,
+    sum, sum of squares) via fixed closed-form expressions — not from a
+    streaming variance kernel — so the result is bit-reproducible at
+    any parallelism and any SQL engine computes the identical IEEE
+    value from the same exact sums."""
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    c = F.col(field).cast("double")
+    agg = joined.agg(
+        F.count("*").alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.sum(c * c).alias("sum_of_squares"),
+    )
+    cnt = F.col("count").cast("double")
+    avg = F.col("sum") / cnt
+    var_pop = F.col("sum_of_squares") / cnt - avg * avg
+    var_samp = (F.col("sum_of_squares") - cnt * avg * avg) / (cnt - 1)
+    std = F.sqrt(var_pop)
+    r = lambda x: F.round(x, 6)  # noqa: E731
+    return agg.select(
+        "count",
+        "min",
+        "max",
+        "sum",
+        "sum_of_squares",
+        r(avg).alias("avg"),
+        r(var_pop).alias("variance"),
+        r(var_samp).alias("variance_sampling"),
+        r(std).alias("std_deviation"),
+        r(F.sqrt(var_samp)).alias("std_deviation_sampling"),
+        r(avg + sigma * std).alias("upper"),
+        r(avg - sigma * std).alias("lower"),
+    )
+
+
+def search_weighted_avg(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    value: str,
+    weight: str,
+    num_ranges: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: ``sum(value*weight)/sum(weight)``
+    over the matching docs.  ``value`` and ``weight`` are SQL
+    expressions over docmap columns (ES reads a field or a script;
+    expressions are the library-idiomatic generalization, e.g.
+    ``weight="length(path)"``).  Docs where either side is NULL are
+    skipped (the ES missing-value default)."""
+    dm_cols = [
+        c
+        for c in index.docmap(spark).columns
+        if c != "doc_id" and (c in value or c in weight)
+    ]
+    joined = _boolean_docmap_join(spark, index, query, dm_cols, num_ranges)
+    v = F.expr(value).cast("double")
+    w = F.expr(weight).cast("double")
+    both = v.isNotNull() & w.isNotNull()
+    out = joined.agg(
+        (
+            F.sum(F.when(both, v * w)) / F.sum(F.when(both, w))
+        ).alias("weighted_avg")
+    )
+    if round_to is not None:
+        out = out.select(F.round("weighted_avg", round_to).alias("weighted_avg"))
+    return out
+
+
+def search_string_stats(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``string_stats`` aggregation over a string docmap attribute of
+    the matching docs: ``(count, min_length, max_length, avg_length,
+    entropy)`` where entropy is the Shannon entropy (bits) of the
+    CHARACTER distribution across all values — the ES
+    ``show_distribution`` basis.  Character counts aggregate
+    map-combined per char (alphabet-sized shuffle); the entropy fold
+    sums in deterministic char order."""
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    lens = joined.agg(
+        F.count(field).alias("count"),
+        F.min(F.length(field)).alias("min_length"),
+        F.max(F.length(field)).alias("max_length"),
+        F.round(F.avg(F.length(field)), 6).alias("avg_length"),
+    )
+    chars = (
+        joined.select(F.explode(F.split(F.col(field), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").alias("n"))
+    )
+    ent = (
+        chars.agg(
+            F.sort_array(F.collect_list(F.struct("ch", "n"))).alias("cs"),
+            F.sum("n").alias("total"),
+        )
+        .select(
+            F.round(
+                -F.aggregate(
+                    "cs",
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + (s["n"] / F.col("total"))
+                    * F.log2(s["n"] / F.col("total")),
+                ),
+                6,
+            ).alias("entropy")
+        )
+    )
+    return lens.crossJoin(ent)
+
+
+def search_multi_terms(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    fields: Sequence[str],
+    size: int = 10,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: doc counts per COMPOSITE key of
+    two-or-more docmap attributes over the matching docs, top ``size``
+    buckets by (doc_count desc, keys asc) — one map-combined groupBy on
+    the composite key, then a TakeOrdered of ``size`` rows."""
+    fields = list(fields)
+    if len(fields) < 2:
+        raise ValueError("multi_terms needs at least two fields")
+    joined = _boolean_docmap_join(spark, index, query, fields, num_ranges)
+    counts = joined.groupBy(*fields).agg(F.count("*").alias("doc_count"))
+    return counts.orderBy(
+        F.desc("doc_count"), *[F.asc(f) for f in fields]
+    ).limit(size)
+
+
 def search_histogram(
     spark: SparkSession,
     index: Index,

@@ -563,3 +563,85 @@ def test_search_percentile_ranks(built, ground, spark):
     assert got[1e9] == 100.0
     with pytest.raises(ValueError, match="non-empty"):
         search_percentile_ranks(spark, idx, Q, "dl", ())
+
+
+def test_search_extended_stats(built, ground, spark):
+    from acora_spark.index.bm25 import search_extended_stats
+
+    idx, _ = built
+    _, match = ground
+    dls = [float(len(t)) for _, t in match.values()]
+    n, s = len(dls), sum(dls)
+    ss = sum(d * d for d in dls)
+    avg = s / n
+    var_pop = ss / n - avg * avg
+    var_samp = (ss - n * avg * avg) / (n - 1)
+    got = search_extended_stats(spark, idx, Q, "dl", sigma=2.0).collect()[0]
+    assert got["count"] == n
+    assert got["sum"] == pytest.approx(s)
+    assert got["sum_of_squares"] == pytest.approx(ss)
+    assert got["variance"] == pytest.approx(round(var_pop, 6), abs=1e-6)
+    assert got["variance_sampling"] == pytest.approx(
+        round(var_samp, 6), abs=1e-6
+    )
+    assert got["std_deviation"] == pytest.approx(
+        round(math.sqrt(var_pop), 6), abs=1e-6
+    )
+    assert got["upper"] == pytest.approx(
+        round(avg + 2.0 * math.sqrt(var_pop), 6), abs=1e-6
+    )
+    assert got["lower"] == pytest.approx(
+        round(avg - 2.0 * math.sqrt(var_pop), 6), abs=1e-6
+    )
+
+
+def test_search_weighted_avg(built, ground, spark):
+    from acora_spark.index.bm25 import search_weighted_avg
+
+    idx, _ = built
+    _, match = ground
+    num = sum(len(t) * len(k[1]) for k, (_, t) in match.items())
+    den = sum(len(k[1]) for k in match)
+    got = search_weighted_avg(
+        spark, idx, Q, "dl", "length(path)"
+    ).collect()[0]
+    assert got["weighted_avg"] == pytest.approx(round(num / den, 6), abs=1e-6)
+
+
+def test_search_string_stats(built, ground, spark):
+    from acora_spark.index.bm25 import search_string_stats
+
+    idx, _ = built
+    _, match = ground
+    langs = [lang for lang, _ in match.values()]
+    counts: dict[str, int] = {}
+    for v in langs:
+        for ch in v:
+            counts[ch] = counts.get(ch, 0) + 1
+    total = sum(counts.values())
+    ent = -sum(
+        (c / total) * math.log2(c / total) for c in counts.values()
+    )
+    got = search_string_stats(spark, idx, Q, "lang").collect()[0]
+    assert got["count"] == len(langs)
+    assert got["min_length"] == min(len(v) for v in langs)
+    assert got["max_length"] == max(len(v) for v in langs)
+    assert got["avg_length"] == pytest.approx(
+        round(sum(len(v) for v in langs) / len(langs), 6), abs=1e-6
+    )
+    assert got["entropy"] == pytest.approx(round(ent, 6), abs=1e-6)
+
+
+def test_search_multi_terms(built, ground, spark):
+    from acora_spark.index.bm25 import search_multi_terms
+
+    idx, _ = built
+    _, match = ground
+    want: dict[tuple, int] = {}
+    for (repo, _p, _c), (lang, _t) in match.items():
+        want[(lang, repo)] = want.get((lang, repo), 0) + 1
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = search_multi_terms(spark, idx, Q, ["lang", "repo"], size=5).collect()
+    assert [((r.lang, r.repo), r.doc_count) for r in got] == top
+    with pytest.raises(ValueError, match="at least two"):
+        search_multi_terms(spark, idx, Q, ["lang"])
