@@ -598,6 +598,37 @@ def q_search_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_multi_terms(spark, idx, AGG_QUERY, ["lang", "repo"], size=12)
 
 
+TT_QUERY_B = {"must": ["merge"], "must_not": ["window"]}
+
+
+def q_search_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation aggregation: exact
+    median(|dl - median(dl)|) over the matching docs."""
+    from acora_spark.index.bm25 import search_median_absolute_deviation
+
+    idx = _index_for(spark, sf_dir)
+    return search_median_absolute_deviation(spark, idx, AGG_QUERY, "dl")
+
+
+def q_search_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot aggregation: min/max, exact quartiles, and the
+    1.5*IQR whiskers of doc length over the matching docs."""
+    from acora_spark.index.bm25 import search_boxplot
+
+    idx = _index_for(spark, sf_dir)
+    return search_boxplot(spark, idx, AGG_QUERY, "dl")
+
+
+def q_search_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test aggregation (Welch): doc-length mean comparison between
+    two boolean result sets, statistic + degrees of freedom from exact
+    accumulators."""
+    from acora_spark.index.bm25 import search_t_test
+
+    idx = _index_for(spark, sf_dir)
+    return search_t_test(spark, idx, AGG_QUERY, TT_QUERY_B, "dl")
+
+
 def q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _count API over the boolean query."""
     from acora_spark.index.bm25 import search_count
@@ -2337,6 +2368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_histogram": q_search_histogram,
         "search_cardinality": q_search_cardinality,
         "search_extended_stats": q_search_extended_stats,
+        "search_mad": q_search_mad,
+        "search_boxplot": q_search_boxplot,
+        "search_t_test": q_search_t_test,
         "search_weighted_avg": q_search_weighted_avg,
         "search_string_stats": q_search_string_stats,
         "search_multi_terms": q_search_multi_terms,
@@ -3149,6 +3183,64 @@ SELECT count, mn AS min, mx AS max, s AS sum, ss AS sum_of_squares,
              - 2.0 * sqrt(ss / count - (s / count) * (s / count)), 6)
          AS lower
 FROM a
+"""
+
+    sql["search_mad"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+m AS (SELECT len(t)::DOUBLE AS dl FROM toks WHERE {ag_must} AND {ag_not}),
+med AS (SELECT quantile_cont(dl, 0.5) AS mm FROM m)
+SELECT round(quantile_cont(abs(dl - mm), 0.5), 6) AS mad FROM m, med
+"""
+
+    sql["search_boxplot"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+m AS (SELECT len(t)::DOUBLE AS dl FROM toks WHERE {ag_must} AND {ag_not}),
+a AS (
+  SELECT min(dl) AS mn, max(dl) AS mx,
+         quantile_cont(dl, 0.25) AS q1v, quantile_cont(dl, 0.5) AS q2v,
+         quantile_cont(dl, 0.75) AS q3v
+  FROM m
+)
+SELECT mn AS min, mx AS max,
+       round(q1v, 6) AS q1, round(q2v, 6) AS q2, round(q3v, 6) AS q3,
+       round(greatest(mn, q1v - 1.5 * (q3v - q1v)), 6) AS lower,
+       round(least(mx, q3v + 1.5 * (q3v - q1v)), 6) AS upper
+FROM a
+"""
+
+    # t_test: Welch statistic from the identical exact accumulators;
+    # side B is (must merge, must_not window)
+    _tt_b = (
+        "list_contains(t, 'merge') AND NOT list_contains(t, 'window')"
+    )
+    sql["search_t_test"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+sa AS (
+  SELECT count(*)::BIGINT AS n_a, sum(len(t)::DOUBLE) AS s_a,
+         sum(len(t)::DOUBLE * len(t)::DOUBLE) AS ss_a
+  FROM toks WHERE {ag_must} AND {ag_not}
+),
+sb AS (
+  SELECT count(*)::BIGINT AS n_b, sum(len(t)::DOUBLE) AS s_b,
+         sum(len(t)::DOUBLE * len(t)::DOUBLE) AS ss_b
+  FROM toks WHERE {_tt_b}
+),
+c AS (
+  SELECT n_a, n_b,
+         s_a / n_a AS ma, s_b / n_b AS mb,
+         (ss_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1) AS va,
+         (ss_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1) AS vb
+  FROM sa CROSS JOIN sb
+)
+SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t,
+       round((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+             / ((va / n_a) * (va / n_a) / (n_a - 1)
+                + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6) AS df
+FROM c
 """
 
     sql["search_weighted_avg"] = f"""

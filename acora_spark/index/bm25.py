@@ -3632,6 +3632,117 @@ def search_percentile_ranks(
     )
 
 
+def search_median_absolute_deviation(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    num_ranges: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation over a numeric
+    docmap attribute of the matching docs: ``median(|x - median(x)|)``,
+    the robust dispersion measure.  Exact two-pass form (the value ES's
+    t-digest approximates): pass one computes the exact median, pass
+    two the median of absolute deviations — the scalar median BROADCASTS
+    between passes, so both are ordinary map-combined aggregations."""
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    c = F.col(field).cast("double")
+    med = joined.agg(F.percentile(c, F.lit(0.5)).alias("_median"))
+    mad = F.percentile(F.abs(c - F.col("_median")), F.lit(0.5))
+    if round_to is not None:
+        mad = F.round(mad, round_to)
+    return joined.join(F.broadcast(med)).agg(mad.alias("mad"))
+
+
+def search_boxplot(
+    spark: SparkSession,
+    index: Index,
+    query: dict,
+    field: str,
+    num_ranges: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``boxplot`` aggregation over a numeric docmap attribute of the
+    matching docs: min, max, exact q1/q2/q3 (linear interpolation — the
+    values ES's t-digest approximates), and the ES whisker convention
+    ``lower = max(min, q1 - 1.5*IQR)``, ``upper = min(max, q3 +
+    1.5*IQR)`` — one aggregation row."""
+    joined = _boolean_docmap_join(spark, index, query, [field], num_ranges)
+    c = F.col(field).cast("double")
+    agg = joined.agg(
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.percentile(c, F.lit(0.25)).alias("_q1"),
+        F.percentile(c, F.lit(0.5)).alias("_q2"),
+        F.percentile(c, F.lit(0.75)).alias("_q3"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    r = (lambda x: F.round(x, round_to)) if round_to is not None else (lambda x: x)
+    return agg.select(
+        "min",
+        "max",
+        r(F.col("_q1")).alias("q1"),
+        r(F.col("_q2")).alias("q2"),
+        r(F.col("_q3")).alias("q3"),
+        r(F.greatest(F.col("min"), F.col("_q1") - 1.5 * iqr)).alias("lower"),
+        r(F.least(F.col("max"), F.col("_q3") + 1.5 * iqr)).alias("upper"),
+    )
+
+
+def search_t_test(
+    spark: SparkSession,
+    index: Index,
+    query_a: dict,
+    query_b: dict,
+    field: str,
+    num_ranges: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch — the ES
+    default): compare the mean of a numeric docmap attribute between
+    the result sets of two boolean queries.  Returns the t statistic
+    and the Welch–Satterthwaite degrees of freedom (the p-value is a
+    Student-t CDF lookup on (t, df), left to the caller — no closed
+    form exists in portable SQL).  Both moments derive from exact
+    integer accumulators, so the statistic is bit-reproducible."""
+    sides = []
+    for tag, q in (("a", query_a), ("b", query_b)):
+        j = _boolean_docmap_join(spark, index, q, [field], num_ranges)
+        c = F.col(field).cast("double")
+        sides.append(
+            j.agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.sum(c).alias(f"s_{tag}"),
+                F.sum(c * c).alias(f"ss_{tag}"),
+            )
+        )
+    both = sides[0].crossJoin(sides[1])
+    exprs = {}
+    for tag in ("a", "b"):
+        n = F.col(f"n_{tag}").cast("double")
+        m = F.col(f"s_{tag}") / n
+        # sample variance from exact sums
+        v = (F.col(f"ss_{tag}") - n * m * m) / (n - 1)
+        exprs[tag] = (n, m, v)
+    na, ma, va = exprs["a"]
+    nb, mb, vb = exprs["b"]
+    se2_a, se2_b = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(se2_a + se2_b)
+    df = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (na - 1) + se2_b * se2_b / (nb - 1)
+    )
+    r = (lambda x: F.round(x, round_to)) if round_to is not None else (lambda x: x)
+    return both.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        r(ma).alias("mean_a"),
+        r(mb).alias("mean_b"),
+        r(t).alias("t"),
+        r(df).alias("df"),
+    )
+
+
 def search_range_agg(
     spark: SparkSession,
     index: Index,

@@ -645,3 +645,63 @@ def test_search_multi_terms(built, ground, spark):
     assert [((r.lang, r.repo), r.doc_count) for r in got] == top
     with pytest.raises(ValueError, match="at least two"):
         search_multi_terms(spark, idx, Q, ["lang"])
+
+
+def test_search_mad_and_boxplot(built, ground, spark):
+    from acora_spark.index.bm25 import (
+        search_boxplot,
+        search_median_absolute_deviation,
+    )
+
+    idx, _ = built
+    _, match = ground
+    import numpy as np
+
+    dls = np.array([float(len(t)) for _, t in match.values()])
+    med = float(np.percentile(dls, 50))
+    mad = float(np.percentile(np.abs(dls - med), 50))
+    got = search_median_absolute_deviation(spark, idx, Q, "dl").collect()[0]
+    assert got["mad"] == pytest.approx(round(mad, 6), abs=1e-6)
+
+    q1, q2, q3 = (float(np.percentile(dls, p)) for p in (25, 50, 75))
+    bx = search_boxplot(spark, idx, Q, "dl").collect()[0]
+    assert bx["min"] == dls.min() and bx["max"] == dls.max()
+    assert bx["q1"] == pytest.approx(round(q1, 6), abs=1e-6)
+    assert bx["q2"] == pytest.approx(round(q2, 6), abs=1e-6)
+    assert bx["q3"] == pytest.approx(round(q3, 6), abs=1e-6)
+    assert bx["lower"] == pytest.approx(
+        round(max(dls.min(), q1 - 1.5 * (q3 - q1)), 6), abs=1e-6
+    )
+    assert bx["upper"] == pytest.approx(
+        round(min(dls.max(), q3 + 1.5 * (q3 - q1)), 6), abs=1e-6
+    )
+
+
+def test_search_t_test_welch(built, ground, spark):
+    from acora_spark.index.bm25 import search_t_test
+
+    idx, _ = built
+    docs, match = ground
+    a = [float(len(t)) for _, t in match.values()]
+    b = [
+        float(len(t))
+        for _, t in docs.values()
+        if "data" in t and "window" not in t
+    ]
+    import numpy as np
+
+    na, nb = len(a), len(b)
+    ma, mb = np.mean(a), np.mean(b)
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    t = (ma - mb) / np.sqrt(va / na + vb / nb)
+    df = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    got = search_t_test(
+        spark, idx, Q, {"must": ["data"], "must_not": ["window"]}, "dl"
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["mean_a"] == pytest.approx(round(ma, 6), abs=1e-6)
+    assert got["mean_b"] == pytest.approx(round(mb, 6), abs=1e-6)
+    assert got["t"] == pytest.approx(round(t, 6), abs=1e-5)
+    assert got["df"] == pytest.approx(round(df, 6), abs=1e-4)
