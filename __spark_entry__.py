@@ -912,6 +912,28 @@ def q_repeat_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINE_DEDUP_MIN_DOCS = 2  # the C4 rule: any line occurring more than once
 LINE_DEDUP_MIN_CHARS = 10
+SPAN_K = 50
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2021): merged character spans
+    whose 50-char windows repeat anywhere in the corpus, located by
+    content-defined md5 anchors — mirrored by the identical anchor rule,
+    window hashing, and gaps-and-islands merge in SQL."""
+    from acora_spark.operators.dedup import dedup_spans
+
+    corpus = _corpus(spark, sf_dir)
+    res = dedup_spans(
+        corpus.select("path", "content"),
+        id_col="path",
+        min_len=SPAN_K,
+        mode="flag",
+    )
+    return res.select("path", F.explode("spans").alias("s")).select(
+        "path",
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+    )
 
 
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2380,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_composite": q_search_composite,
         "bm25_explain": q_bm25_explain,
         "dedup_lines": q_dedup_lines,
+        "dup_spans": q_dup_spans,
         "date_histogram": q_date_histogram,
         "repeat_by_weight": q_repeat_by_weight,
         "search_percentiles": q_search_percentiles,
@@ -3484,6 +3507,30 @@ c AS (
 )
 SELECT doc_id, lang, unnest(range(0, copies))::BIGINT AS epoch
 FROM c WHERE copies > 0
+"""
+
+    sql["dup_spans"] = f"""
+WITH {_CORPUS_CTE},
+anchors AS (
+  SELECT path, content, p
+  FROM corpus,
+       LATERAL unnest(generate_series(1, length(content) - {SPAN_K - 1})) AS g(p)
+  WHERE right(md5(substr(content, p, 8)), 1) = '0'
+),
+wins AS (SELECT path, p, md5(substr(content, p, {SPAN_K})) AS h FROM anchors),
+cnt AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT w.path, w.p FROM wins w JOIN cnt USING (h)),
+isl AS (
+  SELECT path, p,
+         sum(CASE WHEN prev IS NULL OR p > prev + {SPAN_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY path ORDER BY p) AS grp
+  FROM (
+    SELECT path, p, lag(p) OVER (PARTITION BY path ORDER BY p) AS prev
+    FROM dup
+  )
+)
+SELECT path, min(p)::INT AS start, (max(p) + {SPAN_K})::INT AS "end"
+FROM isl GROUP BY path, grp
 """
 
     sql["dedup_lines"] = f"""

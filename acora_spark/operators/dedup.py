@@ -45,6 +45,7 @@ __all__ = [
     "hyperplane_bands",
     "embedding_near_dup_pairs",
     "near_dup_against",
+    "dedup_spans",
     "semantic_dedup",
     "WINNOW_MAX_DF",
     "LSH_MAX_BUCKET",
@@ -727,6 +728,139 @@ def near_dup_against(
     return docs.join(best, id_col, "left").withColumn(
         "near_dup", F.col("near_jaccard").isNotNull()
     )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    anchor_q: int = 8,
+    anchor_nibbles: int = 1,
+    mode: str = "flag",
+) -> DataFrame:
+    """Repeated-substring span removal (the ExactSubstr dedup of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): detect character spans whose content
+    appears two-or-more times ANYWHERE in the corpus (other docs or the
+    same doc) and flag or cut them — the span-level complement of the
+    document-level near-dup operators.
+
+    Detection is content-defined-anchor window hashing, the distributed
+    stand-in for the paper's monolithic suffix array: a position ``p``
+    is an ANCHOR iff ``md5`` of the ``anchor_q``-gram at ``p`` ends in
+    ``anchor_nibbles`` zero hex digits (expected density
+    ``16**-anchor_nibbles``); each anchor contributes the
+    ``min_len``-char window at ``p``.  Because anchors are chosen by
+    CONTENT, every copy of a repeated region elects the same anchor
+    offsets, so any repeat of length ``>= min_len + O(16**anchor_nibbles)``
+    is caught regardless of alignment — a stride grid would miss
+    unaligned copies.  Span boundaries are anchor-granular: the merged
+    span runs from the first to the last duplicated window, which can
+    undershoot the true maximal repeat by up to the anchor gap on each
+    side (the standard trade of every windowed ExactSubstr
+    implementation).
+
+    Shape at 100 TB: windows are materialized as (id, p, md5) rows ONLY
+    at anchor positions (~1/16 of characters) with the md5 computed
+    in-row BEFORE the explode, so content never shuffles; global
+    occurrence counts are one map-combined groupBy(h); the count join
+    back is linear per hash (occurrence rows, never pairs); per-doc
+    span assembly is one sorted ``collect_list`` of ints bounded by
+    anchors-per-doc, merged with an in-row fold.
+
+    ``mode="flag"`` returns ``(id, spans, dup_chars)`` for docs with at
+    least one duplicated span, where ``spans`` is an array of merged
+    ``(start, end)`` 1-indexed char intervals (end exclusive).
+    ``mode="cut"`` returns every input row with the flagged spans
+    spliced out of ``content_col`` (other columns untouched)."""
+    if mode not in ("flag", "cut"):
+        raise ValueError(f"mode must be 'flag' or 'cut', got {mode!r}")
+    if min_len < anchor_q:
+        raise ValueError("min_len must be >= anchor_q")
+    k = int(min_len)
+    content = F.col(content_col)
+    suffix = "0" * int(anchor_nibbles)
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length(content) - (k - 1), F.lit(0))),
+        lambda p: F.md5(F.substring(content, p, anchor_q)).endswith(suffix),
+    )
+    wins_arr = F.transform(
+        anchors,
+        lambda p: F.struct(
+            p.alias("p"), F.md5(F.substring(content, p, k)).alias("h")
+        ),
+    )
+    wins = docs.select(
+        F.col(id_col).alias("_id"), F.explode(wins_arr).alias("w")
+    ).select("_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("h")
+    )
+    dup = wins.join(dup_h, "h")
+    starts = dup.groupBy("_id").agg(
+        F.sort_array(F.collect_list("p")).alias("_ps")
+    )
+    empty = F.array().cast("array<struct<start:int,end:int>>")
+    merged = F.aggregate(
+        "_ps",
+        empty,
+        lambda acc, p: F.when(
+            (F.size(acc) == 0) | (p > F.element_at(acc, -1)["end"]),
+            F.concat(
+                acc,
+                F.array(F.struct(p.alias("start"), (p + k).alias("end"))),
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        (p + k).alias("end"),
+                    )
+                ),
+            )
+        ),
+    )
+    spans = starts.select(F.col("_id"), merged.alias("spans"))
+    if mode == "flag":
+        return spans.select(
+            F.col("_id").alias(id_col),
+            "spans",
+            F.aggregate(
+                "spans", F.lit(0), lambda a, s: a + (s["end"] - s["start"])
+            ).alias("dup_chars"),
+        )
+    # cut: splice the spans out of content via one in-row fold
+    joined = docs.join(
+        spans.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+    cut = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit("").alias("out"), F.lit(1).alias("pos")),
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["out"],
+                F.substring(content, acc["pos"], sp["start"] - acc["pos"]),
+            ).alias("out"),
+            sp["end"].alias("pos"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(
+                content, acc["pos"], F.length(content) - acc["pos"] + 1
+            ),
+        ),
+    )
+    return joined.withColumn(
+        content_col,
+        F.when(F.col("spans").isNull(), content).otherwise(cut),
+    ).drop("spans")
 
 
 def semantic_dedup(

@@ -673,3 +673,84 @@ def test_sample_to_token_budget(spark):
         docs, strata_cols=("lang",), budgets={"en": 10}
     ).collect()
     assert {r["lang"] for r in only_en} == {"en"}
+
+
+def test_dedup_spans_matches_python_mirror(spark):
+    """ExactSubstr span dedup vs an exact Python mirror of the anchor /
+    window / merge pipeline, on a corpus with an unaligned planted
+    repeat; cut mode must equal splicing the flagged spans."""
+    import hashlib
+    import random
+
+    from acora_spark.operators.dedup import dedup_spans
+
+    rng = random.Random(42)
+    alpha = "abcdefghij "
+    repeat = "".join(rng.choice(alpha) for _ in range(200))
+    texts = []
+    for i in range(20):
+        t = "".join(rng.choice(alpha) for _ in range(400))
+        texts.append(t)
+    # plant the repeat at UNALIGNED offsets in docs 3 and 7, twice in 11
+    texts[3] = texts[3][:37] + repeat + texts[3][37:]
+    texts[7] = texts[7][:118] + repeat + texts[7][118:]
+    texts[11] = texts[11][:10] + repeat + texts[11][250:310] + repeat
+
+    K, Q = 50, 8
+
+    def py_anchors(t):
+        return [
+            p
+            for p in range(1, len(t) - K + 2)
+            if hashlib.md5(t[p - 1 : p - 1 + Q].encode()).hexdigest()[-1] == "0"
+        ]
+
+    from collections import Counter
+
+    counts = Counter()
+    per_doc = {}
+    for i, t in enumerate(texts):
+        ws = [(p, hashlib.md5(t[p - 1 : p - 1 + K].encode()).hexdigest())
+              for p in py_anchors(t)]
+        per_doc[i] = ws
+        counts.update(h for _, h in ws)
+    want = {}
+    for i, ws in per_doc.items():
+        ps = sorted(p for p, h in ws if counts[h] >= 2)
+        spans = []
+        for p in ps:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], p + K)
+            else:
+                spans.append((p, p + K))
+        if spans:
+            want[i] = spans
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    res = dedup_spans(docs, min_len=K, anchor_q=Q, mode="flag").collect()
+    got = {r.doc_id: [(s["start"], s["end"]) for s in r.spans] for r in res}
+    assert got == want
+    assert {3, 7, 11} <= set(got)  # the planted repeats are caught
+    for r in res:
+        assert r.dup_chars == sum(e - s for s, e in got[r.doc_id])
+
+    cut = {r.doc_id: r.content
+           for r in dedup_spans(docs, min_len=K, anchor_q=Q, mode="cut").collect()}
+    assert set(cut) == set(range(20))
+    for i, t in enumerate(texts):
+        if i not in want:
+            assert cut[i] == t
+        else:
+            keep, pos = [], 1
+            for s, e in want[i]:
+                keep.append(t[pos - 1 : s - 1])
+                pos = e
+            keep.append(t[pos - 1 :])
+            assert cut[i] == "".join(keep)
+
+    with pytest.raises(ValueError, match="mode"):
+        dedup_spans(docs, mode="nope")
+    with pytest.raises(ValueError, match="min_len"):
+        dedup_spans(docs, min_len=4, anchor_q=8)
