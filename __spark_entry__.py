@@ -2296,6 +2296,52 @@ def q_bucket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ADH_TARGET = 8  # 30-day span: minute/hour/day overflow, week (5) fits
+
+
+def q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram: the smallest calendar rung whose span
+    bucket count fits the target (week here), chosen from min/max ts by
+    the boundaries-crossed rule — the SQL mirror re-derives the same
+    rung with a date_diff CASE ladder over the same two values."""
+    from acora_spark.operators.timeseries import auto_date_histogram
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "error"
+    )
+    out = auto_date_histogram(e, target_buckets=ADH_TARGET)
+    return out.select(
+        F.col("bucket").cast("string").alias("bucket"), "n", "interval"
+    )
+
+
+SAMPLER_QUERY = "data merge stream"
+SAMPLER_SIZE = 50
+
+
+def q_search_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler aggregation: lang value counts over the top-50 scoring
+    docs of a ranked query (rounded-score + doc-id deterministic cut)."""
+    from acora_spark.index.bm25 import search_sampler
+
+    idx = _index_for(spark, sf_dir)
+    return search_sampler(
+        spark, idx, SAMPLER_QUERY, "lang", shard_size=SAMPLER_SIZE
+    )
+
+
+def q_search_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler: same sample but at most 5 docs per lang
+    survive the stream before the size cut."""
+    from acora_spark.index.bm25 import search_sampler
+
+    idx = _index_for(spark, sf_dir)
+    return search_sampler(
+        spark, idx, SAMPLER_QUERY, "lang",
+        shard_size=SAMPLER_SIZE, max_docs_per_value=5,
+    )
+
+
 SESSION_GAP = "'4' HOUR"
 
 
@@ -2403,6 +2449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": q_bm25_explain,
         "dedup_lines": q_dedup_lines,
         "dup_spans": q_dup_spans,
+        "auto_date_histogram": q_auto_date_histogram,
+        "search_sampler": q_search_sampler,
+        "search_diversified_sampler": q_search_diversified_sampler,
         "date_histogram": q_date_histogram,
         "repeat_by_weight": q_repeat_by_weight,
         "search_percentiles": q_search_percentiles,
@@ -3532,6 +3581,85 @@ isl AS (
 SELECT path, min(p)::INT AS start, (max(p) + {SPAN_K})::INT AS "end"
 FROM isl GROUP BY path, grp
 """
+
+    sql["auto_date_histogram"] = f"""
+WITH ev AS (SELECT ts FROM events WHERE event_type = 'error'),
+mm AS (SELECT min(ts) AS lo, max(ts) AS hi FROM ev),
+pick AS (
+  SELECT CASE
+    WHEN date_diff('minute', lo, hi) + 1 <= {ADH_TARGET} THEN 'minute'
+    WHEN date_diff('hour', lo, hi) + 1 <= {ADH_TARGET} THEN 'hour'
+    WHEN date_diff('day', lo, hi) + 1 <= {ADH_TARGET} THEN 'day'
+    WHEN date_diff('week', lo, hi) + 1 <= {ADH_TARGET} THEN 'week'
+    WHEN date_diff('month', lo, hi) + 1 <= {ADH_TARGET} THEN 'month'
+    WHEN date_diff('quarter', lo, hi) + 1 <= {ADH_TARGET} THEN 'quarter'
+    ELSE 'year' END AS u
+  FROM mm
+)
+SELECT CAST(CASE p.u
+         WHEN 'minute' THEN date_trunc('minute', ts)
+         WHEN 'hour' THEN date_trunc('hour', ts)
+         WHEN 'day' THEN date_trunc('day', ts)
+         WHEN 'week' THEN date_trunc('week', ts)
+         WHEN 'month' THEN date_trunc('month', ts)
+         WHEN 'quarter' THEN date_trunc('quarter', ts)
+         ELSE date_trunc('year', ts) END AS VARCHAR) AS bucket,
+       count(*)::BIGINT AS n, p.u AS interval
+FROM ev CROSS JOIN pick p
+GROUP BY 1, 3
+"""
+
+    # sampler / diversified_sampler: the same BM25 scoring core, the
+    # deterministic (rounded score, doc_id) sample cut, lang counts
+    def _sampler_sql(max_per: int | None) -> str:
+        s_terms = sorted(set(SAMPLER_QUERY.lower().split()))
+        diversify = (
+            f"""
+ranked AS (
+  SELECT scored.doc_id, score, d.lang,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY score DESC, scored.doc_id ASC
+         ) AS vr
+  FROM scored JOIN docs d ON scored.doc_id = d.doc_id
+),
+samp AS (
+  SELECT doc_id, lang FROM ranked WHERE vr <= {max_per}
+  ORDER BY score DESC, doc_id ASC LIMIT {SAMPLER_SIZE}
+)"""
+            if max_per is not None
+            else f"""
+samp AS (
+  SELECT scored.doc_id, d.lang
+  FROM scored JOIN docs d ON scored.doc_id = d.doc_id
+  ORDER BY score DESC, scored.doc_id ASC LIMIT {SAMPLER_SIZE}
+)"""
+        )
+        return f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(s_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),{diversify}
+SELECT lang AS value, count(*)::BIGINT AS doc_count
+FROM samp GROUP BY lang
+"""
+
+    sql["search_sampler"] = _sampler_sql(None)
+    sql["search_diversified_sampler"] = _sampler_sql(5)
 
     sql["dedup_lines"] = f"""
 WITH {_CORPUS_CTE},

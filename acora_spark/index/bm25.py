@@ -3632,6 +3632,58 @@ def search_percentile_ranks(
     )
 
 
+def search_sampler(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    facet_col: str,
+    shard_size: int = 100,
+    max_docs_per_value: int | None = None,
+) -> DataFrame:
+    """ES ``sampler`` / ``diversified_sampler`` aggregation: restrict a
+    sub-aggregation (here: ``facet_col`` value counts) to the
+    ``shard_size`` TOP-SCORING docs of a ranked query, optionally
+    keeping at most ``max_docs_per_value`` docs per facet value while
+    sampling (the diversified form — stops one hot value from
+    dominating the sample).
+
+    Determinism: the sample cut ranks by (score rounded to 4, doc_id
+    asc) — the same convention every ranked driver query uses, so any
+    engine reproduces the identical sample.  The diversity rank of a
+    doc counts only HIGHER-RANKED docs of the same value, all of which
+    sit inside any fetch that contains the doc, so ranking the fetched
+    candidate slice (4x shard_size) equals ranking the full corpus.
+    Windows run over that O(shard_size) slice, never over the corpus.
+    Returns ``(value, doc_count)`` rows."""
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    raw = bm25_topk_batch(spark, index, [query], k=4 * shard_size)
+    dm = index.docmap(spark)
+    if facet_col not in dm.columns:
+        raise ValueError(
+            f"facet column {facet_col!r} not in docmap columns "
+            f"{sorted(dm.columns)}"
+        )
+    cand = (
+        raw.withColumn("score", F.round("score", 4))
+        .join(dm.select("doc_id", facet_col), "doc_id")
+    )
+    order = [F.desc("score"), F.asc("doc_id")]
+    if max_docs_per_value is not None:
+        wv = Window.partitionBy(facet_col).orderBy(*order)
+        cand = cand.withColumn("_vr", F.row_number().over(wv)).filter(
+            F.col("_vr") <= max_docs_per_value
+        )
+    wg = Window.partitionBy(F.lit(1)).orderBy(*order)
+    sample = cand.withColumn("_r", F.row_number().over(wg)).filter(
+        F.col("_r") <= shard_size
+    )
+    return (
+        sample.groupBy(F.col(facet_col).alias("value"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
 def search_median_absolute_deviation(
     spark: SparkSession,
     index: Index,

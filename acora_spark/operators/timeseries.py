@@ -18,7 +18,14 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["date_histogram", "bucket_pipeline", "sessionize", "CALENDAR_UNITS"]
+__all__ = [
+    "date_histogram",
+    "auto_date_histogram",
+    "bucket_pipeline",
+    "sessionize",
+    "CALENDAR_UNITS",
+    "AUTO_LADDER",
+]
 
 # ES calendar_interval units -> (Spark date_trunc unit, bucket step)
 CALENDAR_UNITS = {
@@ -105,6 +112,69 @@ def date_histogram(
     return filled.select("bucket", *gcols, "n", *(
         ["sum_value"] if value_col is not None else []
     ))
+
+
+AUTO_LADDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def _boundaries_crossed(unit: str, lo, hi) -> int:
+    """Calendar boundaries of ``unit`` crossed between two timestamps —
+    i.e. ``date_trunc(unit, hi) - date_trunc(unit, lo)`` in units.  The
+    SQL ``date_diff(part, lo, hi)`` convention, reproduced exactly so an
+    oracle picks the identical ladder rung."""
+    import datetime as dt
+
+    if unit in ("minute", "hour", "day", "week"):
+        step = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}[unit]
+        # week boundaries are Mondays: epoch day 0 (1970-01-01) was a
+        # Thursday, so shift by 3 days before dividing into weeks
+        shift = 3 * 86400 if unit == "week" else 0
+        epoch = dt.datetime(1970, 1, 1, tzinfo=lo.tzinfo)
+        a = int((lo - epoch).total_seconds()) + shift
+        b = int((hi - epoch).total_seconds()) + shift
+        return b // step - a // step
+    if unit == "month":
+        return (hi.year * 12 + hi.month) - (lo.year * 12 + lo.month)
+    if unit == "quarter":
+        return (hi.year * 4 + (hi.month - 1) // 3) - (
+            lo.year * 4 + (lo.month - 1) // 3
+        )
+    return hi.year - lo.year
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    target_buckets: int = 10,
+    *,
+    value_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the SMALLEST calendar interval
+    from the ladder (minute → hour → day → week → month → quarter →
+    year) whose bucket count stays within ``target_buckets``, then
+    aggregate at that interval.  The rung is chosen from the data's
+    min/max timestamps (boundaries-crossed + 1, the deterministic
+    span-based rule — one O(1)-row aggregation, the only driver-side
+    step), so any SQL engine re-derives the identical choice from the
+    same two values.  Returns ``date_histogram`` buckets plus an
+    ``interval`` column naming the rung; falls back to ``year`` when
+    even years overflow the target."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    mm = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).first()
+    if mm["lo"] is None:
+        unit = AUTO_LADDER[0]
+    else:
+        unit = AUTO_LADDER[-1]
+        for u in AUTO_LADDER:
+            if _boundaries_crossed(u, mm["lo"], mm["hi"]) + 1 <= target_buckets:
+                unit = u
+                break
+    out = date_histogram(
+        df, ts_col, unit, value_col=value_col, round_to=round_to
+    )
+    return out.withColumn("interval", F.lit(unit))
 
 
 def bucket_pipeline(

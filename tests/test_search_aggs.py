@@ -705,3 +705,55 @@ def test_search_t_test_welch(built, ground, spark):
     assert got["mean_b"] == pytest.approx(round(mb, 6), abs=1e-6)
     assert got["t"] == pytest.approx(round(t, 6), abs=1e-5)
     assert got["df"] == pytest.approx(round(df, 6), abs=1e-4)
+
+
+def test_search_sampler_and_diversified(built, ground, spark):
+    """sampler / diversified_sampler vs a brute-force of the same
+    deterministic (rounded score, doc_id) stream."""
+    from acora_spark.index.bm25 import bm25_topk_batch, search_sampler
+
+    idx, corpus = built
+    docs, _ = ground
+    q = "merge data stream"
+    # ground scores from the executor itself (rank determinism is
+    # covered elsewhere); brute-force ONLY the sampling policy
+    scored = (
+        bm25_topk_batch(spark, idx, [q], k=10_000)
+        .withColumn("score", F.round("score", 4))
+        .collect()
+    )
+    lang_of = {}
+    dm = {r.doc_id: r.lang for r in idx.docmap(spark).collect()}
+    stream = sorted(scored, key=lambda r: (-r.score, r.doc_id))
+
+    want = {}
+    for r in stream[:30]:
+        want[dm[r.doc_id]] = want.get(dm[r.doc_id], 0) + 1
+    got = {
+        r.value: r.doc_count
+        for r in search_sampler(spark, idx, q, "lang", shard_size=30).collect()
+    }
+    assert got == want
+
+    per, kept, wantd = {}, [], {}
+    for r in stream:
+        lang = dm[r.doc_id]
+        if per.get(lang, 0) < 3:
+            per[lang] = per.get(lang, 0) + 1
+            kept.append(lang)
+        if len(kept) == 30:
+            break
+    for lang in kept:
+        wantd[lang] = wantd.get(lang, 0) + 1
+    gotd = {
+        r.value: r.doc_count
+        for r in search_sampler(
+            spark, idx, q, "lang", shard_size=30, max_docs_per_value=3
+        ).collect()
+    }
+    assert gotd == wantd
+
+    with pytest.raises(ValueError, match="facet column"):
+        search_sampler(spark, idx, q, "nope")
+    with pytest.raises(ValueError, match="shard_size"):
+        search_sampler(spark, idx, q, "lang", shard_size=0)

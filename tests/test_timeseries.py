@@ -164,3 +164,52 @@ def test_sessionize_brute_force(spark):
     assert got2 == {0: 0, 1: 0}
     with pytest.raises(ValueError, match="key_cols"):
         sessionize(df, key_cols=())
+
+
+def test_auto_date_histogram_rung_choice(spark):
+    """The ladder picks the smallest rung fitting the target, buckets
+    equal a date_histogram at that rung, and the week rung truncates to
+    Mondays."""
+    from acora_spark.operators.timeseries import auto_date_histogram
+
+    # 2024-01-01 (Mon) .. 2024-01-30: 30 days, 5 ISO weeks, 1 month
+    rows = [
+        (dt.datetime(2024, 1, d, h, 30), float(d))
+        for d in range(1, 31)
+        for h in (0, 12)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+
+    out = auto_date_histogram(df, target_buckets=8).collect()
+    assert {r.interval for r in out} == {"week"}
+    got = {str(r.bucket): r.n for r in out}
+    want = {}
+    for ts, _ in rows:
+        monday = ts - dt.timedelta(days=ts.weekday())
+        b = monday.replace(hour=0, minute=0)
+        want[str(b)] = want.get(str(b), 0) + 1
+    assert got == want
+
+    # looser target -> day; huge target -> minute; tiny -> month
+    assert {
+        r.interval for r in auto_date_histogram(df, target_buckets=40).collect()
+    } == {"day"}
+    assert {
+        r.interval
+        for r in auto_date_histogram(df, target_buckets=10**6).collect()
+    } == {"minute"}
+    assert {
+        r.interval for r in auto_date_histogram(df, target_buckets=2).collect()
+    } == {"month"}
+
+    # multi-year span overflowing every rung falls back to year
+    wide = spark.createDataFrame(
+        [(dt.datetime(2000 + i, 3, 1), 0.0) for i in range(30)],
+        "ts timestamp, value double",
+    )
+    assert {
+        r.interval for r in auto_date_histogram(wide, target_buckets=3).collect()
+    } == {"year"}
+
+    with pytest.raises(ValueError, match="target_buckets"):
+        auto_date_histogram(df, target_buckets=0)
