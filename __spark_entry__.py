@@ -915,6 +915,18 @@ LINE_DEDUP_MIN_CHARS = 10
 SPAN_K = 50
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score (unigram form): per-doc mean token
+    log-probability + perplexity under the corpus's own unigram LM —
+    mirrored by the identical sum(tf*ln(cf))/dl - ln(T) closed form."""
+    from acora_spark.operators.quality import unigram_logprob
+
+    corpus = _corpus(spark, sf_dir)
+    return unigram_logprob(corpus, id_col="path").select(
+        "path", "tokens", "logprob", "ppl"
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span dedup (Lee et al. 2021): merged character spans
     whose 50-char windows repeat anywhere in the corpus, located by
@@ -2449,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": q_bm25_explain,
         "dedup_lines": q_dedup_lines,
         "dup_spans": q_dup_spans,
+        "unigram_logprob": q_unigram_logprob,
         "auto_date_histogram": q_auto_date_histogram,
         "search_sampler": q_search_sampler,
         "search_diversified_sampler": q_search_diversified_sampler,
@@ -3580,6 +3593,23 @@ isl AS (
 )
 SELECT path, min(p)::INT AS start, (max(p) + {SPAN_K})::INT AS "end"
 FROM isl GROUP BY path, grp
+"""
+
+    sql["unigram_logprob"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+tr AS (SELECT path, unnest(t) AS term FROM toks),
+tf AS (SELECT path, term, count(*)::BIGINT AS tf FROM tr GROUP BY path, term),
+lm AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf)::DOUBLE AS T FROM lm),
+s AS (
+  SELECT path, sum(tf)::BIGINT AS tokens,
+         sum(tf * ln(cf)) / sum(tf) AS ms
+  FROM tf JOIN lm USING (term) GROUP BY path
+)
+SELECT path, tokens, round(ms - ln(T), 6) AS logprob,
+       round(exp(ln(T) - ms), 4) AS ppl
+FROM s CROSS JOIN tot
 """
 
     sql["auto_date_histogram"] = f"""

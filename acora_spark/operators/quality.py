@@ -44,6 +44,7 @@ __all__ = [
     "PII_PATTERNS",
     "redact",
     "dedup_lines",
+    "unigram_logprob",
 ]
 
 
@@ -593,3 +594,76 @@ def dedup_lines(
         # attribute attach is a plain key join — no dedup pass needed
         rebuilt = rebuilt.join(df.select(*keys, *rest), keys)
     return rebuilt.select(*keys, *rest, content_col, "n_lines_removed")
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    *,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    lm_content_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet / CC-pipeline
+    "LM filter" shape, Wenzek et al. 2020, arXiv:1911.00359 — there a
+    KenLM 5-gram; here the distributed unigram form): per document, the
+    mean token log-probability under a unigram LM estimated from
+    ``lm_docs`` (default: the corpus itself), plus the corresponding
+    perplexity.  Low ``logprob`` / high ``ppl`` marks gibberish,
+    boilerplate-stuffed, or out-of-domain documents — sort and cut at a
+    percentile to filter.
+
+    ``p(t) = cf(t) / T`` with collection frequencies from the LM
+    corpus; tokens unseen there fall back to ``cf = 1`` (hapax-floor
+    smoothing), which cannot occur in self-LM mode.  Documents with
+    zero tokens are omitted (no defined score).
+
+    Shape at 100 TB: one map-combined (id, term, tf) aggregation over
+    exploded tokens, one map-combined term aggregation for the LM, one
+    term equi-join, one final per-doc aggregation — every stage a
+    standard shuffle, nothing quadratic, nothing driver-side except the
+    scalar total (a one-row crossJoin broadcast).  Exactly mirrorable:
+    ``score = sum(tf*ln(cf))/dl - ln(T)``."""
+    lmc = lm_content_col or content_col
+    from acora_spark.functions.text import tokens_col
+
+    def tf_frame(df: DataFrame, id_cols: list, col: str) -> DataFrame:
+        return (
+            df.select(*id_cols, F.explode(tokens_col(F.col(col))).alias("term"))
+            .groupBy(*id_cols, "term")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    doc_tf = tf_frame(docs, [id_col], content_col)
+    lm_tf = (
+        doc_tf
+        if lm_docs is None
+        else tf_frame(lm_docs, [], lmc).withColumnRenamed("tf", "cf")
+    )
+    lm = (
+        lm_tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+        if lm_docs is None
+        else lm_tf
+    )
+    total = lm.agg(F.sum("cf").cast("double").alias("_T"))
+    joined = doc_tf.join(lm, "term", "left").withColumn(
+        "cf", F.coalesce(F.col("cf"), F.lit(1))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cf").cast("double")))
+                / F.sum("tf")
+            ).alias("_s"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            "tokens",
+            F.round(F.col("_s") - F.log("_T"), round_to).alias("logprob"),
+            F.round(F.exp(F.log("_T") - F.col("_s")), 4).alias("ppl"),
+        )
+    )

@@ -390,3 +390,54 @@ def test_repetition_engines_agree(spark):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     with pytest.raises(ValueError, match="engine"):
         repetition_features(sdf, engine="numpy")
+
+
+def test_unigram_logprob_matches_brute_force(spark):
+    """Self-LM and external-LM (with OOV hapax floor) scores vs a
+    driver-side brute force; zero-token docs omitted."""
+    import math
+    import re as _re
+
+    from acora_spark.operators.quality import unigram_logprob
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog the dog the dog",
+        3: "zygote quux",
+        4: "",
+        5: "the the the",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, content string"
+    )
+    tok = _re.compile(r"[a-z0-9_]+")
+    cf: dict[str, int] = {}
+    for t in texts.values():
+        for w in tok.findall(t.lower()):
+            cf[w] = cf.get(w, 0) + 1
+    T = sum(cf.values())
+
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert 4 not in got  # zero tokens -> omitted
+    for i, t in texts.items():
+        ws = tok.findall(t.lower())
+        if not ws:
+            continue
+        lp = sum(math.log(cf[w] / T) for w in ws) / len(ws)
+        assert got[i].tokens == len(ws)
+        assert got[i].logprob == pytest.approx(round(lp, 6), abs=1e-6)
+        assert got[i].ppl == pytest.approx(round(math.exp(-lp), 4), abs=1e-3)
+    # repetitive doc 5 scores HIGHER (less surprising) than rare-word doc 3
+    assert got[5].logprob > got[3].logprob
+
+    # external LM: doc 3's terms are OOV -> cf floor 1
+    lm = docs.filter("doc_id in (1, 2)")
+    cf2: dict[str, int] = {}
+    for t in (texts[1], texts[2]):
+        for w in tok.findall(t.lower()):
+            cf2[w] = cf2.get(w, 0) + 1
+    T2 = sum(cf2.values())
+    got2 = {r.doc_id: r for r in unigram_logprob(docs, lm_docs=lm).collect()}
+    ws3 = tok.findall(texts[3].lower())
+    lp3 = sum(math.log(cf2.get(w, 1) / T2) for w in ws3) / len(ws3)
+    assert got2[3].logprob == pytest.approx(round(lp3, 6), abs=1e-6)
