@@ -533,6 +533,55 @@ def main() -> None:
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
+    # 4f. ExactSubstr span dedup: anchored windows hash in-row BEFORE
+    #     the explode, so content never crosses an exchange
+    from acora_spark.operators.dedup import dedup_spans
+
+    spans = dedup_spans(
+        entry._corpus(spark, SF_DIR).select("path", "content"),
+        id_col="path",
+        mode="flag",
+    )
+    p4f = plan_of(spans, "simple")
+    assert "CartesianProduct" not in p4f
+    import re as _re
+
+    assert not _re.search(r"Exchange[^\n]*content", p4f), (
+        "content must not cross a shuffle"
+    )
+    sections.append(
+        (
+            "ExactSubstr span dedup: content-local hashing, key-only shuffles",
+            "Anchor selection, window extraction, and window md5 all run "
+            "in-row over the content column; the explode emits only "
+            "(id, position, hash) rows, so the groupBy(h) count, the "
+            "dup-hash join, and the per-doc span assembly shuffle compact "
+            "keys — asserted here: no Exchange carries the content "
+            "column, no cartesian product.",
+            p4f,
+        )
+    )
+
+    # 4g. SemDeDup: one assignment pass, cell-keyed shuffles only, the
+    #     quadratic kernel confined to per-(cell, shard) groups
+    from acora_spark.operators.dedup import semantic_dedup
+
+    emb_sd = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sd = semantic_dedup(emb_sd, num_cells=8)
+    p4g = plan_of(sd, "simple")
+    assert "CartesianProduct" not in p4g
+    sections.append(
+        (
+            "SemDeDup: broadcast-centroid assignment, per-cell kernel",
+            "Centroids broadcast into one MapInPandas assignment pass; "
+            "the tiny per-cell size table broadcasts back for sub-shard "
+            "selection; the only data shuffles are keyed by (cell) and "
+            "(cell, shard) feeding the chunked per-group cosine kernel "
+            "— no all-pairs join anywhere.",
+            p4g,
+        )
+    )
+
     # 5. BM25 DataFrame top-k: distributed TakeOrderedAndProject
     docs_ids = entry._docs(spark, SF_DIR)
     from acora_spark.index.bm25 import bm25_topk_dataframe
