@@ -2003,6 +2003,33 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", "cell", "shard", "dup_of")
 
 
+PQ_SEED, PQ_M, PQ_CODES, PQ_SUB = 23, 8, 16, 8
+
+
+def _pq_books():
+    import numpy as np
+
+    return np.random.RandomState(PQ_SEED).standard_normal(
+        (PQ_M, PQ_CODES, PQ_SUB)
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. IVF-PQ building block):
+    vectors compress to 8 subspace code ids against an injected seeded
+    codebook (the frozen-quantizer pattern), the query scores by
+    asymmetric distance over lookup tables — mirrored by the identical
+    per-subspace argmin assignment and codeword-reconstruction cosine
+    in SQL."""
+    from acora_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = _pq_books()
+    codes = pq_encode(emb.filter(F.col("vec_id") != 0), books)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return pq_topk(codes, list(qvec), books, k=10)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acora_spark.operators.similarity import brute_force_topk
 
@@ -2507,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
+        "ann_pq_topk": q_ann_pq_topk,
         "image_meta": q_image_meta,
         "text_features": q_text_features,
         "token_classes": q_token_classes,
@@ -2814,6 +2842,65 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_lsh_topk"] = _ann_lsh_sql()
     sql["ann_ivf_topk"] = _ann_ivf_sql()
     sql["ann_ivf_filtered"] = _ann_ivf_sql(ANN_FILTER_LABELS)
+
+    # PQ ANN: per-subspace codebook literals, identical argmin
+    # assignment, codeword-reconstruction cosine (== the Spark side's
+    # lookup-table sum, term for term in the same subspace order)
+    _pq = _pq_books()
+
+    def _pq_cw(j: int) -> str:
+        return ",\n  ".join(
+            "({}, [{}]::DOUBLE[])".format(
+                c, ", ".join(repr(float(x)) for x in _pq[j][c])
+            )
+            for c in range(PQ_CODES)
+        )
+
+    _pq_ctes = ",\n".join(
+        f"""cw{j}(code, c) AS (VALUES
+  {_pq_cw(j)}),
+a{j} AS (
+  SELECT vec_id,
+         arg_min(code, list_distance(v[{j * PQ_SUB + 1}:{(j + 1) * PQ_SUB}], c)) AS code
+  FROM db CROSS JOIN cw{j} GROUP BY vec_id
+)"""
+        for j in range(PQ_M)
+    )
+    _pq_dot = " + ".join(
+        f"list_dot_product(q.qv[{j * PQ_SUB + 1}:{(j + 1) * PQ_SUB}], w{j}.c)"
+        for j in range(PQ_M)
+    )
+    _pq_r2 = " + ".join(
+        f"list_dot_product(w{j}.c, w{j}.c)" for j in range(PQ_M)
+    )
+    _pq_joins = "\n  ".join(
+        f"JOIN a{j} USING (vec_id) JOIN cw{j} w{j} ON a{j}.code = w{j}.code"
+        for j in range(PQ_M)
+    )
+    sql["ann_pq_topk"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+db AS (SELECT vec_id, v FROM base WHERE vec_id <> 0),
+{_pq_ctes},
+s AS (
+  SELECT db.vec_id,
+         ({_pq_dot}) AS dot,
+         ({_pq_r2}) AS r2
+  FROM db
+  {_pq_joins}
+  CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY pq_cosine DESC, vec_id ASC)::INT AS rank,
+       vec_id, pq_cosine
+FROM (
+  SELECT s.vec_id,
+         round(dot / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(r2)), 6)
+           AS pq_cosine
+  FROM s CROSS JOIN q
+)
+ORDER BY pq_cosine DESC, vec_id ASC
+LIMIT 10
+"""
 
     # SemDeDup: identical centroid literals + nearest-cell assignment as
     # the IVF oracle, then the smallest-id in-cell cosine-duplicate

@@ -30,6 +30,9 @@ __all__ = [
     "build_ann_index",
     "ann_query",
     "rrf_fusion",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -442,4 +445,146 @@ def rrf_fusion(
         id_col,
         "rrf_score",
         "n_retrievers",
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``m`` contiguous subvectors and k-means each subspace independently
+    to ``k_codes`` codewords.  Returns shape ``(m, k_codes, dim/m)``.
+
+    Training is deterministic: the same hash-ordered sample rule as
+    :func:`_train_centroids` (orderBy(xxhash64(id), id) — identical
+    under any repartitioning), seeded init, one Lloyd step per
+    subspace.  Like the IVF coarse quantizer, a pre-trained codebook
+    array can be passed straight to :func:`pq_encode` /
+    :func:`pq_topk` instead (the frozen-quantizer production pattern,
+    and what makes the operators SQL-mirrorable)."""
+    dim = embedding_dim(emb, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
+    sample = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(max(k_codes * 16, 256))
+        .collect()
+    )
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, min(k_codes, len(mat)), sub))
+    for j in range(m):
+        X = mat[:, j * sub : (j + 1) * sub]
+        cents = X[rng.choice(len(X), size=books.shape[1], replace=False)]
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = X[mask].mean(0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the argmin-distance
+    codeword id.  One broadcast-codebook ``mapInPandas`` batch pass
+    (matrix arithmetic per Arrow batch); output ``(id, codes)`` rows are
+    ``m`` bytes of payload per vector — the 100-TB memory story (a
+    64-dim float vector compresses 32x at m=8).  Persist the result
+    once and serve many queries from it."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _k, sub = books.shape
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                X = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((X[:, None, :] - bks[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "codes": list(codes)}
+            )
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        encode, "id long, codes array<int>"
+    ).withColumnRenamed("id", id_col)
+
+
+def pq_topk(
+    codes: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation (ADC)
+    over PQ codes: the query stays EXACT; each database vector is its
+    reconstruction from codewords, so ``cos ~ sum_j lut[j][code_j] /
+    (|q| * sqrt(sum_j nlut[j][code_j]))`` with per-subspace lookup
+    tables ``lut[j][c] = <q_j, codeword>`` and ``nlut[j][c] =
+    |codeword|^2`` precomputed driver-side from the (tiny) codebooks.
+
+    The scoring expression is ``m`` literal-array ``element_at`` adds in
+    a FIXED order — whole-stage codegen over the m-byte code rows, no
+    vector bytes read at query time, bit-reproducible on any engine —
+    followed by a distributed ``orderBy().limit(k)``
+    (TakeOrderedAndProject).  Compose with exact rerank by joining the
+    returned ids back to the vector table when recall above the PQ
+    resolution is needed."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _kc, sub = books.shape
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if len(q) != m * sub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m * sub}")
+    qn = float(np.sqrt((q * q).sum()))
+    lut = np.einsum("mkd,md->mk", books, q.reshape(m, sub))
+    nlut = (books * books).sum(-1)
+
+    def lit_arr(row: np.ndarray) -> Column:
+        return F.array(*[F.lit(float(x)) for x in row])
+
+    dot = None
+    nrm2 = None
+    for j in range(m):  # fixed add order: subspace 0..m-1
+        cj = F.element_at(F.col("codes"), j + 1) + 1
+        dj = F.element_at(lit_arr(lut[j]), cj)
+        nj = F.element_at(lit_arr(nlut[j]), cj)
+        dot = dj if dot is None else dot + dj
+        nrm2 = nj if nrm2 is None else nrm2 + nj
+    score = dot / (F.lit(qn) * F.sqrt(nrm2))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = codes.select(F.col(id_col), score.alias("pq_cosine"))
+    top = scored.orderBy(F.desc("pq_cosine"), F.asc(id_col)).limit(k)
+    out = top.coalesce(1).sortWithinPartitions(
+        F.desc("pq_cosine"), F.asc(id_col)
+    )
+    return out.select(
+        (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
+        id_col,
+        "pq_cosine",
     )

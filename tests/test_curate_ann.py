@@ -293,3 +293,51 @@ def test_semantic_dedup_subsharding_bounds_cells(spark):
             assert r.dup_of < r.vec_id
             assert shard_of[r.dup_of] == r.shard
             assert cos[r.dup_of, r.vec_id] >= 0.99
+
+
+def test_pq_encode_and_topk_match_numpy(spark):
+    """PQ codes equal the per-subspace argmin in numpy; ADC scores equal
+    the codeword-reconstruction cosine; exact reconstructions rank
+    themselves first."""
+    from acora_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((120, 16))
+    books = rng.standard_normal((4, 8, 4))  # m=4 subspaces of dim 4
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    want_codes = {}
+    for i in range(120):
+        cs = []
+        for j in range(4):
+            d2 = ((books[j] - mat[i, j * 4 : (j + 1) * 4][None]) ** 2).sum(1)
+            cs.append(int(d2.argmin()))
+        want_codes[i] = cs
+    assert codes == want_codes
+
+    q = mat[0]
+    got = pq_topk(pq_encode(emb, books), q, books, k=15).collect()
+    recon = np.stack(
+        [
+            np.concatenate([books[j][want_codes[i][j]] for j in range(4)])
+            for i in range(120)
+        ]
+    )
+    cos = recon @ q / (np.linalg.norm(recon, axis=1) * np.linalg.norm(q))
+    want = sorted(
+        ((round(float(c), 6), i) for i, c in enumerate(cos)),
+        key=lambda t: (-t[0], t[1]),
+    )[:15]
+    assert [(r.pq_cosine, r.vec_id) for r in got] == want
+
+    # pq_train determinism: identical books under a different layout
+    b1 = pq_train(emb, m=4, k_codes=8)
+    b2 = pq_train(emb.repartition(7), m=4, k_codes=8)
+    assert np.array_equal(b1, b2)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=5)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(pq_encode(emb, books), [0.0] * 7, books)
