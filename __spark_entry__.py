@@ -1327,6 +1327,53 @@ def q_index_bm25_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+def q_index_bm25_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollover lifecycle end to end: three corpus deltas (key-ordered
+    thirds) written through rollover_index with max_docs forcing a
+    two-partition alias, queried via the global-stats alias executor —
+    results must equal the full-corpus BM25 SQL oracle exactly."""
+    from acora_spark.index.bm25 import bm25_alias_topk_batch
+    from acora_spark.index.build import (
+        assign_doc_ids,
+        load_alias,
+        release_doc_ids,
+        rollover_index,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    alias_dir = os.path.join(
+        "/tmp", f"acora_spark_rollover_v{INDEX_FORMAT_VERSION}_{tag}"
+    )
+    corpus = _corpus(spark, sf_dir)
+    if not os.path.exists(os.path.join(alias_dir, "alias.json")):
+        ids = assign_doc_ids(corpus)
+        n = corpus.count()
+        third = n // 3
+        cap = 2 * third
+        for i in range(3):
+            hi = (i + 1) * third if i < 2 else n
+            delta = ids.filter(
+                (F.col("doc_id") >= i * third) & (F.col("doc_id") < hi)
+            ).drop("doc_id")
+            rollover_index(
+                delta, alias_dir, max_docs=cap,
+                num_buckets=8, docs_per_salt=2000,
+            )
+        release_doc_ids(ids)
+    idxs = load_alias(spark, alias_dir)
+    raw = bm25_alias_topk_batch(spark, idxs, [BM25_QUERY], k=4 * BM25_K)
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    from acora_spark.index.bm25 import alias_docmap
+
+    docmap = alias_docmap(spark, idxs).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search over a POSITIONAL compressed index."""
     from acora_spark.index.bm25 import phrase_match_batch
@@ -2442,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_bm25_deleted": q_index_bm25_deleted,
         "index_bm25_local": q_index_bm25_local,
         "index_bm25_topk_merged": q_index_bm25_topk_merged,
+        "index_bm25_rollover": q_index_bm25_rollover,
         "boolean_query": q_boolean_query,
         "boolean_query_ranged": q_boolean_query_ranged,
         "bm25_filtered_topk": q_bm25_filtered_topk,
@@ -3090,6 +3138,8 @@ LIMIT 20
     # the merged (build-half + merge-half) index must answer IDENTICALLY
     # to the full-corpus oracle — the strongest end-to-end merge check
     sql["index_bm25_topk_merged"] = _bm25_sql()
+    # a rollover-built alias answers identically to the union index
+    sql["index_bm25_rollover"] = _bm25_sql()
     # the alias over two key-ordered partition indexes answers with
     # GLOBAL statistics — identical to the full-corpus oracle
     sql["bm25_alias"] = _bm25_sql()

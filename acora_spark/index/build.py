@@ -87,6 +87,8 @@ __all__ = [
     "restore_index",
     "index_stats",
     "upsert_docs",
+    "rollover_index",
+    "load_alias",
 ]
 
 # On-disk postings row: ONE ROW PER (term, shard).  Cold terms have a single
@@ -2829,3 +2831,86 @@ def upsert_docs(
         n_new = docs.count()
         merge_index(docs, index_dir)
     return {"deleted": int(n_del), "merged": int(n_new)}
+
+
+def load_alias(spark: SparkSession, alias_dir: str) -> list[Index]:
+    """Open every partition index of a rollover alias, in partition
+    order — feed straight to
+    :func:`~acora_spark.index.bm25.bm25_alias_topk_batch`.  Only
+    partitions named in the committed ``alias.json`` are visible: a
+    partition directory left by a crashed rollover is ignored (and
+    reclaimed by the next rollover)."""
+    meta = fsutil.read_json(_join_path(alias_dir, "alias.json"))
+    if meta is None:
+        raise ValueError(f"{alias_dir} has no committed alias.json")
+    return [
+        load_index(spark, _join_path(alias_dir, p))
+        for p in meta["partitions"]
+    ]
+
+
+def rollover_index(
+    delta_corpus: DataFrame,
+    alias_dir: str,
+    *,
+    max_docs: int,
+    num_buckets: int = 16,
+    **build_kwargs,
+) -> list[str]:
+    """ES-style index ROLLOVER (index lifecycle management): write a
+    corpus delta into an alias of partition indexes, opening a fresh
+    partition whenever the current write target has already reached
+    ``max_docs`` — the standard time/size-partitioned deployment where
+    queries span the alias (:func:`load_alias` +
+    ``bm25_alias_topk_batch`` with exact GLOBAL statistics) and old
+    partitions retire by dropping them from ``alias.json``.
+
+    Write path: deltas land in the newest partition via
+    :func:`merge_index` (cost proportional to the delta) until it fills;
+    a full target triggers a NEW partition built with
+    :func:`build_index`.  Crash-safe by the same committed-list rule as
+    every other mutator: the partition list commits atomically in
+    ``alias.json`` AFTER the build/merge completes, so a crashed
+    rollover leaves an invisible directory that the next rollover
+    reclaims (if incomplete) or resumes (build_index is idempotent).
+    Holds the alias-level mutator lease — per-partition leases guard the
+    inner build/merge, but the roll decision itself must also be
+    single-writer.  Returns the committed partition directory list."""
+    if max_docs < 1:
+        raise ValueError("max_docs must be >= 1")
+    fsutil.makedirs(alias_dir)
+    with _mutator_lease(alias_dir, "rollover"):
+        meta = fsutil.read_json(_join_path(alias_dir, "alias.json")) or {
+            "partitions": []
+        }
+        parts: list[str] = list(meta["partitions"])
+        # reclaim a partition dir left by a crashed rollover (present on
+        # disk, absent from the committed list, not a complete build —
+        # a COMPLETE uncommitted build is resumed by being rebuilt over)
+        for name in fsutil.listdir(alias_dir):
+            if (
+                name.startswith("part-")
+                and name not in parts
+                and not build_is_complete(_join_path(alias_dir, name))
+            ):
+                fsutil.delete_dir(_join_path(alias_dir, name))
+        target = None
+        if parts:
+            newest = _join_path(alias_dir, parts[-1])
+            if _read_stats(newest)["N"] < max_docs:
+                target = parts[-1]
+        if target is not None:
+            merge_index(delta_corpus, _join_path(alias_dir, target))
+        else:
+            target = f"part-{len(parts):06d}"
+            build_index(
+                delta_corpus,
+                _join_path(alias_dir, target),
+                num_buckets=num_buckets,
+                **build_kwargs,
+            )
+            parts.append(target)
+        fsutil.write_json_atomic(
+            _join_path(alias_dir, "alias.json"), {"partitions": parts}
+        )
+        return parts

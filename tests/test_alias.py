@@ -138,3 +138,76 @@ def test_alias_rejects_mismatched_scoring_constants(alias_built, spark):
     fake.stats = dict(idx_a.stats, k1=9.9)
     with pytest.raises(ValueError, match="scoring constants"):
         bm25_alias_topk_batch(spark, [idx_a, fake], ["data"])
+
+
+def test_rollover_lifecycle(spark, sf_dir, tmp_path):
+    """Rollover: fills the newest partition until max_docs, then opens a
+    new one; the alias answers bit-exactly like one union index; a
+    crashed (uncommitted, incomplete) partition dir is invisible and
+    reclaimed."""
+    import os
+
+    from acora_spark import fsutil
+    from acora_spark.index.build import load_alias, rollover_index
+
+    corpus = load_corpus(spark, sf_dir)
+    ids = assign_doc_ids(corpus)
+    n = corpus.count()
+    third = n // 3
+    deltas = [
+        ids.filter(
+            (F.col("doc_id") >= i * third)
+            & (F.col("doc_id") < ((i + 1) * third if i < 2 else n))
+        ).drop("doc_id")
+        for i in range(3)
+    ]
+    release_doc_ids(ids)
+    alias_dir = str(tmp_path / "alias")
+    kw = dict(num_buckets=8, docs_per_salt=100, bucket_group_size=4)
+    # delta 0 opens part-000000; delta 1 MERGES into it (still < max);
+    # delta 2 rolls over to part-000001 (target now >= max)
+    cap = 2 * third
+    p0 = rollover_index(deltas[0], alias_dir, max_docs=cap, **kw)
+    assert p0 == ["part-000000"]
+    p1 = rollover_index(deltas[1], alias_dir, max_docs=cap, **kw)
+    assert p1 == ["part-000000"]
+    p2 = rollover_index(deltas[2], alias_dir, max_docs=cap, **kw)
+    assert p2 == ["part-000000", "part-000001"]
+
+    idxs = load_alias(spark, alias_dir)
+    assert [ix.stats["N"] for ix in idxs] == [2 * third, n - 2 * third]
+    full = build_index(corpus, str(tmp_path / "full"), **kw)
+    got = (
+        bm25_alias_topk_batch(spark, idxs, QUERIES, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    want = (
+        bm25_topk_batch(spark, full, QUERIES, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.rank, r.doc_id, r.score) for r in got] == [
+        (r.query_id, r.rank, r.doc_id, r.score) for r in want
+    ]
+
+    # crash simulation: an uncommitted incomplete partition dir is
+    # ignored by load_alias and reclaimed by the next rollover
+    ghost = os.path.join(alias_dir, "part-000002")
+    fsutil.makedirs(ghost)
+    fsutil.write_text_atomic(os.path.join(ghost, "junk.txt"), "crashed")
+    assert len(load_alias(spark, alias_dir)) == 2
+    small = corpus.limit(5).withColumn(
+        "path", F.concat(F.col("path"), F.lit("-new"))
+    )
+    parts = rollover_index(small, alias_dir, max_docs=cap, **kw)
+    # the ghost must be gone and the committed list stays consistent
+    assert not fsutil.exists(os.path.join(ghost, "junk.txt"))
+    meta = fsutil.read_json(os.path.join(alias_dir, "alias.json"))
+    assert meta["partitions"] == parts
+    assert sum(ix.stats["N"] for ix in load_alias(spark, alias_dir)) == n + 5
+
+    with pytest.raises(ValueError, match="alias.json"):
+        load_alias(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="max_docs"):
+        rollover_index(small, alias_dir, max_docs=0)
