@@ -948,6 +948,32 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHARDS_N, SHARDS_SEED = 16, 0
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer end to end: the curated corpus materializes
+    as md5-hash-assigned, hash-ordered parquet shards; per-shard doc and
+    token counts read back FROM THE WRITTEN FILES must equal the SQL
+    mirror of the assignment rule."""
+    from acora_spark.operators.curate import write_training_shards
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"acora_spark_shards_{tag}")
+    if not os.path.exists(os.path.join(out_dir, "manifest.json")):
+        write_training_shards(
+            _corpus(spark, sf_dir), out_dir,
+            num_shards=SHARDS_N, seed=SHARDS_SEED,
+        )
+    from acora_spark.functions.text import tokens_col
+
+    written = spark.read.parquet(os.path.join(out_dir, "data"))
+    return written.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("content")))).alias("n_tokens"),
+    )
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb boilerplate-line removal over the multi-line corpus
     view: lines of >= 10 chars occurring in >= 2 distinct docs drop from
@@ -2536,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain": q_bm25_explain,
         "dedup_lines": q_dedup_lines,
         "dup_spans": q_dup_spans,
+        "training_shards": q_training_shards,
         "unigram_logprob": q_unigram_logprob,
         "auto_date_histogram": q_auto_date_histogram,
         "search_sampler": q_search_sampler,
@@ -5257,6 +5284,21 @@ WHERE u.n_tokens > 0
         f"* {16 ** (7 - i)}"
         for i in range(8)
     )
+    # training shards: identical md5-derived assignment + counts per
+    # shard over the same tokenization
+    sql["training_shards"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+hh AS (
+  SELECT toks.doc_id, len(t) AS ntok,
+         md5('{SHARDS_SEED}|' || d.repo || '|' || d.path || '|' || d."commit") AS h
+  FROM toks JOIN docs d ON toks.doc_id = d.doc_id
+)
+SELECT (({hex_val}) % {SHARDS_N})::INT AS shard,
+       count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens
+FROM hh GROUP BY 1
+"""
+
     sql["corpus_splits"] = f"""
 WITH hh AS (
   SELECT doc_id, md5('split|' || doc_id) AS h FROM documents

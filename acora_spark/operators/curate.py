@@ -26,6 +26,7 @@ __all__ = [
     "repeat_by_weight",
     "pack_sequences",
     "sample_to_token_budget",
+    "write_training_shards",
 ]
 
 
@@ -492,3 +493,76 @@ def sample_to_token_budget(
                 m = m & (F.col(c) == F.lit(v))
             cond = cond | (m & (F.col("_before") < F.lit(int(bud))))
     return out.filter(cond).drop("_before")
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    num_shards: int = 64,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    seed: int = 0,
+) -> dict:
+    """Materialize a curated corpus as TRAINING SHARDS — the pipeline's
+    endpoint: a deterministic global shuffle (documents land in a
+    hash-assigned shard, ordered inside the shard by the same hash) so
+    a trainer streaming shard files sees a reproducible, well-mixed
+    document order with no source/time clumping.  Re-running the writer
+    over the same input produces byte-identical shards.
+
+    Shard assignment is ``md5(seed|key) % num_shards`` (first 8 hex
+    digits — the cross-engine-reproducible hash every split/sampling
+    operator here uses), so any SQL engine re-derives the layout.  The
+    write is one ``repartition(shard)`` shuffle + a within-partition
+    sort; a ``manifest.json`` (written atomically AFTER the data lands —
+    readers that require the manifest never see a torn write) records
+    per-shard doc and whitespace-token counts read back from the files
+    actually written.  Returns the manifest dict."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    from acora_spark import fsutil
+    from acora_spark.functions.text import tokens_col
+
+    keys = [F.col(c) for c in key_cols]
+    h = F.md5(F.concat_ws("|", F.lit(seed), *keys))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        % F.lit(int(num_shards))
+    ).cast("int")
+    data_dir = f"{out_dir.rstrip('/')}/data"
+    (
+        docs.withColumn("shard", shard)
+        .withColumn("_h", h)
+        .repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "_h", *key_cols)
+        .drop("_h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(data_dir)
+    )
+    spark = docs.sparkSession
+    written = spark.read.parquet(data_dir)
+    rows = (
+        written.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens_col(F.col(content_col)))).alias("n_tokens"),
+        )
+        .collect()
+    )
+    manifest = {
+        "num_shards": int(num_shards),
+        "seed": int(seed),
+        "key_cols": list(key_cols),
+        "total_docs": int(sum(r["n_docs"] for r in rows)),
+        "shards": {
+            str(r["shard"]): {
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+            }
+            for r in sorted(rows, key=lambda r: r["shard"])
+        },
+    }
+    fsutil.write_json_atomic(f"{out_dir.rstrip('/')}/manifest.json", manifest)
+    return manifest

@@ -754,3 +754,65 @@ def test_dedup_spans_matches_python_mirror(spark):
         dedup_spans(docs, mode="nope")
     with pytest.raises(ValueError, match="min_len"):
         dedup_spans(docs, min_len=4, anchor_q=8)
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Shard assignment matches the md5 rule, in-shard order is the
+    hash order, manifest counts match, and a rewrite over a DIFFERENT
+    input layout produces byte-identical shard files."""
+    import hashlib as _hl
+    import os
+
+    from acora_spark.operators.curate import write_training_shards
+
+    rows = [
+        (f"r{i % 3}", f"p{i}", f"c{i}", "word " * (i % 7 + 1))
+        for i in range(57)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    d1 = str(tmp_path / "s1")
+    man = write_training_shards(docs, d1, num_shards=8, seed=3)
+    assert man["total_docs"] == 57
+    assert sum(v["n_docs"] for v in man["shards"].values()) == 57
+
+    def h(r):
+        return _hl.md5(f"3|{r[0]}|{r[1]}|{r[2]}".encode()).hexdigest()
+
+    want_shard = {r[1]: int(h(r)[:8], 16) % 8 for r in rows}
+    got = spark.read.parquet(os.path.join(d1, "data")).collect()
+    assert {r.path: r.shard for r in got} == want_shard
+    for k, v in man["shards"].items():
+        assert v["n_docs"] == sum(
+            1 for s in want_shard.values() if s == int(k)
+        )
+    # token counts: whitespace words per doc
+    for k, v in man["shards"].items():
+        want_tok = sum(
+            (i % 7 + 1)
+            for i, r in enumerate(rows)
+            if want_shard[r[1]] == int(k)
+        )
+        assert v["n_tokens"] == want_tok
+
+    # rewrite from a shuffled, repartitioned input: byte-identical files
+    d2 = str(tmp_path / "s2")
+    write_training_shards(
+        docs.orderBy(F.rand(9)).repartition(5), d2, num_shards=8, seed=3
+    )
+
+    def digest(base):
+        out = {}
+        for root, _dirs, files in os.walk(os.path.join(base, "data")):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, f), base)
+                    out[os.path.dirname(rel)] = _hl.sha256(
+                        open(os.path.join(root, f), "rb").read()
+                    ).hexdigest()
+        return out
+
+    assert digest(d1) == digest(d2)
+    with pytest.raises(ValueError, match="num_shards"):
+        write_training_shards(docs, str(tmp_path / "s3"), num_shards=0)
