@@ -2401,10 +2401,13 @@ def q_bucket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = date_histogram(
         e, calendar_interval="day", offset="'6' HOUR", min_doc_count=0
     )
-    out = bucket_pipeline(hist, value_col="n", moving_avg=3)
+    out = bucket_pipeline(
+        hist, value_col="n", moving_avg=3, serial_diff=2, normalize=True
+    )
     return out.select(
         F.col("bucket").cast("string").alias("bucket"),
         "n", "derivative", "cumulative_sum", "moving_avg",
+        "serial_diff", "percent_of_sum",
     )
 
 
@@ -5202,7 +5205,9 @@ SELECT CAST(bucket AS VARCHAR) AS bucket, n,
        sum(n::DOUBLE) OVER (ORDER BY bucket
                             ROWS UNBOUNDED PRECEDING) AS cumulative_sum,
        round(avg(n::DOUBLE) OVER (ORDER BY bucket
-                                  ROWS 2 PRECEDING), 6) AS moving_avg
+                                  ROWS 2 PRECEDING), 6) AS moving_avg,
+       n::DOUBLE - lag(n::DOUBLE, 2) OVER (ORDER BY bucket) AS serial_diff,
+       round(n::DOUBLE / sum(n::DOUBLE) OVER (), 6) AS percent_of_sum
 FROM filled
 """
 

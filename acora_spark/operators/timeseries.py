@@ -186,13 +186,18 @@ def bucket_pipeline(
     derivative: bool = True,
     cumulative: bool = True,
     moving_avg: int | None = None,
+    serial_diff: int | None = None,
+    normalize: bool = False,
     round_to: int | None = 6,
 ) -> DataFrame:
     """ES pipeline aggregations over an ORDERED bucket sequence —
     ``derivative`` (bucket minus previous bucket, NULL for the first,
-    the ES convention), ``cumulative_sum``, and simple ``moving_avg``
+    the ES convention), ``cumulative_sum``, simple ``moving_avg``
     over the trailing ``moving_avg`` buckets (the ES moving_fn window,
-    current bucket inclusive).
+    current bucket inclusive), ``serial_diff`` with an arbitrary lag
+    (the ES serial_differencing for seasonality removal; NULL for the
+    first ``lag`` buckets), and ``normalize`` (the ES percent_of_sum
+    method: the bucket's share of its group's total).
 
     Meant for the output of :func:`date_histogram` /
     ``search_histogram`` — run with ``min_doc_count=0`` first when gaps
@@ -203,7 +208,9 @@ def bucket_pipeline(
     partition per group."""
     if moving_avg is not None and moving_avg < 1:
         raise ValueError("moving_avg window must be >= 1")
-    if not (derivative or cumulative or moving_avg):
+    if serial_diff is not None and serial_diff < 1:
+        raise ValueError("serial_diff lag must be >= 1")
+    if not (derivative or cumulative or moving_avg or serial_diff or normalize):
         raise ValueError("nothing to compute: enable at least one op")
     from pyspark.sql import Window
 
@@ -229,6 +236,18 @@ def bucket_pipeline(
         if round_to is not None:
             m = F.round(m, round_to)
         out = out.withColumn("moving_avg", m)
+    if serial_diff is not None:
+        out = out.withColumn(
+            "serial_diff", v - F.lag(v, serial_diff).over(base)
+        )
+    if normalize:
+        total = (
+            Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        )
+        pct = v / F.sum(v).over(total)
+        if round_to is not None:
+            pct = F.round(pct, round_to)
+        out = out.withColumn("percent_of_sum", pct)
     return out
 
 

@@ -135,6 +135,36 @@ def test_bucket_pipeline(spark):
         bucket_pipeline(df, derivative=False, cumulative=False)
 
 
+def test_bucket_pipeline_serial_diff_and_normalize(spark):
+    """serial_diff(lag) and percent_of_sum vs a brute force."""
+    import datetime as _dt
+
+    from acora_spark.operators.timeseries import bucket_pipeline
+
+    vals = [5.0, 2.0, 7.0, 1.0, 4.0]
+    rows = [
+        (_dt.datetime(2024, 1, 1 + i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "bucket timestamp, n double")
+    out = (
+        bucket_pipeline(
+            df, derivative=False, cumulative=False,
+            serial_diff=2, normalize=True,
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    total = sum(vals)
+    for i, r in enumerate(out):
+        want_sd = None if i < 2 else vals[i] - vals[i - 2]
+        assert r.serial_diff == want_sd
+        assert r.percent_of_sum == pytest.approx(
+            round(vals[i] / total, 6), abs=1e-9
+        )
+    with pytest.raises(ValueError, match="serial_diff"):
+        bucket_pipeline(df, serial_diff=0)
+
+
 def test_sessionize_brute_force(spark):
     import datetime as dt
 
