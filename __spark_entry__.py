@@ -2103,6 +2103,33 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, list(qvec), books, k=10)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving (the FAISS composition): coarse cells prune the
+    read (hive partition pruning), stored PQ codes score by asymmetric
+    distance — no vector bytes touched at query time.  Both quantizers
+    are injected literals, so the SQL mirror reproduces the probe set,
+    the code assignment, and the lookup-table scores exactly."""
+    import os
+
+    from acora_spark.operators.similarity import ann_query, build_ann_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = os.path.join(
+        "/tmp", f"annivfpq_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    build_ann_index(
+        emb.filter(F.col("vec_id") != 0),
+        index_dir,
+        num_cells=ANN_IVF_CELLS,
+        centroids=_ivf_centroids(),
+        pq_codebooks=_pq_books(),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_query(
+        spark, index_dir, list(qvec), k=10, nprobe=ANN_IVF_NPROBE, pq=True
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acora_spark.operators.similarity import brute_force_topk
 
@@ -2613,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "image_meta": q_image_meta,
         "text_features": q_text_features,
         "token_classes": q_token_classes,
@@ -2959,6 +2987,55 @@ a{j} AS (
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
 db AS (SELECT vec_id, v FROM base WHERE vec_id <> 0),
+{_pq_ctes},
+s AS (
+  SELECT db.vec_id,
+         ({_pq_dot}) AS dot,
+         ({_pq_r2}) AS r2
+  FROM db
+  {_pq_joins}
+  CROSS JOIN q
+)
+SELECT row_number() OVER (ORDER BY pq_cosine DESC, vec_id ASC)::INT AS rank,
+       vec_id, pq_cosine
+FROM (
+  SELECT s.vec_id,
+         round(dot / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(r2)), 6)
+           AS pq_cosine
+  FROM s CROSS JOIN q
+)
+ORDER BY pq_cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+    # IVF-PQ: the IVF probe-set mirror composed with the PQ assignment
+    # mirror — scores come from codeword reconstruction within probed
+    # cells only
+    _ivf = _ivf_centroids()
+    _ivf_rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in _ivf[i])
+        )
+        for i in range(len(_ivf))
+    )
+    sql["ann_ivfpq_topk"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+db0 AS (SELECT vec_id, v FROM base WHERE vec_id <> 0),
+icents(cell, ic) AS (VALUES
+  {_ivf_rows}),
+iassign AS (
+  SELECT b.vec_id, arg_min(c.cell, list_distance(b.v, c.ic)) AS cell
+  FROM db0 b CROSS JOIN icents c GROUP BY b.vec_id
+),
+probe AS (
+  SELECT c.cell FROM icents c CROSS JOIN q
+  ORDER BY list_distance(c.ic, q.qv) LIMIT {ANN_IVF_NPROBE}
+),
+db AS (
+  SELECT b.vec_id, b.v FROM db0 b JOIN iassign a USING (vec_id)
+  WHERE a.cell IN (SELECT cell FROM probe)
+),
 {_pq_ctes},
 s AS (
   SELECT db.vec_id,

@@ -219,6 +219,7 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    pq_codebooks: np.ndarray | None = None,
 ) -> None:
     """Persist an IVF index: vectors written PARTITIONED BY coarse cell.
 
@@ -238,11 +239,18 @@ def build_ann_index(
         if centroids is not None
         else _train_centroids(emb, num_cells, seed, vec_col, id_col)
     )
+    books = (
+        np.asarray(pq_codebooks, dtype=np.float64)
+        if pq_codebooks is not None
+        else None
+    )
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast(cents)
+    bcb = spark.sparkContext.broadcast(books)
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cc = bc.value
+        bks = bcb.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -250,18 +258,31 @@ def build_ann_index(
             d2 = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
             out = pdf.copy()
             out["cell"] = d2.argmin(1)
+            if bks is not None:
+                m, _kc, sub = bks.shape
+                codes = np.empty((len(mat), m), dtype=np.int32)
+                for j in range(m):
+                    X = mat[:, j * sub : (j + 1) * sub]
+                    dj = ((X[:, None, :] - bks[j][None, :, :]) ** 2).sum(-1)
+                    codes[:, j] = dj.argmin(1)
+                out["codes"] = list(codes)
             yield out
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
     ) + ", cell int"
+    if books is not None:
+        schema += ", codes array<int>"
     with_cell = emb.mapInPandas(assign_cells, schema)
     os.makedirs(index_dir, exist_ok=True)
     with_cell.repartition(num_cells, "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(os.path.join(index_dir, "vectors"))
+    meta = {"centroids": cents.tolist(), "seed": seed}
+    if books is not None:
+        meta["pq"] = books.tolist()
     with open(os.path.join(index_dir, "centroids.json"), "w") as f:
-        json.dump({"centroids": cents.tolist(), "seed": seed}, f)
+        json.dump(meta, f)
 
 
 def ann_query(
@@ -273,6 +294,8 @@ def ann_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     where: dict | None = None,
+    pq: bool = False,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Query the persisted IVF index: read ONLY the nprobe nearest cells
     (partition-pruned), exact cosine within them.
@@ -282,12 +305,28 @@ def ann_query(
     ``{col: {gte/gt/lte/lt: bound}}`` ranges, the same filter-context
     dialect the BM25 executors take), applied to the pruned cell read
     BEFORE the top-k, so the result is the exact filtered top-k of the
-    probed cells and the predicate pushes into the parquet scan."""
+    probed cells and the predicate pushes into the parquet scan.
+
+    ``pq=True`` scores the probed cells by asymmetric distance over the
+    stored PQ codes instead of reading the vector column — the
+    FAISS-style IVFPQ serving shape (cells prune the read, codes shrink
+    it: m ints per row instead of the full vector).  ``rerank=N``
+    additionally reads the vectors of ONLY the top-N ADC candidates and
+    re-scores them exactly, returning the exact-cosine top-k of that
+    candidate set (recall recovers at the cost of one narrow second
+    read).  Requires the index to have been built with
+    ``pq_codebooks``."""
     import json
     import os
 
     with open(os.path.join(index_dir, "centroids.json")) as f:
-        cents = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    if pq and "pq" not in meta:
+        raise ValueError(
+            f"{index_dir} was built without pq_codebooks — rebuild with "
+            "build_ann_index(..., pq_codebooks=...) to serve ADC queries"
+        )
     q = np.asarray(list(query_vec), dtype=np.float64)
     qd = ((cents - q[None, :]) ** 2).sum(-1)
     probe = [int(c) for c in np.argsort(qd)[:nprobe]]
@@ -325,7 +364,27 @@ def ann_query(
             p = _where_pred_col(c, v)
             pred = p if pred is None else pred & p
         cells = cells.filter(pred)
-    return brute_force_topk(cells, query_vec, k, id_col, vec_col)
+    if not pq:
+        return brute_force_topk(cells, query_vec, k, id_col, vec_col)
+    books = np.asarray(meta["pq"], dtype=np.float64)
+    adc = cells.select(
+        F.col(id_col),
+        F.round(_adc_score_col(books, query_vec), 6).alias("pq_cosine"),
+    )
+    if rerank is None:
+        top = adc.orderBy(F.desc("pq_cosine"), F.asc(id_col)).limit(k)
+        return top.coalesce(1).sortWithinPartitions(
+            F.desc("pq_cosine"), F.asc(id_col)
+        ).select(
+            (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
+            id_col,
+            "pq_cosine",
+        )
+    cand = adc.orderBy(F.desc("pq_cosine"), F.asc(id_col)).limit(
+        max(int(rerank), k)
+    )
+    exact = cells.join(cand.select(id_col), id_col, "left_semi")
+    return brute_force_topk(exact, query_vec, k, id_col, vec_col)
 
 
 def ivf_topk(
@@ -533,6 +592,37 @@ def pq_encode(
     ).withColumnRenamed("id", id_col)
 
 
+def _adc_score_col(
+    codebooks: np.ndarray, query_vec: Sequence[float], codes_col: str = "codes"
+) -> Column:
+    """Asymmetric-distance cosine as ONE whole-stage-codegen expression
+    over a PQ ``codes`` column: per-subspace lookup tables (dot and
+    squared-norm of each codeword against the exact query) precomputed
+    driver-side and embedded as literal arrays, summed in fixed
+    subspace order — bit-reproducible on any engine."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _kc, sub = books.shape
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if len(q) != m * sub:
+        raise ValueError(f"query dim {len(q)} != codebook dim {m * sub}")
+    qn = float(np.sqrt((q * q).sum()))
+    lut = np.einsum("mkd,md->mk", books, q.reshape(m, sub))
+    nlut = (books * books).sum(-1)
+
+    def lit_arr(row: np.ndarray) -> Column:
+        return F.array(*[F.lit(float(x)) for x in row])
+
+    dot = None
+    nrm2 = None
+    for j in range(m):  # fixed add order: subspace 0..m-1
+        cj = F.element_at(F.col(codes_col), j + 1) + 1
+        dj = F.element_at(lit_arr(lut[j]), cj)
+        nj = F.element_at(lit_arr(nlut[j]), cj)
+        dot = dj if dot is None else dot + dj
+        nrm2 = nj if nrm2 is None else nrm2 + nj
+    return dot / (F.lit(qn) * F.sqrt(nrm2))
+
+
 def pq_topk(
     codes: DataFrame,
     query_vec: Sequence[float],
@@ -555,27 +645,7 @@ def pq_topk(
     (TakeOrderedAndProject).  Compose with exact rerank by joining the
     returned ids back to the vector table when recall above the PQ
     resolution is needed."""
-    books = np.asarray(codebooks, dtype=np.float64)
-    m, _kc, sub = books.shape
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    if len(q) != m * sub:
-        raise ValueError(f"query dim {len(q)} != codebook dim {m * sub}")
-    qn = float(np.sqrt((q * q).sum()))
-    lut = np.einsum("mkd,md->mk", books, q.reshape(m, sub))
-    nlut = (books * books).sum(-1)
-
-    def lit_arr(row: np.ndarray) -> Column:
-        return F.array(*[F.lit(float(x)) for x in row])
-
-    dot = None
-    nrm2 = None
-    for j in range(m):  # fixed add order: subspace 0..m-1
-        cj = F.element_at(F.col("codes"), j + 1) + 1
-        dj = F.element_at(lit_arr(lut[j]), cj)
-        nj = F.element_at(lit_arr(nlut[j]), cj)
-        dot = dj if dot is None else dot + dj
-        nrm2 = nj if nrm2 is None else nrm2 + nj
-    score = dot / (F.lit(qn) * F.sqrt(nrm2))
+    score = _adc_score_col(codebooks, query_vec)
     if round_to is not None:
         score = F.round(score, round_to)
     scored = codes.select(F.col(id_col), score.alias("pq_cosine"))

@@ -341,3 +341,62 @@ def test_pq_encode_and_topk_match_numpy(spark):
         pq_train(emb, m=5)
     with pytest.raises(ValueError, match="query dim"):
         pq_topk(pq_encode(emb, books), [0.0] * 7, books)
+
+
+def test_ann_query_ivfpq_adc_and_rerank(spark, tmp_path):
+    """IVF-PQ serving: ADC scores equal the numpy reconstruction mirror
+    restricted to probed cells, the read stays partition-pruned, rerank
+    returns exact cosines, and querying a code-less index fails loud."""
+    from acora_spark.operators.similarity import ann_query, build_ann_index
+
+    rng = np.random.RandomState(21)
+    mat = rng.standard_normal((150, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = rng.standard_normal((5, 16))
+    books = rng.standard_normal((4, 8, 4))
+    d = str(tmp_path / "ivfpq")
+    build_ann_index(
+        emb, d, num_cells=5, centroids=cents, pq_codebooks=books
+    )
+    q = mat[0]
+
+    got = ann_query(spark, d, list(q), k=8, nprobe=2, pq=True)
+    files = got.inputFiles()
+    assert len({f.split("cell=")[1].split("/")[0] for f in files}) <= 2
+    rows = got.collect()
+
+    cell = ((mat[:, None, :] - cents[None]) ** 2).sum(-1).argmin(1)
+    probe = np.argsort(((cents - q[None]) ** 2).sum(1))[:2]
+    codes = np.empty((150, 4), dtype=int)
+    for j in range(4):
+        X = mat[:, j * 4 : (j + 1) * 4]
+        codes[:, j] = ((X[:, None, :] - books[j][None]) ** 2).sum(-1).argmin(1)
+    recon = np.stack(
+        [np.concatenate([books[j][codes[i, j]] for j in range(4)])
+         for i in range(150)]
+    )
+    adc = recon @ q / (np.linalg.norm(recon, axis=1) * np.linalg.norm(q))
+    cand = [
+        (round(float(adc[i]), 6), i) for i in range(150) if cell[i] in probe
+    ]
+    want = sorted(cand, key=lambda t: (-t[0], t[1]))[:8]
+    assert [(r.pq_cosine, r.vec_id) for r in rows] == want
+
+    # rerank: exact cosine of the ADC top-N candidate set
+    rr = ann_query(
+        spark, d, list(q), k=5, nprobe=5, pq=True, rerank=40
+    ).collect()
+    adc_order = sorted(range(150), key=lambda i: (-adc[i], i))[:40]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    want_rr = sorted(
+        ((float(cos[i]), i) for i in adc_order), key=lambda t: (-t[0], t[1])
+    )[:5]
+    assert [r.vec_id for r in rr] == [i for _, i in want_rr]
+
+    d2 = str(tmp_path / "plain")
+    build_ann_index(emb, d2, num_cells=5, centroids=cents)
+    with pytest.raises(ValueError, match="without pq_codebooks"):
+        ann_query(spark, d2, list(q), pq=True)
