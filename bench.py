@@ -212,6 +212,22 @@ def main() -> None:
     )
     decon_secs = round(time.time() - t0, 3)
 
+    # span dedup (ExactSubstr) + unigram-LM scoring over the same corpus
+    # (informational): the anchor-window hash shape and the two-shuffle
+    # tf/LM shape
+    from acora_spark.operators.dedup import dedup_spans
+    from acora_spark.operators.quality import unigram_logprob
+
+    t0 = time.time()
+    n_spandocs = dedup_spans(
+        synth.select("path", "content"), id_col="path"
+    ).count()
+    spans_secs = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    unigram_logprob(synth, id_col="path").count()
+    lm_secs = round(time.time() - t0, 3)
+
     # -- sf-dir representative queries ------------------------------------
     corpus = load_corpus(spark, sf_dir)
     t0 = time.time()
@@ -249,6 +265,11 @@ def main() -> None:
         "decon_secs": decon_secs,
         "decon_docs_per_sec": round(n_docs / decon_secs, 1),
         "decon_flagged": int(n_cont),
+        "dedup_spans_secs": spans_secs,
+        "dedup_spans_docs_per_sec": round(n_docs / spans_secs, 1),
+        "dedup_spans_flagged": int(n_spandocs),
+        "unigram_lm_secs": lm_secs,
+        "unigram_lm_docs_per_sec": round(n_docs / lm_secs, 1),
         "scan_mb_per_sec": round(
             total_chars / 1e6 / timings["match_scan"], 1
         ),
