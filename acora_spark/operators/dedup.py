@@ -943,7 +943,13 @@ def semantic_dedup(
         assign, "id long, cell int, vec array<double>"
     )
     # sub-shard oversized cells: the size table is <= num_cells rows, so
-    # the join is a broadcast of a trivially small dimension
+    # the join is a broadcast of a trivially small dimension.  The sizes
+    # branch re-runs the assignment pass (column pruning cannot reach
+    # inside mapInPandas) — accepted deliberately: the alternatives are
+    # worse at scale (a count window keyed by cell would materialize an
+    # UNSHARDED cell's vectors in one task — the exact blowup sharding
+    # exists to prevent; a localCheckpoint trades the recompute for
+    # writing every vector to executor storage)
     sizes = assigned.groupBy("cell").agg(F.count("*").alias("_csz"))
     assigned = assigned.join(F.broadcast(sizes), "cell").withColumn(
         "shard",
