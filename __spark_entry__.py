@@ -872,6 +872,40 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LIN_W_LEX, LIN_W_VEC = 0.7, 0.3
+
+
+def q_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES linear retriever: the same lexical/vector top-20 lists as the
+    RRF entry, min-max normalized within each list and weight-summed
+    (0.7 lexical / 0.3 vector) — mirrored by the identical normalize +
+    sum in SQL."""
+    from acora_spark.index.bm25 import bm25_topk_dataframe
+    from acora_spark.operators.similarity import (
+        brute_force_topk,
+        linear_fusion,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    lex = bm25_topk_dataframe(
+        d, BM25_QUERY, k=RRF_RETRIEVER_K, score_round=4
+    ).select("doc_id", "score")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    vec = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), list(qvec), k=RRF_RETRIEVER_K
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", F.col("cosine").alias("score"))
+    )
+    return linear_fusion(
+        [(lex, LIN_W_LEX), (vec, LIN_W_VEC)], top_n=RRF_TOP
+    )
+
+
 HE_DIM, HE_MOD = 32, 29
 
 
@@ -2602,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_percentiles": q_search_percentiles,
         "search_range": q_search_range,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_linear": q_hybrid_linear,
         "span_near": q_span_near,
         "matched_queries": q_matched_queries,
         "adjacency_matrix": q_adjacency_matrix,
@@ -3764,6 +3799,67 @@ f AS (
 SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::INT AS fused_rank,
        doc_id, round(rrf_score, 6) AS rrf_score, n_retrievers
 FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOP}
+"""
+
+    # linear retriever: identical candidate lists, min-max normalized
+    # within each, weight-summed
+    sql["hybrid_linear"] = f"""
+WITH toks2 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+dl2 AS (SELECT doc_id, len(t) AS dl FROM toks2),
+stats2 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl2),
+qterms(term) AS (VALUES {_values(rrf_terms)}),
+tok_rows2 AS (SELECT doc_id, unnest(t) AS term FROM toks2),
+tf2 AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows2 WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term),
+scored2 AS (
+  SELECT tf2.doc_id AS doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf2.tf / (tf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl2.dl / s.avgdl)) ), 4) AS score
+  FROM tf2 JOIN dl2 USING (doc_id) CROSS JOIN stats2 s JOIN dfreq2 d USING (term)
+  GROUP BY tf2.doc_id
+),
+lex AS (SELECT doc_id, score FROM scored2 ORDER BY score DESC, doc_id ASC LIMIT {RRF_RETRIEVER_K}),
+lmm AS (SELECT min(score) AS lo, max(score) AS hi FROM lex),
+lexn AS (
+  SELECT doc_id,
+         {LIN_W_LEX} * CASE WHEN hi = lo THEN 1.0
+                            ELSE (score - lo) / (hi - lo) END AS ws
+  FROM lex CROSS JOIN lmm
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS score
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+),
+vec AS (SELECT doc_id, score FROM cscored ORDER BY score DESC, doc_id ASC LIMIT {RRF_RETRIEVER_K}),
+vmm AS (SELECT min(score) AS lo, max(score) AS hi FROM vec),
+vecn AS (
+  SELECT doc_id,
+         {LIN_W_VEC} * CASE WHEN hi = lo THEN 1.0
+                            ELSE (score - lo) / (hi - lo) END AS ws
+  FROM vec CROSS JOIN vmm
+),
+u AS (SELECT * FROM lexn UNION ALL SELECT * FROM vecn),
+f AS (
+  SELECT doc_id, round(sum(ws), 6) AS fused_score,
+         count(*)::BIGINT AS n_retrievers
+  FROM u GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY fused_score DESC, doc_id ASC)::INT AS fused_rank,
+       doc_id, fused_score, n_retrievers
+FROM f ORDER BY fused_score DESC, doc_id ASC LIMIT {RRF_TOP}
 """
 
     sql["hash_embeddings"] = f"""

@@ -30,6 +30,7 @@ __all__ = [
     "build_ann_index",
     "ann_query",
     "rrf_fusion",
+    "linear_fusion",
     "pq_train",
     "pq_encode",
     "pq_topk",
@@ -657,4 +658,63 @@ def pq_topk(
         (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
         id_col,
         "pq_cosine",
+    )
+
+
+def linear_fusion(
+    results: Sequence[tuple[DataFrame, float]],
+    *,
+    top_n: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Linear score fusion (the ES 8.14 ``linear`` retriever, the other
+    standard hybrid combiner next to :func:`rrf_fusion`): each
+    retriever's scores MIN-MAX normalize within its own result list,
+    then combine as ``sum_i w_i * norm_i(d)`` with a missing doc
+    contributing 0 from that retriever.  A constant-score list (max ==
+    min) normalizes to 1.0 for every member — presence is its signal.
+
+    Inputs are ``(DataFrame, weight)`` pairs, each frame
+    ``(id_col, score_col)`` and already top-k'd, so the per-list min/max
+    windows and the fused aggregation all run over bounded candidate
+    rows.  Returns ``(fused_rank, id_col, fused_score, n_retrievers)``,
+    ties broken by id ascending."""
+    if len(results) < 2:
+        raise ValueError("linear_fusion needs at least two result lists")
+    tagged = []
+    for df, w in results:
+        s = F.col(score_col).cast("double")
+        # per-list min/max as a broadcast one-row crossJoin (no
+        # single-partition WindowExec over the candidate list)
+        mm = df.agg(
+            F.min(s).alias("_lo"), F.max(s).alias("_hi")
+        )
+        lo, hi = F.col("_lo"), F.col("_hi")
+        norm = F.when(hi == lo, F.lit(1.0)).otherwise((s - lo) / (hi - lo))
+        tagged.append(
+            df.join(F.broadcast(mm)).select(
+                F.col(id_col),
+                (F.lit(float(w)) * norm).alias("_ws"),
+            )
+        )
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy(id_col).agg(
+        F.sum("_ws").alias("fused_score"),
+        F.count("*").alias("n_retrievers"),
+    )
+    if round_to is not None:
+        fused = fused.withColumn(
+            "fused_score", F.round("fused_score", round_to)
+        )
+    order = [F.desc("fused_score"), F.asc(id_col)]
+    lim = fused.orderBy(*order).limit(top_n).coalesce(1)
+    return lim.sortWithinPartitions(*order).select(
+        (F.monotonically_increasing_id() + 1).cast("int").alias("fused_rank"),
+        id_col,
+        "fused_score",
+        "n_retrievers",
     )

@@ -400,3 +400,31 @@ def test_ann_query_ivfpq_adc_and_rerank(spark, tmp_path):
     build_ann_index(emb, d2, num_cells=5, centroids=cents)
     with pytest.raises(ValueError, match="without pq_codebooks"):
         ann_query(spark, d2, list(q), pq=True)
+
+
+def test_linear_fusion_brute_force(spark):
+    """Min-max normalized weighted fusion vs a brute force, including
+    the constant-score list (norm 1.0) and missing-doc (0) cases."""
+    from acora_spark.operators.similarity import linear_fusion
+
+    a = [(1, 10.0), (2, 5.0), (3, 0.0)]
+    b = [(2, 7.0), (4, 7.0)]  # constant list -> everyone 1.0
+    da = spark.createDataFrame(a, "doc_id long, score double")
+    db = spark.createDataFrame(b, "doc_id long, score double")
+    got = linear_fusion([(da, 2.0), (db, 0.5)], top_n=10).collect()
+
+    na = {i: (s - 0.0) / 10.0 for i, s in a}
+    want = {}
+    for i in set(na) | {x for x, _ in b}:
+        want[i] = 2.0 * na.get(i, 0.0) + (
+            0.5 * 1.0 if i in {x for x, _ in b} else 0.0
+        )
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.doc_id, r.fused_score) for r in got] == [
+        (i, round(s, 6)) for i, s in order
+    ]
+    assert {r.doc_id: r.n_retrievers for r in got} == {
+        1: 1, 2: 2, 3: 1, 4: 1
+    }
+    with pytest.raises(ValueError, match="at least two"):
+        linear_fusion([(da, 1.0)])
