@@ -89,6 +89,7 @@ __all__ = [
     "upsert_docs",
     "rollover_index",
     "load_alias",
+    "retire_partitions",
 ]
 
 # On-disk postings row: ONE ROW PER (term, shard).  Cold terms have a single
@@ -2884,14 +2885,17 @@ def rollover_index(
             "partitions": []
         }
         parts: list[str] = list(meta["partitions"])
-        # reclaim a partition dir left by a crashed rollover (present on
-        # disk, absent from the committed list, not a complete build —
-        # a COMPLETE uncommitted build is resumed by being rebuilt over)
+        retired: list[str] = list(meta.get("retired", ()))
+        # reclaim partition dirs left by a crashed rollover: on disk but
+        # neither committed nor recorded as frozen-retired.  Complete
+        # orphans are reclaimed too — without a committed name they can
+        # never be read, and the retry about to run rebuilds the delta
+        # under a fresh name.
         for name in fsutil.listdir(alias_dir):
             if (
                 name.startswith("part-")
                 and name not in parts
-                and not build_is_complete(_join_path(alias_dir, name))
+                and name not in retired
             ):
                 fsutil.delete_dir(_join_path(alias_dir, name))
         target = None
@@ -2902,7 +2906,16 @@ def rollover_index(
         if target is not None:
             merge_index(delta_corpus, _join_path(alias_dir, target))
         else:
-            target = f"part-{len(parts):06d}"
+            # next id = 1 + max over committed AND retired names: after
+            # retire_partitions the list can be shorter than history, and
+            # len(parts) would re-mint a retired name (colliding with a
+            # frozen kept-on-disk partition)
+            used = [
+                int(n[5:])
+                for n in set(parts) | set(retired)
+                if n.startswith("part-") and n[5:].isdigit()
+            ]
+            target = f"part-{(max(used) + 1 if used else 0):06d}"
             build_index(
                 delta_corpus,
                 _join_path(alias_dir, target),
@@ -2911,6 +2924,63 @@ def rollover_index(
             )
             parts.append(target)
         fsutil.write_json_atomic(
-            _join_path(alias_dir, "alias.json"), {"partitions": parts}
+            _join_path(alias_dir, "alias.json"),
+            {"partitions": parts, "retired": retired},
         )
         return parts
+
+
+def retire_partitions(
+    alias_dir: str,
+    keep_last: int | None = None,
+    *,
+    before: Sequence[str] = (),
+    delete_files: bool = True,
+) -> list[str]:
+    """ILM delete phase for a rollover alias: drop the oldest partitions
+    from the committed list — retention by count (``keep_last=N`` keeps
+    the N newest) and/or by name (``before`` lists partitions to
+    retire explicitly).  The list commit is atomic (``alias.json``
+    rewrite), so readers flip from old view to new view in one step;
+    ``delete_files=False`` leaves the retired directories on disk (the
+    "frozen" tier — re-attachable by hand), else they are reclaimed.
+    Holds the alias mutator lease.  Returns the surviving partition
+    list."""
+    with _mutator_lease(alias_dir, "retire"):
+        meta = fsutil.read_json(_join_path(alias_dir, "alias.json"))
+        if meta is None:
+            raise ValueError(f"{alias_dir} has no committed alias.json")
+        parts: list[str] = list(meta["partitions"])
+        drop = set(before)
+        unknown = drop - set(parts)
+        if unknown:
+            raise ValueError(
+                f"cannot retire unknown partition(s) {sorted(unknown)}"
+            )
+        if keep_last is not None:
+            if keep_last < 1:
+                raise ValueError("keep_last must be >= 1")
+            drop |= set(parts[:-keep_last])
+        survivors = [p for p in parts if p not in drop]
+        if not survivors:
+            raise ValueError(
+                "retire would empty the alias — delete the alias dir "
+                "instead if that is intended"
+            )
+        # commit the shrunken view FIRST; reclamation follows, so a
+        # crash mid-delete leaves unreferenced (invisible) dirs that a
+        # later retire/rollover pass can reclaim.  Frozen (kept-on-disk)
+        # partitions are RECORDED in the committed meta: that is what
+        # distinguishes them from crashed-rollover orphans, protects
+        # them from reclamation, and retires their names permanently.
+        frozen = sorted(
+            set(meta.get("retired", ())) | (set() if delete_files else drop)
+        )
+        fsutil.write_json_atomic(
+            _join_path(alias_dir, "alias.json"),
+            {"partitions": survivors, "retired": frozen},
+        )
+        if delete_files:
+            for p in drop:
+                fsutil.delete_dir(_join_path(alias_dir, p))
+        return survivors

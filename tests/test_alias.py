@@ -211,3 +211,67 @@ def test_rollover_lifecycle(spark, sf_dir, tmp_path):
         load_alias(spark, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="max_docs"):
         rollover_index(small, alias_dir, max_docs=0)
+
+
+def test_retire_partitions_and_name_reuse(spark, sf_dir, tmp_path):
+    """ILM delete phase: retire-by-count deletes files, frozen retire
+    keeps them on disk protected from reclamation, retired names are
+    never re-minted, and the alias keeps answering from survivors."""
+    import os
+
+    from acora_spark import fsutil
+    from acora_spark.index.build import (
+        load_alias,
+        retire_partitions,
+        rollover_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    ids = assign_doc_ids(corpus)
+    n = corpus.count()
+    q = n // 4
+    deltas = [
+        ids.filter(
+            (F.col("doc_id") >= i * q)
+            & (F.col("doc_id") < ((i + 1) * q if i < 3 else n))
+        ).drop("doc_id")
+        for i in range(4)
+    ]
+    release_doc_ids(ids)
+    alias_dir = str(tmp_path / "alias")
+    kw = dict(num_buckets=8, docs_per_salt=100, bucket_group_size=4)
+    for d in deltas[:3]:
+        rollover_index(d, alias_dir, max_docs=1, **kw)  # one part each
+    assert load_alias(spark, alias_dir) and len(
+        load_alias(spark, alias_dir)
+    ) == 3
+
+    # frozen retire of the oldest: files stay, name recorded
+    surv = retire_partitions(alias_dir, before=["part-000000"],
+                             delete_files=False)
+    assert surv == ["part-000001", "part-000002"]
+    assert fsutil.exists(os.path.join(alias_dir, "part-000000", "stats.json"))
+    meta = fsutil.read_json(os.path.join(alias_dir, "alias.json"))
+    assert meta["retired"] == ["part-000000"]
+
+    # next rollover: does NOT reclaim the frozen dir, does NOT re-mint
+    # its name
+    parts = rollover_index(deltas[3], alias_dir, max_docs=1, **kw)
+    assert parts == ["part-000001", "part-000002", "part-000003"]
+    assert fsutil.exists(os.path.join(alias_dir, "part-000000", "stats.json"))
+
+    # retire-by-count with file deletion
+    surv = retire_partitions(alias_dir, keep_last=2)
+    assert surv == ["part-000002", "part-000003"]
+    assert not fsutil.exists(os.path.join(alias_dir, "part-000001"))
+    # the alias still answers, from survivors only
+    idxs = load_alias(spark, alias_dir)
+    got = bm25_alias_topk_batch(spark, idxs, ["data merge"], k=5).count()
+    assert got == 5
+
+    with pytest.raises(ValueError, match="unknown partition"):
+        retire_partitions(alias_dir, before=["part-999999"])
+    with pytest.raises(ValueError, match="keep_last"):
+        retire_partitions(alias_dir, keep_last=0)
+    with pytest.raises(ValueError, match="empty the alias"):
+        retire_partitions(alias_dir, keep_last=2, before=surv)
