@@ -534,6 +534,24 @@ HIST_INTERVAL = 25.0
 TV_MOD = 211  # every 211th doc gets a term-vectors request
 
 
+SIGTEXT_SAMPLE = 60
+
+
+def q_sig_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_text: JLH anomaly terms from the TEXT of the top-60
+    ranked hits (deterministic rounded-score sample), exact-duplicate
+    hit content dropped by sha256 before counting — mirrored by the
+    identical sample cut, dedup window, and JLH arithmetic in SQL."""
+    from acora_spark.index.bm25 import significant_text
+
+    idx = _index_for(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    return significant_text(
+        spark, idx, corpus, SAMPLER_QUERY,
+        sample_size=SIGTEXT_SAMPLE, top_n=15,
+    )
+
+
 def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats aggregation: (count, min, max, sum, avg) of doc length
     over the docs matching a boolean query."""
@@ -2609,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool": q_bm25_bool,
         "bm25_boosted": q_bm25_boosted,
         "sig_terms": q_sig_terms,
+        "sig_text": q_sig_text,
         "search_stats": q_search_stats,
         "search_histogram": q_search_histogram,
         "search_cardinality": q_search_cardinality,
@@ -3477,6 +3496,72 @@ SELECT term, fg_count, bg_count,
             * ((fg_count / f.total) / (bg_count / n.n_docs)), 6) AS score
 FROM fgc JOIN bgc USING (term) CROSS JOIN fgtot f CROSS JOIN nstats n
 WHERE term NOT IN ({sg_excl}) AND fg_count >= 3
+  AND round( (fg_count / f.total - bg_count / n.n_docs)
+    * ((fg_count / f.total) / (bg_count / n.n_docs)), 6) > 0
+ORDER BY score DESC, term ASC
+LIMIT 15
+"""
+
+    # significant_text: ranked-sample foreground, sha256 content dedup,
+    # same JLH arithmetic
+    st_terms = sorted(set(SAMPLER_QUERY.lower().split()))
+    st_excl = ", ".join(f"'{t}'" for t in st_terms)
+    sql["sig_text"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(st_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),
+samp AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC
+  LIMIT {SIGTEXT_SAMPLE}
+),
+fgdocs AS (
+  SELECT toks.doc_id, toks.t, toks.content, d.repo, d.path, d."commit"
+  FROM toks JOIN docs d ON toks.doc_id = d.doc_id
+  JOIN samp ON toks.doc_id = samp.doc_id
+),
+fg AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (
+             PARTITION BY sha256(content)
+             ORDER BY repo, path, "commit"
+           ) AS rk
+    FROM fgdocs
+  ) WHERE rk = 1
+),
+nstats AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+fgtot AS (SELECT count(*)::DOUBLE AS total FROM fg),
+fgc AS (
+  SELECT term, count(*)::BIGINT AS fg_count
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM fg)
+  GROUP BY term
+),
+bgc AS (
+  SELECT term, count(*)::BIGINT AS bg_count
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+  GROUP BY term
+)
+SELECT term, fg_count, bg_count,
+       round( (fg_count / f.total - bg_count / n.n_docs)
+            * ((fg_count / f.total) / (bg_count / n.n_docs)), 6) AS score
+FROM fgc JOIN bgc USING (term) CROSS JOIN fgtot f CROSS JOIN nstats n
+WHERE term NOT IN ({st_excl}) AND fg_count >= 3
   AND round( (fg_count / f.total - bg_count / n.n_docs)
     * ((fg_count / f.total) / (bg_count / n.n_docs)), 6) > 0
 ORDER BY score DESC, term ASC

@@ -4184,7 +4184,6 @@ def significant_terms(
         return spark.createDataFrame(
             [], "term string, fg_count long, bg_count long, score double"
         )
-    fg_docs = corpus.join(fg_keys, key_cols, "semi")
     exclude = sorted(
         {
             t
@@ -4193,6 +4192,31 @@ def significant_terms(
             for t in query_terms(x)
         }
     )
+    return _jlh_scores(
+        spark, index, corpus, fg_keys, fg_total, exclude,
+        key_cols=key_cols, top_n=top_n, min_doc_count=min_doc_count,
+        score_round=score_round,
+    )
+
+
+def _jlh_scores(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    fg_keys: DataFrame,
+    fg_total: int,
+    exclude: Sequence[str],
+    *,
+    key_cols: Sequence[str],
+    top_n: int,
+    min_doc_count: int,
+    score_round: int | None,
+) -> DataFrame:
+    """Shared JLH tail of significant_terms / significant_text: semi-join
+    the corpus to the foreground keys, count per-doc DISTINCT terms
+    map-combined, score against the index's column-pruned (term, df)
+    background."""
+    fg_docs = corpus.join(fg_keys, list(key_cols), "semi")
     from acora_spark.functions.tokenize import tokens_expr
 
     fg_counts = (
@@ -4203,7 +4227,7 @@ def significant_terms(
         )
         .groupBy("term")
         .agg(F.count("*").alias("fg_count"))
-        .filter(~F.col("term").isin(exclude))
+        .filter(~F.col("term").isin(list(exclude)))
         .filter(F.col("fg_count") >= min_doc_count)
     )
     bg = (
@@ -4211,7 +4235,7 @@ def significant_terms(
         .groupBy("term")
         .agg(F.sum("df").alias("bg_count"))
     )
-    n_docs = float(stats["N"])
+    n_docs = float(index.stats["N"])
     fgp = F.col("fg_count") / F.lit(float(fg_total))
     bgp = F.col("bg_count") / F.lit(n_docs)
     score = (fgp - bgp) * (fgp / bgp)
@@ -4223,6 +4247,67 @@ def significant_terms(
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(top_n)
+    )
+
+
+def significant_text(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    query: str,
+    sample_size: int = 100,
+    top_n: int = 10,
+    min_doc_count: int = 3,
+    key_cols: Sequence[str] = ("repo", "path", "commit"),
+    filter_duplicate_text: bool = True,
+    score_round: int | None = 6,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation: JLH-scored anomalous terms
+    from the TEXT of a ranked query's top hits — the free-text sibling
+    of :func:`significant_terms` (whose foreground is a boolean result
+    set).  Two ES behaviors reproduced: the foreground is a SAMPLE (the
+    top ``sample_size`` scoring docs under the deterministic
+    rounded-score + doc-id cut every sampler here uses — ES runs
+    significant_text under a sampler agg for exactly this reason), and
+    ``filter_duplicate_text`` drops exact-duplicate hit content
+    (sha256) before counting, so one boilerplate page pasted across
+    mirrors cannot masquerade as signal.  The query's own terms are
+    excluded.  Returns ``(term, fg_count, bg_count, score)``."""
+    if sample_size < 1:
+        raise ValueError("sample_size must be >= 1")
+    raw = bm25_topk_batch(spark, index, [query], k=4 * sample_size)
+    order = [F.desc("score"), F.asc("doc_id")]
+    top = (
+        raw.withColumn("score", F.round("score", 4))
+        .orderBy(*order)
+        .limit(sample_size)
+    )
+    key_cols = list(key_cols)
+    dm = index.docmap(spark).select("doc_id", *key_cols)
+    fg_keys = top.join(dm, "doc_id").select(*key_cols)
+    if filter_duplicate_text:
+        fg_docs = corpus.join(fg_keys, key_cols, "semi")
+        fg_keys = (
+            fg_docs.withColumn("_sha", F.sha2(F.col("content"), 256))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_sha").orderBy(*key_cols)
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select(*key_cols)
+        )
+    fg_total = fg_keys.count()
+    if not fg_total:
+        return spark.createDataFrame(
+            [], "term string, fg_count long, bg_count long, score double"
+        )
+    return _jlh_scores(
+        spark, index, corpus, fg_keys, fg_total,
+        sorted(set(query_terms(query))),
+        key_cols=key_cols, top_n=top_n, min_doc_count=min_doc_count,
+        score_round=score_round,
     )
 
 

@@ -757,3 +757,51 @@ def test_search_sampler_and_diversified(built, ground, spark):
         search_sampler(spark, idx, q, "nope")
     with pytest.raises(ValueError, match="shard_size"):
         search_sampler(spark, idx, q, "lang", shard_size=0)
+
+
+def test_significant_text_sampled_and_deduped(built, ground, spark):
+    """significant_text: foreground is the ranked sample; duplicate hit
+    content collapses to one vote; query terms excluded."""
+    from acora_spark.index.bm25 import bm25_topk_batch, significant_text
+
+    idx, corpus = built
+    q = "merge data"
+    res = significant_text(
+        spark, idx, corpus, q, sample_size=40, top_n=10, min_doc_count=2
+    ).collect()
+    assert res, "sample should yield significant terms"
+    terms = [r.term for r in res]
+    assert "merge" not in terms and "data" not in terms
+    assert all(r.score > 0 for r in res)
+    assert terms == sorted(terms, key=lambda t: (-dict(
+        (x.term, x.score) for x in res
+    )[t], t))
+
+    # brute-force the foreground counts for the top returned term
+    sample = sorted(
+        ((round(r.score, 4), r.doc_id) for r in bm25_topk_batch(
+            spark, idx, [q], k=160
+        ).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )[:40]
+    dm = {r.doc_id: (r.repo, r.path, r.commit)
+          for r in idx.docmap(spark).collect()}
+    keys = {dm[d] for _, d in sample}
+    import re as _re
+    tok = _re.compile(r"[a-z0-9_]+")
+    seen_sha, fg_docs = set(), []
+    rows = {(r.repo, r.path, r.commit): r.content for r in corpus.collect()}
+    for key in sorted(keys):
+        import hashlib as _hl
+        sha = _hl.sha256(rows[key].encode()).hexdigest()
+        if sha not in seen_sha:
+            seen_sha.add(sha)
+            fg_docs.append(rows[key])
+    top = res[0]
+    want_fg = sum(
+        1 for c in fg_docs if top.term in set(tok.findall(c.lower()))
+    )
+    assert top.fg_count == want_fg
+
+    with pytest.raises(ValueError, match="sample_size"):
+        significant_text(spark, idx, corpus, q, sample_size=0)
