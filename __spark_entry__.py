@@ -1800,6 +1800,32 @@ def q_bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(docmap, "doc_id").select("rank", "path", "score")
 
 
+def q_bm25_crossfields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_fields multi_match (Lucene BlendedTermQuery): every term
+    scores with the blended df (max across fields), each doc takes its
+    best field per term, per-term bests sum — mirrored by the identical
+    blend + greatest + sum in SQL."""
+    from acora_spark.index.bm25 import bm25_multifield_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    pidx = _path_index_for(spark, sf_dir)
+    raw = bm25_multifield_topk_batch(
+        spark,
+        {"content": (idx, 1.0), "path": (pidx, MF_PATH_WEIGHT)},
+        [MF_QUERY],
+        k=4 * BM25_K,
+        mode="cross_fields",
+    )
+    rounded = raw.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return topk.join(docmap, "doc_id").select("rank", "path", "score")
+
+
 PERC_QUERIES = [
     {"must": ["data", "table"], "must_not": ["window"]},
     {"should": ["spark", "merge"]},
@@ -2623,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_match": q_regex_match,
         "bm25_multifield": q_bm25_multifield,
         "bm25_dismax": q_bm25_dismax,
+        "bm25_crossfields": q_bm25_crossfields,
         "bm25_alias": q_bm25_alias,
         "bm25_bool": q_bm25_bool,
         "bm25_boosted": q_bm25_boosted,
@@ -4820,6 +4847,72 @@ total AS (
   SELECT coalesce(sc.doc_id, sp.doc_id) AS doc_id,
          round({total_expr}, 4) AS score
   FROM sc FULL OUTER JOIN sp ON sc.doc_id = sp.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, total.doc_id ASC)::INT AS rank,
+       dlc.path AS path, score
+FROM total JOIN dlc ON total.doc_id = dlc.doc_id
+ORDER BY score DESC, total.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+    sql["bm25_crossfields"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+ptoks AS (
+  SELECT doc_id, path,
+         list_filter(string_split_regex(lower(path), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM docs
+),
+qterms(term) AS (VALUES {_values(mf_terms)}),
+dlc AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+statsc AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dlc),
+trc AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tfc AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM trc WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tfc GROUP BY term),
+dlp AS (SELECT doc_id, len(t) AS dl FROM ptoks),
+statsp AS (SELECT avg(dl) AS avgdl FROM dlp),
+trp AS (SELECT doc_id, unnest(t) AS term FROM ptoks),
+tfp AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM trp WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfp AS (SELECT term, count(*)::DOUBLE AS df FROM tfp GROUP BY term),
+blend AS (
+  SELECT coalesce(dfc.term, dfp.term) AS term,
+         greatest(coalesce(dfc.df, 0), coalesce(dfp.df, 0)) AS df
+  FROM dfc FULL OUTER JOIN dfp ON dfc.term = dfp.term
+),
+sc AS (
+  SELECT tfc.doc_id, tfc.term,
+         ln(1 + (s.n_docs - b.df + 0.5) / (b.df + 0.5))
+           * tfc.tf / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dlc.dl / s.avgdl))
+           AS s
+  FROM tfc JOIN dlc USING (doc_id) CROSS JOIN statsc s
+  JOIN blend b ON tfc.term = b.term
+),
+sp AS (
+  SELECT tfp.doc_id, tfp.term,
+         {MF_PATH_WEIGHT}
+           * ln(1 + (s.n_docs - b.df + 0.5) / (b.df + 0.5))
+           * tfp.tf / (tfp.tf + 1.2 * (1 - 0.75 + 0.75 * dlp.dl / sp2.avgdl))
+           AS s
+  FROM tfp JOIN dlp USING (doc_id) CROSS JOIN statsc s CROSS JOIN statsp sp2
+  JOIN blend b ON tfp.term = b.term
+),
+best AS (
+  SELECT coalesce(sc.doc_id, sp.doc_id) AS doc_id,
+         greatest(coalesce(sc.s, 0), coalesce(sp.s, 0)) AS s
+  FROM sc FULL OUTER JOIN sp
+    ON sc.doc_id = sp.doc_id AND sc.term = sp.term
+),
+total AS (
+  SELECT doc_id, round(sum(s), 4) AS score FROM best GROUP BY doc_id
 )
 SELECT row_number() OVER (ORDER BY score DESC, total.doc_id ASC)::INT AS rank,
        dlc.path AS path, score

@@ -624,6 +624,20 @@ def _make_slicer(shift: int, positional: bool, offset: int = 0):
     return fn
 
 
+def _max_over_groups(
+    docs_parts: list[np.ndarray], contrib_parts: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc MAX of float64 contributions across parts (one part per
+    field for a given term; each part's docs are unique).  Sibling of
+    :func:`_accumulate_contribs` for the dis_max-per-term combine."""
+    udocs = np.unique(np.concatenate(docs_parts))
+    best = np.full(len(udocs), -np.inf, dtype=np.float64)
+    for d, c in zip(docs_parts, contrib_parts):
+        pos = np.searchsorted(udocs, d)
+        np.maximum.at(best, pos, c)
+    return udocs, best
+
+
 def _accumulate_contribs(
     docs_parts: list[np.ndarray], contrib_parts: list[np.ndarray]
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -1520,6 +1534,13 @@ def bm25_multifield_topk_batch(
 
       ``tie_breaker=0`` is pure dis_max; ``tie_breaker=1`` degenerates
       to most_fields.
+    * ``mode="cross_fields"`` — term-centric blending (Lucene
+      ``BlendedTermQuery``): every term scores with a BLENDED document
+      frequency ``df_blend(t) = max_f df_f(t)`` (one rare field cannot
+      inflate a common term's idf), each document takes its BEST field
+      per term (``max_f w_f * idf_blend * impact_f``), and per-term
+      bests sum — "the same text spread across fields" semantics, e.g.
+      first/last name columns.  ``tie_breaker`` is ignored.
 
     Each field is scored with ITS OWN collection statistics (df, avgdl)
     against its own inverted index.
@@ -1539,7 +1560,7 @@ def bm25_multifield_topk_batch(
     (field, term) tag order — a fixed float64 order, so results are
     reproducible at any parallelism.  A doc tombstoned in ANY field
     index is excluded.  Returns TOPK_SCHEMA rows."""
-    if mode not in ("most_fields", "best_fields"):
+    if mode not in ("most_fields", "best_fields", "cross_fields"):
         raise ValueError(f"unknown multi_match mode {mode!r}")
     if not fields:
         raise ValueError("fields must name at least one (Index, weight)")
@@ -1563,6 +1584,7 @@ def bm25_multifield_topk_batch(
     # pass 1 (driver): per-field pruned postings + query-term dfs -> the
     # per-tag scoring metadata and the grid shift (one tiny agg per field)
     meta: dict[str, tuple[float, float, float, float]] = {}
+    field_dfs: dict[str, dict[str, int]] = {}
     posts: dict[str, DataFrame] = {}
     max_df = 0
     tombs = []
@@ -1581,6 +1603,7 @@ def bm25_multifield_topk_batch(
             continue
         posts[fname] = post
         max_df = max(max_df, max(term_df.values()))
+        field_dfs[fname] = term_df
         for t, d in term_df.items():
             meta[f"{fname}\x00{t}"] = (
                 float(weight) * idf(stats["N"], d),
@@ -1593,6 +1616,22 @@ def bm25_multifield_topk_batch(
             tombs.append(t_f)
     if not posts:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    if mode == "cross_fields":
+        # blended df: a term's idf is shared across fields, taken from
+        # its most-frequent field (the Lucene BlendedTermQuery rule)
+        blend = {
+            t: max(d.get(t, 0) for d in field_dfs.values())
+            for t in all_terms
+        }
+        for fname, (ix, weight) in fields.items():
+            stats_f = ix.stats
+            for t in field_dfs.get(fname, {}):
+                meta[f"{fname}\x00{t}"] = (
+                    float(weight) * idf(stats_f["N"], blend[t]),
+                    stats_f["avgdl"],
+                    stats_f["k1"],
+                    stats_f["b"],
+                )
     shift = _range_shift(ref_stats, max_df, num_ranges)
     # pass 2: slice each field's postings onto the shared grid with its
     # own slicer (positional layouts may differ per field)
@@ -1636,9 +1675,11 @@ def bm25_multifield_topk_batch(
             docs, tfs, dls = decode_slice(bytes(blob))
             if not len(docs):
                 continue
-            fname = tag.split("\x00", 1)[0]
-            per_docs.setdefault(fname, []).append(docs)
-            per_contribs.setdefault(fname, []).append(
+            fname, term = tag.split("\x00", 1)
+            # most/best_fields group by FIELD; cross_fields by TERM
+            key = term if mode == "cross_fields" else fname
+            per_docs.setdefault(key, []).append(docs)
+            per_contribs.setdefault(key, []).append(
                 w_idf * impact(tfs, dls, avgdl_f, k1_f, b_f)
             )
         if not per_docs:
@@ -1657,6 +1698,16 @@ def bm25_multifield_topk_batch(
                 [d for f in forder for d in per_docs[f]],
                 [c for f in forder for c in per_contribs[f]],
             )
+        elif mode == "cross_fields":
+            # per TERM: best field per doc (blended idf already baked
+            # into the contributions); per-term bests sum in ascending
+            # term order — the fixed float64 order
+            t_docs, t_best = [], []
+            for t in forder:  # ascending term order
+                ud, sm = _max_over_groups(per_docs[t], per_contribs[t])
+                t_docs.append(ud)
+                t_best.append(sm)
+            udocs, scores = _accumulate_contribs(t_docs, t_best)
         else:  # best_fields (dis_max): per-field subtotals, then combine
             field_res = [
                 _accumulate_contribs(per_docs[f], per_contribs[f])

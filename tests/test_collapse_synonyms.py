@@ -476,4 +476,66 @@ def test_dismax_matches_brute_force(built, path_built, ground, spark):
         assert abs(a.score - b.score) < 1e-12
 
     with pytest.raises(ValueError, match="unknown multi_match mode"):
-        bm25_multifield_topk_batch(spark, flds, [q], mode="cross_fields")
+        bm25_multifield_topk_batch(spark, flds, [q], mode="phrase")
+
+
+def test_cross_fields_matches_brute_force(built, path_built, ground, spark):
+    """cross_fields: blended df (max over fields), best field per term
+    per doc, per-term bests summed — vs a driver-side brute force."""
+    from acora_spark.index.bm25 import bm25_multifield_topk_batch, query_terms
+
+    idx, corpus = built
+    pidx = path_built
+    counts, meta, n_docs, avgdl = ground
+    tok = re.compile(r"[a-z0-9_]+")
+    pcounts = {}
+    for d, (repo, path, _dl) in meta.items():
+        c: dict[str, int] = {}
+        for t in tok.findall(path.lower()):
+            c[t] = c.get(t, 0) + 1
+        pcounts[d] = c
+    pavgdl = sum(sum(c.values()) for c in pcounts.values()) / n_docs
+
+    q = "data zh txt"
+    w_path = 2.5
+    terms = sorted(set(query_terms(q)))
+    blend = {}
+    for t in terms:
+        blend[t] = max(
+            sum(1 for c in counts.values() if t in c),
+            sum(1 for c in pcounts.values() if t in c),
+        )
+    scores: dict[int, float] = {}
+    for t in terms:
+        if not blend[t]:
+            continue
+        ti = _idf(n_docs, blend[t])
+        per_doc_best: dict[int, float] = {}
+        for fc, favg, w, fld in (
+            (counts, avgdl, 1.0, "content"),
+            (pcounts, pavgdl, w_path, "path"),
+        ):
+            for d, c in fc.items():
+                tf = c.get(t, 0)
+                if tf:
+                    dl = sum(c.values()) if fld == "path" else meta[d][2]
+                    s = w * ti * tf / (tf + K1 * (1 - B + B * dl / favg))
+                    per_doc_best[d] = max(per_doc_best.get(d, -1e300), s)
+        for d, s in per_doc_best.items():
+            scores[d] = scores.get(d, 0.0) + s
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = (
+        bm25_multifield_topk_batch(
+            spark,
+            {"content": (idx, 1.0), "path": (pidx, w_path)},
+            [q],
+            k=10,
+            mode="cross_fields",
+        )
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [d for d, _ in expected]
+    for row, (_, s) in zip(got, expected):
+        assert abs(row.score - s) < 1e-9
