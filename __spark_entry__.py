@@ -943,6 +943,31 @@ def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("i").cast("long").alias("i"), "val")
 
 
+CLS_SEED, CLS_BIAS, CLS_THRESH = 31, -0.2, 0.5
+
+
+def _cls_weights():
+    import numpy as np
+
+    return np.random.RandomState(CLS_SEED).standard_normal(HE_DIM)
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier inference: sigmoid of the
+    injected literal weight vector against the hashed-feature embedding
+    — mirrored by the identical feature rebuild + dot + sigmoid in
+    SQL; keep = score >= threshold is the pipeline's filter bit."""
+    from acora_spark.functions.embed import classifier_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % HE_MOD == 0
+    ).select("doc_id", F.col("text").alias("content"))
+    return classifier_score(
+        d, [float(x) for x in _cls_weights()],
+        bias=CLS_BIAS, threshold=CLS_THRESH,
+    )
+
+
 MIX_WEIGHTS = {"en": 1.5, "de": 2.0, "zh": 0.5}  # langs absent: dropped
 
 
@@ -2689,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": q_search_highlight,
         "bucket_pipeline": q_bucket_pipeline,
         "hash_embeddings": q_hash_embeddings,
+        "classifier_score": q_classifier_score,
         "sessionize": q_sessionize,
         "bm25_boosting": q_bm25_boosting,
         "rare_terms": q_rare_terms,
@@ -4003,6 +4029,53 @@ nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM raw GROUP BY doc_id)
 SELECT r.doc_id AS doc_id, r.i::BIGINT AS i,
        round(CASE WHEN n > 0 THEN v / n ELSE v END, 6) AS val
 FROM raw r JOIN nrm USING (doc_id)
+"""
+
+    _clw = _cls_weights()
+    _clw_vals = ", ".join(
+        f"({i}, {repr(float(x))})" for i, x in enumerate(_clw)
+    )
+    sql["classifier_score"] = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {HE_MOD} = 0
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                '[^a-z0-9_]+'), x -> x <> '')) AS tok
+  FROM d
+),
+hb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {HE_DIM} AS bucket,
+         CASE WHEN substr(md5(tok), 9, 1) < '8' THEN 1.0 ELSE -1.0 END AS sign
+  FROM tok
+),
+sums AS (SELECT doc_id, bucket, sum(sign) AS v FROM hb GROUP BY 1, 2),
+axis AS (
+  SELECT d.doc_id AS doc_id, i
+  FROM d CROSS JOIN (SELECT unnest(range(0, {HE_DIM})) AS i)
+),
+raw AS (
+  SELECT a.doc_id AS doc_id, a.i AS i, coalesce(s.v, 0.0) AS v
+  FROM axis a LEFT JOIN sums s ON a.doc_id = s.doc_id AND a.i = s.bucket
+),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM raw GROUP BY doc_id),
+vecs AS (
+  SELECT r.doc_id AS doc_id, r.i AS i,
+         CASE WHEN n > 0 THEN v / n ELSE v END AS val
+  FROM raw r JOIN nrm USING (doc_id)
+),
+w(i, wt) AS (VALUES {_clw_vals}),
+s AS (
+  SELECT doc_id, sum(val * wt) AS dot
+  FROM vecs JOIN w USING (i) GROUP BY doc_id
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(dot + {CLS_BIAS}))), 6) AS score,
+       (round(1.0 / (1.0 + exp(-(dot + {CLS_BIAS}))), 6) >= {CLS_THRESH})
+         AS keep
+FROM s
 """
 
     mix_vals = ", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from acora_spark.functions.tokenize import TOKEN_RE
 
-__all__ = ["hashing_embeddings"]
+__all__ = ["hashing_embeddings", "classifier_score"]
 
 
 def hashing_embeddings(
@@ -95,3 +95,60 @@ def hashing_embeddings(
         ).otherwise(F.array_repeat(F.lit(0.0), dim)),
     )
     return out.drop("m")
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: Sequence[float],
+    *,
+    bias: float = 0.0,
+    content_col: str = "content",
+    key_cols: Sequence[str] = ("doc_id",),
+    signed: bool = True,
+    normalize: bool = True,
+    threshold: float | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE over hashed features — the
+    fastText shape (Joulin et al., EACL '17) every major pretraining
+    pipeline uses as its quality / domain classifier filter (CCNet's
+    Wikipedia-reference model, GPT-3's WebText classifier): features
+    are exactly :func:`hashing_embeddings` with ``dim = len(weights)``,
+    ``score = sigmoid(w . x + bias)``.
+
+    Training happens offline (any logistic-regression fit over the
+    same hashed features); THIS operator is the distributed scoring
+    pass, with the trained ``weights`` injected as literals — which is
+    also what makes it SQL-mirrorable.  The dot product folds in fixed
+    index order (bit-reproducible).  Returns ``key_cols`` + ``score``
+    (+ ``keep`` when ``threshold`` is given — the filtering decision
+    pipelines actually apply)."""
+    w = [float(x) for x in weights]
+    if not w:
+        raise ValueError("weights must be non-empty")
+    emb = hashing_embeddings(
+        df,
+        content_col=content_col,
+        key_cols=key_cols,
+        dim=len(w),
+        signed=signed,
+        normalize=normalize,
+        round_to=None,
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(x) for x in w]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    z = dot + F.lit(float(bias))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    out = emb.select(*list(key_cols), score.alias("score"))
+    if threshold is not None:
+        out = out.withColumn("keep", F.col("score") >= F.lit(float(threshold)))
+    return out

@@ -60,3 +60,49 @@ def test_hashing_embeddings_mirror(spark):
     assert raw[0] == _mirror(docs[0][1], 16, normalize=False)
     with pytest.raises(ValueError, match="dim"):
         hashing_embeddings(sdf, dim=0)
+
+
+def test_classifier_score_matches_numpy(spark):
+    """sigmoid(w.x + b) over the hashed features vs numpy, keep bit at
+    the threshold, zero-token doc scores sigmoid(bias)."""
+    import hashlib as _hl
+    import math
+    import re as _re
+
+    import numpy as np
+
+    from acora_spark.functions.embed import classifier_score
+
+    texts = {1: "alpha beta beta gamma", 2: "delta", 3: ""}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, content string"
+    )
+    dim = 8
+    w = np.random.RandomState(3).standard_normal(dim)
+    tok = _re.compile(r"[a-z0-9_]+")
+
+    def embed(t):
+        v = np.zeros(dim)
+        for x in tok.findall(t.lower()):
+            h = _hl.md5(x.encode()).hexdigest()
+            v[int(h[:8], 16) % dim] += 1.0 if h[8] < "8" else -1.0
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    got = {
+        r.doc_id: (r.score, r.keep)
+        for r in classifier_score(
+            docs, list(w), bias=0.1, threshold=0.5
+        ).collect()
+    }
+    for i, t in texts.items():
+        z = float(embed(t) @ w) + 0.1
+        want = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert got[i][0] == pytest.approx(want, abs=1e-6)
+        assert got[i][1] == (got[i][0] >= 0.5)
+    # empty doc: zero vector -> sigmoid(bias)
+    assert got[3][0] == pytest.approx(
+        round(1.0 / (1.0 + math.exp(-0.1)), 6), abs=1e-9
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        classifier_score(docs, [])
