@@ -3700,35 +3700,36 @@ def search_sampler(
 
     Determinism: the sample cut ranks by (score rounded to 4, doc_id
     asc) — the same convention every ranked driver query uses, so any
-    engine reproduces the identical sample.  The diversity rank of a
-    doc counts only HIGHER-RANKED docs of the same value, all of which
-    sit inside any fetch that contains the doc, so ranking the fetched
-    candidate slice (4x shard_size) equals ranking the full corpus.
-    Windows run over that O(shard_size) slice, never over the corpus.
-    Returns ``(value, doc_count)`` rows."""
+    engine reproduces the identical sample.  Exactness: the diversified
+    greedy stream ("skip a doc whose value already holds max docs, stop
+    at shard_size") equals "per-value rank <= max, then the global
+    top-shard_size" — but ONLY when the per-value rank is computed over
+    the FULL candidate set (a rare value's eligible docs can rank
+    arbitrarily deep), so this runs on the shared full-candidate ranged
+    pass (:func:`bm25_collapse_topk_batch`'s engine), exactly like
+    field collapsing and for the same reason.  The per-value window
+    partitions by facet value (distributed); the final cut is a
+    distributed TakeOrdered of ``shard_size`` rows.  Returns
+    ``(value, doc_count)`` rows."""
     if shard_size < 1:
         raise ValueError("shard_size must be >= 1")
-    raw = bm25_topk_batch(spark, index, [query], k=4 * shard_size)
     dm = index.docmap(spark)
     if facet_col not in dm.columns:
         raise ValueError(
             f"facet column {facet_col!r} not in docmap columns "
             f"{sorted(dm.columns)}"
         )
-    cand = (
-        raw.withColumn("score", F.round("score", 4))
-        .join(dm.select("doc_id", facet_col), "doc_id")
-    )
+    raw = _score_all_candidates(spark, index, [query], score_round=4)
+    if raw is None:
+        return spark.createDataFrame([], "value string, doc_count long")
+    cand = raw.join(dm.select("doc_id", facet_col), "doc_id")
     order = [F.desc("score"), F.asc("doc_id")]
     if max_docs_per_value is not None:
         wv = Window.partitionBy(facet_col).orderBy(*order)
         cand = cand.withColumn("_vr", F.row_number().over(wv)).filter(
             F.col("_vr") <= max_docs_per_value
         )
-    wg = Window.partitionBy(F.lit(1)).orderBy(*order)
-    sample = cand.withColumn("_r", F.row_number().over(wg)).filter(
-        F.col("_r") <= shard_size
-    )
+    sample = cand.orderBy(*order).limit(shard_size)
     return (
         sample.groupBy(F.col(facet_col).alias("value"))
         .agg(F.count("*").alias("doc_count"))
@@ -4223,7 +4224,6 @@ def significant_terms(
     soft-deleted docs until compaction — the documented stats trade.
     Returns ``(term, fg_count, bg_count, score)`` rows, score desc,
     term asc, limited to ``top_n``."""
-    stats = index.stats
     res = boolean_query_batch(
         spark, index, [query], num_ranges=num_ranges
     ).select("doc_id")

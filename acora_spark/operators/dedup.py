@@ -782,8 +782,17 @@ def dedup_spans(
     k = int(min_len)
     content = F.col(content_col)
     suffix = "0" * int(anchor_nibbles)
+    # guard: sequence(1, 0) DESCENDS ([1, 0]) in Spark — a doc shorter
+    # than min_len would get two aliased anchor candidates (substring
+    # pos 0 == pos 1) whose identical window hash then counts as its
+    # own duplicate, falsely flagging (and in cut mode erasing) ~1/16
+    # of short docs.  Short docs have no window at all.
+    positions = F.when(
+        F.length(content) >= k,
+        F.sequence(F.lit(1), F.length(content) - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     anchors = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.length(content) - (k - 1), F.lit(0))),
+        positions,
         lambda p: F.md5(F.substring(content, p, anchor_q)).endswith(suffix),
     )
     wins_arr = F.transform(

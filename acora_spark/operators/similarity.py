@@ -260,13 +260,7 @@ def build_ann_index(
             out = pdf.copy()
             out["cell"] = d2.argmin(1)
             if bks is not None:
-                m, _kc, sub = bks.shape
-                codes = np.empty((len(mat), m), dtype=np.int32)
-                for j in range(m):
-                    X = mat[:, j * sub : (j + 1) * sub]
-                    dj = ((X[:, None, :] - bks[j][None, :, :]) ** 2).sum(-1)
-                    codes[:, j] = dj.argmin(1)
-                out["codes"] = list(codes)
+                out["codes"] = list(_pq_assign_codes(mat, bks))
             yield out
 
     schema = ", ".join(
@@ -368,19 +362,12 @@ def ann_query(
     if not pq:
         return brute_force_topk(cells, query_vec, k, id_col, vec_col)
     books = np.asarray(meta["pq"], dtype=np.float64)
+    if rerank is None:
+        return pq_topk(cells, query_vec, books, k, id_col=id_col)
     adc = cells.select(
         F.col(id_col),
         F.round(_adc_score_col(books, query_vec), 6).alias("pq_cosine"),
     )
-    if rerank is None:
-        top = adc.orderBy(F.desc("pq_cosine"), F.asc(id_col)).limit(k)
-        return top.coalesce(1).sortWithinPartitions(
-            F.desc("pq_cosine"), F.asc(id_col)
-        ).select(
-            (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
-            id_col,
-            "pq_cosine",
-        )
     cand = adc.orderBy(F.desc("pq_cosine"), F.asc(id_col)).limit(
         max(int(rerank), k)
     )
@@ -579,18 +566,34 @@ def pq_encode(
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            codes = np.empty((len(mat), m), dtype=np.int32)
-            for j in range(m):
-                X = mat[:, j * sub : (j + 1) * sub]
-                d2 = ((X[:, None, :] - bks[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = d2.argmin(1)
             yield pd.DataFrame(
-                {"id": pdf[id_col].astype("int64"), "codes": list(codes)}
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "codes": list(_pq_assign_codes(mat, bks)),
+                }
             )
 
     return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         encode, "id long, codes array<int>"
     ).withColumnRenamed("id", id_col)
+
+
+def _pq_assign_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-subspace argmin codeword ids for a batch of vectors — the ONE
+    assignment rule shared by :func:`pq_encode` and the IVF-PQ build
+    (divergence here would silently break the cross-engine mirror).
+    Validates the vector dim against the codebook."""
+    m, _kc, sub = books.shape
+    if mat.shape[1] != m * sub:
+        raise ValueError(
+            f"vector dim {mat.shape[1]} != codebook dim {m * sub}"
+        )
+    codes = np.empty((len(mat), m), dtype=np.int32)
+    for j in range(m):
+        X = mat[:, j * sub : (j + 1) * sub]
+        d2 = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(1)
+    return codes
 
 
 def _adc_score_col(

@@ -124,6 +124,10 @@ def _boundaries_crossed(unit: str, lo, hi) -> int:
     oracle picks the identical ladder rung."""
     import datetime as dt
 
+    if isinstance(lo, dt.date) and not isinstance(lo, dt.datetime):
+        lo = dt.datetime(lo.year, lo.month, lo.day)
+    if isinstance(hi, dt.date) and not isinstance(hi, dt.datetime):
+        hi = dt.datetime(hi.year, hi.month, hi.day)
     if unit in ("minute", "hour", "day", "week"):
         step = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}[unit]
         # week boundaries are Mondays: epoch day 0 (1970-01-01) was a

@@ -750,6 +750,19 @@ def test_dedup_spans_matches_python_mirror(spark):
             keep.append(t[pos - 1 :])
             assert cut[i] == "".join(keep)
 
+    # docs SHORTER than min_len carry no window and must never be
+    # flagged (regression: sequence(1, 0) descends in Spark, aliasing
+    # positions 0/1 into a self-duplicate window)
+    shorts = spark.createDataFrame(
+        [(100 + i, f"short doc number {i}") for i in range(32)],
+        "doc_id long, content string",
+    )
+    assert dedup_spans(shorts, min_len=K, anchor_q=Q).count() == 0
+    cut_short = dedup_spans(shorts, min_len=K, anchor_q=Q, mode="cut")
+    assert {r.content for r in cut_short.collect()} == {
+        f"short doc number {i}" for i in range(32)
+    }
+
     with pytest.raises(ValueError, match="mode"):
         dedup_spans(docs, mode="nope")
     with pytest.raises(ValueError, match="min_len"):

@@ -753,6 +753,28 @@ def test_search_sampler_and_diversified(built, ground, spark):
     }
     assert gotd == wantd
 
+    # skew case: max 1 per lang forces the sampler to reach ARBITRARILY
+    # deep in the ranking for rare langs (the old fetch-bounded
+    # implementation truncated here)
+    per1, kept1 = {}, []
+    for r in stream:
+        lang = dm[r.doc_id]
+        if per1.get(lang, 0) < 1:
+            per1[lang] = 1
+            kept1.append(lang)
+        if len(kept1) == 4:
+            break
+    want1: dict = {}
+    for lang in kept1:
+        want1[lang] = want1.get(lang, 0) + 1
+    got1 = {
+        r.value: r.doc_count
+        for r in search_sampler(
+            spark, idx, q, "lang", shard_size=4, max_docs_per_value=1
+        ).collect()
+    }
+    assert got1 == want1
+
     with pytest.raises(ValueError, match="facet column"):
         search_sampler(spark, idx, q, "nope")
     with pytest.raises(ValueError, match="shard_size"):
