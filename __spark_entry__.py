@@ -1312,6 +1312,22 @@ FACET_MUST = ["data"]
 FACET_NOT = ["window"]
 
 
+PHRASE_SUGGEST_TEXT = "dat merg"  # two misspellings
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester: per-token nearest vocabulary candidates
+    (levenshtein <= 2, dist/df/term order) producted into candidate
+    phrases, ranked by df-unigram LM + edit penalty — mirrored by the
+    identical candidate windows, product, and score in SQL."""
+    from acora_spark.index.bm25 import suggest_phrase
+
+    idx = _index_for(spark, sf_dir)
+    return suggest_phrase(
+        spark, idx, PHRASE_SUGGEST_TEXT, max_edits=2, top_n=8
+    )
+
+
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted navigation: per-lang result counts over a boolean result
     set (boolean retrieval -> docmap join -> map-combined counts)."""
@@ -2658,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "more_like_this": q_more_like_this,
         "term_suggest": q_term_suggest,
+        "phrase_suggest": q_phrase_suggest,
         "search_facets": q_search_facets,
         "phrase_match": q_phrase_match,
         "phrase_prefix": q_phrase_prefix,
@@ -4844,6 +4861,43 @@ SELECT path FROM toks
 WHERE ({msm_sum}) >= {MSM_N}
 ORDER BY doc_id
 LIMIT 2000
+"""
+
+    # phrase suggester: identical candidate windows, product, LM score
+    _ps_toks = PHRASE_SUGGEST_TEXT.lower().split()
+    _ps_cand = """
+vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  GROUP BY term
+),
+nd AS (SELECT count(*)::DOUBLE AS n FROM toks)"""
+    _ps_pos = ",\n".join(
+        f"""c{i} AS (
+  SELECT term, df, levenshtein(term, '{t}') AS dist
+  FROM vocab WHERE levenshtein(term, '{t}') <= 2
+  ORDER BY dist ASC, df DESC, term ASC LIMIT 3
+)"""
+        for i, t in enumerate(_ps_toks)
+    )
+    _ps_phrase = " || ' ' || ".join(
+        f"c{i}.term" for i in range(len(_ps_toks))
+    )
+    _ps_score = " + ".join(
+        f"(ln((c{i}.df + 1) / nd.n) - 5.0 * c{i}.dist)"
+        for i in range(len(_ps_toks))
+    )
+    _ps_from = " CROSS JOIN ".join(f"c{i}" for i in range(len(_ps_toks)))
+    sql["phrase_suggest"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+{_ps_cand},
+{_ps_pos}
+SELECT {_ps_phrase} AS phrase,
+       round({_ps_score}, 6) AS score
+FROM {_ps_from} CROSS JOIN nd
+ORDER BY score DESC, phrase ASC
+LIMIT 8
 """
 
     # terms_set: distinct-membership count vs a per-row requirement

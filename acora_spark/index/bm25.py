@@ -3198,6 +3198,96 @@ def suggest_correction(
     return [(r["term"], int(r["dist"]), int(r["df"])) for r in rows]
 
 
+def suggest_phrase(
+    spark: SparkSession,
+    index: Index,
+    text: str,
+    *,
+    max_edits: int = 1,
+    per_token: int = 3,
+    top_n: int = 5,
+    lam: float = 5.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``phrase`` suggester (multi-word did-you-mean): per input
+    token, the ``per_token`` nearest vocabulary terms within
+    ``max_edits`` (ordered dist asc, df desc, term asc — a misspelling
+    corrects toward the closest COMMON term); candidate phrases are the
+    per-position product, scored by a document-frequency unigram LM
+    with an edit penalty::
+
+        score(phrase) = sum_i [ ln((df_i + 1) / N) - lam * dist_i ]
+
+    (ES ranks candidates with an index n-gram LM plus an error-model
+    discount; df-unigram + per-edit penalty is the same trade expressed
+    with the statistics the index already stores, and ``lam`` plays the
+    error-model role).  Returns ``(phrase, score)``, best first.
+
+    Shape: ONE column-pruned vocab scan serves every position (the
+    token list broadcasts and candidates survive a levenshtein filter
+    map-side); per-position top-k is a window over the FILTERED
+    near-match rows only; the phrase product crossJoins per_token-row
+    broadcast frames — bounded per_token^len(tokens) rows, all
+    declarative.  A position with no in-vocab neighbor keeps its
+    original token with df 0 (the +1 smoothing keeps its LM term
+    finite), so one unfixable typo cannot blank the whole suggestion."""
+    tokens = query_terms(text)
+    if not tokens:
+        raise ValueError("suggest_phrase needs at least one token")
+    if per_token < 1 or top_n < 1:
+        raise ValueError("per_token and top_n must be >= 1")
+    n_docs = float(index.stats["N"])
+    vocab = index.postings(spark).groupBy("term").agg(
+        F.sum("df").alias("df")
+    )
+    tok_df = spark.createDataFrame(
+        list(enumerate(tokens)), "pos int, token string"
+    )
+    dist = F.levenshtein(F.col("term"), F.col("token"))
+    cand = (
+        vocab.crossJoin(F.broadcast(tok_df))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= max_edits)
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    top = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_token)
+        .select("pos", "term", "dist", "df")
+    )
+    have = {r["pos"] for r in top.select("pos").distinct().collect()}
+    missing = [
+        (i, t, 0, 0) for i, t in enumerate(tokens) if i not in have
+    ]
+    if missing:
+        top = top.unionByName(
+            spark.createDataFrame(
+                missing, "pos int, term string, dist int, df long"
+            )
+        )
+    part = F.log((F.col("df") + 1) / F.lit(n_docs)) - F.lit(
+        float(lam)
+    ) * F.col("dist")
+    cur = top.filter(F.col("pos") == 0).select(
+        F.array("term").alias("_terms"), part.alias("_s")
+    )
+    for i in range(1, len(tokens)):
+        nxt = top.filter(F.col("pos") == i).select(
+            F.col("term").alias("_t"), part.alias("_p")
+        )
+        cur = cur.crossJoin(F.broadcast(nxt)).select(
+            F.concat("_terms", F.array("_t")).alias("_terms"),
+            (F.col("_s") + F.col("_p")).alias("_s"),
+        )
+    score = F.round("_s", round_to) if round_to is not None else F.col("_s")
+    out = cur.select(
+        F.array_join("_terms", " ").alias("phrase"), score.alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc("phrase")).limit(top_n)
+
+
 def search_facets(
     spark: SparkSession,
     index: Index,

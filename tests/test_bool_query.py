@@ -370,3 +370,61 @@ def test_terms_set_query_matches_brute_force(spark, built):
             spark, idx,
             [{"terms": [], "minimum_should_match_field": "dl"}],
         )
+
+
+def test_suggest_phrase_ranking_and_fallback(spark, built):
+    """Phrase suggester: df-LM + edit-penalty ranking vs a brute force
+    over the real vocabulary; an OOV token with no neighbors keeps
+    itself with df 0."""
+    import itertools
+    import math
+    import re as _re
+
+    from acora_spark.index.bm25 import suggest_phrase
+
+    idx, corpus = built
+    tok = _re.compile(r"[a-z0-9_]+")
+    df: dict = {}
+    rows = corpus.collect()
+    for r in rows:
+        for t in set(tok.findall(r.content.lower())):
+            df[t] = df.get(t, 0) + 1
+    n = float(len(rows))
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[lb]
+
+    text = "dat merge"
+    toks = text.split()
+    cands = []
+    for t in toks:
+        cs = [
+            (term, lev(term, t), c) for term, c in df.items()
+            if lev(term, t) <= 1
+        ]
+        cs.sort(key=lambda x: (x[1], -x[2], x[0]))
+        cands.append(cs[:3] or [(t, 0, 0)])
+    want = []
+    for combo in itertools.product(*cands):
+        phrase = " ".join(c[0] for c in combo)
+        s = sum(math.log((c[2] + 1) / n) - 5.0 * c[1] for c in combo)
+        want.append((phrase, round(s, 6)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = suggest_phrase(spark, idx, text, top_n=5).collect()
+    assert [(r.phrase, r.score) for r in got] == [
+        (p, pytest.approx(s, abs=1e-6)) for p, s in want[:5]
+    ]
+
+    # OOV token with no in-vocab neighbor: falls back to itself (df 0)
+    got2 = suggest_phrase(spark, idx, "data zzqqzzqq", top_n=3).collect()
+    assert all(r.phrase.endswith(" zzqqzzqq") for r in got2)
+    with pytest.raises(ValueError, match="at least one token"):
+        suggest_phrase(spark, idx, "!!!")
