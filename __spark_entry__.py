@@ -1584,6 +1584,26 @@ def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("rank", "repo", "path", "score")
 
 
+COLLAPSE_HITS = 3
+
+
+def q_bm25_collapse_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing with inner_hits (ES collapse.inner_hits): the
+    top-k repos by best doc, each returning its 3 best docs with a
+    per-group hit rank — mirrored by two stacked windows in SQL."""
+    from acora_spark.index.bm25 import bm25_collapse_topk_batch
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_collapse_topk_batch(
+        spark, idx, [BM25_QUERY], field="repo", k=BM25_K, score_round=4,
+        inner_hits=COLLAPSE_HITS,
+    )
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select(
+        "rank", "repo", "path", "score", "hit_rank"
+    )
+
+
 FSCORE_QUERY = "data merge"
 
 
@@ -2683,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_match": q_percolate_match,
         "bm25_search_after": q_bm25_search_after,
         "bm25_collapse": q_bm25_collapse,
+        "bm25_collapse_hits": q_bm25_collapse_hits,
         "bm25_function_score": q_bm25_function_score,
         "bm25_rescore": q_bm25_rescore,
         "bm25_synonyms": q_bm25_synonyms,
@@ -4709,6 +4730,44 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
 FROM best WHERE rn = 1
 ORDER BY score DESC, doc_id ASC
 LIMIT {BM25_K}
+"""
+
+    sql["bm25_collapse_hits"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+dl AS (SELECT doc_id, path, len(t) AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qterms(term) AS (VALUES {_values(collapse_terms)}),
+tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok_rows WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ), 4) AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN dfreq d USING (term)
+  GROUP BY tf.doc_id
+),
+grp AS (
+  SELECT d.repo, d.path, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.repo ORDER BY s.score DESC, s.doc_id ASC
+         ) AS hit_rank
+  FROM scored s JOIN docs d USING (doc_id)
+),
+winners AS (
+  SELECT repo, row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM grp WHERE hit_rank = 1
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {BM25_K}
+)
+SELECT w.rank, g.repo, g.path, g.score, g.hit_rank::INT AS hit_rank
+FROM grp g JOIN winners w USING (repo)
+WHERE g.hit_rank <= {COLLAPSE_HITS}
 """
 
     # function_score: BM25 * log1p(dl), rounded once on the COMBINED

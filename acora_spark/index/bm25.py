@@ -1099,6 +1099,7 @@ def bm25_collapse_topk_batch(
     k: int = 10,
     num_ranges: int | None = None,
     score_round: int | None = None,
+    inner_hits: int = 1,
 ) -> DataFrame:
     """Field-collapsed top-k (the ES ``collapse`` / Lucene grouping
     shape): rank documents by BM25, then return the top-``k`` GROUPS per
@@ -1126,10 +1127,19 @@ def bm25_collapse_topk_batch(
     ``score_round`` (optional) rounds scores BEFORE the group-best
     selection — the oracle-comparison hook (float jitter between
     independent scorers must not flip near-tied winners).  Returns
-    (query_id, rank, <field>, doc_id, score)."""
+    (query_id, rank, <field>, doc_id, score); with ``inner_hits > 1``
+    (the ES collapse ``inner_hits`` option) each of the top-``k``
+    groups returns its best ``inner_hits`` docs, ordered inside the
+    group, with an extra ``hit_rank`` column — groups still rank by
+    their BEST doc, and per-group hit selection is one window
+    partitioned by (query, group)."""
+    if inner_hits < 1:
+        raise ValueError("inner_hits must be >= 1")
     out_schema = (
         f"query_id long, rank int, {field} string, doc_id long, score double"
     )
+    if inner_hits > 1:
+        out_schema += ", hit_rank int"
     scored = _score_all_candidates(
         spark, index, queries, num_ranges=num_ranges, score_round=score_round
     )
@@ -1157,10 +1167,29 @@ def bm25_collapse_topk_batch(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
-    return (
+    winners = (
         best.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", field, "doc_id", "score")
+    )
+    if inner_hits == 1:
+        return winners.select("query_id", "rank", field, "doc_id", "score")
+    # inner hits: every candidate of a winning group, windowed per
+    # (query, group), top inner_hits each
+    wg = Window.partitionBy("query_id", field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    hits = (
+        scored.join(dm, "doc_id")
+        .join(
+            F.broadcast(winners.select("query_id", field, "rank")),
+            ["query_id", field],
+        )
+        .withColumn("hit_rank", F.row_number().over(wg))
+        .filter(F.col("hit_rank") <= inner_hits)
+    )
+    return hits.select(
+        "query_id", "rank", field, "doc_id", "score",
+        F.col("hit_rank").cast("int").alias("hit_rank"),
     )
 
 

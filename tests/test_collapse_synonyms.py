@@ -539,3 +539,46 @@ def test_cross_fields_matches_brute_force(built, path_built, ground, spark):
     assert [r.doc_id for r in got] == [d for d, _ in expected]
     for row, (_, s) in zip(got, expected):
         assert abs(row.score - s) < 1e-9
+
+
+def test_collapse_inner_hits(built, ground, spark):
+    """inner_hits: top-k groups by best doc, each returning its best N
+    docs in group order — vs a brute force over the executor's own
+    full scoring."""
+    from acora_spark.index.bm25 import (
+        bm25_collapse_topk_batch,
+        bm25_topk_batch,
+    )
+
+    idx, _ = built
+    q = "data merge stream"
+    full = {
+        r.doc_id: round(r.score, 4)
+        for r in bm25_topk_batch(spark, idx, [q], k=100_000).collect()
+    }
+    dm = {r.doc_id: r.repo for r in idx.docmap(spark).collect()}
+    groups: dict = {}
+    for d, s in full.items():
+        groups.setdefault(dm[d], []).append((s, d))
+    for g in groups.values():
+        g.sort(key=lambda t: (-t[0], t[1]))
+    winners = sorted(
+        ((g[0], repo) for repo, g in groups.items()),
+        key=lambda t: (-t[0][0], t[0][1]),
+    )[:3]
+    want = []
+    for rank, ((_, _), repo) in enumerate(winners, 1):
+        for hr, (s, d) in enumerate(groups[repo][:2], 1):
+            want.append((rank, repo, d, s, hr))
+
+    got = (
+        bm25_collapse_topk_batch(
+            spark, idx, [q], field="repo", k=3, score_round=4, inner_hits=2
+        )
+        .orderBy("rank", "hit_rank")
+        .collect()
+    )
+    assert [(r.rank, r.repo, r.doc_id, r.score, r.hit_rank) for r in got] == want
+
+    with pytest.raises(ValueError, match="inner_hits"):
+        bm25_collapse_topk_batch(spark, idx, [q], inner_hits=0)
