@@ -1924,6 +1924,25 @@ def q_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("path", "span")
 
 
+SPAN_FIRST_TERM, SPAN_FIRST_END = "data", 5
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanFirstQuery: docs whose first 5 token positions contain
+    'data', with the earliest qualifying position — mirrored by a
+    position-indexed token filter in SQL."""
+    from acora_spark.index.bm25 import span_first_batch
+
+    idx = _pos_index_for(spark, sf_dir)
+    res = span_first_batch(
+        spark, idx,
+        [{"term": SPAN_FIRST_TERM, "end": SPAN_FIRST_END}],
+        num_ranges=4,
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("path", "first_pos")
+
+
 NDA_MOD, NDA_THRESHOLD = 43, 0.5
 
 
@@ -2747,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_linear": q_hybrid_linear,
         "span_near": q_span_near,
+        "span_first": q_span_first,
         "matched_queries": q_matched_queries,
         "adjacency_matrix": q_adjacency_matrix,
         "search_highlight": q_search_highlight,
@@ -5345,6 +5365,20 @@ spans AS (
   GROUP BY a.doc_id, a.path
 )
 SELECT path, span FROM spans WHERE span <= {SPAN_SLOP}
+"""
+
+    sql["span_first"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+posr AS (
+  SELECT doc_id, path, unnest(t) AS term,
+         unnest(range(len(t))) AS p
+  FROM toks
+)
+SELECT path, min(p)::BIGINT AS first_pos
+FROM posr
+WHERE term = '{SPAN_FIRST_TERM}' AND p < {SPAN_FIRST_END}
+GROUP BY doc_id, path
 """
 
     sql["content_integrity"] = f"""

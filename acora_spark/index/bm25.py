@@ -2224,6 +2224,105 @@ def near_match_batch(
     ).applyInPandas(run_range, NEAR_SCHEMA)
 
 
+SPAN_FIRST_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("first_pos", LongType(), False),
+    ]
+)
+
+
+def span_first_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[dict],
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Lucene ``SpanFirstQuery`` (ES intervals' position gate): docs
+    where ``term`` occurs within the FIRST ``end`` token positions
+    (0-based, exclusive bound — ``end=1`` means "the document's first
+    token"), with the earliest qualifying position.  The
+    title-/lead-paragraph-boost primitive for stores that index body
+    text as one field.
+
+    Same positional slice grid as the phrase/NEAR executors: packed
+    (doc << pos_bits | position) keys arrive sorted, so a doc's minimum
+    position is the FIRST key of its run (one ``np.unique`` with
+    return_index — no per-doc loop); the position filter is a mask on
+    the low bits.  Returns ``(query_id, doc_id, first_pos)``."""
+    stats = index.stats
+    if not stats.get("with_positions"):
+        raise ValueError(
+            "span_first requires an index built with_positions=True"
+        )
+    specs: dict[int, tuple[str, int]] = {}
+    for qi, q in enumerate(queries):
+        ts = query_terms(q.get("term", ""))
+        if len(ts) != 1:
+            raise ValueError(
+                f"query {qi}: span_first takes exactly one term, got "
+                f"{ts!r}"
+            )
+        end = int(q.get("end", 1))
+        if end < 1:
+            raise ValueError(f"query {qi}: end must be >= 1")
+        specs[qi] = (ts[0], end)
+    all_terms = sorted({t for t, _ in specs.values()})
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    post = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(all_terms)
+    )
+    term_df = _query_term_df(post)
+    if not term_df:
+        return spark.createDataFrame([], SPAN_FIRST_SCHEMA)
+    pos_bits = _phrase_pos_bits(stats, 1)
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+    qdf = spark.createDataFrame(
+        [(qi, t) for qi, (t, _) in specs.items()],
+        "query_id long, term string",
+    )
+    joined = post.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    sliced = joined.mapInPandas(
+        _make_positional_slicer(shift, pos_bits),
+        "query_id long, rng long, term string, keys array<long>",
+    )
+    bc_specs = spark.sparkContext.broadcast(specs)
+    tomb = index.tombstones(spark)
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+    mask = (1 << pos_bits) - 1
+
+    def run_range(key, pdf):
+        qid = int(key[0])
+        _term, end = bc_specs.value[qid]
+        arrs = [np.asarray(a, dtype=np.int64) for a in pdf["keys"]]
+        keys = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+        keys = keys[(keys & mask) < end]
+        if not len(keys):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "first_pos": pd.Series([], dtype=np.int64),
+                }
+            )
+        docs_all = keys >> pos_bits
+        docs, first = np.unique(docs_all, return_index=True)
+        first_pos = keys[first] & mask
+        if bc_ex is not None and len(docs):
+            keep = ~np.isin(docs, bc_ex.value, assume_unique=True)
+            docs, first_pos = docs[keep], first_pos[keep]
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": docs, "first_pos": first_pos}
+        )
+
+    return sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, SPAN_FIRST_SCHEMA)
+
+
 def _tagged_boolean_batch(
     spark: SparkSession,
     index: Index,

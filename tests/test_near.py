@@ -256,3 +256,38 @@ def test_span_near_ordered_brute_force(spark, sf_dir, tmp_path):
         span_near_match_batch(spark, idx, [{"terms": ["a", "b"], "slop": -1}])
     with pytest.raises(ValueError, match="two terms"):
         span_near_match_batch(spark, idx, [{"terms": ["only"], "slop": 2}])
+
+
+def test_span_first_matches_brute_force(spark, pos_built):
+    """SpanFirstQuery: earliest qualifying position < end vs a token
+    brute force; validation for multi-term input and end < 1."""
+    import re as _re
+
+    from acora_spark.index.bm25 import span_first_batch
+
+    idx, corpus = pos_built
+    tok = _re.compile(r"[a-z0-9_]+")
+    res = span_first_batch(
+        spark, idx,
+        [{"term": "data", "end": 4}, {"term": "merge", "end": 1}],
+        num_ranges=4,
+    ).collect()
+    got = {(r.query_id, r.doc_id): r.first_pos for r in res}
+    dm = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    want = {}
+    for row in corpus.collect():
+        toks = tok.findall(row.content.lower())
+        did = dm[(row.repo, row.path, row.commit)]
+        for qi, (t, end) in enumerate([("data", 4), ("merge", 1)]):
+            hits = [p for p in range(min(end, len(toks))) if toks[p] == t]
+            if hits:
+                want[(qi, did)] = hits[0]
+    assert got == want
+
+    with pytest.raises(ValueError, match="exactly one term"):
+        span_first_batch(spark, idx, [{"term": "two words"}])
+    with pytest.raises(ValueError, match="end must be"):
+        span_first_batch(spark, idx, [{"term": "data", "end": 0}])
