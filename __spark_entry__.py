@@ -1943,6 +1943,26 @@ def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(docmap, "doc_id").select("path", "first_pos")
 
 
+SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_PRE, SPAN_NOT_POST = "table", "hash", 1, 0
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNotQuery: occurrences of 'table' not directly preceded
+    by 'hash' (pre=1), with the per-doc surviving count — mirrored by a
+    position anti-join in SQL."""
+    from acora_spark.index.bm25 import span_not_batch
+
+    idx = _pos_index_for(spark, sf_dir)
+    res = span_not_batch(
+        spark, idx,
+        [{"include": SPAN_NOT_INC, "exclude": SPAN_NOT_EXC,
+          "pre": SPAN_NOT_PRE, "post": SPAN_NOT_POST}],
+        num_ranges=4,
+    ).drop("query_id")
+    docmap = idx.docmap(spark).select("doc_id", "path")
+    return res.join(docmap, "doc_id").select("path", "n_clean")
+
+
 NDA_MOD, NDA_THRESHOLD = 43, 0.5
 
 
@@ -2767,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_linear": q_hybrid_linear,
         "span_near": q_span_near,
         "span_first": q_span_first,
+        "span_not": q_span_not,
         "matched_queries": q_matched_queries,
         "adjacency_matrix": q_adjacency_matrix,
         "search_highlight": q_search_highlight,
@@ -5379,6 +5400,28 @@ SELECT path, min(p)::BIGINT AS first_pos
 FROM posr
 WHERE term = '{SPAN_FIRST_TERM}' AND p < {SPAN_FIRST_END}
 GROUP BY doc_id, path
+"""
+
+    sql["span_not"] = f"""
+WITH {_CORPUS_CTE},
+{_TOKS_CTE},
+posr AS (
+  SELECT doc_id, path, unnest(t) AS term,
+         unnest(range(len(t))) AS p
+  FROM toks
+),
+inc AS (SELECT doc_id, path, p FROM posr WHERE term = '{SPAN_NOT_INC}'),
+exc AS (SELECT doc_id, p FROM posr WHERE term = '{SPAN_NOT_EXC}'),
+clean AS (
+  SELECT i.doc_id, i.path, i.p
+  FROM inc i LEFT JOIN exc e
+    ON i.doc_id = e.doc_id
+   AND e.p BETWEEN i.p - {SPAN_NOT_PRE} AND i.p + {SPAN_NOT_POST}
+  GROUP BY i.doc_id, i.path, i.p
+  HAVING count(e.p) = 0
+)
+SELECT path, count(*)::BIGINT AS n_clean
+FROM clean GROUP BY doc_id, path
 """
 
     sql["content_integrity"] = f"""

@@ -2323,6 +2323,133 @@ def span_first_batch(
     ).applyInPandas(run_range, SPAN_FIRST_SCHEMA)
 
 
+SPAN_NOT_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("n_clean", LongType(), False),
+    ]
+)
+
+
+def span_not_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: Sequence[dict],
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Lucene ``SpanNotQuery``: occurrences of ``include`` that are NOT
+    within ``pre`` tokens before / ``post`` tokens after any occurrence
+    of ``exclude`` — "match 'table' except inside 'hash table'" — with
+    the count of surviving occurrences per doc (docs with none are
+    omitted).  Query dicts: ``{"include": t, "exclude": t, "pre": n,
+    "post": n}`` (pre/post default 0 = same-position only).
+
+    Kernel on the packed positional grid: both terms' (doc << pos_bits
+    | position) keys arrive sorted; for every include key ONE
+    searchsorted against the exclude keys finds the nearest exclude at
+    or below position+post, and the occurrence survives iff that key
+    falls below position-pre (position-bit slack is sized past
+    ``max_dl + pre`` so cross-doc borrows can never alias — the same
+    underflow argument the phrase intersection documents).  No per-doc
+    loop anywhere."""
+    stats = index.stats
+    if not stats.get("with_positions"):
+        raise ValueError(
+            "span_not requires an index built with_positions=True"
+        )
+    specs: dict[int, tuple[str, str, int, int]] = {}
+    for qi, q in enumerate(queries):
+        inc = query_terms(q.get("include", ""))
+        exc = query_terms(q.get("exclude", ""))
+        if len(inc) != 1 or len(exc) != 1:
+            raise ValueError(
+                f"query {qi}: span_not takes exactly one include and one "
+                f"exclude term, got {inc!r} / {exc!r}"
+            )
+        pre, post = int(q.get("pre", 0)), int(q.get("post", 0))
+        if pre < 0 or post < 0:
+            raise ValueError(f"query {qi}: pre/post must be >= 0")
+        specs[qi] = (inc[0], exc[0], pre, post)
+    all_terms = sorted(
+        {t for i, e, _, _ in specs.values() for t in (i, e)}
+    )
+    buckets = term_buckets(spark, all_terms, stats["num_buckets"])
+    post_df = index.postings(spark, sorted(set(buckets.values()))).filter(
+        F.col("term").isin(all_terms)
+    )
+    term_df = _query_term_df(post_df)
+    if not term_df:
+        return spark.createDataFrame([], SPAN_NOT_SCHEMA)
+    max_pre = max(p for _, _, p, _ in specs.values())
+    pos_bits = _phrase_pos_bits(stats, max_pre + 1)
+    shift = _range_shift(stats, max(term_df.values()), num_ranges)
+    qdf = spark.createDataFrame(
+        [
+            (qi, t)
+            for qi, (i, e, _, _) in specs.items()
+            for t in sorted({i, e})
+        ],
+        "query_id long, term string",
+    )
+    joined = post_df.join(F.broadcast(qdf), "term").select(
+        "query_id", "term", "postings", "blocks"
+    )
+    sliced = joined.mapInPandas(
+        _make_positional_slicer(shift, pos_bits),
+        "query_id long, rng long, term string, keys array<long>",
+    )
+    bc_specs = spark.sparkContext.broadcast(specs)
+    tomb = index.tombstones(spark)
+    bc_ex = spark.sparkContext.broadcast(tomb) if len(tomb) else None
+
+    def run_range(key, pdf):
+        qid = int(key[0])
+        inc_t, exc_t, pre, post = bc_specs.value[qid]
+        key_arrays: dict[str, np.ndarray] = {}
+        for term, grp in pdf.groupby("term", sort=False):
+            arrs = [np.asarray(a, dtype=np.int64) for a in grp["keys"]]
+            a = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+            key_arrays[term] = a
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_clean": pd.Series([], dtype=np.int64),
+            }
+        )
+        ik = key_arrays.get(inc_t)
+        if ik is None or not len(ik):
+            return empty
+        ek = key_arrays.get(exc_t)
+        if ek is None or not len(ek):
+            survive = ik
+        else:
+            # nearest exclude key at or below (doc, p + post); the
+            # occurrence is dirty iff it sits at or above (doc, p - pre)
+            idx = np.searchsorted(ek, ik + post, side="right") - 1
+            near = ek[np.maximum(idx, 0)]
+            dirty = (idx >= 0) & (near >= ik - pre)
+            survive = ik[~dirty]
+        if not len(survive):
+            return empty
+        docs, counts = np.unique(survive >> pos_bits, return_counts=True)
+        if bc_ex is not None and len(docs):
+            keep = ~np.isin(docs, bc_ex.value, assume_unique=True)
+            docs, counts = docs[keep], counts[keep]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "doc_id": docs,
+                "n_clean": counts.astype(np.int64),
+            }
+        )
+
+    return sliced.repartition("query_id", "rng").groupBy(
+        "query_id", "rng"
+    ).applyInPandas(run_range, SPAN_NOT_SCHEMA)
+
+
 def _tagged_boolean_batch(
     spark: SparkSession,
     index: Index,

@@ -291,3 +291,61 @@ def test_span_first_matches_brute_force(spark, pos_built):
         span_first_batch(spark, idx, [{"term": "two words"}])
     with pytest.raises(ValueError, match="end must be"):
         span_first_batch(spark, idx, [{"term": "data", "end": 0}])
+
+
+def test_span_not_matches_brute_force(spark, pos_built):
+    """SpanNotQuery: include occurrences outside the pre/post exclusion
+    window of any exclude occurrence, counted per doc, vs a token brute
+    force; missing-exclude and validation paths covered."""
+    import re as _re
+
+    from acora_spark.index.bm25 import span_not_batch
+
+    idx, corpus = pos_built
+    tok = _re.compile(r"[a-z0-9_]+")
+    qspecs = [("table", "hash", 1, 0), ("data", "stream", 2, 2)]
+    res = span_not_batch(
+        spark, idx,
+        [{"include": i, "exclude": e, "pre": pr, "post": po}
+         for i, e, pr, po in qspecs],
+        num_ranges=4,
+    ).collect()
+    got = {(r.query_id, r.doc_id): r.n_clean for r in res}
+    dm = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in idx.docmap(spark).collect()
+    }
+    want = {}
+    for row in corpus.collect():
+        toks = tok.findall(row.content.lower())
+        did = dm[(row.repo, row.path, row.commit)]
+        for qi, (inc, exc, pre, post) in enumerate(qspecs):
+            ep = [p for p, t in enumerate(toks) if t == exc]
+            n = sum(
+                1
+                for p, t in enumerate(toks)
+                if t == inc
+                and not any(p - pre <= q <= p + post for q in ep)
+            )
+            if n:
+                want[(qi, did)] = n
+    assert got == want
+
+    # exclude term absent from the corpus: every include occurrence is
+    # clean
+    res2 = span_not_batch(
+        spark, idx, [{"include": "table", "exclude": "zzqqzz"}]
+    ).collect()
+    counts = {}
+    for row in corpus.collect():
+        c = sum(1 for t in tok.findall(row.content.lower()) if t == "table")
+        if c:
+            counts[dm[(row.repo, row.path, row.commit)]] = c
+    assert {r.doc_id: r.n_clean for r in res2} == counts
+
+    with pytest.raises(ValueError, match="exactly one include"):
+        span_not_batch(spark, idx, [{"include": "a b", "exclude": "c"}])
+    with pytest.raises(ValueError, match="pre/post"):
+        span_not_batch(
+            spark, idx, [{"include": "a", "exclude": "b", "pre": -1}]
+        )
