@@ -1,0 +1,140 @@
+"""Batched MD5 over many equal-length short messages, numpy-vectorized.
+
+MD5 per RFC 1321 (public spec): the 64-round compression function runs
+ONCE over an (N, L)-byte matrix with every round an elementwise uint32
+array operation, so hashing N messages costs ~64 vector ops instead of
+N digest calls.  Used by the ExactSubstr span-dedup anchor rule
+(``operators/dedup.py``), where the per-character ``md5(8-gram)`` test
+through interpreted Catalyst HOFs was measured at ~3 us/position —
+~50x the arithmetic cost of the digest itself.  Results are exactly
+``hashlib.md5(msg).digest()`` for every row (property-tested against
+hashlib), so the operator's content-defined anchors are unchanged.
+
+Messages of any length are supported (multi-block chaining); the
+span-dedup windows (8 and 50 bytes) are single-block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["md5_rows"]
+
+# RFC 1321 constants: per-round left-rotate amounts and the sine table.
+_S = (
+    [7, 12, 17, 22] * 4
+    + [5, 9, 14, 20] * 4
+    + [4, 11, 16, 23] * 4
+    + [6, 10, 15, 21] * 4
+)
+_K = np.array(
+    [int(abs(np.sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)],
+    dtype=np.uint32,
+)
+# per-round message word index g(i)
+_G = (
+    list(range(16))
+    + [(5 * i + 1) % 16 for i in range(16, 32)]
+    + [(3 * i + 5) % 16 for i in range(32, 48)]
+    + [(7 * i) % 16 for i in range(48, 64)]
+)
+_INIT = (0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476)
+
+#: rows per internal chunk (working set ~12 arrays x 4 B x _CHUNK ~ 3 MB)
+_CHUNK = 65536
+
+
+def _pad_rows(msgs: np.ndarray) -> np.ndarray:
+    """(N, L) uint8 -> (N, 64*nblocks) padded per RFC 1321 (0x80, zeros,
+    64-bit little-endian bit length)."""
+    n, ln = msgs.shape
+    nblocks = (ln + 9 + 63) // 64
+    padded = np.zeros((n, nblocks * 64), dtype=np.uint8)
+    padded[:, :ln] = msgs
+    padded[:, ln] = 0x80
+    import struct
+
+    padded[:, -8:] = np.frombuffer(
+        struct.pack("<Q", ln * 8), dtype=np.uint8
+    )
+    return padded
+
+
+def md5_rows(msgs: np.ndarray) -> np.ndarray:
+    """MD5 digests of N equal-length messages.
+
+    ``msgs``: (N, L) uint8 array, one message per row.  Returns (N, 16)
+    uint8 digests, bit-identical to ``hashlib.md5(row).digest()``.
+    """
+    msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+    if msgs.ndim != 2:
+        raise ValueError("msgs must be a 2-D (N, L) byte matrix")
+    n = msgs.shape[0]
+    if n == 0:
+        return np.empty((0, 16), dtype=np.uint8)
+    if n > _CHUNK:
+        # chunk so the ~10 live uint32 working arrays stay cache-resident:
+        # the round loop is memory-bound, and full-batch arrays stream
+        # through DRAM 64 times (measured ~4x slower at 2M rows)
+        out = np.empty((n, 16), dtype=np.uint8)
+        for s in range(0, n, _CHUNK):
+            out[s : s + _CHUNK] = md5_rows(msgs[s : s + _CHUNK])
+        return out
+    padded = _pad_rows(msgs)
+    nblocks = padded.shape[1] // 64
+    # little-endian word view: (N, nblocks, 16) uint32
+    m = padded.view(np.dtype("<u4")).reshape(n, nblocks, 16)
+
+    a0 = np.full(n, _INIT[0], dtype=np.uint32)
+    b0 = np.full(n, _INIT[1], dtype=np.uint32)
+    c0 = np.full(n, _INIT[2], dtype=np.uint32)
+    d0 = np.full(n, _INIT[3], dtype=np.uint32)
+    f = np.empty(n, dtype=np.uint32)
+    t = np.empty(n, dtype=np.uint32)
+    for blk in range(nblocks):
+        # (16, N) with contiguous word rows: the round loop reads one
+        # word row per round; the column-strided (N, 16) layout would
+        # pull a full cache line per 4-byte element
+        w = np.ascontiguousarray(m[:, blk, :].T)
+        a, b, c, d = a0.copy(), b0.copy(), c0.copy(), d0.copy()
+        for i in range(64):
+            if i < 16:
+                # F = (b & c) | (~b & d)  ==  d ^ (b & (c ^ d))
+                np.bitwise_xor(c, d, out=f)
+                np.bitwise_and(f, b, out=f)
+                np.bitwise_xor(f, d, out=f)
+            elif i < 32:
+                # G = (d & b) | (~d & c)  ==  c ^ (d & (b ^ c))
+                np.bitwise_xor(b, c, out=f)
+                np.bitwise_and(f, d, out=f)
+                np.bitwise_xor(f, c, out=f)
+            elif i < 48:
+                np.bitwise_xor(b, c, out=f)
+                np.bitwise_xor(f, d, out=f)
+            else:
+                # I = c ^ (b | ~d)
+                np.bitwise_not(d, out=f)
+                np.bitwise_or(f, b, out=f)
+                np.bitwise_xor(f, c, out=f)
+            f += a
+            f += _K[i]
+            f += w[_G[i]]
+            s = np.uint32(_S[i])
+            np.left_shift(f, s, out=t)
+            np.right_shift(f, np.uint32(32 - int(s)), out=f)
+            np.bitwise_or(t, f, out=f)
+            f += b
+            a, d, c, b = d, c, b, f.copy()
+        a0 += a
+        b0 += b
+        c0 += c
+        d0 += d
+    out = np.empty((n, 4), dtype=np.uint32)
+    out[:, 0] = a0
+    out[:, 1] = b0
+    out[:, 2] = c0
+    out[:, 3] = d0
+    # digest bytes are the little-endian serialization of A,B,C,D
+    return out.astype(np.dtype("<u4"), copy=False).view(np.uint8).reshape(
+        n, 16
+    )

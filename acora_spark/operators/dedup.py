@@ -730,6 +730,130 @@ def near_dup_against(
     )
 
 
+def _span_wins_arrow_fn(k: int, anchor_q: int, anchor_nibbles: int):
+    """``mapInArrow`` body producing the (id, p, h) anchor-window rows of
+    :func:`dedup_spans` — the SAME md5 anchor rule as the expression
+    engine, computed with the batched-MD5 kernel instead of one
+    interpreted ``md5(substring(...))`` per character.
+
+    ASCII documents (byte offset == char offset) take the vectorized
+    path: all candidate windows of an Arrow batch hash through ONE
+    :func:`~acora_spark.functions.md5batch.md5_rows` call per window
+    width.  Non-ASCII documents fall back to an exact per-position
+    ``hashlib`` loop (code-point slicing, utf-8 digest — identical to
+    what Spark's ``md5(substring(...))`` computes).  ``h`` is emitted as
+    the 16-byte digest (binary) rather than the 32-char hex string: the
+    column only ever feeds an equality-grouped count, and equal hex
+    strings are exactly equal digests."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from acora_spark.functions.md5batch import md5_rows
+
+    def anchor_ok(digests: np.ndarray) -> np.ndarray:
+        # hex digest ends with anchor_nibbles '0' chars <=> the trailing
+        # nibbles of the digest bytes are zero (hex char 31 = low nibble
+        # of byte 15, char 30 = high nibble of byte 15, ...)
+        ok = np.ones(len(digests), dtype=bool)
+        for j in range(anchor_nibbles):
+            byte = digests[:, 15 - j // 2]
+            nib = (byte & 0x0F) if j % 2 == 0 else (byte >> 4)
+            ok &= nib == 0
+        return ok
+
+    def gen(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            out_doc: list[np.ndarray] = []
+            out_p: list[np.ndarray] = []
+            out_h: list[np.ndarray] = []
+            bufs: list[bytes] = []
+            buf_doc: list[int] = []
+            for i, text in enumerate(texts):
+                text = text or ""
+                if len(text) < k:
+                    continue
+                if text.isascii():
+                    bufs.append(text.encode("ascii"))
+                    buf_doc.append(i)
+                    continue
+                # exact fallback: code-point windows, utf-8 digests
+                ps, hs = [], []
+                for p0 in range(len(text) - k + 1):
+                    dq = hashlib.md5(
+                        text[p0 : p0 + anchor_q].encode("utf-8")
+                    ).digest()
+                    da = np.frombuffer(dq, dtype=np.uint8)[None, :]
+                    if not anchor_ok(da)[0]:
+                        continue
+                    ps.append(p0 + 1)
+                    hs.append(
+                        hashlib.md5(
+                            text[p0 : p0 + k].encode("utf-8")
+                        ).digest()
+                    )
+                if ps:
+                    out_doc.append(np.full(len(ps), i, dtype=np.int64))
+                    out_p.append(np.asarray(ps, dtype=np.int32))
+                    out_h.append(
+                        np.frombuffer(b"".join(hs), dtype=np.uint8).reshape(
+                            -1, 16
+                        )
+                    )
+            if bufs:
+                lens = np.asarray([len(b) for b in bufs], dtype=np.int64)
+                concat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                counts = lens - (k - 1)
+                doc_of = np.repeat(
+                    np.asarray(buf_doc, dtype=np.int64), counts
+                )
+                within = np.arange(int(counts.sum()), dtype=np.int64)
+                within -= np.repeat(
+                    np.cumsum(counts) - counts, counts
+                )
+                cand = np.repeat(offs, counts) + within
+                wq = sliding_window_view(concat, anchor_q)[cand]
+                ok = anchor_ok(md5_rows(wq))
+                if ok.any():
+                    sel = cand[ok]
+                    out_doc.append(doc_of[ok])
+                    out_p.append((within[ok] + 1).astype(np.int32))
+                    out_h.append(
+                        md5_rows(sliding_window_view(concat, k)[sel])
+                    )
+            if not out_doc:
+                continue
+            doc_idx = np.concatenate(out_doc)
+            p_arr = np.concatenate(out_p)
+            h_mat = np.concatenate(out_h)
+            m = len(doc_idx)
+            h_offsets = (np.arange(m + 1, dtype=np.int32) * 16)
+            h_arr = pa.Array.from_buffers(
+                pa.binary(),
+                m,
+                [
+                    None,
+                    pa.py_buffer(h_offsets.tobytes()),
+                    pa.py_buffer(h_mat.tobytes()),
+                ],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(doc_idx)),
+                    pa.array(p_arr, type=pa.int32()),
+                    h_arr,
+                ],
+                ["_id", "p", "h"],
+            )
+
+    return gen
+
+
 def dedup_spans(
     docs: DataFrame,
     *,
@@ -739,6 +863,7 @@ def dedup_spans(
     anchor_q: int = 8,
     anchor_nibbles: int = 1,
     mode: str = "flag",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Repeated-substring span removal (the ExactSubstr dedup of Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models
@@ -779,31 +904,64 @@ def dedup_spans(
         raise ValueError(f"mode must be 'flag' or 'cut', got {mode!r}")
     if min_len < anchor_q:
         raise ValueError("min_len must be >= anchor_q")
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     k = int(min_len)
     content = F.col(content_col)
-    suffix = "0" * int(anchor_nibbles)
-    # guard: sequence(1, 0) DESCENDS ([1, 0]) in Spark — a doc shorter
-    # than min_len would get two aliased anchor candidates (substring
-    # pos 0 == pos 1) whose identical window hash then counts as its
-    # own duplicate, falsely flagging (and in cut mode erasing) ~1/16
-    # of short docs.  Short docs have no window at all.
-    positions = F.when(
-        F.length(content) >= k,
-        F.sequence(F.lit(1), F.length(content) - (k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    anchors = F.filter(
-        positions,
-        lambda p: F.md5(F.substring(content, p, anchor_q)).endswith(suffix),
-    )
-    wins_arr = F.transform(
-        anchors,
-        lambda p: F.struct(
-            p.alias("p"), F.md5(F.substring(content, p, k)).alias("h")
-        ),
-    )
-    wins = docs.select(
-        F.col(id_col).alias("_id"), F.explode(wins_arr).alias("w")
-    ).select("_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+    if engine == "arrow":
+        # Batched-MD5 anchor/window scan (same rule, vectorized): the
+        # expression form below evaluates one interpreted
+        # md5(substring(...)) per CHARACTER (~3 us each, measured —
+        # ~10.5 s of the 13.8 s operator at 150k x 750-char docs); the
+        # mapInArrow kernel hashes every candidate window of a batch in
+        # one numpy pass (md5batch.md5_rows), ~20x less per-position
+        # cost.  Differentially tested equal to engine="expr".
+        from pyspark.sql.types import (
+            BinaryType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        wins_schema = StructType(
+            [
+                StructField("_id", docs.schema[id_col].dataType, True),
+                StructField("p", IntegerType(), True),
+                StructField("h", BinaryType(), True),
+            ]
+        )
+        wins = docs.select(
+            F.col(id_col).alias("_id"), content.alias("_content")
+        ).mapInArrow(
+            _span_wins_arrow_fn(k, int(anchor_q), int(anchor_nibbles)),
+            wins_schema,
+        )
+    else:
+        suffix = "0" * int(anchor_nibbles)
+        # guard: sequence(1, 0) DESCENDS ([1, 0]) in Spark — a doc shorter
+        # than min_len would get two aliased anchor candidates (substring
+        # pos 0 == pos 1) whose identical window hash then counts as its
+        # own duplicate, falsely flagging (and in cut mode erasing) ~1/16
+        # of short docs.  Short docs have no window at all.
+        positions = F.when(
+            F.length(content) >= k,
+            F.sequence(F.lit(1), F.length(content) - (k - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        anchors = F.filter(
+            positions,
+            lambda p: F.md5(F.substring(content, p, anchor_q)).endswith(
+                suffix
+            ),
+        )
+        wins_arr = F.transform(
+            anchors,
+            lambda p: F.struct(
+                p.alias("p"), F.md5(F.substring(content, p, k)).alias("h")
+            ),
+        )
+        wins = docs.select(
+            F.col(id_col).alias("_id"), F.explode(wins_arr).alias("w")
+        ).select("_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
     # occurrence counts via ONE whole-partition count window: the scan
     # (the expensive per-character md5 pass) runs once and the (id, p, h)
     # rows exchange once on h — a groupBy(h) + self-join would evaluate

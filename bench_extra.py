@@ -1,0 +1,191 @@
+"""Per-operator isolation bench (guide §1.4: noop-sink timing; §1.5:
+labelled jobs).  NOT the driver bench — ``bench.py`` stays frozen; this
+file exists so individual operators can be measured (and re-measured
+after a change) without paying the whole headline pipeline.
+
+Usage::
+
+    python bench_extra.py [stage ...]
+
+Stages: corpus, scan, build, serve, ranged, sql_sf, merge, gopher,
+decon, spans, lm.  Default: all.  Prints one ``name=secs`` line per
+stage (median of ``BENCH_EXTRA_REPS``, default 1 except serve-style
+p50s which use 5 queries like bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    stages = set(sys.argv[1:]) or {
+        "corpus", "scan", "build", "serve", "ranged", "sql_sf", "merge",
+        "gopher", "decon", "spans", "lm",
+    }
+    reps = int(os.environ.get("BENCH_EXTRA_REPS", "1"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
+
+    from pyspark.sql import functions as F
+
+    from acora_spark.session import get_spark
+    from acora_spark.sources.corpus import generate_corpus, load_corpus
+
+    spark = get_spark(app_name="acora-bench-extra", cores=cpus,
+                      shuffle_partitions=max(cpus, 16))
+    sc = spark.sparkContext
+    out: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        vals = []
+        for _ in range(reps):
+            sc.setJobDescription(f"bench_extra: {name}")
+            t0 = time.time()
+            fn()
+            vals.append(round(time.time() - t0, 3))
+            sc.setJobDescription(None)
+        out[name] = statistics.median(vals)
+        print(f"{name}={out[name]}  samples={vals}", flush=True)
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    corpus_path = f"{base}/acora_bench_corpus_{n_docs}_p128"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        generate_corpus(spark, n_docs, num_partitions=128).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    synth = spark.read.parquet(corpus_path)
+
+    if "corpus" in stages:
+        timed("corpus_read_sum", lambda: synth.selectExpr(
+            "sum(length(content)) s").collect())
+
+    if "scan" in stages:
+        from acora_spark.operators.matcher import match_counts
+
+        kws = [
+            "import", "def", "class", "return", "struct", "impl", "func",
+            "package", "public", "static", "void", "const", "template",
+            "include", "namespace", "spark", "index", "query", "match",
+            "shuffle",
+        ]
+        timed("match_scan", lambda: match_counts(synth, kws).collect())
+
+    index_dir = "/tmp/acora_extra_bench_index"
+    idx = None
+    if "build" in stages:
+        from acora_spark.index.build import build_index
+
+        def run_build():
+            nonlocal idx
+            shutil.rmtree(index_dir, ignore_errors=True)
+            idx = build_index(synth, index_dir, num_buckets=16,
+                              docs_per_salt=20000, bucket_group_size=16,
+                              resume=False)
+
+        timed("index_build", run_build)
+        m = json.load(open(os.path.join(index_dir, "_manifest.json")))
+        for k, v in m["steps"].items():
+            if not k.startswith("bucket:") and "secs" in v:
+                print(f"  stage {k}={v['secs']}")
+        enc = {v.get("secs", 0) for k, v in m["steps"].items()
+               if k.startswith("bucket:")}
+        print(f"  stage encode_groups={sorted(enc)}")
+
+    if idx is None and os.path.exists(os.path.join(index_dir, "stats.json")):
+        from acora_spark.index.build import load_index
+
+        idx = load_index(spark, index_dir)
+
+    queries = [
+        "spark shuffle partition",
+        "import def class return",
+        "broadcast index query",
+        "struct impl func package",
+        "template include namespace vector",
+    ]
+    if "serve" in stages and idx is not None:
+        from acora_spark.index.bm25 import QueryEngine
+
+        engine = QueryEngine(spark, idx)
+        lat = []
+        for q in queries:
+            t0 = time.time()
+            engine.topk([q], k=10).collect()
+            lat.append(round(time.time() - t0, 3))
+        out["bm25_serve_p50"] = statistics.median(lat)
+        print(f"bm25_serve_p50={out['bm25_serve_p50']}  samples={lat}")
+
+    if "ranged" in stages and idx is not None:
+        from acora_spark.index.bm25 import bm25_topk_batch_ranged
+
+        lat = []
+        for q in queries:
+            t0 = time.time()
+            bm25_topk_batch_ranged(spark, idx, [q], k=10).collect()
+            lat.append(round(time.time() - t0, 3))
+        out["bm25_ranged_p50"] = statistics.median(lat)
+        print(f"bm25_ranged_p50={out['bm25_ranged_p50']}  samples={lat}")
+
+    if "sql_sf" in stages:
+        from acora_spark.index.bm25 import bm25_topk_dataframe
+        from acora_spark.index.build import assign_doc_ids
+
+        corpus = load_corpus(spark, sf_dir)
+
+        def run_sql():
+            docs = assign_doc_ids(corpus)
+            bm25_topk_dataframe(docs, "spark shuffle partition data", k=20,
+                                score_round=4).collect()
+
+        timed("bm25_sql_sf", run_sql)
+
+    if "merge" in stages and idx is not None:
+        from acora_spark.index.build import merge_index
+
+        n_delta = max(1000, n_docs // 10)
+        delta = generate_corpus(spark, n_delta, num_partitions=32,
+                                id_offset=n_docs)
+        timed("merge", lambda: merge_index(delta, index_dir))
+
+    if "gopher" in stages:
+        from acora_spark.operators.quality import gopher_quality
+
+        timed("gopher", lambda: gopher_quality(synth)
+              .filter("gopher_keep").count())
+
+    if "decon" in stages:
+        from acora_spark.operators.quality import decontaminate
+
+        ev = synth.filter(
+            F.pmod(F.xxhash64("path"), F.lit(997)) == 0
+        ).select(F.substring("content", 20, 200).alias("content"))
+        timed("decon", lambda: decontaminate(
+            synth, ev, n=8, content_col="content",
+            key_cols=("repo", "path", "commit"),
+        ).filter("contaminated").count())
+
+    if "spans" in stages:
+        from acora_spark.operators.dedup import dedup_spans
+
+        timed("dedup_spans", lambda: dedup_spans(
+            synth.select("path", "content"), id_col="path").count())
+
+    if "lm" in stages:
+        from acora_spark.operators.quality import unigram_logprob
+
+        timed("unigram_lm", lambda: unigram_logprob(
+            synth, id_col="path").count())
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

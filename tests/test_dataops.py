@@ -675,6 +675,63 @@ def test_sample_to_token_budget(spark):
     assert {r["lang"] for r in only_en} == {"en"}
 
 
+def test_dedup_spans_engines_agree(spark):
+    """The batched-MD5 arrow engine (default) must produce EXACTLY the
+    expression engine's output — including non-ASCII documents (which
+    take the per-position hashlib fallback: code-point windows, utf-8
+    digests), short docs, null content, and cut mode."""
+    import random
+
+    from acora_spark.operators.dedup import dedup_spans
+
+    rng = random.Random(3)
+    alpha = "abcdefgh αβ日本語 xyz"
+    rep = "".join(rng.choice(alpha) for _ in range(150))
+    rows = []
+    for i in range(40):
+        t = "".join(rng.choice(alpha) for _ in range(300))
+        if i % 5 == 0:  # planted unaligned repeat, mixed-width chars
+            t = t[:23] + rep + t[23:]
+        rows.append((i, t))
+    rows += [(100, "short"), (101, None), (102, rep + "ascii tail" + rep)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+
+    def canon(res):
+        out = set()
+        for r in res:
+            d = r.asDict()
+            if "spans" in d:
+                d["spans"] = tuple(
+                    (s["start"], s["end"]) for s in (d["spans"] or [])
+                )
+            out.add(tuple(sorted(d.items())))
+        return out
+
+    for mode in ("flag", "cut"):
+        a = canon(dedup_spans(docs, mode=mode, engine="arrow").collect())
+        e = canon(dedup_spans(docs, mode=mode, engine="expr").collect())
+        assert a == e, mode
+    assert canon(dedup_spans(docs, mode="flag", engine="arrow").collect())
+
+
+def test_md5_rows_matches_hashlib():
+    """Property check of the batched-MD5 kernel against hashlib across
+    lengths spanning the 1/2-block padding boundaries and the internal
+    chunking threshold."""
+    import hashlib
+
+    from acora_spark.functions.md5batch import md5_rows
+
+    rng = np.random.default_rng(11)
+    for ln in (0, 1, 7, 8, 50, 55, 56, 63, 64, 119, 120, 200):
+        msgs = rng.integers(0, 256, size=(97, max(ln, 0)), dtype=np.uint8)
+        got = md5_rows(msgs)
+        for i in range(0, 97, 13):
+            assert (
+                got[i].tobytes() == hashlib.md5(msgs[i].tobytes()).digest()
+            ), ln
+
+
 def test_dedup_spans_matches_python_mirror(spark):
     """ExactSubstr span dedup vs an exact Python mirror of the anchor /
     window / merge pipeline, on a corpus with an unaligned planted

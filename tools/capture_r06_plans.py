@@ -1,0 +1,91 @@
+"""Capture .explain('formatted') for the round-6 optimization targets.
+
+Usage: python tools/capture_r06_plans.py before|after [name ...]
+Writes plans/r06/<name>_<tag>.txt for each target (declared queries by
+their queries() name; internal stages by a descriptive name).
+"""
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().strip()
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from acora_spark.session import get_spark
+
+    spark = get_spark(app_name="r06-plans", cores=8, shuffle_partitions=8)
+    os.makedirs(OUT_DIR, exist_ok=True)
+
+    targets: dict[str, object] = {}
+
+    # declared queries touched this round (lazy thunks so failures are per-target)
+    qs = entry.queries()
+    for name in (
+        "dup_spans", "decontamination", "unigram_logprob", "gopher_quality",
+        "bm25_topk", "index_bm25_topk", "index_bm25_topk_ranged",
+    ):
+        if name in qs:
+            targets[name] = (lambda fn=qs[name]: fn(spark, SF_DIR))
+
+    # internal build stages (the index_build headline components)
+    def build_runs_df():
+        from acora_spark.index.build import _doc_term_runs, derive_doc_ids
+        idx = entry._index_for(spark, SF_DIR)
+        import pyspark.sql.functions as F
+        dm = spark.read.parquet(os.path.join(idx.index_dir, "docmap"))
+        if "_mid" in dm.columns:
+            dm = derive_doc_ids(dm, idx.stats["docmap_mid_bases"]["docmap"])
+        from acora_spark.sources.corpus import load_corpus
+        corpus = load_corpus(spark, SF_DIR)
+        return _doc_term_runs(
+            corpus, dm, ["repo", "path", "commit"], False,
+            docmap_rows=idx.stats["N"],
+        )
+
+    targets["index_build_runs"] = build_runs_df
+
+    def serve_topk_df():
+        from acora_spark.index.bm25 import QueryEngine
+        idx = entry._index_for(spark, SF_DIR)
+        eng = QueryEngine(spark, idx)
+        df = eng.topk([entry.BM25_QUERY], k=10)
+        return df
+
+    targets["bm25_serve_warm"] = serve_topk_df
+
+    for name, thunk in targets.items():
+        if only and name not in only:
+            continue
+        try:
+            df = thunk()
+            txt = plan_of(df)
+        except Exception as e:  # noqa: BLE001
+            txt = f"ERROR capturing plan: {type(e).__name__}: {e}"
+        path = os.path.join(OUT_DIR, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(txt + "\n")
+        print("wrote", path, len(txt), "chars")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
