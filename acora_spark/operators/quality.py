@@ -112,16 +112,30 @@ def decontaminate(
     ``contaminated`` (bool).  ``mode="drop"`` returns only clean rows
     with the original schema.
 
-    Plan shape at scale: eval n-grams deduplicate once (tiny), then
-    broadcast; the corpus scan explodes per-doc DISTINCT n-grams and
-    the broadcast hash join filters them map-side — only genuine hits
-    reach the (key, count) aggregation, and the corpus itself never
-    shuffles.  The final attach joins hit counts back on the document
-    key (hits only — a left join from ``docs``)."""
+    Plan shape at scale: eval n-grams deduplicate once (tiny by nature
+    — benchmarks, not corpora) and ship to every task as a PLAIN PYTHON
+    SET; each document's distinct n-grams are generated and probed
+    against it inside one Arrow-batched UDF.  The corpus never
+    shuffles, never explodes, and needs no join at all — vs the
+    previous explode -> broadcast-join -> per-key aggregation -> attach
+    join (measured 5.5-6 s -> ~1.5 s at 150k x 120-token docs,
+    local[32]; the n-gram explode was 16M interpreted array_join rows).
+    An evaluation set larger than ``ARROW_EVAL_MAX_NGRAMS`` distinct
+    n-grams falls back to the join pipeline automatically
+    (``broadcast_eval`` selects broadcast vs shuffle join there, as
+    before).  Both paths compute identical values; the arrow/join pair
+    is differentially tested."""
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
     keys = list(key_cols)
     ev = eval_ngram_set(eval_df, n=n, text_col=eval_text_col)
+    ev_rows = ev.limit(ARROW_EVAL_MAX_NGRAMS + 1).collect()
+    if len(ev_rows) <= ARROW_EVAL_MAX_NGRAMS:
+        return _decontaminate_arrow(
+            docs, {r["ngram"] for r in ev_rows}, n=n,
+            content_col=content_col, mode=mode,
+        )
+    del ev_rows
     if broadcast_eval:
         ev = F.broadcast(ev)
     doc_grams = docs.select(
@@ -150,6 +164,79 @@ def decontaminate(
             & (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0),
         }
     )
+
+
+#: above this many distinct eval n-grams, decontaminate() stays on the
+#: broadcast/shuffle JOIN pipeline instead of collecting the set to the
+#: driver (2M grams of ~13 words ~ a few hundred MB of Python strings —
+#: the comfortable ceiling for a driver collect + task-shipped set)
+ARROW_EVAL_MAX_NGRAMS = 2_000_000
+
+
+def _decontaminate_arrow(
+    docs: DataFrame,
+    eval_ngrams: set,
+    *,
+    n: int,
+    content_col: str,
+    mode: str,
+) -> DataFrame:
+    """Join-free decontamination: per document, generate its DISTINCT
+    word n-grams in Python and probe the shipped eval set — one
+    Arrow-batched UDF, zero shuffles.  Value-identical to the join
+    pipeline: count = |distinct doc grams ∩ eval set|, example = max
+    over the intersection (token strings are ``[a-z0-9_]+``, so Python
+    string max == Spark/DuckDB UTF8 binary max)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tok_re = re.compile(TOKEN_RE)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(frozenset(eval_ngrams))
+    schema = StructType(
+        [
+            StructField("n_contaminated", LongType()),
+            StructField("example_ngram", StringType()),
+        ]
+    )
+
+    def probe(content: pd.Series) -> pd.DataFrame:
+        ev = bc.value
+        counts, examples = [], []
+        for text in content:
+            toks = tok_re.findall((text or "").lower())
+            if len(toks) < n:
+                counts.append(0)
+                examples.append(None)
+                continue
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            hits = grams & ev
+            counts.append(len(hits))
+            examples.append(max(hits) if hits else None)
+        return pd.DataFrame(
+            {"n_contaminated": counts, "example_ngram": examples}
+        )
+
+    u = pandas_udf(probe, returnType=schema)
+    tmp = docs.withColumn("_dc", u(F.coalesce(F.col(content_col), F.lit(""))))
+    if mode == "drop":
+        return tmp.filter(F.col("_dc")["n_contaminated"] == 0).drop("_dc")
+    return tmp.withColumns(
+        {
+            "n_contaminated": F.col("_dc")["n_contaminated"],
+            "example_ngram": F.col("_dc")["example_ngram"],
+            "contaminated": F.col("_dc")["n_contaminated"] > 0,
+        }
+    ).drop("_dc")
 
 
 def _dup_char_sum(sorted_arr: Column) -> Column:

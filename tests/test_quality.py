@@ -144,6 +144,31 @@ def test_decontaminate_matches_brute(docs, spark):
         decontaminate(df, ev, n=n, key_cols=("id",), mode="purge")
 
 
+def test_decontaminate_arrow_equals_join(docs, spark, monkeypatch):
+    """The join-free arrow path (default) and the join pipeline (the
+    large-eval-set fallback) must produce identical flag AND drop
+    results; the fallback is forced by shrinking the collect gate."""
+    import acora_spark.operators.quality as Q
+
+    rows, df = docs
+    ev_rows = [(t[: len(t) // 2],) for _, t in rows if t and len(t) > 20][:5]
+    ev = spark.createDataFrame(ev_rows, "content string")
+
+    def canon(res):
+        return sorted(tuple(sorted(r.asDict().items())) for r in res)
+
+    for mode in ("flag", "drop"):
+        arrow = canon(
+            decontaminate(df, ev, n=3, key_cols=("id",), mode=mode).collect()
+        )
+        monkeypatch.setattr(Q, "ARROW_EVAL_MAX_NGRAMS", -1)
+        joined = canon(
+            decontaminate(df, ev, n=3, key_cols=("id",), mode=mode).collect()
+        )
+        monkeypatch.undo()
+        assert arrow == joined, mode
+
+
 def test_gopher_quality_composite(spark):
     t = GOPHER_THRESHOLDS
     good_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
