@@ -155,7 +155,10 @@ def test_decontaminate_arrow_equals_join(docs, spark, monkeypatch):
     ev = spark.createDataFrame(ev_rows, "content string")
 
     def canon(res):
-        return sorted(tuple(sorted(r.asDict().items())) for r in res)
+        return sorted(
+            tuple(sorted((k, repr(v)) for k, v in r.asDict().items()))
+            for r in res
+        )
 
     for mode in ("flag", "drop"):
         arrow = canon(
