@@ -528,9 +528,13 @@ def bm25_topk_batch(
     needed = sorted(set(buckets.values()))
     if not needed or not pairs:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
     post = index.postings(spark, needed).filter(F.col("term").isin(all_terms))
-    joined = post.join(F.broadcast(qdf), "term")
+    if len(queries) == 1:
+        # single query: a literal query_id replaces the broadcast join
+        joined = post.withColumn("query_id", F.lit(0).cast("long"))
+    else:
+        qdf = spark.createDataFrame(pairs, "query_id long, term string")
+        joined = post.join(F.broadcast(qdf), "term")
 
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
@@ -586,6 +590,48 @@ def _query_term_df(post: DataFrame) -> dict[str, int]:
     bucket-pruned, term-filtered postings."""
     rows = post.groupBy("term").agg(F.sum("df").alias("df_tot")).collect()
     return {r["term"]: int(r["df_tot"]) for r in rows}
+
+
+def _query_term_df_for(
+    index: Index, terms: Sequence[str], post: DataFrame
+) -> dict[str, int]:
+    """Per-term total df for a query's terms, WITHOUT a Spark job when
+    possible: the (term, df) columns of the needed bucket directories
+    are the index's term dictionary, and reading them driver-side
+    through pyarrow (term IN-filter pushed to row groups / dictionary
+    pages — the same access path :func:`bm25_topk_local` serves whole
+    queries from) costs ~10 ms where the aggregation job costs a
+    ~0.25 s scheduling floor.  Sums across every committed generation
+    root, exactly like the job over ``index.postings(...)``.  Any read
+    problem falls back to the Spark aggregation over ``post``."""
+    try:
+        import pyarrow.parquet as pq
+
+        from acora_spark import fsutil
+        from acora_spark.functions.xxh64 import term_bucket
+
+        terms = sorted(set(terms))
+        out: dict[str, int] = {}
+        nb = index.stats["num_buckets"]
+        for bkt in sorted({term_bucket(t, nb) for t in terms}):
+            for dname in index.postings_dir_names():
+                d = _join_path(index.index_dir, f"{dname}/bucket={bkt}")
+                if not fsutil.exists(d):
+                    continue
+                fsys, dp = fsutil.pa_fs(d)
+                t = pq.read_table(
+                    dp,
+                    columns=["term", "df"],
+                    filters=[("term", "in", terms)],
+                    filesystem=fsys,
+                )
+                for tm, dfv in zip(
+                    t["term"].to_pylist(), t["df"].to_pylist()
+                ):
+                    out[tm] = out.get(tm, 0) + int(dfv)
+        return out
+    except Exception:
+        return _query_term_df(post)
 
 
 _SLICE_SCHEMA = "query_id long, rng long, term string, blob binary"
@@ -796,7 +842,7 @@ def bm25_topk_batch_ranged(
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     positional = bool(stats.get("with_positions"))
-    term_df = _query_term_df(post)
+    term_df = _query_term_df_for(index, all_terms, post)
     if not term_df:
         return spark.createDataFrame([], TOPK_SCHEMA)
     idf_map = {t: idf(n_docs, d) for t, d in term_df.items()}
@@ -5217,7 +5263,7 @@ def _constrained_ranged_topk(
     n_docs, avgdl = stats["N"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     positional = bool(stats.get("with_positions"))
-    term_df = _query_term_df(post)
+    term_df = _query_term_df_for(index, all_terms, post)
     if not term_df:
         return spark.createDataFrame([], TOPK_SCHEMA)
     idf_map = {t: idf(n_docs, d) for t, d in term_df.items()}
@@ -5662,11 +5708,19 @@ class QueryEngine:
         pairs = [(qi, t) for qi, q in enumerate(queries) for t in query_terms(q)]
         if not pairs:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        qdf = spark.createDataFrame(pairs, "query_id long, term string")
         all_terms = sorted({t for _, t in pairs})
-        joined = self._postings_for(all_terms).join(
-            F.broadcast(qdf), "term"
-        )
+        if len(queries) == 1:
+            # single query: every filtered row belongs to query 0 — a
+            # literal column replaces the broadcast join (one exchange
+            # and its build job gone from the p50 path)
+            joined = self._postings_for(all_terms).withColumn(
+                "query_id", F.lit(0).cast("long")
+            )
+        else:
+            qdf = spark.createDataFrame(pairs, "query_id long, term string")
+            joined = self._postings_for(all_terms).join(
+                F.broadcast(qdf), "term"
+            )
         n_docs, avgdl = stats["N"], stats["avgdl"]
         k1, b = stats["k1"], stats["b"]
         positional = bool(stats.get("with_positions"))

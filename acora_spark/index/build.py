@@ -967,10 +967,15 @@ DOCMAP_ROW_BYTES = 256
 # per-task memory budget the hashed build side must provably fit before
 # the join is allowed off the spill-safe sort-merge plan
 SHJ_BUILD_BUDGET_BYTES = 64 << 20
-# below this estimated total size the hint is withheld entirely: a join
-# STRATEGY hint overrides Catalyst's broadcast selection, and a docmap
-# this small is better broadcast (no shuffle at all) than shuffle-hashed
-SHJ_MIN_TOTAL_BYTES = 32 << 20
+# below this ESTIMATED total size the docmap is broadcast outright: the
+# content side then takes NO exchange and NO sort at all — the single
+# biggest byte stream of the runs stage disappears (guide §3.1).  The
+# explicit hint matters because Catalyst sizes the docmap from its
+# parquet footprint, which crosses the 10 MB autoBroadcast threshold
+# at ~100k docs while the projected build side (keys + dl + doc_id) is
+# still tens of MB in memory — comfortably broadcastable.  64 MB
+# estimated ~ 250k docs ~ 25-40 MB real relation per executor.
+DOCMAP_BROADCAST_MAX_BYTES = 64 << 20
 
 
 def _shard_width(df: int, n_docs: int, docs_per_salt: int) -> int:
@@ -998,6 +1003,7 @@ def _doc_term_runs(
     with_positions: bool,
     *,
     docmap_rows: int | None = None,
+    prefer_shj: bool = True,
     rl_impl: str = "regex",
 ) -> DataFrame:
     """(doc_id, term, tf:int, dl:int[, positions]) — one row per distinct
@@ -1038,25 +1044,30 @@ def _doc_term_runs(
     JOIN STRATEGY: the docmap side is tiny per row (keys + doc_id + dl)
     but at 10^12 docs it cannot be assumed to fit per-task memory, so
     sort-merge is the guaranteed-spill-safe default.  When
-    ``docmap_rows`` is given and the estimated per-partition build side
-    fits :data:`SHJ_BUILD_BUDGET_BYTES` (and the total is past the
-    broadcastable range), the join is hinted to SHUFFLED-HASH — it
-    skips sorting the fat content rows.  The gate exists because round
-    4 measured that sort at -5.5 s @ local[32]; RE-MEASURED after the
-    regex run-length landed, the win is gone (t32 neutral, t8 5-10%
-    slower, BENCH.md round 5), so the builders do NOT pass
-    ``docmap_rows`` — the mechanism stays available and size-safe for
-    workloads where the content sort dominates again (e.g. much fatter
-    documents)."""
+    ``docmap_rows`` says the whole projected docmap fits
+    :data:`DOCMAP_BROADCAST_MAX_BYTES`, it is BROADCAST — the content
+    side then takes no exchange and no sort at all (Catalyst misses
+    this on its own: the docmap's parquet footprint crosses the 10 MB
+    autoBroadcast threshold at ~100k docs).  Past the broadcast range,
+    ``prefer_shj=True`` plus a per-partition build side that provably
+    fits :data:`SHJ_BUILD_BUDGET_BYTES` hints SHUFFLED-HASH (skips
+    sorting the fat content rows).  The builders pass ``docmap_rows``
+    with ``prefer_shj=False``: the broadcast win is structural
+    (measured -2 s of the runs stage at the 150k-doc bench), while the
+    SHJ-vs-SMJ trade was re-measured neutral-to-negative after the
+    regex run-length landed (t32 neutral, t8 5-10% slower, BENCH.md
+    round 5), so beyond the broadcast range they keep the spill-safe
+    sort-merge default."""
     id_map = docmap.select(*key_cols, "doc_id", "dl")
     if docmap_rows is not None:
         spark = corpus.sparkSession
         parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         total = docmap_rows * DOCMAP_ROW_BYTES
-        if (
-            total > SHJ_MIN_TOTAL_BYTES  # broadcastable: let Catalyst
-            and total / max(parts, 1) <= SHJ_BUILD_BUDGET_BYTES
-        ):
+        if total <= DOCMAP_BROADCAST_MAX_BYTES:
+            # small docmap: broadcast — removes the content-side
+            # exchange AND its sort from the runs stage entirely
+            id_map = F.broadcast(id_map)
+        elif prefer_shj and total / max(parts, 1) <= SHJ_BUILD_BUDGET_BYTES:
             id_map = id_map.hint("shuffle_hash")
     docs = corpus.join(id_map, list(key_cols))
     from acora_spark.functions.tokenize import tokens_expr
@@ -1341,18 +1352,19 @@ def _build_index_impl(
         # — at 100 TB that exchange (one row per distinct (doc, term) with
         # the term string attached) was the single largest shuffle byte
         # stream of the build.
-        # docmap_rows deliberately NOT passed: the size-gated shuffled-hash
-        # join was re-measured after the regex run-length landed and the
-        # -5.5s @32 win it was adopted for evaporated (t32 neutral, t8
-        # 5-10% SLOWER, interleaved min-of-2 — BENCH.md round 5); the
-        # spill-safe sort-merge default stands on current evidence
+        # docmap_rows=N with prefer_shj=False: broadcast the docmap when
+        # it provably fits (no content exchange at all); beyond that
+        # range stay on the spill-safe sort-merge — the shuffled-hash
+        # middle ground was re-measured neutral-to-negative after the
+        # regex run-length landed (BENCH.md round 5)
         dm = spark.read.parquet(docmap_path)
         if "_mid" in dm.columns:  # legacy resumes carry a physical doc_id
             dm = derive_doc_ids(
                 dm, _read_stats(index_dir)["docmap_mid_bases"]["docmap"]
             )
         runs = _doc_term_runs(
-            corpus, dm, key_cols, with_positions
+            corpus, dm, key_cols, with_positions,
+            docmap_rows=n_docs, prefer_shj=False,
         ).withColumn(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
@@ -1484,7 +1496,19 @@ def _build_index_impl(
         parts = _encode_runs_files(
             spark, files, avgdl, with_positions, hot_map
         )
-        _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0)
+        # Whole-file encode tasks already emit ONE row per (term, shard):
+        # the v2 runs layout clusters every term into a single slice
+        # file, so only a >128 MB file split into chunks can cut a group
+        # into segment rows.  When no file is chunked, the coalescing
+        # exchange (plus its second Python pass over every encoded blob)
+        # is a no-op — skip it and let the encode tasks write directly
+        # (guide §2.4: remove shuffles outright).  Rows, bytes, and the
+        # per-bucket xor64 lineage checksums are identical either way.
+        chunked = any(size > ENCODE_TASK_BYTES for _, size in files)
+        _write_bucket_group(
+            spark, parts, group, num_buckets, index_dir, t0,
+            coalesce=chunked,
+        )
 
     return load_index(spark, index_dir)
 
@@ -1592,29 +1616,43 @@ def _cluster_and_coalesce(parts: DataFrame, num_buckets: int, n_parts: int,
     )
 
 
-def _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0):
-    """Cluster encoded rows by (bucket, slice), coalesce same-(term,
-    shard) segment rows by blob concatenation, ride per-bucket row/xor64
-    lineage metrics on the write, and dynamic-overwrite the group's bucket
-    directories (idempotent under retry).
+def _write_bucket_group(spark, parts, group, num_buckets, index_dir, t0,
+                        coalesce=True):
+    """Ride per-bucket row/xor64 lineage metrics on the write and
+    dynamic-overwrite the group's bucket directories (idempotent under
+    retry).
 
-    Clustering by (bucket, slice) gives a few files per bucket instead of
-    tasks x buckets files (the dynamic-overwrite commit is driver-serial
-    per file) while keeping the number of WRITE tasks >= the core count —
-    a plain repartition(len(group)) would leave half the cluster idle
-    through the encode+write tail whenever group size < cores.
+    ``coalesce=True`` (required whenever an oversized runs file was
+    split into chunk tasks) first clusters encoded rows by (bucket,
+    slice) and merges same-(term, shard) segment rows by blob
+    concatenation, so the stored table has ONE row per key regardless
+    of reader splits.  With whole-file encode tasks that invariant
+    already holds structurally (a term lives in exactly one slice
+    file), so ``coalesce=False`` writes the encode output directly —
+    no exchange, no second Python pass over the blobs; one file per
+    encode task (= per runs slice file) instead of ~cores files.
+
+    Clustering by (bucket, slice) in the coalescing path gives a few
+    files per bucket instead of tasks x buckets files (the
+    dynamic-overwrite commit is driver-serial per file) while keeping
+    the number of WRITE tasks >= the core count.
 
     The xor64 checksum is a bit_xor of per-row hashes covering the encoded
-    blob bytes: order- and file-layout-independent, and — with the
-    segment coalescing guaranteeing ONE row per (term, shard) regardless
-    of reader splits — a pure function of the corpus: the lineage record
-    the north rule asks for, and the determinism evidence the tests
-    assert."""
+    blob bytes: order- and file-layout-independent, and — with one row
+    per (term, shard) guaranteed on both paths — a pure function of the
+    corpus: the lineage record the north rule asks for, and the
+    determinism evidence the tests assert."""
     postings_path = _join_path(index_dir, "postings")
-    wpb = max(
-        1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
-    )
-    out = _cluster_and_coalesce(parts, num_buckets, len(group) * wpb, wpb)
+    if coalesce:
+        wpb = max(
+            1, math.ceil(spark.sparkContext.defaultParallelism / len(group))
+        )
+        out = _cluster_and_coalesce(parts, num_buckets, len(group) * wpb, wpb)
+    else:
+        out = parts.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+        )
     # per-bucket row metrics ride the write via observe() — no read-back
     # counting job
     from pyspark.sql import Observation
@@ -1964,7 +2002,10 @@ def _merge_index_impl(
 
     # ---- delta runs, staged partitioned by bucket -----------------------
     id_df = spark.read.parquet(_join_path(index_dir, gen_docmap))
-    runs = _doc_term_runs(delta_corpus, id_df, key_cols, with_positions)
+    runs = _doc_term_runs(
+        delta_corpus, id_df, key_cols, with_positions,
+        docmap_rows=m_docs, prefer_shj=False,
+    )
     runs = runs.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
@@ -2044,22 +2085,33 @@ def _merge_index_impl(
     # query executors treat every row as an independent cursor over
     # disjoint docs (exactness unaffected); run compact_index
     # periodically to coalesce generations.
+    delta_files = _list_files(spark, _join_path(tmp, "runs"))
     new_rows = _encode_runs_files(
         spark,
-        _list_files(spark, _join_path(tmp, "runs")),
+        delta_files,
         avgdl_new,
         with_positions,
         hot_map,
     )
-    wpb = max(
-        1,
-        math.ceil(
-            spark.sparkContext.defaultParallelism / max(1, len(affected))
-        ),
-    )
-    out = _cluster_and_coalesce(
-        new_rows, num_buckets, max(1, len(affected)) * wpb, wpb
-    )
+    if any(size > ENCODE_TASK_BYTES for _, size in delta_files):
+        # chunked files can split a (term, shard) group into segment
+        # rows — coalesce them back to one row per key
+        wpb = max(
+            1,
+            math.ceil(
+                spark.sparkContext.defaultParallelism / max(1, len(affected))
+            ),
+        )
+        out = _cluster_and_coalesce(
+            new_rows, num_buckets, max(1, len(affected)) * wpb, wpb
+        )
+    else:
+        # whole-file tasks already emit one row per (term, shard) — the
+        # append tolerates multi-row keys anyway, so write directly
+        out = new_rows.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+        )
     # manifest lineage stays audit-true across append generations: ride
     # the delta's per-bucket row count + xor64 on the write and FOLD it
     # into the existing entries — xor is its own combiner (new_xor =
@@ -2601,12 +2653,32 @@ class Index:
         bound Lucene operates under.  Run compaction before the pending
         set outgrows what a broadcast comfortably carries (~10^8 ids)."""
         path = _join_path(self.index_dir, "tombstones")
-        if not _hadoop_path_exists(spark, path):
-            return np.empty(0, np.int64)
-        rows = (
-            spark.read.parquet(path).select("doc_id").dropDuplicates().collect()
-        )
-        return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+        try:
+            # driver-side pyarrow read (local/HDFS/S3 via fsutil.pa_fs):
+            # the set is broadcast-bounded by design, and the per-query
+            # Spark read+collect job was a ~0.2 s fixed cost on every
+            # serve call; np.unique == dropDuplicates + sort exactly
+            if not fsutil.exists(path):
+                return np.empty(0, np.int64)
+            import pyarrow.parquet as pq
+
+            fsys, tp = fsutil.pa_fs(path)
+            t = pq.read_table(tp, columns=["doc_id"], filesystem=fsys)
+            if not t.num_rows:
+                return np.empty(0, np.int64)
+            return np.unique(t["doc_id"].to_numpy().astype(np.int64))
+        except Exception:
+            if not _hadoop_path_exists(spark, path):
+                return np.empty(0, np.int64)
+            rows = (
+                spark.read.parquet(path)
+                .select("doc_id")
+                .dropDuplicates()
+                .collect()
+            )
+            return np.sort(
+                np.array([r["doc_id"] for r in rows], dtype=np.int64)
+            )
 
     def describe(self, spark: SparkSession) -> DataFrame:
         """Per-bucket index statistics — the ops view: postings rows,
