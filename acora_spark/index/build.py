@@ -705,35 +705,50 @@ def _fixed_layout_write(spark: SparkSession):
 
 
 def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
-    """Recursively list data files under ``path`` with sizes via the Hadoop
-    FileSystem API, sorted by path for determinism.  Hidden/metadata
-    files are skipped.
+    """Recursively list data files under ``path`` with sizes, sorted by
+    path for determinism.  Hidden/metadata files (basename starting
+    ``_``/``.``) are skipped.
 
-    Local (``file:`` / scheme-less) paths are returned as plain
-    filesystem paths; remote paths keep their full ``scheme://`` URI so
-    the encode tasks can resolve them through pyarrow's filesystem layer
-    (s3://, hdfs://, gs:// — Hadoop-only schemes like s3a:// need a
-    pyarrow-resolvable alias)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    if not fs.exists(p):
-        return []
-    out = []
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        st = it.next()
-        fp = st.getPath()
-        if fp.getName().startswith(("_", ".")):
-            continue
-        scheme = fp.toUri().getScheme()
-        loc = (
-            fp.toUri().getPath()
-            if scheme in (None, "file")
-            else str(fp)
+    Listing runs through ``os.walk`` locally and ``pyarrow.fs``
+    for ``scheme://`` paths (the same resolution the encode tasks use
+    to OPEN the files).  The previous Hadoop-API implementation paid
+    one py4j round trip per file — measured 1.1 s to list the bench's
+    192 runs files, pure driver-side gateway chatter.  ``file://``
+    URIs and scheme-less paths return plain filesystem paths; remote
+    paths keep their full URI.  ``spark`` is unused but kept for call
+    compatibility."""
+    del spark
+    out: list[tuple[str, int]] = []
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    if not fsutil.is_remote(path):
+        if not os.path.exists(path):
+            return []
+        for root, _dirs, names in os.walk(path):
+            for name in names:
+                if name.startswith(("_", ".")):
+                    continue
+                full = os.path.join(root, name)
+                out.append((full, os.path.getsize(full)))
+        out.sort()
+        return out
+    from pyarrow import fs as pafs
+
+    fsys, p = fsutil.pa_fs(path)
+    try:
+        infos = fsys.get_file_info(
+            pafs.FileSelector(p, recursive=True, allow_not_found=True)
         )
-        out.append((loc, int(st.getLen())))
+    except FileNotFoundError:
+        return []
+    scheme = path.split("://", 1)[0]
+    for i in infos:
+        if i.type != pafs.FileType.File:
+            continue
+        name = i.path.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue
+        out.append((f"{scheme}://{i.path}", int(i.size)))
     out.sort()
     return out
 
@@ -744,16 +759,50 @@ def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
 ENCODE_TASK_BYTES = 128 * 1024 * 1024
 
 
-def _encode_tasks(files: list[tuple[str, int]]) -> list[tuple[str, int, int]]:
-    """(path, chunk, n_chunks) rows — one encode task each.  Files beyond
-    ``ENCODE_TASK_BYTES`` get one task per 128 MB so a hot term's
-    oversized slice file cannot serialize the encode stage; the task
-    picks up the parquet ROW GROUPS whose cumulative offset falls in its
-    chunk (computed from footer metadata inside the task, deterministic)."""
-    tasks = []
+def _encode_tasks(
+    files: list[tuple[str, int]], parallelism: int = 0
+) -> list[tuple[list[str], int, int]]:
+    """(paths, chunk, n_chunks) rows — one encode task each.
+
+    Files beyond ``ENCODE_TASK_BYTES`` get one task per 128 MB so a hot
+    term's oversized slice file cannot serialize the encode stage; the
+    task picks up the parquet ROW GROUPS whose cumulative offset falls
+    in its chunk (computed from footer metadata inside the task,
+    deterministic).
+
+    SMALL files pack together: each whole file is encoded independently
+    inside the task (fresh streaming encoder per file), so the emitted
+    rows — and with them the per-bucket xor64 lineage — are identical
+    under ANY packing; only the per-task fixed cost (dispatch, reader
+    setup, output file) is amortized.  The pack target adapts to the
+    input (guide §2: size by data, floor by the requested parallelism,
+    cap at :data:`ENCODE_TASK_BYTES`): a bench-scale 44 MB runs table
+    previously ran 192 one-file tasks whose overhead dominated the
+    stage."""
+    total = sum(size for _, size in files if size <= ENCODE_TASK_BYTES)
+    target = ENCODE_TASK_BYTES
+    if parallelism > 0:
+        target = max(
+            1 << 20, min(ENCODE_TASK_BYTES, total // (2 * parallelism))
+        )
+    tasks: list[tuple[list[str], int, int]] = []
+    cur: list[str] = []
+    cur_bytes = 0
     for path, size in files:
-        n = max(1, math.ceil(size / ENCODE_TASK_BYTES))
-        tasks.extend((path, k, n) for k in range(n))
+        if size > ENCODE_TASK_BYTES:
+            if cur:
+                tasks.append((cur, 0, 1))
+                cur, cur_bytes = [], 0
+            n = math.ceil(size / ENCODE_TASK_BYTES)
+            tasks.extend(([path], k, n) for k in range(n))
+            continue
+        if cur and cur_bytes + size > target:
+            tasks.append((cur, 0, 1))
+            cur, cur_bytes = [], 0
+        cur.append(path)
+        cur_bytes += size
+    if cur:
+        tasks.append((cur, 0, 1))
     return tasks
 
 
@@ -797,37 +846,41 @@ def _encode_files_fn(
         import pyarrow.parquet as pq
 
         for pdf in batches:
-            for path, chunk, n_chunks in zip(
-                pdf["path"], pdf["chunk"], pdf["n_chunks"]
+            for paths, chunk, n_chunks in zip(
+                pdf["paths"], pdf["chunk"], pdf["n_chunks"]
             ):
-                if "://" in path:
-                    from pyarrow import fs as pafs
+                # a packed task holds several whole files; each file is
+                # encoded independently (fresh encoder), so the emitted
+                # rows are identical under any packing
+                for path in paths:
+                    if "://" in path:
+                        from pyarrow import fs as pafs
 
-                    fsys, fpath = pafs.FileSystem.from_uri(path)
-                    pf = pq.ParquetFile(fsys.open_input_file(fpath))
-                else:
-                    pf = pq.ParquetFile(path)
-                if n_chunks <= 1:
-                    rgs = None
-                else:
-                    md = pf.metadata
-                    sizes = [
-                        md.row_group(i).total_byte_size
-                        for i in range(md.num_row_groups)
-                    ]
-                    total = max(1, sum(sizes))
-                    rgs, off = [], 0
-                    for i, sz in enumerate(sizes):
-                        if (off * int(n_chunks)) // total == chunk:
-                            rgs.append(i)
-                        off += sz
-                    if not rgs:
-                        continue
-                enc = _encode_stream(avgdl, with_positions, hot_map)
-                it = pf.iter_batches(
-                    batch_size=262144, columns=cols, row_groups=rgs
-                )
-                yield from enc(b.to_pandas() for b in it)
+                        fsys, fpath = pafs.FileSystem.from_uri(path)
+                        pf = pq.ParquetFile(fsys.open_input_file(fpath))
+                    else:
+                        pf = pq.ParquetFile(path)
+                    if n_chunks <= 1:
+                        rgs = None
+                    else:
+                        md = pf.metadata
+                        sizes = [
+                            md.row_group(i).total_byte_size
+                            for i in range(md.num_row_groups)
+                        ]
+                        total = max(1, sum(sizes))
+                        rgs, off = [], 0
+                        for i, sz in enumerate(sizes):
+                            if (off * int(n_chunks)) // total == chunk:
+                                rgs.append(i)
+                            off += sz
+                        if not rgs:
+                            continue
+                    enc = _encode_stream(avgdl, with_positions, hot_map)
+                    it = pf.iter_batches(
+                        batch_size=262144, columns=cols, row_groups=rgs
+                    )
+                    yield from enc(b.to_pandas() for b in it)
 
     return gen
 
@@ -840,12 +893,14 @@ def _encode_runs_files(
     hot_map: dict[str, int] | None,
 ) -> DataFrame:
     """Encoded postings rows for the given runs files: one Spark task per
-    file (plus per 128 MB chunk of oversized files), no exchange of the
-    runs data anywhere."""
-    tasks = _encode_tasks(files)
+    size-packed group of whole files (plus one per 128 MB chunk of
+    oversized files), no exchange of the runs data anywhere."""
+    tasks = _encode_tasks(
+        files, spark.sparkContext.defaultParallelism
+    )
     fdf = spark.createDataFrame(
         spark.sparkContext.parallelize(tasks, max(1, len(tasks))),
-        "path string, chunk int, n_chunks int",
+        "paths array<string>, chunk int, n_chunks int",
     )
     return fdf.mapInPandas(
         _encode_files_fn(avgdl, with_positions, hot_map), POSTINGS_SCHEMA

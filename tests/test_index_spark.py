@@ -1051,7 +1051,7 @@ def test_encode_chunk_assignment_exhaustive(tmp_path):
         seen = 0
         for k in range(n_chunks):
             task = pd.DataFrame(
-                {"path": [fp], "chunk": [k], "n_chunks": [n_chunks]}
+                {"paths": [[fp]], "chunk": [k], "n_chunks": [n_chunks]}
             )
             for out in fn(iter([task])):
                 seen += int(out["df"].sum())
