@@ -156,7 +156,13 @@ def assign_doc_ids(
     """
     spark = corpus.sparkSession
     if num_partitions is None:
-        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+        # size the range exchange by the DATA (input splits), not the
+        # core count: a 5k-row corpus on 32 cores otherwise pays a
+        # 32-partition sample + shuffle + 32 cached blocks for nothing,
+        # while a large corpus keeps split-proportional parallelism.
+        # The ids are a pure function of the key ORDER, so the
+        # partition count never changes them (test-asserted).
+        num_partitions = max(8, corpus.rdd.getNumPartitions())
     key_cols = list(key_cols)
     from pyspark import StorageLevel
 
