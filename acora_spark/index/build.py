@@ -696,7 +696,7 @@ def _pinned_confs(spark: SparkSession, pairs: dict):
 def _fixed_layout_write(spark: SparkSession):
     """Disable AQE partition coalescing while writing the runs table.
 
-    The runs exchange is EXPLICITLY sized (4 * num_buckets * fpb); AQE's
+    The runs exchange is EXPLICITLY sized (2 * num_buckets * fpb); AQE's
     coalescing would re-merge those partitions using a target that, with
     the default ``parallelismFirst=true``, depends on the CORE COUNT — so
     the same corpus would produce a different runs file layout at
@@ -1458,12 +1458,18 @@ def _build_index_impl(
         # unseeded slice could only take fpb/gcd values within a bucket
         # (measured: gcd 4 collapsed a 16x4 layout to ONE file per
         # bucket, and with it the sort parallelism and encode fan-out).
-        # The exchange also hashes the combo over 4x more partitions than
-        # there are combos, making partition-level collisions rare.
+        # The exchange hashes the combo over 2x more partitions than
+        # there are combos — enough headroom that partition-level
+        # collisions (two slices sharing a file) stay uncommon, while
+        # halving the previous 4x block count: the M x R shuffle-block
+        # overhead was the dominant cost of this stage (measured
+        # 4.9 -> 4.1 s warm at the 150k-doc bench; the encoder and the
+        # lineage checksums are indifferent to collisions since tasks
+        # pack whole files anyway).
         fpb = runs_files_per_bucket
         with _fixed_layout_write(spark):
             runs.repartition(
-                4 * num_buckets * fpb,
+                2 * num_buckets * fpb,
                 "bucket",
                 F.pmod(F.xxhash64(F.lit("slice"), F.col("term")), F.lit(fpb)),
             ).sortWithinPartitions(
@@ -2071,7 +2077,7 @@ def _merge_index_impl(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
     # same term-clustered sorted layout as the main build's runs step
-    # (incl. the seeded slice hash and 4x anti-collision partition
+    # (incl. the seeded slice hash and 2x anti-collision partition
     # headroom), so the delta encode below is likewise zero-shuffle off
     # the read.  fpb is smaller than the full build's: a delta is by
     # definition a fraction of the corpus, and encode-read parallelism
@@ -2081,7 +2087,7 @@ def _merge_index_impl(
     fpb = 4
     with _fixed_layout_write(spark):
         runs.repartition(
-            4 * num_buckets * fpb,
+            2 * num_buckets * fpb,
             "bucket",
             F.pmod(F.xxhash64(F.lit("slice"), F.col("term")), F.lit(fpb)),
         ).sortWithinPartitions(

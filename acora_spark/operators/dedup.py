@@ -817,15 +817,23 @@ def _span_wins_arrow_fn(k: int, anchor_q: int, anchor_nibbles: int):
                     np.cumsum(counts) - counts, counts
                 )
                 cand = np.repeat(offs, counts) + within
-                wq = sliding_window_view(concat, anchor_q)[cand]
-                ok = anchor_ok(md5_rows(wq))
-                if ok.any():
-                    sel = cand[ok]
-                    out_doc.append(doc_of[ok])
-                    out_p.append((within[ok] + 1).astype(np.int32))
-                    out_h.append(
-                        md5_rows(sliding_window_view(concat, k)[sel])
-                    )
+                # slice the candidate stream so the window gathers and
+                # digest arrays stay tens of MB per worker regardless of
+                # batch size (a full 4096-doc batch is ~2.9M candidates)
+                step = 1 << 20
+                for s in range(0, len(cand), step):
+                    sub = cand[s : s + step]
+                    wq = sliding_window_view(concat, anchor_q)[sub]
+                    ok = anchor_ok(md5_rows(wq))
+                    if ok.any():
+                        sel = sub[ok]
+                        out_doc.append(doc_of[s : s + step][ok])
+                        out_p.append(
+                            (within[s : s + step][ok] + 1).astype(np.int32)
+                        )
+                        out_h.append(
+                            md5_rows(sliding_window_view(concat, k)[sel])
+                        )
             if not out_doc:
                 continue
             doc_idx = np.concatenate(out_doc)
