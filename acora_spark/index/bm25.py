@@ -1381,9 +1381,11 @@ def bm25_rescore_topk_batch(
     """ES ``rescore``: re-rank the first-pass BM25 top-``window``
     candidates per query with a second, more expensive signal — here
     the standard match_phrase rescorer: the query string evaluated as
-    an EXACT PHRASE, scored the Lucene PhraseQuery way (tf = phrase
-    occurrence count, idf = sum of the phrase terms' idfs, repeats
-    counted, same BM25 saturation/norm as term scoring), combined as
+    an EXACT PHRASE, scored phrase-query style (tf = phrase occurrence
+    count, idf = sum of the phrase's DISTINCT terms' idfs — a
+    repeated-token phrase contributes each term once, a documented
+    simplification of Lucene's repeats-counted PhraseQuery idf — same
+    BM25 saturation/norm as term scoring), combined as
     ``query_weight * bm25 + rescore_weight * phrase_score``.
 
     The window is GLOBAL top-``window`` (ES applies it per shard —
@@ -1404,7 +1406,8 @@ def bm25_rescore_topk_batch(
         "query_id", "doc_id", F.col("score").alias("base_score")
     )
     ph = phrase_match_batch(spark, index, queries, num_ranges=num_ranges)
-    # per-query phrase idf: sum over the term SEQUENCE (repeats counted)
+    # per-query phrase idf: sum over the query's DISTINCT terms
+    # (query_terms sorts and dedups — see the docstring note)
     all_terms = sorted({t for q in queries for t in query_terms(q)})
     buckets = term_buckets(spark, all_terms, stats["num_buckets"])
     needed = sorted(set(buckets.values()))
@@ -2323,6 +2326,11 @@ def span_first_batch(
     if not term_df:
         return spark.createDataFrame([], SPAN_FIRST_SCHEMA)
     pos_bits = _phrase_pos_bits(stats, 1)
+    if max(1, _id_space(stats) - 1).bit_length() + pos_bits > 62:
+        raise ValueError(
+            "packed span_first keys would overflow int64: "
+            f"N={stats['N']}, pos_bits={pos_bits}"
+        )
     shift = _range_shift(stats, max(term_df.values()), num_ranges)
     qdf = spark.createDataFrame(
         [(qi, t) for qi, (t, _) in specs.items()],
@@ -2427,8 +2435,19 @@ def span_not_batch(
     term_df = _query_term_df(post_df)
     if not term_df:
         return spark.createDataFrame([], SPAN_NOT_SCHEMA)
+    # slack must cover BOTH bounds: the kernel computes ik + post (the
+    # searchsorted probe) and compares against ik - pre, so an
+    # undersized post slack could carry the add into the doc half and
+    # alias the probe onto the NEXT doc's exclude keys (silently
+    # dropping matches for queries with post > pre)
     max_pre = max(p for _, _, p, _ in specs.values())
-    pos_bits = _phrase_pos_bits(stats, max_pre + 1)
+    max_post = max(p for _, _, _, p in specs.values())
+    pos_bits = _phrase_pos_bits(stats, max_pre + max_post + 1)
+    if max(1, _id_space(stats) - 1).bit_length() + pos_bits > 62:
+        raise ValueError(
+            "packed span_not keys would overflow int64: "
+            f"N={stats['N']}, pos_bits={pos_bits}"
+        )
     shift = _range_shift(stats, max(term_df.values()), num_ranges)
     qdf = spark.createDataFrame(
         [

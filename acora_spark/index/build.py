@@ -2854,37 +2854,43 @@ def snapshot_index(index_dir: str, dest_dir: str) -> dict:
     files mid-read.  Works across fsutil locations (local <-> s3://).
     Returns ``{"files": n, "dirs": [...]}``."""
     with _mutator_lease(index_dir, "snapshot"):
-        if not build_is_complete(index_dir):
-            raise ValueError(
-                f"{index_dir} is not a complete index (crashed or "
-                "in-progress build) — snapshot refuses partial state"
-            )
-        stats = _read_stats(index_dir)
-        dirs = sorted(
-            set(
-                stats.get("postings_dirs", ["postings"])
-                + stats.get("docmap_dirs", ["docmap"])
-                + stats.get("docstats_dirs", ["docstats"])
-            )
+        return _copy_index_dirs(index_dir, dest_dir)
+
+
+def _copy_index_dirs(index_dir: str, dest_dir: str) -> dict:
+    """The stats-last index copy shared by snapshot and restore (no
+    lease here — the caller decides whether the SOURCE needs one)."""
+    if not build_is_complete(index_dir):
+        raise ValueError(
+            f"{index_dir} is not a complete index (crashed or "
+            "in-progress build) — snapshot refuses partial state"
         )
-        fsutil.makedirs(dest_dir)
-        n = 0
-        for d in dirs:
-            n += fsutil.copy_dir(
-                _join_path(index_dir, d), _join_path(dest_dir, d)
-            )
-        tomb = _join_path(index_dir, "tombstones")
-        if fsutil.exists(tomb):
-            n += fsutil.copy_dir(tomb, _join_path(dest_dir, "tombstones"))
-            dirs.append("tombstones")
-        for f in ("_manifest.json", "hot_terms.json"):
-            src = _join_path(index_dir, f)
-            if fsutil.exists(src):
-                fsutil.copy_file(src, _join_path(dest_dir, f))
-                n += 1
-        # the commit point: the snapshot becomes a readable index here
-        _commit_stats(dest_dir, stats)
-        return {"files": n + 1, "dirs": dirs}
+    stats = _read_stats(index_dir)
+    dirs = sorted(
+        set(
+            stats.get("postings_dirs", ["postings"])
+            + stats.get("docmap_dirs", ["docmap"])
+            + stats.get("docstats_dirs", ["docstats"])
+        )
+    )
+    fsutil.makedirs(dest_dir)
+    n = 0
+    for d in dirs:
+        n += fsutil.copy_dir(
+            _join_path(index_dir, d), _join_path(dest_dir, d)
+        )
+    tomb = _join_path(index_dir, "tombstones")
+    if fsutil.exists(tomb):
+        n += fsutil.copy_dir(tomb, _join_path(dest_dir, "tombstones"))
+        dirs.append("tombstones")
+    for f in ("_manifest.json", "hot_terms.json"):
+        src = _join_path(index_dir, f)
+        if fsutil.exists(src):
+            fsutil.copy_file(src, _join_path(dest_dir, f))
+            n += 1
+    # the commit point: the snapshot becomes a readable index here
+    _commit_stats(dest_dir, stats)
+    return {"files": n + 1, "dirs": dirs}
 
 
 def restore_index(snapshot_dir: str, dest_dir: str) -> dict:
@@ -2893,13 +2899,19 @@ def restore_index(snapshot_dir: str, dest_dir: str) -> dict:
     stats-last copy — run from the snapshot, which is immutable by
     convention, onto a fresh ``dest_dir``.  Refuses a destination that
     already looks like an index (restoring over live data is the
-    classic operational footgun; delete it explicitly first)."""
+    classic operational footgun; delete it explicitly first).
+
+    Unlike :func:`snapshot_index`, restore takes NO mutator lease on
+    the source: the snapshot directory is immutable by convention and
+    writing ``_mutator.lock`` files into it would violate exactly that
+    convention (no compaction can delete files out from under the
+    copy, which is what the snapshot-side lease exists for)."""
     if fsutil.exists(_join_path(dest_dir, "stats.json")):
         raise ValueError(
             f"{dest_dir} already holds an index — refusing to restore "
             "over it; delete it explicitly first"
         )
-    return snapshot_index(snapshot_dir, dest_dir)
+    return _copy_index_dirs(snapshot_dir, dest_dir)
 
 
 def index_stats(spark: SparkSession, index_dir: str) -> dict:

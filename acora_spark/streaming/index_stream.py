@@ -182,11 +182,25 @@ def index_upsert_stream(
                 " — one version per key per batch"
             )
         idx = load_index(spark, index_dir)
-        triples = batch_df.select("repo", "path", "commit").distinct()
+        # identity = the configured key columns plus the content-version
+        # column: a replay is applied iff every (key..., version) the
+        # batch carries is live in the docmap.  Derived from key_cols
+        # (not hardcoded to the default triple) so a stream keyed
+        # differently still detects applied batches; the version column
+        # is required for the check to be sound.
+        id_cols = keys + (["commit"] if "commit" not in keys else [])
+        missing = [c for c in id_cols if c not in batch_df.columns]
+        if missing:
+            raise ValueError(
+                f"upsert stream batch lacks identity column(s) {missing}"
+                " — replay-applied detection needs key_cols plus the"
+                " 'commit' version column"
+            )
+        triples = batch_df.select(*id_cols).distinct()
         n_batch = triples.count()
         present = (
             idx.docmap(spark)
-            .join(F.broadcast(triples), ["repo", "path", "commit"])
+            .join(F.broadcast(triples), id_cols)
             .select("doc_id")
         )
         ids = np.sort(

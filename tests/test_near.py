@@ -349,3 +349,36 @@ def test_span_not_matches_brute_force(spark, pos_built):
         span_not_batch(
             spark, idx, [{"include": "a", "exclude": "b", "pre": -1}]
         )
+
+
+def test_span_not_post_exceeds_pos_slack(spark, tmp_path):
+    """Regression: the packed-key slack must cover POST as well as pre.
+    With max_dl just under a power of two and post > pre, the probe
+    ``include_key + post`` used to carry into the doc half and land on
+    the NEXT doc's exclude keys, silently dropping clean matches.
+    Corpus engineered so max_dl=13 (old slack: (13+pre+2).bit_length()
+    = 4 bits) and post=4 pushes the last include position past 2**4;
+    the adjacent doc opens with the exclude term."""
+    from acora_spark.index.bm25 import span_not_batch
+    from acora_spark.index.build import build_index
+
+    filler = " ".join(f"f{i}" for i in range(12))
+    rows = [
+        # doc A: include 'zz' at the LAST position (pos 12, 13 tokens)
+        ("r", "a/doc1", "c1", "py", filler + " zz"),
+        # doc B (adjacent doc id): exclude 'qq' at position 0
+        ("r", "a/doc2", "c2", "py", "qq " + filler),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    idx = build_index(
+        corpus, str(tmp_path / "spanidx"), num_buckets=2,
+        docs_per_salt=100, bucket_group_size=2, with_positions=True,
+    )
+    res = span_not_batch(
+        spark, idx,
+        [{"include": "zz", "exclude": "qq", "pre": 0, "post": 4}],
+    ).collect()
+    # 'zz' has no 'qq' within its own doc: the occurrence is clean
+    assert {(r.doc_id, r.n_clean) for r in res} == {(0, 1)}
