@@ -3507,6 +3507,13 @@ def suggest_correction(
     dist = F.levenshtein(F.col("term"), F.lit(w))
     rows = (
         index.postings(spark)
+        # lossless candidate prefilter (Lucene's generator does the
+        # same): |len(a) - len(b)| <= edit distance, so the cheap
+        # length window eliminates most of the vocabulary before the
+        # O(len^2) levenshtein DP runs
+        .filter(
+            F.abs(F.length("term") - F.lit(len(w))) <= F.lit(max_edits)
+        )
         .filter(dist <= max_edits)
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
@@ -3566,6 +3573,13 @@ def suggest_phrase(
     dist = F.levenshtein(F.col("term"), F.col("token"))
     cand = (
         vocab.crossJoin(F.broadcast(tok_df))
+        # lossless prefilter: |len(term) - len(token)| bounds the edit
+        # distance from below, so the length window drops most vocab x
+        # token pairs before the levenshtein DP evaluates
+        .filter(
+            F.abs(F.length("term") - F.length("token"))
+            <= F.lit(max_edits)
+        )
         .withColumn("dist", dist)
         .filter(F.col("dist") <= max_edits)
     )
@@ -3977,12 +3991,10 @@ def search_sorted(
     order = [
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sort
     ] + [F.col("doc_id").asc()]
-    w = Window.orderBy(*order)
-    return (
-        joined.orderBy(*order)
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", *cols)
+    # rank AFTER the distributed limit(k) via the windowless helper —
+    # <= k rows in one partition, no unpartitioned-window warning
+    return _rank_rows(joined.orderBy(*order).limit(k), order).select(
+        "rank", "doc_id", *cols
     )
 
 

@@ -219,6 +219,10 @@ def bucket_pipeline(
     from pyspark.sql import Window
 
     gcols = list(group_cols)
+    # NB: the ungrouped form is an INTENTIONAL unpartitioned window —
+    # its input is the already-aggregated bucket axis (bounded by the
+    # histogram's bucket count, never per-document), so the single
+    # partition Spark warns about is exactly right here
     base = (
         Window.partitionBy(*gcols).orderBy(order_col)
         if gcols
