@@ -2108,20 +2108,12 @@ def _merge_index_impl(
         if r["term"] not in hot_map
     }
     if cand:
-        cand_buckets = sorted(
-            {
-                int(r["b"])
-                for r in spark.createDataFrame(
-                    [(t,) for t in cand], "term string"
-                )
-                .select(
-                    F.pmod(F.xxhash64("term"), F.lit(num_buckets))
-                    .cast("int")
-                    .alias("b")
-                )
-                .collect()
-            }
-        )
+        # route candidate terms driver-side with the pure-Python xxh64
+        # port (equivalence with the Spark expression is test-asserted)
+        # instead of a createDataFrame+collect round trip per merge
+        from acora_spark.functions.xxh64 import term_bucket
+
+        cand_buckets = sorted({term_bucket(t, num_buckets) for t in cand})
         existing_terms = {
             r["term"]
             for r in idx0.postings(spark, cand_buckets)
@@ -2138,9 +2130,12 @@ def _merge_index_impl(
     # commit loses widths and data together (re-run recomputes both)
     stats["hot_widths"] = hot_map
     # ---- postings generation, STAGED ------------------------------------
+    # the staged runs table is hive-partitioned by bucket: its directory
+    # names ARE the affected-bucket set (no distinct+collect job)
     affected = sorted(
-        r["bucket"]
-        for r in delta_runs.select("bucket").distinct().collect()
+        int(name.split("=", 1)[1])
+        for name in fsutil.listdir(_join_path(tmp, "runs"))
+        if name.startswith("bucket=")
     )
     # zero-shuffle delta encode: the staged delta runs are term-clustered
     # and (term, doc_id)-sorted; each task reads its file directly with
