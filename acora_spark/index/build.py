@@ -71,8 +71,6 @@ from acora_spark.functions.postings_codec import (
     K1,
     encode_postings,
 )
-from acora_spark.functions.tokenize import token_counts
-
 __all__ = [
     "assign_doc_ids",
     "build_index",
@@ -1065,26 +1063,34 @@ def _doc_term_runs(
     *,
     docmap_rows: int | None = None,
     prefer_shj: bool = True,
-    rl_impl: str = "regex",
+    rl_impl: str = "arrow",
 ) -> DataFrame:
     """(doc_id, term, tf:int, dl:int[, positions]) — one row per distinct
     (document, term), computed WITHOUT an aggregation shuffle.
 
-    The token array is sorted per row and run-length encoded IN the row:
+    The per-(doc, term) tf rows are computed WITHIN each document —
     a document's tokens never leave it, so the classic explode ->
-    groupBy(doc_id, term) aggregation exchange disappears.  Two
-    implementations of the run-length itself:
+    groupBy(doc_id, term) aggregation exchange disappears.  Three
+    implementations of the per-doc counting itself:
 
-    * ``rl_impl="regex"`` (default, positions-free path) — sort, join
-      with spaces, and extract maximal equal-token runs with ONE
-      ``regexp_extract_all`` pass (:data:`_RUNS_REGEX`); term and tf
-      then come from plain string expressions.  Everything stays inside
-      whole-stage codegen — this replaced the interpreted higher-order
-      chain below after measuring ~1.7x on the map side (the worst-
-      scaling component of the whole build, BENCH.md round 4/5).  The
-      JVM regex loop is iterative (measured safe on a 2,000,000-token
-      single-term run), and token chars ``[a-z0-9_]`` can never contain
-      regex metacharacters or the space delimiter.
+    * ``rl_impl="arrow"`` (default, positions-free path) — one
+      ``mapInArrow`` pass: tokenize with the same ``[a-z0-9_]+`` rule
+      in Python ``re`` and count per-doc tfs with a Counter, emitting
+      (doc_id, term, tf, dl) rows straight from the batch.  Python is
+      JIT-free, so the map costs the same on the FIRST build of a
+      session as on the tenth — the JVM regex form below measured
+      2-3.4 s for the same pass at 150k docs depending on codegen/JIT
+      warmth vs ~0.9 s here.  Row SET identical to the other engines
+      (differentially tested); the runs layout stays bit-identical
+      because the later repartition+sort totally orders rows.
+    * ``rl_impl="regex"`` (positions-free path; the differential
+      oracle for "arrow") — sort, join with spaces, and extract
+      maximal equal-token runs with ONE ``regexp_extract_all`` pass
+      (:data:`_RUNS_REGEX`); term and tf then come from plain string
+      expressions, all inside whole-stage codegen.  The JVM regex loop
+      is iterative (measured safe on a 2,000,000-token single-term
+      run), and token chars ``[a-z0-9_]`` can never contain regex
+      metacharacters or the space delimiter.
     * ``rl_impl="hof"`` — the array-expression form, kept as the
       differential oracle for the regex path and as the only form that
       can carry POSITIONS (the regex consumes the sorted order; token
@@ -1132,6 +1138,9 @@ def _doc_term_runs(
             id_map = id_map.hint("shuffle_hash")
     docs = corpus.join(id_map, list(key_cols))
     from acora_spark.functions.tokenize import tokens_expr
+
+    if not with_positions and rl_impl == "arrow":
+        return _doc_term_runs_arrow(docs)
 
     if not with_positions and rl_impl == "regex":
         runs = docs.select(
@@ -1199,6 +1208,144 @@ def _doc_term_runs(
             *extra,
         )
     )
+
+
+def _docstats_rows(
+    corpus: DataFrame,
+    key_cols: Sequence[str],
+    impl: str = "arrow",
+) -> DataFrame:
+    """Per-document stat rows ``(*key_cols, lang, dl, content_sha256)``
+    — the narrow pass both build and merge stage before id assignment.
+
+    ``impl="arrow"`` computes the token count and sha256 in ONE
+    ``mapInArrow`` pass (Python ``re`` + ``hashlib`` — identical values
+    to ``regexp_count(lower(...))`` / ``sha2(..., 256)``, differential-
+    tested): Python is JIT-free, so the pass costs the same on a fresh
+    session as on a warm one, where the JVM regex measured 2-3.4 s for
+    the same 112 MB depending on codegen/JIT state vs ~0.9 s here.
+    ``impl="expr"`` keeps the whole-stage-codegen expressions as the
+    differential oracle."""
+    from acora_spark.functions.tokenize import token_counts
+
+    key_cols = list(key_cols)
+    if impl == "expr":
+        return token_counts(corpus).select(
+            *key_cols,
+            "lang",
+            F.col("n_tokens").alias("dl"),
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    sel = corpus.select(*key_cols, "lang", "content")
+    fields = [sel.schema[c] for c in key_cols] + [
+        sel.schema["lang"],
+        StructField("dl", IntegerType(), True),
+        StructField("content_sha256", StringType(), True),
+    ]
+    schema = StructType(fields)
+    nk = len(key_cols)
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        from acora_spark.functions.tokenize import TOKEN_RE
+
+        tok = re.compile(TOKEN_RE)
+        for batch in batches:
+            texts = batch.column(nk + 1).to_pylist()
+            dls: list[int | None] = []
+            shas: list[str | None] = []
+            for t in texts:
+                if t is None:
+                    # NULL content: NULL dl / NULL sha, matching
+                    # regexp_count(lower(NULL)) and sha2(NULL)
+                    dls.append(None)
+                    shas.append(None)
+                    continue
+                dls.append(len(tok.findall(t.lower())))
+                shas.append(hashlib.sha256(t.encode("utf-8")).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(nk + 1)]
+                + [
+                    pa.array(dls, type=pa.int32()),
+                    pa.array(shas, type=pa.string()),
+                ],
+                [f.name for f in fields],
+            )
+
+    return sel.mapInArrow(gen, schema)
+
+
+def _doc_term_runs_arrow(docs: DataFrame) -> DataFrame:
+    """``rl_impl="arrow"`` body: (doc_id, term, tf, dl) rows via one
+    ``mapInArrow`` pass over the id-joined corpus (see
+    :func:`_doc_term_runs`)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    sel = docs.select(
+        "doc_id", F.col("dl").cast("int").alias("dl"), "content"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("term", StringType(), False),
+            StructField("tf", IntegerType(), False),
+            StructField("dl", IntegerType(), True),
+        ]
+    )
+
+    def gen(batches):
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+
+        from acora_spark.functions.tokenize import TOKEN_RE
+
+        tok = re.compile(TOKEN_RE)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            dls = batch.column(1).to_pylist()
+            texts = batch.column(2).to_pylist()
+            o_id: list[int] = []
+            o_term: list[str] = []
+            o_tf: list[int] = []
+            o_dl: list[int] = []
+            for did, dl, text in zip(ids, dls, texts):
+                if not text:
+                    continue
+                counts = Counter(tok.findall(text.lower()))
+                if not counts:
+                    continue
+                o_id.extend([did] * len(counts))
+                o_term.extend(counts.keys())
+                o_tf.extend(counts.values())
+                o_dl.extend([dl] * len(counts))
+            if o_id:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(o_id, type=pa.int64()),
+                        pa.array(o_term, type=pa.string()),
+                        pa.array(o_tf, type=pa.int32()),
+                        pa.array(o_dl, type=pa.int32()),
+                    ],
+                    ["doc_id", "term", "tf", "dl"],
+                )
+
+    return sel.mapInArrow(gen, schema)
 
 
 _BUILD_PARAMS = ("num_buckets", "docs_per_salt", "with_positions")
@@ -1310,12 +1457,7 @@ def _build_index_impl(
         # parquet rows.  N and avgdl ride along the write via observe() —
         # no separate aggregation job.
         obs = Observation("corpus_stats")
-        stat_rows = token_counts(corpus).select(
-            *key_cols,
-            "lang",
-            F.col("n_tokens").alias("dl"),
-            F.sha2(F.col("content"), 256).alias("content_sha256"),
-        ).observe(
+        stat_rows = _docstats_rows(corpus, key_cols).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.sum("dl").alias("total_dl"),
@@ -2007,17 +2149,10 @@ def _merge_index_impl(
 
     from pyspark.sql import Observation
 
-    from acora_spark.functions.tokenize import token_counts
-
     # ---- delta doc stats + ids, STAGED (narrow pass; content never
     # shuffles; nothing below is reader-visible until the commit) --------
     obs = Observation("delta_stats")
-    delta_stats = token_counts(delta_corpus).select(
-        *key_cols,
-        "lang",
-        F.col("n_tokens").alias("dl"),
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-    ).observe(
+    delta_stats = _docstats_rows(delta_corpus, key_cols).observe(
         obs,
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("total_dl"),

@@ -1159,19 +1159,17 @@ def test_doc_term_runs_regex_equals_hof(spark):
         F.lit(1).alias("dl"),
     )
     key_cols = ["repo", "path", "commit"]
-    got = {
-        (r.doc_id, r.term, r.tf)
-        for r in _doc_term_runs(
-            corpus, docmap, key_cols, False, rl_impl="regex"
-        ).collect()
+    results = {
+        impl: {
+            (r.doc_id, r.term, r.tf, r.dl)
+            for r in _doc_term_runs(
+                corpus, docmap, key_cols, False, rl_impl=impl
+            ).collect()
+        }
+        for impl in ("arrow", "regex", "hof")
     }
-    want = {
-        (r.doc_id, r.term, r.tf)
-        for r in _doc_term_runs(
-            corpus, docmap, key_cols, False, rl_impl="hof"
-        ).collect()
-    }
-    assert got == want and len(got) > 100
+    assert results["arrow"] == results["regex"] == results["hof"]
+    assert len(results["arrow"]) > 100
 
 
 def test_docmap_join_size_gate(spark, sf_dir):
@@ -1283,3 +1281,33 @@ def test_query_string_executor(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="no positive clause"):
         query_string_topk_batch(spark, idx, ["-window"])
+
+
+def test_docstats_rows_arrow_equals_expr(spark):
+    """The arrow docstats pass (default) must produce exactly the
+    expression engine's rows — token counts, sha256 hex, NULL-content
+    handling — on adversarial content."""
+    from acora_spark.index.build import _docstats_rows
+
+    rows = [
+        ("r0", "p0", "c0", "py", "The QUICK-brown fox_1 the"),
+        ("r1", "p1", "c1", "go", ""),
+        ("r2", "p2", "c2", "zh", None),
+        ("r3", "p3", "c3", "py", "日本語 mixed ascii αβ tokens_9"),
+        ("r4", "p4", "c4", "rs", " ".join(["hot"] * 3000)),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    keys = ["repo", "path", "commit"]
+
+    def canon(df):
+        return sorted(
+            tuple((k, repr(v)) for k, v in sorted(r.asDict().items()))
+            for r in df.collect()
+        )
+
+    assert canon(_docstats_rows(corpus, keys, impl="arrow")) == canon(
+        _docstats_rows(corpus, keys, impl="expr")
+    )
