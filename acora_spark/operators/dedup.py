@@ -1110,13 +1110,37 @@ def semantic_dedup(
                 {
                     "id": pdf[id_col].astype("int64"),
                     "cell": d2.argmin(1).astype("int32"),
+                    "_d2min": d2.min(1),
                     "vec": [r.tolist() for r in mat],
                 }
             )
 
     assigned = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        assign, "id long, cell int, vec array<double>"
+        assign, "id long, cell int, _d2min double, vec array<double>"
     )
+    # IDENTITY-KEYED contract: multiple rows sharing one id are
+    # alternative representations of the same item — the id is assigned
+    # to the cell of its best-scoring representation (global min
+    # distance across copies, ties to the smaller cell) and EVERY copy
+    # participates in that cell's pairing, but exactly one decision row
+    # per id is emitted (the semantics a GROUP BY id mirror computes).
+    # The duplicate probe is a column-pruned map-combined aggregation
+    # over the id column alone; the merge window (an exchange of the
+    # vectors by id) is paid ONLY when duplicates actually exist, so
+    # the common unique-id path is unchanged.
+    has_dup_ids = not emb.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).filter(F.col("_n") > 1).isEmpty()
+    if has_dup_ids:
+        from pyspark.sql import Window
+
+        merged_cell = F.min(F.struct("_d2min", "cell")).over(
+            Window.partitionBy("id")
+        )
+        assigned = assigned.withColumn(
+            "cell", merged_cell.getField("cell")
+        )
+    assigned = assigned.drop("_d2min")
     # sub-shard oversized cells: the size table is <= num_cells rows, so
     # the join is a broadcast of a trivially small dimension.  The sizes
     # branch re-runs the assignment pass (column pruning cannot reach
@@ -1148,15 +1172,20 @@ def semantic_dedup(
         Xn = X / nrm[:, None]
         n = len(Xn)
         dup = np.full(n, -1, dtype=np.int64)
-        rows = np.arange(n)[:, None]
         for j0 in range(1, n, chunk):
             j1 = min(j0 + chunk, n)
+            # strict ID inequality (not row index): rows of the SAME id
+            # are copies of one item and must never pair with each
+            # other; with unique sorted ids this is exactly the old
+            # row-index mask
             hit = (Xn @ Xn[j0:j1].T >= threshold) & (
-                rows < np.arange(j0, j1)[None, :]
+                ids[:, None] < ids[None, j0:j1]
             )
             has = hit.any(0)
+            # rows are id-sorted, so the first hitting row is the
+            # smallest qualifying id
             dup[j0:j1] = np.where(has, ids[hit.argmax(0)], -1)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "id": ids,
                 "cell": pdf["cell"].to_numpy(),
@@ -1166,6 +1195,14 @@ def semantic_dedup(
                 ),
             }
         )
+        if len(np.unique(ids)) != len(ids):
+            # one decision row per id: a copy is a duplicate if ANY of
+            # its representations hit; dup_of = the smallest hitting id
+            out = (
+                out.groupby(["id", "cell", "shard"], as_index=False)
+                .agg(dup_of=("dup_of", "min"))
+            )
+        return out
 
     out = assigned.groupBy("cell", "shard").applyInPandas(
         dedup_cell, "id long, cell int, shard int, dup_of long"

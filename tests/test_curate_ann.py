@@ -263,6 +263,64 @@ def test_semantic_dedup_matches_brute_force(spark):
             assert got[copy][1] == orig
 
 
+def test_semantic_dedup_duplicate_ids_merge(spark):
+    """Identity-keyed contract for duplicate ids (inherited round-5
+    defect, found at sf0.1 where the declared query's planted +1000
+    offsets collide with real ids): rows sharing an id are alternative
+    representations — ONE decision row per id, assigned to the cell of
+    the best-scoring copy, with every copy participating in pairing and
+    same-id copies never pairing with each other."""
+    from acora_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 8))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    # id 50 exists twice: one copy equals vec 3 (exact dup of id 3),
+    # the other is an unrelated vector
+    rows.append((50, [float(x) for x in base[3]]))
+    rows.append((50, [float(x) for x in rng.standard_normal(8)]))
+    # id 60 exists twice with IDENTICAL vectors (must not self-dup)
+    v60 = rng.standard_normal(8)
+    rows.append((60, [float(x) for x in v60]))
+    rows.append((60, [float(x) for x in v60]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = rng.standard_normal((4, 8))
+    res = semantic_dedup(emb, centroids=cents, threshold=0.95).collect()
+    got = {r.vec_id: (r.cell, r.dup_of) for r in res}
+    assert len(res) == len(got) == 42  # one row per distinct id
+
+    # mirror of the SQL GROUP BY semantics
+    import collections
+
+    by_id = collections.defaultdict(list)
+    for i, v in rows:
+        by_id[i].append(np.asarray(v))
+    cell_of = {}
+    for i, vs in by_id.items():
+        d = [(((v - cents) ** 2).sum(1).min(), ((v - cents) ** 2).sum(1).argmin()) for v in vs]
+        cell_of[i] = int(min(d)[1])
+    want = {}
+    for j, vjs in by_id.items():
+        dups = []
+        for i, vis in by_id.items():
+            if i >= j or cell_of[i] != cell_of[j]:
+                continue
+            for vi in vis:
+                for vj in vjs:
+                    c = float(vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj)))
+                    if c >= 0.95:
+                        dups.append(i)
+        want[j] = (cell_of[j], min(dups) if dups else None)
+    assert got == want
+    # id 60's identical copies did not mark each other as duplicates
+    if not any(
+        i != 60 and cell_of[i] == cell_of[60] and got[60][1] is not None
+        for i in by_id
+    ):
+        assert got[60][1] is None or got[60][1] != 60
+    assert got[60][1] != 60
+
+
 def test_semantic_dedup_subsharding_bounds_cells(spark):
     """Oversized cells split into xxhash shards: output marks shard > 0,
     every reported dup really is a >=threshold in-(cell, shard) pair,
