@@ -96,8 +96,8 @@ def _warmup(spark: SparkSession) -> None:
     no reads of any user data.  ``SPARK_GRAFT_WARMUP=0`` disables."""
     from pyspark.sql import functions as F
 
+    n = max(2, spark.sparkContext.defaultParallelism)
     try:
-        n = max(2, spark.sparkContext.defaultParallelism)
         df = spark.range(0, n * 512, 1, n).select(
             F.concat(F.lit("w_"), F.col("id").cast("string")).alias("s"),
             "id",
@@ -108,7 +108,10 @@ def _warmup(spark: SparkSession) -> None:
                 F.regexp_count(F.lower("s"), F.lit("[a-z0-9_]+")).alias("a"),
                 F.length(F.sha2("s", 256)).alias("b"),
                 F.length(F.md5("s")).alias("c"),
-                F.xxhash64("s").alias("d"),
+                # pmod keeps the sum far from int64 range: a raw
+                # sum(xxhash64) overflows under ANSI mode (Spark 4
+                # default) and would abort the warm-up job
+                F.pmod(F.xxhash64("s"), F.lit(1_000_003)).alias("d"),
                 F.length(
                     F.array_join(F.array_sort(F.split("s", "_")), " ")
                 ).alias("e"),
@@ -116,6 +119,10 @@ def _warmup(spark: SparkSession) -> None:
             .agg(F.sum("a"), F.sum("b"), F.sum("c"), F.sum("d"), F.sum("e"))
             .collect()
         )
+    except Exception:
+        # warm-up must never break session creation
+        pass
+    try:
 
         def _ident(batches):
             import numpy as np  # noqa: F401 — warm the worker's imports
@@ -125,5 +132,4 @@ def _warmup(spark: SparkSession) -> None:
 
         spark.range(0, n, 1, n).mapInPandas(_ident, "id long").count()
     except Exception:
-        # warm-up must never break session creation
         pass

@@ -80,9 +80,9 @@ def main() -> None:
         )
     )
 
-    # 3b. runs map side: the per-doc run-length is pure codegen (regex
-    #     pass) — no Python eval node, no HOF interpreter, and the only
-    #     wide operations are the docmap join's two exchanges
+    # 3b. runs map side (round-6 default: one mapInArrow pass) — no
+    #     row-at-a-time Python, no HOF interpreter, no aggregation
+    #     exchange; the only wide operations are the docmap join's
     from acora_spark.index.build import _doc_term_runs
     from acora_spark.sources.corpus import load_corpus
 
@@ -94,17 +94,20 @@ def main() -> None:
     )
     runs_df = _doc_term_runs(corpus, dmap, ["repo", "path", "commit"], False)
     p3b = plan_of(runs_df, "simple")
-    assert "MapInPandas" not in p3b and "BatchEvalPython" not in p3b
-    assert "Generate" in p3b  # the explode of regex runs
+    assert "BatchEvalPython" not in p3b  # no row-at-a-time Python
+    assert "MapInArrow" in p3b  # the batched per-doc term counter
     sections.append(
         (
-            "Runs map side: codegen regex run-length (no Python, no HOF)",
-            "The per-doc (term, tf) computation is one "
-            "regexp_extract_all + explode + string arithmetic — all "
-            "inside WholeStageCodegen (asserted: no MapInPandas / "
-            "BatchEvalPython anywhere in the stage).  A document's "
-            "tokens never leave their row, so the only exchanges are "
-            "the docmap join's.",
+            "Runs map side: one mapInArrow per-doc term-count pass",
+            "The per-doc (term, tf, dl) computation is ONE batched "
+            "MapInArrow node over the id-joined corpus (no "
+            "BatchEvalPython row loop, asserted) — a document's tokens "
+            "never leave their batch, so the classic explode -> "
+            "groupBy(doc, term) aggregation exchange does not exist "
+            "and the only exchanges are the docmap join's (broadcast "
+            "under the round-6 size gate).  The codegen regex and HOF "
+            "forms remain as differential oracles "
+            "(rl_impl=\"regex\"/\"hof\").",
             p3b,
         )
     )
@@ -368,8 +371,9 @@ def main() -> None:
         )
     )
 
-    # 4f. decontamination: eval n-grams broadcast — the corpus scan
-    #     filters map-side, no corpus shuffle before the hit aggregation
+    # 4f. decontamination (round-6 default: join-free arrow probe) —
+    #     zero exchanges; the large-eval-set fallback keeps the
+    #     broadcast-join pipeline
     from acora_spark.operators.quality import decontaminate
 
     docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -381,15 +385,18 @@ def main() -> None:
     )
     p4f = plan_of(dec, "simple")
     assert "CartesianProduct" not in p4f
-    assert "BroadcastExchange" in p4f
+    assert "Exchange" not in p4f  # join-free: scan -> ArrowEvalPython
+    assert "ArrowEvalPython" in p4f
     sections.append(
         (
-            "Decontamination: broadcast eval set, map-side n-gram filter",
-            "The eval set's distinct n-grams build once and broadcast; "
-            "each corpus task explodes its docs' DISTINCT n-grams and "
-            "filters them against the broadcast hash table in place — "
-            "only genuine hits reach the (key, count) aggregation, and "
-            "the corpus content column itself never shuffles.",
+            "Decontamination: join-free broadcast-set probe (zero exchanges)",
+            "The eval set's distinct n-grams collect once (they are "
+            "benchmarks, small by nature) and ship to every task as a "
+            "Python set; each document's distinct n-grams probe it "
+            "inside ONE Arrow-batched UDF — no explode, no join, no "
+            "shuffle of anything (asserted: no Exchange in the plan).  "
+            "Eval sets past ARROW_EVAL_MAX_NGRAMS fall back to the "
+            "broadcast-join pipeline.",
             p4f,
         )
     )
