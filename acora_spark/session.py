@@ -133,3 +133,27 @@ def _warmup(spark: SparkSession) -> None:
         spark.range(0, n, 1, n).mapInPandas(_ident, "id long").count()
     except Exception:
         pass
+    try:
+        # one tiny partitioned parquet write+read roundtrip: compiles the
+        # parquet writer/committer and partitioned-scan paths the first
+        # real write would otherwise pay for (files land in a temp dir
+        # under spark.local.dir and are removed immediately)
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="acora-warmup-", dir="/tmp")
+        try:
+            (
+                spark.range(0, 64, 1, 4)
+                .selectExpr("id", "id % 2 AS b")
+                .repartition(4, "b", "id")
+                .sortWithinPartitions("b", "id")
+                .write.mode("overwrite")
+                .partitionBy("b")
+                .parquet(d)
+            )
+            spark.read.parquet(d).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass
